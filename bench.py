@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Headline benchmark: run the catalog's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line with per-query wall times.
+
+Each query is fully materialized via count() on the final result (no
+driver-side collect of large outputs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pygeoapi_ingestor_spark.plans import QUERIES  # noqa: E402
+from pygeoapi_ingestor_spark.session import get_spark  # noqa: E402
+
+# every catalog query participates; order: cheap scans first
+BENCH_KEYS = sorted(QUERIES)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for key in BENCH_KEYS:
+        t0 = time.perf_counter()
+        df = QUERIES[key](spark, sf_dir)
+        df.count()
+        timings[key] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_total0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

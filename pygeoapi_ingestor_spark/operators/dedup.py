@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline extensions (SURVEY.md §2 C-block). All variants
+are built from DataFrame primitives; hashes use Spark built-ins
+(``xxhash64``, ``md5``) so signatures are deterministic and the hot path
+never leaves the JVM.
+
+Scale notes:
+- exact dedup: one shuffle on the fingerprint.
+- n-gram Jaccard: shingle explode -> (shingle) join restricted to shared
+  shingles, so cost is sum over shingles of pair counts, not n^2.
+- MinHash+LSH: signature via groupBy min over seeded xxhash64; candidate
+  generation shuffles on (band, band_signature) only — the classic
+  banding trick bounds the self-join to same-bucket pairs.
+- SimHash: 64-bit sign-aggregated hash, near-dup = same value in any of
+  4 16-bit bands (hamming-adjacent buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pygeoapi_ingestor_spark.operators.text import fingerprint
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the normalized fingerprint; keeps the smallest id
+    per group and reports the group size."""
+    fp = fingerprint(df, text_col, out_col="fingerprint")
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (lowercased, alnum words).
+
+    Built-ins only: split -> slide via transform over index range -> explode.
+    """
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+    # guard: sequence(0, -1) would generate a descending range, so only
+    # build indices when the doc has at least n words
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Pairs only materialize for documents sharing >=1 shingle; Jaccard =
+    |intersection| / (|A| + |B| - |intersection|).
+    """
+    sh = shingles(df, id_col, text_col, n=n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    pairs = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per document: for seed i, min over shingles of
+    xxhash64(shingle, seed=i). One explode + one groupBy."""
+    sh = shingles(df, id_col, text_col, n=n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*mins)
+    return sig.select(
+        "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows, bucket by
+    (band_id, band_hash), emit candidate pairs sharing any bucket.
+
+    Returns distinct (doc_a, doc_b) candidates with their estimated
+    Jaccard (fraction of matching signature positions).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("signature")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc", "signature", F.explode(band_structs).alias("bb")).select(
+        "doc", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(num_hashes))
+    return cand.withColumn("est_jaccard", est).select("doc_a", "doc_b", "est_jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sign of the sum of
+    (+1/-1) contributions from each token's xxhash64 bit."""
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("w"))
+    h = F.xxhash64("w")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select("doc", sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Near-dup candidates: documents sharing any of the four 16-bit
+    SimHash bands (catches pairs within small hamming distance)."""
+    sh = simhash(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sh.select("doc", "simhash", F.explode(bands).alias("bb")).select(
+        "doc", "simhash", "bb.band", "bb.chunk"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    return pairs.withColumn("hamming", F.bit_count(xor).cast("int")).select(
+        "doc_a", "doc_b", "hamming"
+    )

@@ -1,0 +1,108 @@
+"""Climate indices: climatology, anomaly (z-score SPI variant), and the
+full gamma-fit SPI.
+
+Reference semantics: utils_spi.py:428-478 (``compute_timeseries_spi``) —
+per-pixel gamma fit over a reference period, zero-corrected CDF, normal
+quantile transform. Our data model is tabular: a "pixel" is a series key
+(``event_type``), monthly totals come from ``temporal.resample``.
+
+Scale design: the gamma fit is per-series over at most a few hundred
+monthly totals, so ``applyInPandas`` groups are tiny and the shuffle is
+bounded by series cardinality. Climatology/anomaly stay fully in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pygeoapi_ingestor_spark.functions.numerics import spi_from_series
+
+
+_CYCLES = {"month": F.month, "hour": F.hour, "dayofweek": F.dayofweek, "day": F.dayofmonth}
+
+
+def climatology(
+    monthly: DataFrame,
+    series_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    cycle: str = "month",
+) -> DataFrame:
+    """Per (series, cycle position) mean/std over the reference window —
+    month-of-year for seasonal climatology, hour-of-day for diurnal.
+
+    Output is O(series x cycle length) — always broadcastable back to the
+    fact side.
+    """
+    cycle_fn = _CYCLES[cycle]
+    return (
+        monthly.groupBy(
+            *series_cols, cycle_fn(bucket_col).cast("int").alias("cycle_key")
+        )
+        .agg(
+            F.avg(value_col).alias("clim_mean"),
+            F.stddev_samp(value_col).alias("clim_std"),
+            F.count(F.lit(1)).cast("bigint").alias("clim_n"),
+        )
+    )
+
+
+def anomaly(
+    monthly: DataFrame,
+    clim: DataFrame,
+    series_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    out_col: str = "zscore",
+    cycle: str = "month",
+) -> DataFrame:
+    """Standardized anomaly (x - clim_mean) / clim_std — the z-score SPI
+    variant. Climatology side is broadcast (O(series x cycle))."""
+    cycle_fn = _CYCLES[cycle]
+    joined = monthly.withColumn(
+        "cycle_key", cycle_fn(bucket_col).cast("int")
+    ).join(F.broadcast(clim), [*series_cols, "cycle_key"])
+    return joined.withColumn(
+        out_col,
+        F.when(
+            F.col("clim_std") > 0,
+            (F.col(value_col) - F.col("clim_mean")) / F.col("clim_std"),
+        ),
+    )
+
+
+def spi(
+    monthly: DataFrame,
+    series_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    spi_ts: int = 1,
+) -> DataFrame:
+    """Full SPI per series: Thom gamma fit + zero-corrected CDF + A&S
+    normal quantile (see functions/numerics.py). Returns
+    (series..., bucket, monthly_value, spi).
+    """
+    schema_fields = ", ".join(
+        f"{c} {monthly.schema[c].dataType.simpleString()}" for c in series_cols
+    )
+    out_schema = (
+        f"{schema_fields}, {bucket_col} timestamp, "
+        f"monthly_value double, spi double"
+    )
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col)
+        vals = pdf[value_col].to_numpy(dtype=float)
+        spi_vals = spi_from_series(vals, spi_ts=spi_ts)
+        out = pdf[[*series_cols, bucket_col]].copy()
+        out["monthly_value"] = vals
+        out["spi"] = spi_vals
+        return out
+
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(monthly.sparkSession)
+    return monthly.groupBy(*series_cols).applyInPandas(fit_group, schema=out_schema)

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set and
+stream once over the embeddings table; the dot product stays JVM-side via
+``aggregate``/``zip_with`` higher-order functions.
+
+Scale path: random-hyperplane LSH — bucket vectors by sign-bit signature
+so candidate generation shuffles on the bucket key instead of comparing
+all pairs. Signatures use a deterministic pseudo-random hyperplane
+derived from xxhash64(dim, seed) so results are reproducible without
+shipping a weights matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Broadcast cross join (query set is small by contract) + per-query
+    window top-k. Excludes self-matches on equal ids.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qvec"),
+        )
+    )
+    joined = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
+    ).crossJoin(q)
+    joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("_vec"), F.col("_qvec")) / (
+        _norm(F.col("_vec")) * _norm(F.col("_qvec"))
+    )
+    scored = joined.withColumn("cosine", cos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
+def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16, seed: int = 7) -> Column:
+    """Sign-bit signature: bit p = 1 iff sum_d w[p,d]*v[d] > 0, with
+    w[p,d] a deterministic +/-1 pseudo-random weight from xxhash64."""
+    def _plane_term(p):
+        # +/-1 pseudo-random weight per (plane, dim) from xxhash64
+        return lambda v, d: v * F.when(
+            F.xxhash64(d, F.lit(p), F.lit(seed)).bitwiseAND(F.lit(1)) == 1, 1.0
+        ).otherwise(-1.0)
+
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec_col, F.sequence(F.lit(0), F.lit(dim - 1)), _plane_term(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Approximate top-k: compare only within matching hyperplane buckets.
+
+    At scale this replaces the cross join with an equi-join on the bucket
+    signature; recall is tunable via n_planes (fewer planes = bigger
+    buckets = higher recall).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vec"),
+        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("_sig"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qvec"),
+            hyperplane_signature(F.col(query_vec_col), dim, n_planes).alias("_sig"),
+        )
+    )
+    joined = e.join(q, "_sig").filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("_vec"), F.col("_qvec")) / (
+        _norm(F.col("_vec")) * _norm(F.col("_qvec"))
+    )
+    scored = joined.withColumn("cosine", cos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )

@@ -1,0 +1,191 @@
+"""Temporal operators: selection, resampling, rolling windows, cumulative
+sums, dedup-latest, as-of joins, sessionization.
+
+Reference semantics:
+- time-range + predicate selection: utils_spi.py:399-425 (``sel(time=slice)``)
+- monthly resample: utils_spi.py:418-425 (monthly precip totals)
+- weekly max: ll_nl_danger_levels.py:68-105 (Sunday-anchored weekly max)
+- rolling sum: utils_spi.py:444-448 (``rolling(spi_ts).sum()``)
+- cumulative deficit: ingestor_knmi_evapo.py (running deficit)
+- idempotent latest-snapshot ingest: utils_spi.py:205-358
+- stage/discharge time alignment: rer_river_discharge_arpae_process.py
+
+All operators shuffle on ``(series, bucket)`` — cardinality bounded by the
+number of series x periods, never by raw row count — and keep everything
+inside whole-stage codegen (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def select_time_range(
+    df: DataFrame,
+    ts_col: str,
+    start: str,
+    end: str,
+    predicate=None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Spatio-temporal selection: half-open time slice + optional predicate,
+    projecting only the requested columns so parquet scans prune/pushdown."""
+    out = df.filter((F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(end)))
+    if predicate is not None:
+        out = out.filter(predicate)
+    if columns:
+        out = out.select(*columns)
+    return out
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    series_cols: list[str],
+    value_col: str,
+    freq: str,
+    aggs: dict[str, str],
+) -> DataFrame:
+    """Time-bucketed aggregation (xarray ``resample`` analog).
+
+    freq: 'month' | 'week' | 'day' (date_trunc granularities).
+    aggs: {out_name: fn} with fn in {'sum','max','min','avg','count'}.
+    One shuffle on (series, bucket); map-side partial aggregation applies.
+    """
+    bucket = F.date_trunc(freq, F.col(ts_col)).alias("bucket")
+    agg_exprs = []
+    for out_name, fn in aggs.items():
+        col = F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(value_col)
+        agg_exprs.append(col.alias(out_name))
+    return df.groupBy(*series_cols, bucket).agg(*agg_exprs)
+
+
+def rolling_agg(
+    df: DataFrame,
+    series_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window: int,
+    fn: str = "sum",
+    out_col: str = "rolling_value",
+    full_windows_only: bool = True,
+) -> DataFrame:
+    """Per-series trailing window over `window` rows (SPI timescale sums).
+
+    Window partitioned by series: each series' rows land on one partition —
+    fine because series count >> series length in our data model.
+    """
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    out = df.withColumn(out_col, getattr(F, fn)(value_col).over(w))
+    if full_windows_only:
+        cnt = F.count(F.lit(1)).over(w)
+        out = out.withColumn("_wn", cnt).filter(F.col("_wn") == window).drop("_wn")
+    return out
+
+
+def cumulative_sum(
+    df: DataFrame,
+    series_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_value",
+) -> DataFrame:
+    """Running total per series (precipitation-deficit accumulation)."""
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def dedup_latest(
+    df: DataFrame, key_cols: list[str], order_col: str, tiebreak_col: str | None = None
+) -> DataFrame:
+    """Latest record per key (idempotent-ingest snapshot semantics).
+
+    row_number over (key, order desc) then keep rank 1 — a single shuffle
+    on the key; AQE handles skewed keys.
+    """
+    order = [F.col(order_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_keys: list[str],
+    right_keys: list[str],
+    right_value_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_on <= left_on`` within the key group.
+
+    Spark-first formulation: union both sides tagged with a side marker,
+    sort within key by time, carry the last right value forward with
+    ``last(..., ignorenulls=True)``, keep left rows. One shuffle on the
+    key — no range-explosion, no per-row lookup; scales linearly.
+    """
+    lkey = [F.col(k).alias(f"_k{i}") for i, k in enumerate(left_keys)]
+    rkey = [F.col(k).alias(f"_k{i}") for i, k in enumerate(right_keys)]
+    key_names = [f"_k{i}" for i in range(len(left_keys))]
+
+    l_tag = left.select(
+        *lkey, F.col(left_on).alias("_t"), F.lit(1).alias("_side"), F.struct(*left.columns).alias("_l")
+    ).withColumn("_r", F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_value_cols) + ">"
+    ))
+    r_tag = right.select(
+        *rkey, F.col(right_on).alias("_t"), F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+        F.struct(*right_value_cols).alias("_r"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal timestamps => "<=" semantics
+    w = (
+        Window.partitionBy(*key_names)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumn("_rlast", F.last("_r", ignorenulls=True).over(w))
+    out = matched.filter(F.col("_side") == 1).select("_l.*", "_rlast.*")
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the inactivity
+    gap exceeds ``gap_seconds``. Adds ``session_id`` (cumulative count of
+    session starts within the key) — classic lag + running-sum formulation,
+    one shuffle on the key.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # cast to double epoch seconds to keep sub-second precision (parity
+    # with DuckDB's epoch()); unix_timestamp would truncate to seconds
+    gap = F.col(ts_col).cast("double") - prev.cast("double")
+    is_new = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    run = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(run)
+    ).drop("_new")

@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+These extend the reference's surface (SURVEY.md §2 C-block): everything
+stays in built-in expressions (regexp_*, md5, length) so the hot path is
+whole-stage codegen over the documents table — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword probes (lowercase, whole-word)
+LANG_STOPWORDS = {
+    "en": ("the", "and", "is", "of", "to", "in", "that", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "que"),
+    "es": ("el", "la", "los", "las", "es", "una", "que", "para"),
+}
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _word_hits(text_col: Column, words: tuple[str, ...]) -> Column:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pattern), F.lit(0)))
+
+
+def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts;
+    'und' (undetermined) when nothing matches."""
+    text = F.col(text_col)
+    hit_cols = {lang: _word_hits(text, words) for lang, words in LANG_STOPWORDS.items()}
+    out = df
+    for lang, col in hit_cols.items():
+        out = out.withColumn(f"_hits_{lang}", col)
+    best = F.greatest(*[F.col(f"_hits_{lang}") for lang in LANG_STOPWORDS])
+    pred = F.lit("und")
+    # deterministic tie-break: first language (dict order) with max hits wins
+    for lang in reversed(list(LANG_STOPWORDS)):
+        pred = F.when(
+            (F.col(f"_hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn(out_col, pred).drop(
+        *[f"_hits_{lang}" for lang in LANG_STOPWORDS]
+    )
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Length / punctuation / uppercase / stopword-density features plus a
+    composite quality score in [0, 1]."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    n_ws_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    n_stop = _word_hits(text, LANG_STOPWORDS["en"])
+
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_alpha > 0, n_upper / n_alpha).otherwise(F.lit(0.0))
+    stop_density = F.when(n_ws_tokens > 0, n_stop / n_ws_tokens).otherwise(F.lit(0.0))
+    # simple monotone composite: alpha-heavy, lightly punctuated, mixed-case
+    score = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_density * 2, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(upper_ratio * 2, F.lit(1.0)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("bigint"))
+        .withColumn("ws_tokens", n_ws_tokens.cast("bigint"))
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("upper_ratio", upper_ratio)
+        .withColumn("stop_density", stop_density)
+        .withColumn("quality_score", score)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (letters runs,
+    digit runs, single punctuation — a public approximation of byte-pair
+    pre-tokenization)."""
+    text = F.col(text_col)
+    return df.withColumn(
+        "ws_tokens", F.size(F.split(F.trim(text), r"\s+")).cast("bigint")
+    ).withColumn(
+        "regex_tokens",
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0))).cast("bigint"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Normalized-content fingerprint: lowercase, strip non-alphanumerics,
+    md5 — the canonical exact-dedup key (whitespace/punct-insensitive)."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    return df.withColumn(out_col, F.md5(normalized))

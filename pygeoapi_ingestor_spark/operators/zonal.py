@@ -1,0 +1,68 @@
+"""Zonal and ensemble statistics.
+
+Reference semantics:
+- zonal stats: utils_spi.py:565-621 — per-basin min/max/median/p05..p95
+  of the SPI field per time step (``basin_zonal_stat``).
+- ensemble stats: utils_spi.py:576-590 + CDS seasonal forecasts — the
+  ensemble-member dimension ``r`` is collapsed with median/min/max/
+  percentiles.
+
+Spark-first: a zone is a join key (dimension table, broadcast), the
+statistics are one groupBy — percentiles via the exact interpolated
+``percentile`` aggregate so results are deterministic and oracle-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ZONAL_PERCENTILES = (0.05, 0.10, 0.30, 0.50, 0.70, 0.90, 0.95)
+
+
+def zonal_stats(
+    fact: DataFrame,
+    zones: DataFrame,
+    join_key: str,
+    zone_col: str,
+    bucket_col,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.05, 0.5, 0.95),
+) -> DataFrame:
+    """Per (zone, bucket) min/max + interpolated percentiles.
+
+    ``zones`` is a small dimension (basin table analog) — broadcast so the
+    fact side never shuffles for the join; the single shuffle is the
+    groupBy on (zone, bucket).
+    """
+    joined = fact.join(F.broadcast(zones), on=join_key)
+    aggs = [
+        F.min(value_col).alias("v_min"),
+        F.max(value_col).alias("v_max"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.percentile(value_col, F.lit(p)).alias(f"p{int(round(p * 100)):02d}")
+        )
+    return joined.groupBy(F.col(zone_col), bucket_col).agg(*aggs)
+
+
+def ensemble_stats(
+    df: DataFrame,
+    bucket_cols: list,
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.10, 0.90),
+) -> DataFrame:
+    """Collapse the ensemble-member dimension: per bucket median/min/max
+    plus requested percentiles (reference ``spi_ensemble``/``spi_perc``)."""
+    aggs = [
+        F.min(value_col).alias("ens_min"),
+        F.max(value_col).alias("ens_max"),
+        F.percentile(value_col, F.lit(0.5)).alias("ens_median"),
+        F.count(F.lit(1)).cast("bigint").alias("ens_n"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.percentile(value_col, F.lit(p)).alias(f"ens_p{int(round(p * 100)):02d}")
+        )
+    return df.groupBy(*bucket_cols).agg(*aggs)

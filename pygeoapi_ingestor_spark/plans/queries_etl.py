@@ -1,0 +1,552 @@
+"""ETL / ingestion-parity queries (SURVEY.md §2 block A) on ``events``.
+
+Every query returns rounded, stably-named columns so the DuckDB oracle
+hash-matches (see SURVEY.md §6 for the rounding conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pygeoapi_ingestor_spark.operators import (
+    correction,
+    curves,
+    indices,
+    temporal,
+    thresholds,
+    zonal,
+)
+
+# stage -> discharge rating-curve points (public-shape lookup table, spans
+# the events value range 0..500)
+RATING_CURVE = [
+    (0.0, 0.0),
+    (50.0, 10.0),
+    (100.0, 35.0),
+    (200.0, 120.0),
+    (300.0, 300.0),
+    (500.0, 800.0),
+]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    return read_events(spark, sf_dir)
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.resample(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        series_cols=["event_type"],
+        value_col="value",
+        freq="day",
+        aggs={"daily_total": "sum", "n_obs": "count", "avg_value": "avg"},
+    )
+
+
+def q_select_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = temporal.select_time_range(
+        ev,
+        ts_col="ts",
+        start="2024-01-08",
+        end="2024-01-15",
+        predicate=(F.col("event_type").isin("click", "purchase")) & (F.col("value") > 100),
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    return out
+
+
+def q_resample_daily_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily(spark, sf_dir)
+    return d.select(
+        "event_type",
+        F.col("bucket"),
+        F.round("daily_total", 4).alias("daily_total"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+def q_resample_weekly_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    weekly = temporal.resample(
+        ev,
+        ts_col="ts",
+        series_cols=["event_type"],
+        value_col="value",
+        freq="week",
+        aggs={"weekly_max": "max", "n_obs": "count"},
+    )
+    last_ts = temporal.resample(
+        ev, ts_col="ts", series_cols=["event_type"], value_col="ts",
+        freq="week", aggs={"last_ts": "max"},
+    )
+    return (
+        weekly.join(last_ts, ["event_type", "bucket"])
+        .select(
+            "event_type",
+            "bucket",
+            F.round("weekly_max", 6).alias("weekly_max"),
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            "last_ts",
+        )
+    )
+
+
+def q_rolling_sum_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily(spark, sf_dir)
+    rolled = temporal.rolling_agg(
+        d,
+        series_cols=["event_type"],
+        order_col="bucket",
+        value_col="daily_total",
+        window=7,
+        fn="sum",
+        out_col="rolling_7d",
+    )
+    return rolled.select(
+        "event_type", "bucket", F.round("rolling_7d", 4).alias("rolling_7d")
+    )
+
+
+def q_climatology_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clim = indices.climatology(
+        ev, series_cols=["event_type"], bucket_col="ts", value_col="value", cycle="hour"
+    )
+    return clim.select(
+        "event_type",
+        F.col("cycle_key").alias("hour_of_day"),
+        F.round("clim_mean", 6).alias("clim_mean"),
+        F.round("clim_std", 6).alias("clim_std"),
+        "clim_n",
+    )
+
+
+def q_anomaly_vs_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clim = indices.climatology(
+        ev, series_cols=["event_type"], bucket_col="ts", value_col="value", cycle="hour"
+    )
+    anom = indices.anomaly(
+        ev, clim, series_cols=["event_type"], bucket_col="ts",
+        value_col="value", out_col="zscore", cycle="hour",
+    )
+    return anom.select(
+        "event_id", "event_type", F.round("zscore", 6).alias("zscore")
+    )
+
+
+def q_spi_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily(spark, sf_dir).select("event_type", "bucket", "daily_total")
+    out = indices.spi(
+        d, series_cols=["event_type"], bucket_col="bucket",
+        value_col="daily_total", spi_ts=1,
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        F.round("monthly_value", 4).alias("period_total"),
+        F.round("spi", 6).alias("spi"),
+    )
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    zones = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        F.col("c_custkey").alias("user_id"), F.col("n_name").alias("zone")
+    )
+    out = zonal.zonal_stats(
+        ev,
+        zones,
+        join_key="user_id",
+        zone_col="zone",
+        bucket_col=F.date_trunc("week", F.col("ts")).alias("bucket"),
+        value_col="value",
+        percentiles=(0.05, 0.5, 0.95),
+    )
+    return out.select(
+        "zone",
+        "bucket",
+        F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"),
+        F.round("p05", 6).alias("p05"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+    )
+
+
+def q_ensemble_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # member series: each user's daily mean, then collapse the member axis
+    member_daily = temporal.resample(
+        ev, ts_col="ts", series_cols=["event_type", "user_id"],
+        value_col="value", freq="day", aggs={"member_avg": "avg"},
+    )
+    out = zonal.ensemble_stats(
+        member_daily, bucket_cols=["event_type", "bucket"],
+        value_col="member_avg", percentiles=(0.10, 0.90),
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        F.round("ens_min", 6).alias("ens_min"),
+        F.round("ens_max", 6).alias("ens_max"),
+        F.round("ens_median", 6).alias("ens_median"),
+        "ens_n",
+        F.round("ens_p10", 6).alias("ens_p10"),
+        F.round("ens_p90", 6).alias("ens_p90"),
+    )
+
+
+def q_bias_correction_qmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    model = ev.filter(F.col("event_type") == "error").select("event_id", "value")
+    ref = ev.filter(F.col("event_type") == "click").select("value")
+    mapped = correction.quantile_map(
+        model.withColumn("_series", F.lit(1)),
+        ref.withColumn("_series", F.lit(1)),
+        series_cols=["_series"],
+        value_col="value",
+        out_col="value_adj",
+    )
+    return mapped.select(
+        "event_id", "value", F.round("value_adj", 6).alias("value_adj")
+    )
+
+
+def q_rating_curve_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("_k", F.lit(1))
+    curve = spark.createDataFrame(
+        [(1, float(x), float(y)) for x, y in RATING_CURVE], "_k int, stage double, discharge double"
+    )
+    out = curves.interpolate_on_curve(
+        ev, curve, key_cols=["_k"], x_col="stage", y_col="discharge",
+        value_col="value", out_col="discharge",
+    )
+    return out.select(
+        "event_id", "value", F.round("discharge", 6).alias("discharge")
+    )
+
+
+def q_threshold_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = thresholds.categorize_counts(
+        ev, group_cols=["event_type"], value_col="value", out_col="danger_level"
+    )
+    return out.select(
+        "event_type", "danger_level", "n", F.round("avg_value", 6).alias("avg_value")
+    )
+
+
+def q_precip_deficit_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily(spark, sf_dir).select("event_type", "bucket", "daily_total")
+    out = temporal.cumulative_sum(
+        d, series_cols=["event_type"], order_col="bucket",
+        value_col="daily_total", out_col="cum_total",
+    )
+    return out.select(
+        "event_type", "bucket", F.round("cum_total", 4).alias("cum_total")
+    )
+
+
+def q_unit_convert_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # reference conversions (bias_correction_cds_process.py:274-299):
+    # K -> degC, m -> mm, plus a derived range/midpoint pair
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") - 273.15, 6).alias("value_degc"),
+        F.round(F.col("value") * 1000.0, 4).alias("value_mm"),
+        F.round((F.col("value") - 32.0) * 5.0 / 9.0, 6).alias("value_f2c"),
+    )
+
+
+def q_regrid_snap_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cell = (F.floor(F.col("value") / 25.0) * 25.0).alias("cell")
+    return ev.groupBy("event_type", cell).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("value"), 6).alias("cell_avg"),
+    )
+
+
+def q_dedup_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = temporal.dedup_latest(
+        ev, key_cols=["user_id", "event_type"], order_col="ts", tiebreak_col="event_id"
+    )
+    return out.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+def q_collection_healthcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.min("ts").alias("ts_begin"),
+        F.max("ts").alias("ts_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+    )
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    out = temporal.asof_join(
+        purchases,
+        clicks,
+        left_on="ts",
+        right_on="click_ts",
+        left_keys=["user_id"],
+        right_keys=["c_user"],
+        right_value_cols=["click_ts", "click_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", "click_ts",
+        F.round("click_value", 6).alias("click_value"),
+    )
+
+
+def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = temporal.sessionize(ev, key_cols=["user_id"], ts_col="ts", gap_seconds=1800)
+    return s.groupBy(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+ETL_QUERIES = {
+    "select_time_range": q_select_time_range,
+    "resample_daily_sum": q_resample_daily_sum,
+    "resample_weekly_max": q_resample_weekly_max,
+    "rolling_sum_7d": q_rolling_sum_7d,
+    "climatology_hourly": q_climatology_hourly,
+    "anomaly_vs_climatology": q_anomaly_vs_climatology,
+    "spi_gamma": q_spi_gamma,
+    "zonal_stats": q_zonal_stats,
+    "ensemble_stats": q_ensemble_stats,
+    "bias_correction_qmap": q_bias_correction_qmap,
+    "rating_curve_interp": q_rating_curve_interp,
+    "threshold_categorize": q_threshold_categorize,
+    "precip_deficit_cumsum": q_precip_deficit_cumsum,
+    "unit_convert_derive": q_unit_convert_derive,
+    "regrid_snap_agg": q_regrid_snap_agg,
+    "dedup_latest_snapshot": q_dedup_latest_snapshot,
+    "collection_healthcheck": q_collection_healthcheck,
+    "asof_join_events": q_asof_join_events,
+    "sessionize_gap": q_sessionize_gap,
+}
+
+
+_DAILY_CTE = """
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           sum(value) AS daily_total,
+           count(*) AS n_obs,
+           avg(value) AS avg_value
+    FROM events GROUP BY 1, 2
+)
+"""
+
+ETL_ORACLES = {
+    "select_time_range": """
+        SELECT event_id, ts, event_type, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+          AND event_type IN ('click', 'purchase') AND value > 100
+    """,
+    "resample_daily_sum": _DAILY_CTE + """
+        SELECT event_type, bucket, round(daily_total, 4) AS daily_total,
+               CAST(n_obs AS BIGINT) AS n_obs, round(avg_value, 6) AS avg_value
+        FROM daily
+    """,
+    "resample_weekly_max": """
+        SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket,
+               round(max(value), 6) AS weekly_max,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               max(ts) AS last_ts
+        FROM events GROUP BY 1, 2
+    """,
+    "rolling_sum_7d": _DAILY_CTE + """
+        SELECT event_type, bucket, round(rolling_7d, 4) AS rolling_7d FROM (
+            SELECT event_type, bucket,
+                   sum(daily_total) OVER w AS rolling_7d,
+                   count(*) OVER w AS wn
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ) WHERE wn = 7
+    """,
+    "climatology_hourly": """
+        SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+               round(avg(value), 6) AS clim_mean,
+               round(stddev_samp(value), 6) AS clim_std,
+               CAST(count(*) AS BIGINT) AS clim_n
+        FROM events GROUP BY 1, 2
+    """,
+    "anomaly_vs_climatology": """
+        SELECT event_id, event_type,
+               round((value - avg(value) OVER w) / (stddev_samp(value) OVER w), 6)
+                   AS zscore
+        FROM events
+        WINDOW w AS (PARTITION BY event_type, hour(ts))
+    """,
+    "zonal_stats": """
+        SELECT n_name AS zone, CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket,
+               round(min(value), 6) AS v_min,
+               round(max(value), 6) AS v_max,
+               round(quantile_cont(value, 0.05), 6) AS p05,
+               round(quantile_cont(value, 0.50), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95
+        FROM events
+        JOIN customer ON user_id = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    """,
+    "ensemble_stats": """
+        WITH member_daily AS (
+            SELECT event_type, user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                   avg(value) AS member_avg
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type, bucket,
+               round(min(member_avg), 6) AS ens_min,
+               round(max(member_avg), 6) AS ens_max,
+               round(quantile_cont(member_avg, 0.5), 6) AS ens_median,
+               CAST(count(*) AS BIGINT) AS ens_n,
+               round(quantile_cont(member_avg, 0.10), 6) AS ens_p10,
+               round(quantile_cont(member_avg, 0.90), 6) AS ens_p90
+        FROM member_daily GROUP BY 1, 2
+    """,
+    "bias_correction_qmap": """
+        WITH m AS (
+            SELECT event_id, value,
+                   percent_rank() OVER (ORDER BY value) AS pr
+            FROM events WHERE event_type = 'error'
+        ), r AS (
+            SELECT value AS ref_value,
+                   percent_rank() OVER (ORDER BY value) AS pr
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT m.event_id, m.value,
+               round(max(r.ref_value), 6) AS value_adj
+        FROM m JOIN r ON r.pr <= m.pr
+        GROUP BY m.event_id, m.value
+    """,
+    "rating_curve_interp": """
+        WITH pts(stage, discharge) AS (VALUES
+            (0.0, 0.0), (50.0, 10.0), (100.0, 35.0),
+            (200.0, 120.0), (300.0, 300.0), (500.0, 800.0)
+        ), segs AS (
+            SELECT stage AS x_lo, lead(stage) OVER (ORDER BY stage) AS x_hi,
+                   discharge AS y_lo, lead(discharge) OVER (ORDER BY stage) AS y_hi,
+                   max(stage) OVER () AS x_max
+            FROM pts
+        )
+        SELECT event_id, value,
+               round(y_lo + (y_hi - y_lo) * (value - x_lo) / (x_hi - x_lo), 6)
+                   AS discharge
+        FROM events
+        LEFT JOIN segs ON value >= x_lo
+            AND (value < x_hi OR (x_hi = x_max AND value <= x_hi))
+    """,
+    "threshold_categorize": """
+        WITH labeled AS (
+            SELECT event_type, value,
+                   CASE WHEN value < 50 THEN 'darkblue'
+                        WHEN value < 100 THEN 'blue'
+                        WHEN value < 125 THEN 'green'
+                        WHEN value < 150 THEN 'yellow'
+                        WHEN value < 175 THEN 'orange'
+                        WHEN value < 200 THEN 'red'
+                        ELSE 'darkred' END AS danger_level
+            FROM events
+        )
+        SELECT event_type, danger_level, CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 6) AS avg_value
+        FROM labeled GROUP BY 1, 2
+    """,
+    "precip_deficit_cumsum": _DAILY_CTE + """
+        SELECT event_type, bucket,
+               round(sum(daily_total) OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS cum_total
+        FROM daily
+    """,
+    "unit_convert_derive": """
+        SELECT event_id,
+               round(value - 273.15, 6) AS value_degc,
+               round(value * 1000.0, 4) AS value_mm,
+               round((value - 32.0) * 5.0 / 9.0, 6) AS value_f2c
+        FROM events
+    """,
+    "regrid_snap_agg": """
+        SELECT event_type, floor(value / 25.0) * 25.0 AS cell,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 6) AS cell_avg
+        FROM events GROUP BY 1, 2
+    """,
+    "dedup_latest_snapshot": """
+        SELECT user_id, event_type, event_id, ts, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "collection_healthcheck": """
+        SELECT event_type, min(ts) AS ts_begin, max(ts) AS ts_end,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(min(value), 6) AS v_min, round(max(value), 6) AS v_max
+        FROM events GROUP BY 1
+    """,
+    "asof_join_events": """
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.click_ts, round(c.click_value, 6) AS click_value
+        FROM (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id AS c_user, ts AS click_ts,
+                               value AS click_value
+                        FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.c_user AND p.ts >= c.click_ts
+    """,
+    "sessionize_gap": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               round(sum(value), 4) AS session_value
+        FROM sess GROUP BY 1, 2
+    """,
+}

@@ -1,0 +1,257 @@
+"""LLM-training-data pipeline queries (SURVEY.md §2 block C) on
+``documents`` and ``embeddings``.
+
+Oracle parity notes: every regex/hash formula is written identically for
+Spark (Java regex) and DuckDB (RE2) — the patterns used are in the common
+subset. Cosines are computed in float64 on both sides (embeddings cast
+from float32 first) so rounding at 6 decimals is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pygeoapi_ingestor_spark.operators import dedup, multimodal, similarity, text
+
+JACCARD_THRESHOLD = 0.1
+TOPK = 5
+N_QUERY_VECS = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        n=3, threshold=JACCARD_THRESHOLD,
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "n_common", "size_a", "size_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        n=3, num_hashes=32, bands=8,
+    )
+    return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text"
+    )
+
+
+def q_sim_search_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = similarity.cosine_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = similarity.lsh_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding",
+        dim=64, k=TOPK, n_planes=8,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.lang_id(_docs(spark, sf_dir), text_col="text")
+    return out.select("doc_id", "lang", "lang_pred")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.quality_features(_docs(spark, sf_dir), text_col="text")
+    return out.select(
+        "doc_id",
+        "ws_tokens",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+        F.round("stop_density", 6).alias("stop_density"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.token_counts(_docs(spark, sf_dir), text_col="text")
+    return out.select("doc_id", "ws_tokens", "regex_tokens")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.fingerprint(_docs(spark, sf_dir), text_col="text")
+    return out.select("doc_id", "fingerprint")
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_payload(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+    decoded = multimodal.extract_metadata(media, use_stub=True)
+    return decoded.select("media_id", "media_type", "width", "height", "n_frames", "sha256")
+
+
+LLM_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_search_cosine_topk": q_sim_search_cosine_topk,
+    "sim_search_lsh": q_sim_search_lsh,
+    "lang_id_heuristic": q_lang_id,
+    "text_quality_score": q_text_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+_STOP_RE = r"\b(the|and|is|of|to|in|that|it)\b"
+
+_SHINGLE_CTE = r"""
+WITH words_t AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                   '\s+'),
+               w -> w <> '') AS words
+    FROM documents
+), sh AS (
+    SELECT doc_id AS doc, unnest(list_distinct(
+               list_transform(
+                   range(1, greatest(len(words) - 2, 0) + 1),
+                   i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+    FROM words_t
+)
+"""
+
+LLM_ORACLES = {
+    "dedup_exact": """
+        SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_dupes
+        FROM documents GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": _SHINGLE_CTE + """
+        , sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(sa.n_sh AS BIGINT) AS size_a,
+               CAST(sb.n_sh AS BIGINT) AS size_b,
+               round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """,
+    "sim_search_cosine_topk": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_dot_product(e.v, q.qv) /
+                       (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                       AS cosine
+            FROM e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+               CAST(rnk AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """,
+    "lang_id_heuristic": f"""
+        WITH hits AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|in|that|it)\\b')) AS h_en,
+                   len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht|ein|zu)\\b')) AS h_de,
+                   len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des|est|une|que)\\b')) AS h_fr,
+                   len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|una|que|para)\\b')) AS h_es
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN h_en = best AND best > 0 THEN 'en'
+                    WHEN h_de = best AND best > 0 THEN 'de'
+                    WHEN h_fr = best AND best > 0 THEN 'fr'
+                    WHEN h_es = best AND best > 0 THEN 'es'
+                    ELSE 'und' END AS lang_pred
+        FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es) AS best FROM hits)
+    """,
+    "text_quality_score": r"""
+        WITH feats AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                   len(string_split_regex(trim(text), '\s+')) AS n_ws,
+                   len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it)\b')) AS n_stop
+            FROM documents
+        ), ratios AS (
+            SELECT doc_id,
+                   CAST(n_ws AS BIGINT) AS ws_tokens,
+                   CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN n_alpha > 0 THEN n_upper / n_alpha ELSE 0.0 END AS upper_ratio,
+                   CASE WHEN n_ws > 0 THEN n_stop / n_ws ELSE 0.0 END AS stop_density
+            FROM feats
+        )
+        SELECT doc_id, ws_tokens,
+               round(alpha_ratio, 6) AS alpha_ratio,
+               round(punct_ratio, 6) AS punct_ratio,
+               round(upper_ratio, 6) AS upper_ratio,
+               round(stop_density, 6) AS stop_density,
+               round(0.4 * alpha_ratio
+                     + 0.3 * least(stop_density * 2, 1.0)
+                     + 0.2 * (1.0 - least(upper_ratio * 2, 1.0))
+                     + 0.1 * (1.0 - least(punct_ratio * 5, 1.0)), 6) AS quality_score
+        FROM ratios
+    """,
+    "token_count": r"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                   AS regex_tokens
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+        FROM documents
+    """,
+}

@@ -1,0 +1,114 @@
+"""Collection writer + catalog registry.
+
+Reference parity: every ingestion process ends by (1) writing the
+dataset to a collection store (ZARR on S3) and (2) registering the
+collection in the pygeoapi config with its spatial/temporal extents
+(utils_spi.py:481-562 ``create_s3_collection_data``/``update_config``,
+collection_healthcheck.py).
+
+Spark-first: the collection store is partitioned parquet (columnar,
+predicate-pushdown-friendly — the tabular analog of chunked ZARR), and
+the catalog is a JSON registry whose extents are computed with one
+aggregate over the data. At 100 TB the partition columns (e.g.
+date(ts)) give partition pruning on every time-sliced query.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_collection(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a dataset as a partitioned parquet collection."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def compute_extents(
+    df: DataFrame, ts_col: str | None = None, value_cols: list[str] | None = None
+) -> dict[str, Any]:
+    """One-pass extents aggregate (the reference reads coord min/max from
+    the opened dataset; we aggregate — no data pulled to the driver
+    beyond one row)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if ts_col:
+        aggs += [F.min(ts_col).alias("ts_begin"), F.max(ts_col).alias("ts_end")]
+    for c in value_cols or []:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    row = df.agg(*aggs).collect()[0].asDict()
+    return {
+        k: (v.isoformat() if isinstance(v, (datetime.datetime, datetime.date)) else v)
+        for k, v in row.items()
+    }
+
+
+class CollectionCatalog:
+    """JSON-file catalog of registered collections (the pygeoapi
+    ``resources`` config analog). Methods mirror the reference flow:
+    register after write, healthcheck over all entries."""
+
+    def __init__(self, catalog_path: str):
+        self.catalog_path = catalog_path
+
+    def _load(self) -> dict:
+        if os.path.exists(self.catalog_path):
+            with open(self.catalog_path) as f:
+                return json.load(f)
+        return {"resources": {}}
+
+    def _save(self, cfg: dict) -> None:
+        tmp = self.catalog_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cfg, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.catalog_path)
+
+    def register(
+        self,
+        collection_id: str,
+        data_path: str,
+        extents: dict[str, Any],
+        provider: str = "parquet",
+        description: str = "",
+    ) -> dict:
+        cfg = self._load()
+        entry = {
+            "type": "collection",
+            "title": collection_id,
+            "description": description,
+            "extents": extents,
+            "providers": [{"type": "feature", "name": provider, "data": data_path}],
+        }
+        cfg["resources"][collection_id] = entry
+        self._save(cfg)
+        return entry
+
+    def exists(self, collection_id: str) -> bool:
+        """Idempotent-ingest check (reference: skip when the collection
+        is already in bucket + config)."""
+        return collection_id in self._load()["resources"]
+
+    def healthcheck(self, spark) -> list[dict]:
+        """Verify every registered collection is readable and non-empty
+        (collection_healthcheck.py analog)."""
+        report = []
+        for cid, entry in self._load()["resources"].items():
+            path = entry["providers"][0]["data"]
+            try:
+                n = spark.read.parquet(path).limit(1).count()
+                report.append({"id": cid, "ok": n > 0, "error": None})
+            except Exception as e:  # unreadable path -> unhealthy, not fatal
+                report.append({"id": cid, "ok": False, "error": str(e)[:200]})
+        return report

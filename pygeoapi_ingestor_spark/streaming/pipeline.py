@@ -1,0 +1,141 @@
+"""Streaming ingestion pipelines.
+
+Reference semantics re-expressed (SURVEY.md §2 D1/D2):
+- continuous ingestion of an append-only event stream (the reference's
+  repeated cron pulls collapse into one readStream),
+- event-time windowed aggregation with a watermark for late data
+  (the reference's per-period recompute),
+- gap sessionization via ``session_window``.
+
+All transforms are build-once: the same logical plan serves a file
+stream in tests and a Kafka/cloud-files stream in production — only the
+``readStream`` format changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "json", max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source event stream (json/parquet drop directory — the FTP
+    polling analog). Swap format for kafka/cloud files in production."""
+    reader = (
+        spark.readStream.format(fmt)
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+    )
+    return reader.load(path)
+
+
+def windowed_agg(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with late-data watermark.
+
+    State is bounded by (series x open windows); the watermark closes
+    windows so state doesn't grow with stream length — the property that
+    lets this run forever at 100 TB/day.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "total_value",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_agg(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap sessionization with ``session_window`` — the streaming twin of
+    operators.temporal.sessionize."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_sink(
+    result: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    mode: str = "append",
+    await_all: bool = True,
+):
+    """Materialize a streaming result into a parquet collection.
+
+    ``availableNow`` processes the backlog then stops — the streaming
+    equivalent of one scheduler tick, and what the tests use.
+    """
+    q = (
+        result.writeStream.format("parquet")
+        .outputMode(mode)
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_all:
+        q.awaitTermination()
+    return q
+
+
+def run_to_memory(result: DataFrame, name: str, mode: str = "append"):
+    """Debug/test sink: collect a streaming result into an in-memory
+    table (complete/update modes supported)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,97 @@
+"""Scheduler shim: config-driven process execution.
+
+Reference parity (scheduler.sh / scheduler.yaml / init_script/
+init_main.py): each entry names a process, its inputs, and a
+``frequency`` that is either ``on-demand`` (run at startup) or a cron
+expression (run on schedule). We keep the same config shape; in a Spark
+deployment the cron tick is the cluster scheduler (Airflow/k8s CronJob)
+invoking ``run_process``, and ``on-demand`` entries run immediately.
+
+The process registry maps process names to callables
+``(spark, inputs) -> DataFrame`` — the batch queries from
+``plans.QUERIES`` are all valid processes.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ScheduledProcess:
+    name: str
+    process: str
+    frequency: str  # "on-demand" | 5-field cron expression
+    inputs: dict = field(default_factory=dict)
+
+    @property
+    def on_demand(self) -> bool:
+        return self.frequency.strip().lower() == "on-demand"
+
+
+def parse_scheduler_config(cfg: dict) -> list[ScheduledProcess]:
+    """Parse a scheduler mapping: {jobs: [{name, process, frequency,
+    inputs}, ...]} (the reference's scheduler.yaml shape)."""
+    jobs = []
+    for raw in cfg.get("jobs", []):
+        jobs.append(
+            ScheduledProcess(
+                name=raw["name"],
+                process=raw["process"],
+                frequency=str(raw.get("frequency", "on-demand")),
+                inputs=dict(raw.get("inputs", {})),
+            )
+        )
+    return jobs
+
+
+def _field_matches(expr: str, value: int, lo: int) -> bool:
+    if expr == "*":
+        return True
+    for part in expr.split(","):
+        if part.startswith("*/"):
+            step = int(part[2:])
+            if (value - lo) % step == 0:
+                return True
+        elif "-" in part:
+            a, b = part.split("-")
+            if int(a) <= value <= int(b):
+                return True
+        elif part and int(part) == value:
+            return True
+    return False
+
+
+def cron_matches(expr: str, when: datetime.datetime) -> bool:
+    """Standard 5-field cron match (minute hour dom month dow)."""
+    fields = expr.split()
+    if len(fields) != 5:
+        raise ValueError(f"not a 5-field cron expression: {expr!r}")
+    minute, hour, dom, month, dow = fields
+    return (
+        _field_matches(minute, when.minute, 0)
+        and _field_matches(hour, when.hour, 0)
+        and _field_matches(dom, when.day, 1)
+        and _field_matches(month, when.month, 1)
+        and _field_matches(dow, when.isoweekday() % 7, 0)
+    )
+
+
+def due_jobs(
+    jobs: list[ScheduledProcess], when: datetime.datetime, include_on_demand: bool
+) -> list[ScheduledProcess]:
+    out = []
+    for j in jobs:
+        if j.on_demand:
+            if include_on_demand:
+                out.append(j)
+        elif cron_matches(j.frequency, when):
+            out.append(j)
+    return out
+
+
+def run_process(spark, registry: dict, job: ScheduledProcess):
+    """Execute one scheduled process and return its result DataFrame."""
+    fn = registry[job.process]
+    return fn(spark, **job.inputs)

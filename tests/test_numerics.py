@@ -1,0 +1,79 @@
+"""Unit + property tests for the numpy numeric kernels behind the SPI
+pandas UDF."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pygeoapi_ingestor_spark.functions import numerics
+
+
+def test_lgamma_matches_math():
+    for a in [0.1, 0.5, 1.0, 2.5, 7.3, 42.0]:
+        assert abs(numerics._lgamma(a) - math.lgamma(a)) < 1e-10
+
+
+def test_gammainc_known_values():
+    # P(1, x) = 1 - exp(-x)
+    x = np.array([0.0, 0.5, 1.0, 3.0, 10.0])
+    got = numerics.gammainc_lower(1.0, x)
+    want = 1.0 - np.exp(-x)
+    assert np.allclose(got, want, atol=1e-12)
+    # P(a, inf-ish) -> 1, P(a, 0) = 0
+    assert numerics.gammainc_lower(2.3, np.array([1e6]))[0] > 1 - 1e-12
+    assert numerics.gammainc_lower(2.3, np.array([0.0]))[0] == 0.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.floats(0.2, 20.0), st.floats(0.01, 50.0))
+def test_gammainc_monotone_in_x(a, x):
+    p1 = numerics.gammainc_lower(a, np.array([x]))[0]
+    p2 = numerics.gammainc_lower(a, np.array([x * 1.1 + 0.01]))[0]
+    assert 0.0 <= p1 <= 1.0 and p2 >= p1 - 1e-12
+
+
+def test_normal_ppf_symmetry_and_accuracy():
+    p = np.array([0.5, 0.158655, 0.841345, 0.022750, 0.977250])
+    z = numerics.normal_ppf_as(p)
+    # A&S 26.2.23 has |eps| < 4.5e-4
+    want = np.array([0.0, -1.0, 1.0, -2.0, 2.0])
+    assert np.allclose(z, want, atol=5e-3)
+    assert abs(z[1] + z[2]) < 1e-2  # symmetry
+
+
+def test_thom_fit_recovers_gamma_params():
+    rng = np.random.default_rng(42)
+    x = rng.gamma(shape=3.0, scale=2.0, size=20000)
+    shape, scale = numerics.thom_gamma_fit(x)
+    assert abs(shape - 3.0) < 0.15
+    assert abs(scale - 2.0) < 0.15
+
+
+def test_spi_distribution_properties():
+    rng = np.random.default_rng(7)
+    monthly = rng.gamma(shape=2.0, scale=30.0, size=360)
+    spi = numerics.spi_from_series(monthly, spi_ts=1)
+    # standardized index: ~N(0,1)
+    assert abs(np.nanmean(spi)) < 0.1
+    assert abs(np.nanstd(spi) - 1.0) < 0.15
+    # monotone in the underlying value
+    order = np.argsort(monthly)
+    assert np.all(np.diff(spi[order]) >= -1e-9)
+
+
+def test_spi_rolling_timescale():
+    monthly = np.ones(24)
+    spi3 = numerics.spi_from_series(monthly, spi_ts=3)
+    assert np.all(np.isnan(spi3[:2]))  # incomplete windows
+    # constant series => degenerate fit => NaN everywhere (reference
+    # yields 0/NaN for degenerate inputs)
+    assert np.all(np.isnan(spi3))
+
+
+def test_spi_all_zero_series():
+    spi = numerics.spi_from_series(np.zeros(24), spi_ts=1)
+    assert np.all(spi == 0.0)

@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pygeoapi_ingestor_spark.sinks import CollectionCatalog, write_collection
+from pygeoapi_ingestor_spark.sinks.collections import compute_extents
+from pygeoapi_ingestor_spark.sources import external
+from pygeoapi_ingestor_spark.sources.readers import read_events
+from pygeoapi_ingestor_spark.streaming import scheduler
+
+
+def test_scheduler_config_and_cron():
+    cfg = {
+        "jobs": [
+            {"name": "startup", "process": "p1", "frequency": "on-demand"},
+            {"name": "hourly", "process": "p2", "frequency": "0 * * * *"},
+            {"name": "monthly6", "process": "p3", "frequency": "0 12 6 * *",
+             "inputs": {"x": 1}},
+        ]
+    }
+    jobs = scheduler.parse_scheduler_config(cfg)
+    assert [j.on_demand for j in jobs] == [True, False, False]
+
+    at = datetime.datetime(2024, 3, 6, 12, 0)
+    due = scheduler.due_jobs(jobs, at, include_on_demand=True)
+    assert {j.name for j in due} == {"startup", "hourly", "monthly6"}
+    due2 = scheduler.due_jobs(jobs, datetime.datetime(2024, 3, 7, 12, 30),
+                              include_on_demand=False)
+    assert due2 == []
+
+
+def test_run_process_with_registry(spark, sf_dir):
+    registry = {
+        "count_events": lambda spark_, threshold=0.0: (
+            read_events(spark_, sf_dir).filter(F.col("value") > threshold)
+        )
+    }
+    job = scheduler.ScheduledProcess(
+        name="j", process="count_events", frequency="on-demand",
+        inputs={"threshold": 100.0},
+    )
+    df = scheduler.run_process(spark, registry, job)
+    assert df.count() > 0
+
+
+def test_collection_roundtrip(spark, sf_dir, tmp_path):
+    ev = read_events(spark, sf_dir)
+    daily = ev.withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_collection")
+    write_collection(daily, path, partition_by=["day"])
+
+    extents = compute_extents(ev, ts_col="ts", value_cols=["value"])
+    assert extents["n_rows"] == ev.count()
+    assert extents["ts_begin"] < extents["ts_end"]
+
+    cat = CollectionCatalog(str(tmp_path / "catalog.json"))
+    assert not cat.exists("events_daily")
+    cat.register("events_daily", path, extents)
+    assert cat.exists("events_daily")
+
+    report = cat.healthcheck(spark)
+    assert report == [{"id": "events_daily", "ok": True, "error": None}]
+
+    # partition pruning surface: reading one day's partition works
+    one = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    assert one.count() > 0
+
+    # unhealthy path is reported, not raised
+    cat.register("broken", str(tmp_path / "missing"), {})
+    assert any(r["id"] == "broken" and not r["ok"] for r in cat.healthcheck(spark))
+
+
+def test_external_sources_land_and_load(spark, tmp_path):
+    ftp = external.ingest(spark, "ftp", str(tmp_path / "ftp"))
+    assert ftp.count() == 100
+    assert ftp.schema["obs_time"].dataType.typeName() == "timestamp"
+
+    cds = external.ingest(spark, "cds", str(tmp_path / "cds"))
+    assert cds.count() == 8 * 6 * 5
+    assert cds.filter(F.col("tp") < 0).count() == 0
+
+    stac = external.ingest(spark, "stac", str(tmp_path / "stac"))
+    assert stac.count() == 12
+    row = stac.orderBy("id").first()
+    assert len(row["bbox"]) == 4 and row["asset_href"].endswith(".tif")

@@ -1,0 +1,73 @@
+"""Structured Streaming pipeline tests: file source -> windowed agg /
+session windows -> sink, compared against the equivalent batch result.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pygeoapi_ingestor_spark.sources.readers import read_events
+from pygeoapi_ingestor_spark.streaming import pipeline
+
+
+def _stage_events_json(spark, sf_dir, out_dir):
+    ev = read_events(spark, sf_dir)
+    ev.coalesce(2).write.mode("overwrite").json(out_dir)
+    return ev
+
+
+def test_windowed_agg_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "stream_src")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt1")
+    ev = _stage_events_json(spark, sf_dir, src)
+
+    stream = pipeline.read_event_stream(spark, src, fmt="json")
+    result = pipeline.windowed_agg(stream, window_duration="1 hour", watermark="2 hours")
+    pipeline.run_to_sink(result, out, ckpt)
+
+    got = spark.read.parquet(out)
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    got_n = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()
+    }
+    batch_n = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    # append mode emits only windows the watermark has closed: the last
+    # window(s) within the 2h watermark of max event time are withheld
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    closed = {
+        k: v
+        for k, v in batch_n.items()
+        if k[0] + datetime.timedelta(hours=3) <= max_ts - datetime.timedelta(hours=2)
+    }
+    assert len(got_n) > 0
+    assert all(got_n.get(k) == v for k, v in closed.items())
+    assert all(batch_n.get(k) == v for k, v in got_n.items())
+
+
+def test_session_window_stream(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "ckpt2")
+    _stage_events_json(spark, sf_dir, src)
+
+    stream = pipeline.read_event_stream(spark, src, fmt="json")
+    result = pipeline.session_agg(stream, gap="30 minutes", watermark="2 hours")
+    pipeline.run_to_sink(result, out, ckpt)
+
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    # sessions are per-user, non-overlapping, end >= start
+    bad = got.filter(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
+    assert os.path.isdir(ckpt)

@@ -34,6 +34,30 @@ def curve_segments(curve: DataFrame, key_cols: list[str], x_col: str, y_col: str
     )
 
 
+def interpolate_points_expr(
+    points: list[tuple[float, float]], value_col: str
+) -> "F.Column":
+    """Fast path for a single literal curve: compile the piecewise-linear
+    map into one chained CASE expression — pure projection, no join, no
+    shuffle; whole-stage codegen evaluates it in the scan stage. This is
+    the 100 TB path for fixed rating tables (reference:
+    rer_river_discharge_arpae_process.py:325-457).
+    """
+    pts = sorted(points)
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    expr = None
+    for (x_lo, y_lo), (x_hi, y_hi) in zip(pts, pts[1:]):
+        interp = F.lit(y_lo) + (F.lit(y_hi) - F.lit(y_lo)) * (v - F.lit(x_lo)) / (
+            F.lit(x_hi) - F.lit(x_lo)
+        )
+        cond = (v >= F.lit(x_lo)) & (v < F.lit(x_hi))
+        expr = F.when(cond, interp) if expr is None else expr.when(cond, interp)
+    # close the final segment at the curve max
+    x_max = pts[-1][0]
+    expr = expr.when(v == F.lit(x_max), F.lit(pts[-1][1]))
+    return expr.otherwise(F.lit(None).cast("double"))
+
+
 def interpolate_on_curve(
     fact: DataFrame,
     curve: DataFrame,

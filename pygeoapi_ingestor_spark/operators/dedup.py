@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pygeoapi_ingestor_spark.operators.text import fingerprint
@@ -37,23 +37,27 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (lowercased, alnum words).
 
-    Built-ins only: split -> slide via transform over index range -> explode.
+    Linear formulation: posexplode the token array, then build each gram
+    from ``lead`` windows over (doc, position). The naive
+    slice-inside-transform version is O(words^2) per document — at 500
+    words/doc that was the single hottest stage in the whole catalog.
     """
     words = F.filter(
         F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
         lambda w: w != "",
     )
-    # guard: sequence(0, -1) would generate a descending range, so only
-    # build indices when the doc has at least n words
-    idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "w")
     )
+    w = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+    last = parts[-1]
+    gram = F.concat_ws(" ", *parts)
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .filter(F.col("shingle") != "")
+        tok.select("doc", gram.alias("shingle"), last.alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+        .dropDuplicates(["doc", "shingle"])
     )
 
 
@@ -92,11 +96,26 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
-    """MinHash signature per document: for seed i, min over shingles of
-    xxhash64(shingle, seed=i). One explode + one groupBy."""
+    """MinHash signature per document from two base xxhash64 passes per
+    shingle, derived as h_i = h1 XOR rotl(h2, i) — a double-hashing
+    variant with only bitwise ops, so it stays overflow-free under ANSI
+    mode and inside whole-stage codegen. 2 hash evaluations instead of
+    ``num_hashes``; one explode + one groupBy bounded by
+    (doc x distinct shingles)."""
     sh = shingles(df, id_col, text_col, n=n)
+    h1 = F.xxhash64(F.col("shingle"))
+    h2 = F.xxhash64(F.col("shingle"), F.lit(1))
+    sh = sh.select("doc", h1.alias("_h1"), h2.alias("_h2"))
+
+    def rotl(col, i):
+        if i % 64 == 0:
+            return col
+        return F.shiftleft(col, i % 64).bitwiseOR(
+            F.shiftrightunsigned(col, 64 - (i % 64))
+        )
+
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.col("_h1").bitwiseXOR(rotl(F.col("_h2"), 7 * i + 1))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("doc").agg(*mins)

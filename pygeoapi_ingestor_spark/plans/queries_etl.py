@@ -222,13 +222,10 @@ def q_bias_correction_qmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rating_curve_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).withColumn("_k", F.lit(1))
-    curve = spark.createDataFrame(
-        [(1, float(x), float(y)) for x, y in RATING_CURVE], "_k int, stage double, discharge double"
-    )
-    out = curves.interpolate_on_curve(
-        ev, curve, key_cols=["_k"], x_col="stage", y_col="discharge",
-        value_col="value", out_col="discharge",
+    ev = _events(spark, sf_dir)
+    # literal-curve fast path: compiled CASE projection, no join
+    out = ev.withColumn(
+        "discharge", curves.interpolate_points_expr(RATING_CURVE, "value")
     )
     return out.select(
         "event_id", "value", F.round("discharge", 6).alias("discharge")

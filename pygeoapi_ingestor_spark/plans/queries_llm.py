@@ -35,8 +35,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-Jaccard verification kernel over a bounded window of documents:
+    # all-pairs shingle joins are quadratic in shingle document-frequency,
+    # so the exact op runs on a capped window; at scale, candidate pairs
+    # come from dedup_minhash_lsh and this kernel verifies them.
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     pairs = dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        docs, id_col="doc_id", text_col="text",
         n=3, threshold=JACCARD_THRESHOLD,
     )
     return pairs.select(
@@ -142,7 +147,7 @@ WITH words_t AS (
                    lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
                    '\s+'),
                w -> w <> '') AS words
-    FROM documents
+    FROM documents WHERE doc_id < 500
 ), sh AS (
     SELECT doc_id AS doc, unnest(list_distinct(
                list_transform(

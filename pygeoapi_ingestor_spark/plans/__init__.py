@@ -4,11 +4,15 @@
 ``ORACLES`` holds the DuckDB twin for every SQL-expressible query.
 """
 
+from pygeoapi_ingestor_spark.plans.queries_analytics import (
+    ANALYTICS_ORACLES,
+    ANALYTICS_QUERIES,
+)
 from pygeoapi_ingestor_spark.plans.queries_etl import ETL_ORACLES, ETL_QUERIES
 from pygeoapi_ingestor_spark.plans.queries_llm import LLM_ORACLES, LLM_QUERIES
 from pygeoapi_ingestor_spark.plans.queries_tpch import TPCH_ORACLES, TPCH_QUERIES
 
-QUERIES = {**ETL_QUERIES, **TPCH_QUERIES, **LLM_QUERIES}
-ORACLES = {**ETL_ORACLES, **TPCH_ORACLES, **LLM_ORACLES}
+QUERIES = {**ETL_QUERIES, **TPCH_QUERIES, **ANALYTICS_QUERIES, **LLM_QUERIES}
+ORACLES = {**ETL_ORACLES, **TPCH_ORACLES, **ANALYTICS_ORACLES, **LLM_ORACLES}
 
 __all__ = ["QUERIES", "ORACLES"]

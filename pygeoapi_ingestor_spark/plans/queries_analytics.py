@@ -1,0 +1,315 @@
+"""Extended analytics coverage (SURVEY.md §2 block B continued):
+semi/anti joins, conditional aggregation, rollup, pivot, JSON
+extraction, and windowed deltas.
+
+Same parity conventions as queries_tpch.py: money sums in exact DECIMAL,
+derived doubles rounded, every column aliased identically in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pygeoapi_ingestor_spark.plans.queries_tpch import (
+    _dec_price,
+    _one_minus_disc,
+    _revenue_sum,
+    _t,
+)
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in a quarter that have at least one late-shipped lineitem
+    (TPC-H Q4 shape): LEFT SEMI join, counted per priority."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = l.filter(F.col("l_shipdate") > F.lit("1996-07-01")).select("l_orderkey")
+    matched = o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective scan + single aggregate (TPC-H Q6 shape). The filter
+    must reach the parquet scan as pushed-down predicates."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        _dec_price() * F.col("l_discount").cast("decimal(4,2)")
+    ).cast("double")
+    out = l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(rev, 2).alias("revenue"), F.count(F.lit(1)).cast("bigint").alias("n"))
+    return out
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation ratio (TPC-H Q14 shape): share of revenue
+    from PROMO parts, exact-decimal numerator and denominator."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    disc_price = _dec_price() * _one_minus_disc()
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    ).cast("double")
+    total = F.sum(disc_price).cast("double")
+    return joined.agg(
+        F.round(F.lit(100.0) * promo / total, 6).alias("promo_revenue_pct"),
+        F.round(total, 2).alias("total_revenue"),
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-HAVING over the fact table (TPC-H Q18 shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    qty_sum = F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(qty_sum.alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey", F.col("_q").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-predicate join (TPC-H Q19 shape): OR of three
+    brand/size/quantity envelopes."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return joined.filter(cond).agg(
+        F.round(_revenue_sum(), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join + scalar subquery (TPC-H Q22 shape): above-average
+    balance customers with no RECENT orders (>= 1999). The average is
+    derived from an exact decimal sum so the comparison boundary is
+    engine-identical."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+        .select("o_custkey")
+    )
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    avg_bal = stats.collect()[0]["avg_bal"]
+    idle = c.filter(F.col("c_acctbal") > avg_bal).join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2).alias("totacctbal"),
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    total = F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(total, 2).alias("total_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+
+
+def q_pivot_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type of daily totals (the reference's
+    wide per-basin stat tables, utils_spi.py:592-599). Explicit
+    conditional aggregation keeps column names stable."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).alias("bucket")
+    aggs = [
+        F.round(
+            F.sum(F.when(F.col("event_type") == t, F.col("value")).otherwise(F.lit(0.0))),
+            4,
+        ).alias(f"{t}_total")
+        for t in EVENT_TYPES
+    ]
+    return ev.groupBy(day).agg(*aggs)
+
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull props.k out of the JSON payload
+    and aggregate on it (get_json_object stays JVM-side)."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy(F.col("event_type"), (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def q_value_change_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series first difference (hydro level/discharge delta analog:
+    georgia_ftp_alazani_shaqriani_hydro_process.py)."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    return ev.select(
+        "event_id", "event_type", F.round(delta, 6).alias("value_delta")
+    )
+
+
+ANALYTICS_QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive": q19_disjunctive,
+    "q22_idle_customers": q22_idle_customers,
+    "rollup_revenue": q_rollup_revenue,
+    "pivot_daily_by_type": q_pivot_daily_by_type,
+    "json_extract_props": q_json_extract_props,
+    "value_change_lag": q_value_change_lag,
+}
+
+_DEC_DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+ANALYTICS_ORACLES = {
+    "q4_order_priority": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > TIMESTAMP '1996-07-01')
+        GROUP BY o_orderpriority
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q14_promo_revenue": f"""
+        SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN {_DEC_DISC_PRICE}
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                     / CAST(sum({_DEC_DISC_PRICE}) AS DOUBLE), 6) AS promo_revenue_pct,
+               round(CAST(sum({_DEC_DISC_PRICE}) AS DOUBLE), 2) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    "q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM (
+            SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150
+        )
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q19_disjunctive": f"""
+        SELECT round(CAST(sum({_DEC_DISC_PRICE}) AS DOUBLE), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 40)
+    """,
+    "q22_idle_customers": """
+        WITH avg_bal AS (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS ab
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS totacctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > ab
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_nationkey
+    """,
+    "rollup_revenue": """
+        SELECT r_name, n_name,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 2) AS total_price,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "pivot_daily_by_type": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+               round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END), 4) AS click_total,
+               round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END), 4) AS error_total,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_total,
+               round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0.0 END), 4) AS signup_total,
+               round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 4) AS view_total
+        FROM events GROUP BY 1
+    """,
+    "json_extract_props": """
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+    "value_change_lag": """
+        SELECT event_id, event_type,
+               round(value - lag(value) OVER (PARTITION BY event_type
+                                              ORDER BY ts, event_id), 6) AS value_delta
+        FROM events
+    """,
+}

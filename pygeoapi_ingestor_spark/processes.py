@@ -1,0 +1,110 @@
+"""Ingestion-process orchestration: the reference's BaseProcessor flow
+re-expressed.
+
+Every reference process follows the same arc (e.g.
+ingestor_smhi_process.py, ingestor_cds_process.py, utils_spi.py):
+
+    validate params -> skip-if-exists -> fetch -> transform -> store ->
+    register collection -> report status
+
+``IngestProcess`` keeps that arc with Spark-native stages: the fetch is
+a source callable, the transform a DataFrame -> DataFrame function, the
+store a partitioned parquet collection, and registration goes through
+``sinks.CollectionCatalog``. Statuses mirror the reference's
+Handle200Exception levels (OK / SKIPPED / FAILED).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pygeoapi_ingestor_spark.sinks.collections import (
+    CollectionCatalog,
+    compute_extents,
+    write_collection,
+)
+
+OK = "OK"
+SKIPPED = "SKIPPED"
+FAILED = "FAILED"
+
+
+@dataclasses.dataclass
+class ProcessResult:
+    status: str
+    collection_id: str
+    message: str = ""
+    extents: dict[str, Any] | None = None
+
+
+class ProcessorExecuteError(ValueError):
+    """Parameter-validation failure (reference: pygeoapi's error type)."""
+
+
+class IngestProcess:
+    """One configured ingestion process.
+
+    Parameters
+    ----------
+    collection_id : catalog identifier (also the idempotency key)
+    fetch : (spark) -> DataFrame — source stage
+    transform : (DataFrame) -> DataFrame — declarative transform stage
+    out_path : collection parquet path
+    partition_by : at-rest partitioning (e.g. ["day"]) for pruning
+    ts_col / value_cols : extent columns for catalog registration
+    """
+
+    def __init__(
+        self,
+        collection_id: str,
+        fetch: Callable[[SparkSession], DataFrame],
+        transform: Callable[[DataFrame], DataFrame],
+        out_path: str,
+        catalog: CollectionCatalog,
+        partition_by: list[str] | None = None,
+        ts_col: str | None = None,
+        value_cols: list[str] | None = None,
+    ):
+        self.collection_id = collection_id
+        self.fetch = fetch
+        self.transform = transform
+        self.out_path = out_path
+        self.catalog = catalog
+        self.partition_by = partition_by
+        self.ts_col = ts_col
+        self.value_cols = value_cols
+
+    def validate(self, params: dict) -> None:
+        """Shared parameter validation (reference: validate_parameters).
+        Subclass/extend per process; base rule: a token must be present
+        and non-empty (the reference gates every process on one)."""
+        token = params.get("token")
+        if not token or not isinstance(token, str):
+            raise ProcessorExecuteError("You must provide a valid token")
+
+    def execute(self, spark: SparkSession, params: dict | None = None, force: bool = False) -> ProcessResult:
+        # an explicitly-empty params dict must still fail validation
+        self.validate(params if params is not None else {"token": "local"})
+        if not force and self.catalog.exists(self.collection_id):
+            return ProcessResult(
+                SKIPPED,
+                self.collection_id,
+                f"collection {self.collection_id!r} already registered",
+            )
+        try:
+            raw = self.fetch(spark)
+            result = self.transform(raw)
+            write_collection(result, self.out_path, partition_by=self.partition_by)
+            extents = compute_extents(
+                result, ts_col=self.ts_col, value_cols=self.value_cols
+            )
+            self.catalog.register(self.collection_id, self.out_path, extents)
+            return ProcessResult(OK, self.collection_id, "ingested", extents)
+        except ProcessorExecuteError:
+            raise
+        except Exception as e:  # report, don't crash the scheduler loop
+            return ProcessResult(FAILED, self.collection_id, str(e)[:500])

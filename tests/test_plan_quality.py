@@ -1,0 +1,97 @@
+"""Plan-quality regression tests: assert the physical-plan properties
+the scale design depends on (pushdown, broadcast, shuffle counts), so a
+refactor can't silently turn a broadcast join into a shuffle or strand a
+filter above the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pygeoapi_ingestor_spark.plans import QUERIES
+
+
+def _formatted(df) -> str:
+    jdf = df._jdf
+    mode = jdf.sparkSession().sparkContext()._jvm if False else None
+    return jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _simple(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _formatted(QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    # column pruning: only the 4 needed columns are read
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_q5_joins_are_broadcast(spark, sf_dir):
+    plan = _simple(QUERIES["q5_local_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rating_curve_has_no_join_or_shuffle(spark, sf_dir):
+    plan = _simple(QUERIES["rating_curve_interp"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_select_time_range_pushdown(spark, sf_dir):
+    plan = _formatted(QUERIES["select_time_range"](spark, sf_dir))
+    # events go through the nanos-as-long reader; value/type filters
+    # must still reach the scan
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(value,100" in plan
+
+
+def test_resample_single_shuffle_with_partial_agg(spark, sf_dir):
+    plan = _simple(QUERIES["resample_daily_sum"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_zonal_stats_broadcasts_dimension(spark, sf_dir):
+    plan = _simple(QUERIES["zonal_stats"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anomaly_broadcasts_climatology(spark, sf_dir):
+    plan = _simple(QUERIES["anomaly_vs_climatology"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cosine_topk_stays_jvm_side(spark, sf_dir):
+    plan = _simple(QUERIES["sim_search_cosine_topk"](spark, sf_dir))
+    # no Python row-at-a-time evaluation in the scoring path
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_lang_id_no_python_udf(spark, sf_dir):
+    plan = _simple(QUERIES["lang_id_heuristic"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+
+
+def test_q1_partial_agg_single_shuffle(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    # map-side combine feeds exactly one exchange; decimal sums stay in
+    # the hash aggregate (no Python, no extra shuffle)
+    assert "partial_sum" in _formatted(df)
+    simple = _simple(df)
+    assert simple.count("Exchange") == 1
+    assert "EvalPython" not in simple

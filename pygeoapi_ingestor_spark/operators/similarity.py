@@ -90,6 +90,88 @@ def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16, seed: in
     return sig
 
 
+def _centroid_literal(centroids: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+
+def _sq_dist(vec: Column, centroid: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(vec, centroid, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition vectors into inverted lists
+    by nearest centroid, search only the ``n_probe`` lists closest to
+    each query.
+
+    Centroids are the ``n_clusters`` lowest-id vectors — a deterministic
+    sampling build (no iterative training), collected once to the driver
+    (n_clusters x dim doubles) and inlined as literals so cluster
+    assignment is a pure per-row expression: no shuffle to build the
+    index, one equi-join shuffle keyed by cluster id to search. At 100 TB
+    the inverted lists are the at-rest partitioning of the vector table.
+    """
+    cent_rows = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [list(map(float, r["_v"])) for r in cent_rows]
+    cents = _centroid_literal(centroids)
+
+    def nearest_clusters(vec: Column, n: int) -> Column:
+        dists = F.transform(cents, lambda c: _sq_dist(vec, c))
+        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+        pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
+        ordered = F.array_sort(
+            pairs,
+            lambda a, b: F.when(a["d"] < b["d"], -1)
+            .when(a["d"] > b["d"], 1)
+            .otherwise(a["i"] - b["i"]),
+        )
+        return F.transform(F.slice(ordered, 1, n), lambda p: p["i"])
+
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vec"),
+        nearest_clusters(F.col(vec_col), 1)[0].alias("_cluster"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qvec"),
+            F.explode(nearest_clusters(F.col(query_vec_col), n_probe)).alias("_cluster"),
+        )
+    )
+    joined = e.join(q, "_cluster").filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("_vec"), F.col("_qvec")) / (
+        _norm(F.col("_vec")) * _norm(F.col("_qvec"))
+    )
+    scored = joined.withColumn("cosine", cos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

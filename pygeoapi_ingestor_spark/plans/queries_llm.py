@@ -76,6 +76,19 @@ def q_sim_search_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = similarity.ivf_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding",
+        k=TOPK, n_clusters=16, n_probe=4,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -129,6 +142,7 @@ LLM_QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "sim_search_cosine_topk": q_sim_search_cosine_topk,
+    "sim_search_ivf": q_sim_search_ivf,
     "sim_search_lsh": q_sim_search_lsh,
     "lang_id_heuristic": q_lang_id,
     "text_quality_score": q_text_quality,

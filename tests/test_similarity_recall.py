@@ -1,0 +1,59 @@
+"""Recall checks for the approximate similarity-search variants against
+the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pygeoapi_ingestor_spark.operators import similarity
+
+
+def _emb(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(
+        similarity.cosine_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    )
+    # probing every list must reproduce the exact result
+    full_probe = _topk_sets(
+        similarity.ivf_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding",
+            k=5, n_clusters=8, n_probe=8,
+        )
+    )
+    assert full_probe == exact
+
+    # partial probe: valid top-k subsets with reasonable recall
+    approx = _topk_sets(
+        similarity.ivf_topk(
+            e, q, "vec_id", "embedding", "vec_id", "embedding",
+            k=5, n_clusters=8, n_probe=4,
+        )
+    )
+    hits = sum(len(approx.get(qid, set()) & exact[qid]) for qid in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.4
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 3)
+    a = similarity.ivf_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding", k=3
+    ).collect()
+    b = similarity.ivf_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding", k=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -78,3 +78,64 @@ def extract_metadata(df: DataFrame, use_stub: bool = True) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(decode_batches, schema=MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = MEDIA_SCHEMA + ", resized_width int, resized_height int"
+FRAMES_SCHEMA = "media_id bigint, frame_idx int, frame_sha256 string"
+
+
+def resize_stub(payload: bytes, width: int, height: int, target: int) -> tuple[int, int]:
+    """Aspect-preserving resize plan (the real codec call is the stub's
+    only missing piece; the geometry math is the production logic)."""
+    if width <= 0 or height <= 0:
+        return target, target
+    scale = target / max(width, height)
+    return max(1, round(width * scale)), max(1, round(height * scale))
+
+
+def resize_media(df: DataFrame, target: int = 128) -> DataFrame:
+    """Arrow-batched resize pass over decoded media (expects
+    ``extract_metadata`` output). Geometry is real; pixel work is where
+    the codec library plugs in."""
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [
+                resize_stub(p, w, h, target)
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            pdf = pdf.copy()
+            pdf["resized_width"] = [d[0] for d in dims]
+            pdf["resized_height"] = [d[1] for d in dims]
+            yield pdf
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    index with a deterministic per-frame fingerprint (real extraction
+    swaps the fingerprint for decoded frame bytes). Non-video rows pass
+    through with frame 0."""
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, mtype, payload, n_frames in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["n_frames"]
+            ):
+                idxs = range(0, int(n_frames or 1), every_n) if mtype == "video" else [0]
+                for i in idxs:
+                    digest = hashlib.sha256(bytes(payload) + i.to_bytes(4, "big")).hexdigest()
+                    rows.append(
+                        {"media_id": mid, "frame_idx": int(i), "frame_sha256": digest}
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha256"])
+
+    return df.mapInPandas(batches, schema=FRAMES_SCHEMA)

@@ -155,6 +155,21 @@ def q_spi_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spi_gamma_ts3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-period SPI timescale (reference spi_ts=3: utils_spi.py:444-448
+    rolling totals before the gamma fit)."""
+    d = _daily(spark, sf_dir).select("event_type", "bucket", "daily_total")
+    out = indices.spi(
+        d, series_cols=["event_type"], bucket_col="bucket",
+        value_col="daily_total", spi_ts=3,
+    )
+    return out.filter(F.col("spi").isNotNull()).select(
+        "event_type",
+        "bucket",
+        F.round("spi", 6).alias("spi"),
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -339,6 +354,7 @@ ETL_QUERIES = {
     "climatology_hourly": q_climatology_hourly,
     "anomaly_vs_climatology": q_anomaly_vs_climatology,
     "spi_gamma": q_spi_gamma,
+    "spi_gamma_ts3": q_spi_gamma_ts3,
     "zonal_stats": q_zonal_stats,
     "ensemble_stats": q_ensemble_stats,
     "bias_correction_qmap": q_bias_correction_qmap,

@@ -155,10 +155,12 @@ def asof_join(
         F.struct(*right_value_cols).alias("_r"),
     )
     unioned = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal timestamps => "<=" semantics
+    # right rows sort before left rows at equal timestamps => "<=" semantics;
+    # tertiary key on the value struct makes duplicate right timestamps
+    # resolve deterministically (greatest value wins)
     w = (
         Window.partitionBy(*key_names)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = unioned.withColumn("_rlast", F.last("_r", ignorenulls=True).over(w))

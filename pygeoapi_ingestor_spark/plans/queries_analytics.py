@@ -202,7 +202,65 @@ def q_value_change_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per bucket (unique-visitors shape); Spark
+    plans it as a two-stage expand + aggregate."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"), F.col("event_type")
+    ).agg(
+        F.countDistinct("user_id").cast("bigint").alias("distinct_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing per series + per-quartile aggregates."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    tiles = ev.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+    return tiles.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("value"), 6).alias("q_min"),
+        F.round(F.max("value"), 6).alias("q_max"),
+    )
+
+
+def q_corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between the measurement and the JSON prop
+    per series."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.withColumn("k", k).groupBy("event_type").agg(
+        F.round(F.corr("value", "k"), 6).alias("corr_value_k"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+def q_extreme_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by: the value carried by the latest/earliest event per
+    series (arg-extremum shape; ts is unique per series in this data)."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.max_by("value", "ts"), 6).alias("latest_value"),
+        F.round(F.min_by("value", "ts"), 6).alias("earliest_value"),
+        F.max("ts").alias("latest_ts"),
+    )
+
+
 ANALYTICS_QUERIES = {
+    "distinct_users_daily": q_distinct_users_daily,
+    "ntile_quartiles": q_ntile_quartiles,
+    "corr_value_props": q_corr_value_props,
+    "extreme_values": q_extreme_values,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_revenue": q14_promo_revenue,
@@ -218,6 +276,38 @@ ANALYTICS_QUERIES = {
 _DEC_DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
 ANALYTICS_ORACLES = {
+    "distinct_users_daily": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "ntile_quartiles": """
+        SELECT event_type, CAST(quartile AS INTEGER) AS quartile,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(value), 6) AS q_min,
+               round(max(value), 6) AS q_max
+        FROM (
+            SELECT event_type, value,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, event_id ASC) AS quartile
+            FROM events
+        ) GROUP BY 1, 2
+    """,
+    "corr_value_props": """
+        SELECT event_type,
+               round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+                   AS corr_value_k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """,
+    "extreme_values": """
+        SELECT event_type,
+               round(arg_max(value, ts), 6) AS latest_value,
+               round(arg_min(value, ts), 6) AS earliest_value,
+               max(ts) AS latest_ts
+        FROM events GROUP BY 1
+    """,
     "q4_order_priority": """
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         FROM orders

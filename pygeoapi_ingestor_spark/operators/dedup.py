@@ -187,17 +187,26 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens: per bit, sign of the sum of
-    (+1/-1) contributions from each token's xxhash64 bit."""
+    """64-bit SimHash over word tokens: per bit, sign of the
+    frequency-weighted sum of (+1/-1) contributions from each distinct
+    token's xxhash64 bit. Token counts are pre-aggregated so the 64
+    bit-sums run over (doc x distinct tokens) rows instead of every
+    occurrence — identical result, ~vocabulary/length less work."""
     words = F.filter(
         F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
         lambda w: w != "",
     )
-    tok = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("w"))
+    tok = (
+        df.select(F.col(id_col).alias("doc"), F.explode(words).alias("w"))
+        .groupBy("doc", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     h = F.xxhash64("w")
     bit_sums = [
         F.sum(
-            F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
         ).alias(f"b{i}")
         for i in range(bits)
     ]

@@ -1,0 +1,82 @@
+"""Process-execution API: the OGC-processes-shaped entry point.
+
+Reference parity: each ingestor is a pygeoapi process executed via REST
+(``invoke/invoke_ingestor.py`` posts ``{"inputs": {...}}`` to
+``/processes/<id>/execution``) or locally
+(``invoke/invoke_ingestor_locally.py`` resolves a processor class from
+env vars and calls ``execute``). This module is the same contract over
+the Spark engine: named processes, dict-in/dict-out, status + outputs.
+
+Two process families are exposed:
+- every catalog query (``plans.QUERIES``) as a read-only process whose
+  output is the result row count + a bounded sample;
+- registered ``processes.IngestProcess`` instances, which write and
+  register collections.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from pygeoapi_ingestor_spark.plans import QUERIES
+from pygeoapi_ingestor_spark.processes import IngestProcess, ProcessorExecuteError
+
+MAX_SAMPLE_ROWS = 100
+
+
+class ProcessAPI:
+    def __init__(self, default_sf_dir: str = "/root/testdata/sf0.001"):
+        self.default_sf_dir = default_sf_dir
+        self._ingestors: dict[str, IngestProcess] = {}
+
+    def register_ingestor(self, proc: IngestProcess) -> None:
+        self._ingestors[proc.collection_id] = proc
+
+    def list_processes(self) -> list[dict[str, Any]]:
+        """Process descriptions (the /processes listing analog)."""
+        out = [
+            {"id": key, "kind": "query", "jobControl": "sync"}
+            for key in sorted(QUERIES)
+        ]
+        out += [
+            {"id": cid, "kind": "ingestor", "jobControl": "sync"}
+            for cid in sorted(self._ingestors)
+        ]
+        return out
+
+    def execute(
+        self, spark: SparkSession, process_id: str, inputs: dict[str, Any] | None = None
+    ) -> dict[str, Any]:
+        """Execute one process; dict response mirrors the reference's
+        ``{"id", "status", "value"}`` output shape."""
+        inputs = dict(inputs or {})
+        if process_id in self._ingestors:
+            try:
+                res = self._ingestors[process_id].execute(
+                    spark, inputs, force=bool(inputs.pop("force", False))
+                )
+            except ProcessorExecuteError as e:
+                return {"id": process_id, "status": "failed", "message": str(e)}
+            return {
+                "id": process_id,
+                "status": res.status.lower(),
+                "message": res.message,
+                "value": res.extents,
+            }
+        if process_id in QUERIES:
+            sf_dir = inputs.get("sf_dir", self.default_sf_dir)
+            df = QUERIES[process_id](spark, sf_dir)
+            limit = int(inputs.get("limit", MAX_SAMPLE_ROWS))
+            rows = [r.asDict() for r in df.limit(limit).collect()]
+            return {
+                "id": process_id,
+                "status": "successful",
+                "value": {"n_rows_sampled": len(rows), "rows": rows},
+            }
+        return {
+            "id": process_id,
+            "status": "failed",
+            "message": f"unknown process {process_id!r}",
+        }

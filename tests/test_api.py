@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pygeoapi_ingestor_spark.api import ProcessAPI
+from pygeoapi_ingestor_spark.processes import IngestProcess
+from pygeoapi_ingestor_spark.sinks import CollectionCatalog
+from pygeoapi_ingestor_spark.sources import external
+
+
+def test_list_and_execute_query_process(spark, sf_dir):
+    api = ProcessAPI(default_sf_dir=sf_dir)
+    listing = api.list_processes()
+    ids = {p["id"] for p in listing}
+    assert "q1_pricing_summary" in ids and len(ids) >= 51
+
+    res = api.execute(spark, "q1_pricing_summary")
+    assert res["status"] == "successful"
+    assert res["value"]["n_rows_sampled"] == 6
+    assert {"l_returnflag", "sum_qty"} <= set(res["value"]["rows"][0])
+
+    bad = api.execute(spark, "nope")
+    assert bad["status"] == "failed" and "unknown process" in bad["message"]
+
+
+def test_execute_ingestor_process(spark, tmp_path):
+    api = ProcessAPI()
+    cat = CollectionCatalog(str(tmp_path / "cat.json"))
+    api.register_ingestor(
+        IngestProcess(
+            collection_id="stac_items",
+            fetch=lambda s: external.ingest(s, "stac", str(tmp_path / "stage")),
+            transform=lambda df: df.withColumn("day", F.to_date("datetime")),
+            out_path=str(tmp_path / "coll"),
+            catalog=cat,
+            ts_col="datetime",
+        )
+    )
+    assert any(p["id"] == "stac_items" and p["kind"] == "ingestor" for p in api.list_processes())
+
+    res = api.execute(spark, "stac_items", {"token": "t"})
+    assert res["status"] == "ok" and res["value"]["n_rows"] == 12
+    # idempotent second run
+    res2 = api.execute(spark, "stac_items", {"token": "t"})
+    assert res2["status"] == "skipped"
+    # validation failure surfaces as failed, not an exception
+    res3 = api.execute(spark, "stac_items", {"force": True})
+    assert res3["status"] == "failed"

@@ -14,7 +14,12 @@ so there is no non-equi join blowup. Tails clamp to the reference
 min/max, mirroring the reference's constant out-of-range adjustment.
 
 Scale: two shuffles (one per window partition key) bounded by series
-cardinality; the match step reuses the same partitioning.
+cardinality; the match step reuses the same partitioning. Each series
+sorts within ONE task — correct for the reference's real shape (many
+(variable, init-month, lead-month) series, each bounded), but a single
+global series degenerates to one sorted partition. For that case,
+pre-bucket into quantile bins with ``approx_percentile`` and map per
+bin (trades exactness for parallelism).
 """
 
 from __future__ import annotations

@@ -1,0 +1,83 @@
+"""Spatial primitives for gridded/point data: bbox slicing, grid-cell
+ids, and cell-partitioned aggregation.
+
+Reference semantics:
+- bbox selection: utils_spi.py:38-45 + ``sel``/``rio.clip`` slicing of
+  fields to a living-lab envelope.
+- spatial chunking: ZARR chunks the grid; our analog is a Z-order
+  (Morton) cell id that keeps spatially-near rows in the same partition
+  range — the at-rest layout that makes bbox queries prune at 100 TB.
+
+All pure column expressions; no UDFs, no shuffles beyond the explicit
+cell aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bbox_filter(
+    df: DataFrame,
+    min_x: float,
+    min_y: float,
+    max_x: float,
+    max_y: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Envelope selection (W, S, E, N inclusive)."""
+    return df.filter(
+        (F.col(lon_col) >= min_x)
+        & (F.col(lon_col) <= max_x)
+        & (F.col(lat_col) >= min_y)
+        & (F.col(lat_col) <= max_y)
+    )
+
+
+def _interleave_bits(v: Column, n_bits: int, offset: int) -> Column:
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        bit = F.shiftrightunsigned(v.cast("long"), i).bitwiseAND(F.lit(1))
+        out = out.bitwiseOR(F.shiftleft(bit, 2 * i + offset))
+    return out
+
+
+def morton_cell(
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits_per_axis: int = 12,
+) -> Column:
+    """Z-order cell id over the global lon/lat envelope.
+
+    ``bits_per_axis=12`` → 4096x4096 cells (~0.09° ≈ 10 km at the
+    equator). Sorting/partitioning by this id co-locates spatial
+    neighborhoods, so bbox scans touch a contiguous id range.
+    """
+    scale = (1 << bits_per_axis) - 1
+    x = F.round((F.col(lon_col) + 180.0) / 360.0 * scale, 0).cast("long")
+    y = F.round((F.col(lat_col) + 90.0) / 180.0 * scale, 0).cast("long")
+    return _interleave_bits(x, bits_per_axis, 0).bitwiseOR(
+        _interleave_bits(y, bits_per_axis, 1)
+    )
+
+
+def cell_aggregate(
+    df: DataFrame,
+    value_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits_per_axis: int = 8,
+) -> DataFrame:
+    """Aggregate a point/grid field per Z-order cell (spatial rollup —
+    the tabular analog of coarsening a raster)."""
+    cell = morton_cell(lon_col, lat_col, bits_per_axis).alias("cell_id")
+    return df.groupBy(cell).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg(value_col).alias("cell_mean"),
+        F.min(value_col).alias("cell_min"),
+        F.max(value_col).alias("cell_max"),
+        F.avg(lon_col).alias("centroid_lon"),
+        F.avg(lat_col).alias("centroid_lat"),
+    )

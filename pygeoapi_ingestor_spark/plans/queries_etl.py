@@ -73,27 +73,13 @@ def q_resample_daily_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_resample_weekly_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    weekly = temporal.resample(
-        ev,
-        ts_col="ts",
-        series_cols=["event_type"],
-        value_col="value",
-        freq="week",
-        aggs={"weekly_max": "max", "n_obs": "count"},
-    )
-    last_ts = temporal.resample(
-        ev, ts_col="ts", series_cols=["event_type"], value_col="ts",
-        freq="week", aggs={"last_ts": "max"},
-    )
-    return (
-        weekly.join(last_ts, ["event_type", "bucket"])
-        .select(
-            "event_type",
-            "bucket",
-            F.round("weekly_max", 6).alias("weekly_max"),
-            F.col("n_obs").cast("bigint").alias("n_obs"),
-            "last_ts",
-        )
+    # one scan, one shuffle: all weekly aggregates in a single groupBy
+    return ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("bucket")
+    ).agg(
+        F.round(F.max("value"), 6).alias("weekly_max"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.max("ts").alias("last_ts"),
     )
 
 

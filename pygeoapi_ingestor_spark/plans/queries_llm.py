@@ -273,4 +273,25 @@ LLM_ORACLES = {
                md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
         FROM documents
     """,
+    # the decode STUB derives dimensions from the payload sha256, which is
+    # SQL-expressible — so even the stubbed multimodal path gets a full
+    # value-hash gate on its plumbing (ids, types, dims, digests)
+    "multimodal_meta": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   sha256(text) AS sha
+            FROM documents
+        )
+        SELECT media_id, media_type,
+               CAST(64 + CAST('0x' || substr(sha, 1, 2) AS INTEGER) % 192 AS INTEGER) AS width,
+               CAST(64 + CAST('0x' || substr(sha, 3, 2) AS INTEGER) % 192 AS INTEGER) AS height,
+               CAST(CASE WHEN media_type = 'image' THEN 1
+                         ELSE 1 + CAST('0x' || substr(sha, 5, 2) AS INTEGER) % 120 END
+                    AS INTEGER) AS n_frames,
+               sha AS sha256
+        FROM m
+    """,
 }

@@ -273,6 +273,43 @@ LLM_ORACLES = {
                md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
         FROM documents
     """,
+    # IVF is deterministic (centroids = 16 lowest-id vectors), so the whole
+    # assign -> probe -> rank pipeline has an exact SQL twin
+    "sim_search_ivf": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        assign AS (
+            SELECT vec_id, v, cid AS cluster FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, c.cv) ASC, c.cid ASC) AS rn
+                FROM e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, qv, cid AS cluster FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_distance(q.v, c.cv) ASC, c.cid ASC) AS rn
+                FROM e q CROSS JOIN cents c WHERE q.vec_id < 5
+            ) WHERE rn <= 4
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   list_dot_product(a.v, p.qv) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv)))
+                       AS cosine
+            FROM assign a JOIN probes p ON a.cluster = p.cluster
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+               CAST(rnk AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """,
     # the decode STUB derives dimensions from the payload sha256, which is
     # SQL-expressible — so even the stubbed multimodal path gets a full
     # value-hash gate on its plumbing (ids, types, dims, digests)

@@ -15,7 +15,7 @@ whole-stage codegen.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pygeoapi_ingestor_spark.functions.numerics import spi_from_series
@@ -72,6 +72,38 @@ def anomaly(
             (F.col(value_col) - F.col("clim_mean")) / F.col("clim_std"),
         ),
     )
+
+
+def normal_ppf_expr(p):
+    """Abramowitz & Stegun 26.2.23 standard-normal quantile as a column
+    expression (the same public formula the reference applies,
+    utils_spi.py:462-474) — keeps the transform JVM-side."""
+    lower = p <= 0.5
+    q = F.when(lower, p).otherwise(1.0 - p)
+    t = F.sqrt(F.log(1.0 / (q * q)))
+    c0, c1, c2 = 2.515517, 0.802853, 0.010328
+    d1, d2, d3 = 1.432788, 0.189269, 0.001308
+    z = t - (c0 + c1 * t + c2 * t * t) / (1.0 + d1 * t + d2 * t * t + d3 * t * t * t)
+    return F.when(lower, -z).otherwise(z)
+
+
+def spi_empirical(
+    monthly: DataFrame,
+    series_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    out_col: str = "spi_emp",
+) -> DataFrame:
+    """Nonparametric SPI: Gringorten plotting-position probability
+    H = (rank - 0.44) / (n + 0.12) per series, then the A&S normal
+    quantile — the distribution-free variant of the gamma SPI, fully
+    window-expressible (one shuffle on the series key, no UDF)."""
+    w = Window.partitionBy(*series_cols).orderBy(value_col)
+    wn = Window.partitionBy(*series_cols)
+    rank = F.rank().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    h = (rank.cast("double") - 0.44) / (n.cast("double") + 0.12)
+    return monthly.withColumn(out_col, normal_ppf_expr(h))
 
 
 def spi(

@@ -156,6 +156,18 @@ def q_spi_gamma_ts3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spi_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric (Gringorten plotting-position) SPI — the
+    distribution-free twin of spi_gamma, oracle-gated."""
+    d = _daily(spark, sf_dir).select("event_type", "bucket", "daily_total")
+    out = indices.spi_empirical(
+        d, series_cols=["event_type"], bucket_col="bucket", value_col="daily_total"
+    )
+    return out.select(
+        "event_type", "bucket", F.round("spi_emp", 6).alias("spi_emp")
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -341,6 +353,7 @@ ETL_QUERIES = {
     "anomaly_vs_climatology": q_anomaly_vs_climatology,
     "spi_gamma": q_spi_gamma,
     "spi_gamma_ts3": q_spi_gamma_ts3,
+    "spi_empirical": q_spi_empirical,
     "zonal_stats": q_zonal_stats,
     "ensemble_stats": q_ensemble_stats,
     "bias_correction_qmap": q_bias_correction_qmap,
@@ -408,6 +421,32 @@ ETL_ORACLES = {
                    AS zscore
         FROM events
         WINDOW w AS (PARTITION BY event_type, hour(ts))
+    """,
+    "spi_empirical": _DAILY_CTE + """
+        , ranked AS (
+            SELECT event_type, bucket, daily_total,
+                   rank() OVER (PARTITION BY event_type ORDER BY daily_total) AS rnk,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ), probs AS (
+            SELECT event_type, bucket,
+                   (CAST(rnk AS DOUBLE) - 0.44) / (CAST(n AS DOUBLE) + 0.12) AS h
+            FROM ranked
+        ), tvals AS (
+            SELECT event_type, bucket, h,
+                   CASE WHEN h <= 0.5 THEN h ELSE 1.0 - h END AS q
+            FROM probs
+        ), zvals AS (
+            SELECT event_type, bucket, h,
+                   sqrt(ln(1.0 / (q * q))) AS t
+            FROM tvals
+        )
+        SELECT event_type, bucket,
+               round(CASE WHEN h <= 0.5 THEN -1 ELSE 1 END *
+                     (t - (2.515517 + 0.802853 * t + 0.010328 * t * t)
+                          / (1.0 + 1.432788 * t + 0.189269 * t * t
+                             + 0.001308 * t * t * t)), 6) AS spi_emp
+        FROM zvals
     """,
     "zonal_stats": """
         SELECT n_name AS zone, CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket,

@@ -219,18 +219,22 @@ def q_ensemble_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bias_correction_qmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile mapping: one empirical map per lead-hour series —
+    the reference's per-(variable, init-month, lead-month) correction
+    structure (bias_correction_cds_process.py:310-384), so series
+    cardinality, not data volume, bounds every sort partition."""
     ev = _events(spark, sf_dir)
-    model = ev.filter(F.col("event_type") == "error").select("event_id", "value")
-    ref = ev.filter(F.col("event_type") == "click").select("value")
+    model = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "value", F.hour("ts").cast("int").alias("lead_hour")
+    )
+    ref = ev.filter(F.col("event_type") == "click").select(
+        "value", F.hour("ts").cast("int").alias("lead_hour")
+    )
     mapped = correction.quantile_map(
-        model.withColumn("_series", F.lit(1)),
-        ref.withColumn("_series", F.lit(1)),
-        series_cols=["_series"],
-        value_col="value",
-        out_col="value_adj",
+        model, ref, series_cols=["lead_hour"], value_col="value", out_col="value_adj"
     )
     return mapped.select(
-        "event_id", "value", F.round("value_adj", 6).alias("value_adj")
+        "event_id", "lead_hour", "value", F.round("value_adj", 6).alias("value_adj")
     )
 
 
@@ -477,18 +481,18 @@ ETL_ORACLES = {
     """,
     "bias_correction_qmap": """
         WITH m AS (
-            SELECT event_id, value,
-                   percent_rank() OVER (ORDER BY value) AS pr
+            SELECT event_id, value, CAST(hour(ts) AS INTEGER) AS lead_hour,
+                   percent_rank() OVER (PARTITION BY hour(ts) ORDER BY value) AS pr
             FROM events WHERE event_type = 'error'
         ), r AS (
-            SELECT value AS ref_value,
-                   percent_rank() OVER (ORDER BY value) AS pr
+            SELECT value AS ref_value, CAST(hour(ts) AS INTEGER) AS lead_hour,
+                   percent_rank() OVER (PARTITION BY hour(ts) ORDER BY value) AS pr
             FROM events WHERE event_type = 'click'
         )
-        SELECT m.event_id, m.value,
+        SELECT m.event_id, m.lead_hour, m.value,
                round(max(r.ref_value), 6) AS value_adj
-        FROM m JOIN r ON r.pr <= m.pr
-        GROUP BY m.event_id, m.value
+        FROM m JOIN r ON r.lead_hour = m.lead_hour AND r.pr <= m.pr
+        GROUP BY m.event_id, m.lead_hour, m.value
     """,
     "rating_curve_interp": """
         WITH pts(stage, discharge) AS (VALUES

@@ -130,6 +130,40 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fingerprint")
 
 
+def q_dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup a user actually runs: keep one document per fingerprint
+    (smallest id) and return the surviving corpus rows."""
+    docs = _docs(spark, sf_dir)
+    keep = dedup.dedup_exact(docs, id_col="doc_id", text_col="text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: documents whose composite score clears a threshold
+    (the filter stage of a training-data pipeline)."""
+    scored = text.quality_features(_docs(spark, sf_dir), text_col="text")
+    return scored.filter(F.col("quality_score") >= 0.65).select(
+        "doc_id", F.round("quality_score", 6).alias("quality_score")
+    )
+
+
+def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token statistics per source: totals, means, and
+    interpolated percentiles of per-document token counts."""
+    counted = text.token_counts(_docs(spark, sf_dir), text_col="text")
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("regex_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("regex_tokens").cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.round(F.percentile("regex_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("regex_tokens", F.lit(0.95)), 6).alias("p95_tokens"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_payload(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
     decoded = multimodal.extract_metadata(media, use_stub=True)
@@ -148,6 +182,9 @@ LLM_QUERIES = {
     "text_quality_score": q_text_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "dedup_keep_corpus": q_dedup_keep_corpus,
+    "quality_filter": q_quality_filter,
+    "corpus_token_stats": q_corpus_token_stats,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -272,6 +309,58 @@ LLM_ORACLES = {
         SELECT doc_id,
                md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
         FROM documents
+    """,
+    "dedup_keep_corpus": """
+        WITH keep AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d JOIN keep USING (doc_id)
+    """,
+    "quality_filter": r"""
+        WITH feats AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+                   len(string_split_regex(trim(text), '\s+')) AS n_ws,
+                   len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it)\b')) AS n_stop
+            FROM documents
+        ), ratios AS (
+            SELECT doc_id,
+                   CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN n_alpha > 0 THEN n_upper / n_alpha ELSE 0.0 END AS upper_ratio,
+                   CASE WHEN n_ws > 0 THEN n_stop / n_ws ELSE 0.0 END AS stop_density
+            FROM feats
+        ), scored AS (
+            SELECT doc_id,
+                   0.4 * alpha_ratio
+                   + 0.3 * least(stop_density * 2, 1.0)
+                   + 0.2 * (1.0 - least(upper_ratio * 2, 1.0))
+                   + 0.1 * (1.0 - least(punct_ratio * 5, 1.0)) AS quality_score
+            FROM ratios
+        )
+        SELECT doc_id, round(quality_score, 6) AS quality_score
+        FROM scored WHERE quality_score >= 0.65
+    """,
+    "corpus_token_stats": r"""
+        WITH counted AS (
+            SELECT source,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                       AS regex_tokens
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(regex_tokens) AS BIGINT) AS total_tokens,
+               round(CAST(sum(regex_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
+               round(quantile_cont(regex_tokens, 0.5), 6) AS p50_tokens,
+               round(quantile_cont(regex_tokens, 0.95), 6) AS p95_tokens
+        FROM counted GROUP BY source
     """,
     # IVF is deterministic (centroids = 16 lowest-id vectors), so the whole
     # assign -> probe -> rank pipeline has an exact SQL twin

@@ -127,6 +127,42 @@ def run_to_sink(
     return q
 
 
+def run_to_collection(
+    result: DataFrame,
+    collection_id: str,
+    out_path: str,
+    checkpoint: str,
+    catalog,
+    ts_col: str | None = None,
+    mode: str = "append",
+):
+    """Streaming twin of the ingest-process store+register arc: each
+    micro-batch appends into the partitioned collection via
+    ``foreachBatch``; the catalog entry's extents refresh after the run.
+
+    With ``availableNow`` this is one scheduler tick; with a continuous
+    trigger the same query keeps the collection live.
+    """
+    from pygeoapi_ingestor_spark.sinks.collections import compute_extents
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (
+        result.writeStream.foreachBatch(write_batch)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = result.sparkSession.read.parquet(out_path)
+    catalog.register(
+        collection_id, out_path, compute_extents(written, ts_col=ts_col)
+    )
+    return q
+
+
 def run_to_memory(result: DataFrame, name: str, mode: str = "append"):
     """Debug/test sink: collect a streaming result into an in-memory
     table (complete/update modes supported)."""

@@ -1,0 +1,26 @@
+from __future__ import annotations
+
+from pygeoapi_ingestor_spark.sinks import CollectionCatalog
+from pygeoapi_ingestor_spark.sources.readers import read_events
+from pygeoapi_ingestor_spark.streaming import pipeline
+
+
+def test_stream_into_registered_collection(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    read_events(spark, sf_dir).coalesce(2).write.mode("overwrite").json(src)
+
+    cat = CollectionCatalog(str(tmp_path / "cat.json"))
+    stream = pipeline.read_event_stream(spark, src, fmt="json")
+    agg = pipeline.windowed_agg(stream, window_duration="1 hour")
+    pipeline.run_to_collection(
+        agg, "hourly_totals", str(tmp_path / "coll"), str(tmp_path / "ckpt"),
+        cat, ts_col="window_start",
+    )
+
+    assert cat.exists("hourly_totals")
+    assert cat.healthcheck(spark) == [
+        {"id": "hourly_totals", "ok": True, "error": None}
+    ]
+    got = spark.read.parquet(str(tmp_path / "coll"))
+    assert got.count() > 0
+    assert set(got.columns) >= {"window_start", "event_type", "total_value"}

@@ -90,10 +90,6 @@ def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16, seed: in
     return sig
 
 
-def _centroid_literal(centroids: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-
-
 def _sq_dist(vec: Column, centroid: Column) -> Column:
     return F.aggregate(
         F.zip_with(vec, centroid, lambda a, b: (a - b) * (a - b)),
@@ -119,10 +115,10 @@ def ivf_topk(
 
     Centroids are the ``n_clusters`` lowest-id vectors — a deterministic
     sampling build (no iterative training), collected once to the driver
-    (n_clusters x dim doubles) and inlined as literals so cluster
-    assignment is a pure per-row expression: no shuffle to build the
-    index, one equi-join shuffle keyed by cluster id to search. At 100 TB
-    the inverted lists are the at-rest partitioning of the vector table.
+    (n_clusters x dim doubles) and broadcast as a tiny table: assignment
+    is a broadcast join + per-vector rank, search is one equi-join
+    shuffle keyed by cluster id. At 100 TB the inverted lists are the
+    at-rest partitioning of the vector table.
     """
     cent_rows = (
         embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -130,31 +126,36 @@ def ivf_topk(
         .limit(n_clusters)
         .collect()
     )
-    centroids = [list(map(float, r["_v"])) for r in cent_rows]
-    cents = _centroid_literal(centroids)
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(r["_id"]), [float(x) for x in r["_v"]]) for r in cent_rows],
+        "cid bigint, cvec array<double>",
+    )
 
-    def nearest_clusters(vec: Column, n: int) -> Column:
-        dists = F.transform(cents, lambda c: _sq_dist(vec, c))
-        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-        pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
-        ordered = F.array_sort(
-            pairs,
-            lambda a, b: F.when(a["d"] < b["d"], -1)
-            .when(a["d"] > b["d"], 1)
-            .otherwise(a["i"] - b["i"]),
+    def assign(df: DataFrame, idc: str, vecc: str, n: int) -> DataFrame:
+        """Nearest-n centroid assignment: broadcast the centroid table,
+        rank by (distance, cid) — a tiny plan instead of a codegen blowup
+        from inlining n_clusters x dim literal constants."""
+        crossed = df.select(F.col(idc).alias("_aid"), F.col(vecc).alias("_avec")).join(
+            F.broadcast(cent_df)
         )
-        return F.transform(F.slice(ordered, 1, n), lambda p: p["i"])
+        dist = _sq_dist(F.col("_avec"), F.col("cvec"))
+        w = Window.partitionBy("_aid").orderBy(dist.asc(), F.col("cid").asc())
+        ranked = crossed.withColumn("_crn", F.row_number().over(w))
+        return ranked.filter(F.col("_crn") <= n).select(
+            F.col("_aid"), F.col("_avec"), F.col("cid").alias("_cluster")
+        )
 
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_vec"),
-        nearest_clusters(F.col(vec_col), 1)[0].alias("_cluster"),
+    e = assign(embeddings, id_col, vec_col, 1).select(
+        F.col("_aid").alias("neighbor_id"),
+        F.col("_avec").alias("_vec"),
+        "_cluster",
     )
     q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(query_vec_col).alias("_qvec"),
-            F.explode(nearest_clusters(F.col(query_vec_col), n_probe)).alias("_cluster"),
+        assign(queries, query_id_col, query_vec_col, n_probe).select(
+            F.col("_aid").alias("query_id"),
+            F.col("_avec").alias("_qvec"),
+            "_cluster",
         )
     )
     joined = e.join(q, "_cluster").filter(F.col("neighbor_id") != F.col("query_id"))

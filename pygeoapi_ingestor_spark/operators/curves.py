@@ -43,6 +43,8 @@ def interpolate_points_expr(
     the 100 TB path for fixed rating tables (reference:
     rer_river_discharge_arpae_process.py:325-457).
     """
+    if len(points) < 2:
+        raise ValueError("a piecewise-linear curve needs at least 2 points")
     pts = sorted(points)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     expr = None

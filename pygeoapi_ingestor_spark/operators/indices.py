@@ -62,9 +62,11 @@ def anomaly(
     """Standardized anomaly (x - clim_mean) / clim_std — the z-score SPI
     variant. Climatology side is broadcast (O(series x cycle))."""
     cycle_fn = _CYCLES[cycle]
+    # left join: rows whose (series, cycle) is absent from the reference
+    # climatology keep flowing with a NULL zscore instead of vanishing
     joined = monthly.withColumn(
         "cycle_key", cycle_fn(bucket_col).cast("int")
-    ).join(F.broadcast(clim), [*series_cols, "cycle_key"])
+    ).join(F.broadcast(clim), [*series_cols, "cycle_key"], "left")
     return joined.withColumn(
         out_col,
         F.when(

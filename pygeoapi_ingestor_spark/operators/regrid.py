@@ -56,6 +56,9 @@ def bilinear_regrid(
     lon_lo, lon_hi = _bracket_expr(lons, t_lon)
 
     t = targets.select(
+        # unique row id so duplicate target points survive the corner
+        # re-assembly groupBy as distinct output rows
+        F.monotonically_increasing_id().alias("_tid"),
         F.col(time_col).alias("t_time"),
         F.col(lat_col).alias("t_lat"),
         F.col(lon_col).alias("t_lon"),
@@ -96,7 +99,7 @@ def bilinear_regrid(
 
     # bilinear blend: collect the 4 corner values back to one row
     pivot = joined.groupBy(
-        "t_time", "t_lat", "t_lon", "_lat_lo", "_lat_hi", "_lon_lo", "_lon_hi",
+        "_tid", "t_time", "t_lat", "t_lon", "_lat_lo", "_lat_hi", "_lon_lo", "_lon_hi",
         *[c for c in targets.columns if c not in (time_col, lat_col, lon_col)],
     ).agg(
         *[

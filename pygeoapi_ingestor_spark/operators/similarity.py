@@ -127,9 +127,10 @@ def ivf_topk(
         .collect()
     )
     spark = embeddings.sparkSession
+    id_type = embeddings.schema[id_col].dataType.simpleString()
     cent_df = spark.createDataFrame(
-        [(int(r["_id"]), [float(x) for x in r["_v"]]) for r in cent_rows],
-        "cid bigint, cvec array<double>",
+        [(r["_id"], [float(x) for x in r["_v"]]) for r in cent_rows],
+        f"cid {id_type}, cvec array<double>",
     )
 
     def assign(df: DataFrame, idc: str, vecc: str, n: int) -> DataFrame:

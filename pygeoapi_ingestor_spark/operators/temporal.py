@@ -4,7 +4,10 @@ sums, dedup-latest, as-of joins, sessionization.
 Reference semantics:
 - time-range + predicate selection: utils_spi.py:399-425 (``sel(time=slice)``)
 - monthly resample: utils_spi.py:418-425 (monthly precip totals)
-- weekly max: ll_nl_danger_levels.py:68-105 (Sunday-anchored weekly max)
+- weekly max: ll_nl_danger_levels.py:68-105 (weekly max; NB the
+  reference's pandas '1W' weeks END on Sunday while date_trunc('week')
+  anchors on Monday — shift ts by +1 day before resampling when exact
+  Sunday-week parity is required)
 - rolling sum: utils_spi.py:444-448 (``rolling(spi_ts).sum()``)
 - cumulative deficit: ingestor_knmi_evapo.py (running deficit)
 - idempotent latest-snapshot ingest: utils_spi.py:205-358

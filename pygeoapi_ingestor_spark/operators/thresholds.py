@@ -24,6 +24,8 @@ DANGER_FALLBACK = "darkred"
 
 def categorize(value_col, levels=DANGER_LEVELS, fallback: str = DANGER_FALLBACK) -> Column:
     """value → class label by ascending breakpoints (first match wins)."""
+    if not levels:
+        raise ValueError("categorize needs at least one (bound, label) level")
     col = F.col(value_col) if isinstance(value_col, str) else value_col
     expr = None
     for bound, label in levels:

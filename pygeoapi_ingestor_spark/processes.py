@@ -99,8 +99,12 @@ class IngestProcess:
             raw = self.fetch(spark)
             result = self.transform(raw)
             write_collection(result, self.out_path, partition_by=self.partition_by)
+            # aggregate the WRITTEN data: avoids re-running the whole
+            # fetch+transform lineage and guarantees the registered
+            # extents describe exactly what landed on disk
+            written = spark.read.parquet(self.out_path)
             extents = compute_extents(
-                result, ts_col=self.ts_col, value_cols=self.value_cols
+                written, ts_col=self.ts_col, value_cols=self.value_cols
             )
             self.catalog.register(self.collection_id, self.out_path, extents)
             return ProcessResult(OK, self.collection_id, "ingested", extents)

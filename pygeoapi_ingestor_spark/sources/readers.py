@@ -22,6 +22,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session-level side effect by design: the conf must remain true when
+    # the (lazy) scan executes, so it cannot be restored after this call.
+    # Other ns-timestamp parquet read in the same session will surface
+    # those columns as raw bigint nanos.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":

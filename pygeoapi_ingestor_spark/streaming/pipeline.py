@@ -156,7 +156,12 @@ def run_to_collection(
         .start()
     )
     q.awaitTermination()
-    written = result.sparkSession.read.parquet(out_path)
+    try:
+        written = result.sparkSession.read.parquet(out_path)
+    except Exception:
+        # zero batches produced -> nothing written; an empty tick is a
+        # successful no-op, not a registration
+        return q
     catalog.register(
         collection_id, out_path, compute_extents(written, ts_col=ts_col)
     )

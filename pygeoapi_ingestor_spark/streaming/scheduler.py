@@ -46,36 +46,52 @@ def parse_scheduler_config(cfg: dict) -> list[ScheduledProcess]:
     return jobs
 
 
-def _field_matches(expr: str, value: int, lo: int) -> bool:
+def _field_matches(expr: str, value: int, lo: int, norm=None) -> bool:
+    norm = norm or (lambda x: x)
     if expr == "*":
         return True
     for part in expr.split(","):
-        if part.startswith("*/"):
-            step = int(part[2:])
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            step = int(step_s)
+        if part == "*":
             if (value - lo) % step == 0:
                 return True
         elif "-" in part:
             a, b = part.split("-")
-            if int(a) <= value <= int(b):
+            a, b = norm(int(a)), norm(int(b))
+            if a <= value <= b and (value - a) % step == 0:
                 return True
-        elif part and int(part) == value:
+        elif part and norm(int(part)) == value:
             return True
     return False
 
 
 def cron_matches(expr: str, when: datetime.datetime) -> bool:
-    """Standard 5-field cron match (minute hour dom month dow)."""
+    """Vixie-cron 5-field match (minute hour dom month dow).
+
+    Standard semantics reproduced: dow accepts both 0 and 7 for Sunday;
+    ranges support steps (``1-5/2``); and when BOTH day-of-month and
+    day-of-week are restricted, the entry fires if EITHER matches
+    (crontab(5) behavior) rather than requiring both.
+    """
     fields = expr.split()
     if len(fields) != 5:
         raise ValueError(f"not a 5-field cron expression: {expr!r}")
     minute, hour, dom, month, dow = fields
-    return (
+    base = (
         _field_matches(minute, when.minute, 0)
         and _field_matches(hour, when.hour, 0)
-        and _field_matches(dom, when.day, 1)
         and _field_matches(month, when.month, 1)
-        and _field_matches(dow, when.isoweekday() % 7, 0)
     )
+    if not base:
+        return False
+    dom_hit = _field_matches(dom, when.day, 1)
+    dow_hit = _field_matches(dow, when.isoweekday() % 7, 0, norm=lambda d: d % 7)
+    if dom != "*" and dow != "*":
+        return dom_hit or dow_hit
+    return dom_hit and dow_hit
 
 
 def due_jobs(

@@ -45,7 +45,14 @@ def alert_transitions(
     events: DataFrame, alpha: float = 0.2, watermark: str = "2 hours"
 ) -> DataFrame:
     """Emit (series, ts, ewma, level, prev_level) rows at level
-    transitions only."""
+    transitions only.
+
+    Ordering caveat: events are applied in event-time order WITHIN each
+    micro-batch; rows arriving in a later batch with earlier timestamps
+    (allowed inside the watermark) fold into the EWMA out of order. For
+    strict event-time replay, buffer rows in state until the watermark
+    passes them — at the cost of state growth and emission latency.
+    """
     from pygeoapi_ingestor_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(events.sparkSession)

@@ -88,6 +88,24 @@ def test_quantile_map_matches_naive(spark, model, ref):
         assert got[i] == want, (i, v, got[i], want)
 
 
+def test_anomaly_keeps_rows_without_climatology(spark):
+    from pygeoapi_ingestor_spark.operators import indices
+
+    clim_src = spark.createDataFrame(
+        [("a", BASE, 1.0), ("a", BASE, 3.0)], "s string, ts timestamp, v double"
+    )
+    clim = indices.climatology(clim_src, ["s"], "ts", "v", cycle="hour")
+    # series "b" has no climatology entry: must survive with NULL zscore
+    facts = spark.createDataFrame(
+        [("a", BASE, 2.0), ("b", BASE, 5.0)], "s string, ts timestamp, v double"
+    )
+    out = indices.anomaly(facts, clim, ["s"], "ts", "v", cycle="hour").collect()
+    assert len(out) == 2
+    by_s = {r["s"]: r["zscore"] for r in out}
+    assert by_s["a"] is not None
+    assert by_s["b"] is None
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     gaps=st.lists(st.integers(1, 4000), min_size=1, max_size=20),

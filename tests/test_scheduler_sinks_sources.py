@@ -31,6 +31,22 @@ def test_scheduler_config_and_cron():
     assert due2 == []
 
 
+def test_cron_vixie_semantics():
+    # Sunday as 7 and as 0 both match a Sunday (2024-03-03)
+    sunday = datetime.datetime(2024, 3, 3, 0, 0)
+    assert scheduler.cron_matches("0 0 * * 7", sunday)
+    assert scheduler.cron_matches("0 0 * * 0", sunday)
+    # restricted dom AND dow => OR semantics (crontab(5))
+    first_not_monday = datetime.datetime(2024, 3, 1, 0, 0)  # a Friday
+    monday_not_first = datetime.datetime(2024, 3, 4, 0, 0)
+    assert scheduler.cron_matches("0 0 1 * 1", first_not_monday)
+    assert scheduler.cron_matches("0 0 1 * 1", monday_not_first)
+    assert not scheduler.cron_matches("0 0 1 * 1", datetime.datetime(2024, 3, 5, 0, 0))
+    # range with step
+    assert scheduler.cron_matches("0 0 * * 1-5/2", datetime.datetime(2024, 3, 6, 0, 0))  # Wed
+    assert not scheduler.cron_matches("0 0 * * 1-5/2", datetime.datetime(2024, 3, 5, 0, 0))  # Tue
+
+
 def test_run_process_with_registry(spark, sf_dir):
     registry = {
         "count_events": lambda spark_, threshold=0.0: (

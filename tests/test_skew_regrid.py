@@ -67,6 +67,13 @@ def test_bilinear_regrid_exact_on_nodes_and_midpoints(spark, tmp_path):
     assert abs(out["on_node"]["value_interp"] - node["tp"]) < 1e-9
     assert out["outside"]["value_interp"] is None
 
+    # duplicate target rows stay distinct in the output
+    dupes = spark.createDataFrame(
+        [(node["time"], node["lat"], node["lon"], "d")] * 3,
+        "time timestamp, lat double, lon double, tag string",
+    )
+    assert regrid.bilinear_regrid(grid, dupes).count() == 3
+
     # midpoint equals the average of the 4 surrounding nodes
     g = {(r["lat"], r["lon"]): r["tp"] for r in grid.filter(F.col("time") == node["time"]).collect()}
     corners = [

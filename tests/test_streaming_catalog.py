@@ -24,3 +24,19 @@ def test_stream_into_registered_collection(spark, sf_dir, tmp_path):
     got = spark.read.parquet(str(tmp_path / "coll"))
     assert got.count() > 0
     assert set(got.columns) >= {"window_start", "event_type", "total_value"}
+
+
+def test_empty_stream_tick_is_noop(spark, tmp_path):
+    src = str(tmp_path / "empty_src")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    cat = CollectionCatalog(str(tmp_path / "cat2.json"))
+    stream = pipeline.read_event_stream(spark, src, fmt="json")
+    agg = pipeline.windowed_agg(stream)
+    # zero input files -> zero batches -> no crash, no registration
+    pipeline.run_to_collection(
+        agg, "never_written", str(tmp_path / "c2"), str(tmp_path / "ck2"),
+        cat, ts_col="window_start",
+    )
+    assert not cat.exists("never_written")

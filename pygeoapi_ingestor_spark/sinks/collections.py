@@ -37,6 +37,29 @@ def write_collection(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles the data on the join/agg key at write time:
+    two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle, and per-bucket sorting turns the join into a merge
+    — the at-rest co-location strategy for repeated fact-fact joins at
+    100 TB. (Bucketed output requires ``saveAsTable``; plain
+    ``parquet(path)`` cannot carry bucket metadata.)
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def compute_extents(
     df: DataFrame, ts_col: str | None = None, value_cols: list[str] | None = None
 ) -> dict[str, Any]:

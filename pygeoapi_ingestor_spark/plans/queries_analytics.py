@@ -256,7 +256,22 @@ def q_extreme_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct counts — the 100 TB path where exact
+    COUNT(DISTINCT)'s expand+dedup shuffle is unaffordable. rows-only
+    check (sketch values are engine-specific); a unit test bounds the
+    error against the exact count."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).cast("bigint").alias("approx_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
 ANALYTICS_QUERIES = {
+    "approx_distinct_users": q_approx_distinct_users,
     "distinct_users_daily": q_distinct_users_daily,
     "ntile_quartiles": q_ntile_quartiles,
     "corr_value_props": q_corr_value_props,

@@ -78,6 +78,25 @@ def compute_extents(
     }
 
 
+EXPORT_FORMATS = ("parquet", "json", "csv", "orc")
+
+
+def export(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """Out-format conversion (reference: utils_spi.py:653-702
+    ``coverage_to_out_format`` — netcdf/json/dataframe/tif/zarr). The
+    tabular analogs: parquet (zarr-like chunked columnar), json
+    (records), csv (the 'dataframe' text form), orc. Writers stay
+    distributed — one file per partition, no driver materialization."""
+    if fmt not in EXPORT_FORMATS:
+        raise ValueError(f"unsupported export format {fmt!r}; one of {EXPORT_FORMATS}")
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true").option("sep", ";")
+    getattr(writer, fmt)(path)
+
+
 class CollectionCatalog:
     """JSON-file catalog of registered collections (the pygeoapi
     ``resources`` config analog). Methods mirror the reference flow:

@@ -41,6 +41,16 @@ def main() -> None:
         timings[key] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_total0, 3)
 
+    # concurrent catalog throughput: submit all queries from a thread
+    # pool (Spark schedules jobs from multiple threads concurrently) —
+    # the multi-tenant number a shared cluster actually sees
+    from concurrent.futures import ThreadPoolExecutor
+
+    t_c0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda k: QUERIES[k](spark, sf_dir).count(), BENCH_KEYS))
+    concurrent_total = round(time.perf_counter() - t_c0, 3)
+
     print(
         json.dumps(
             {
@@ -48,6 +58,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "concurrent_wall": concurrent_total,
                 "sf": sf,
             }
         )

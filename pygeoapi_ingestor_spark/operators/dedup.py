@@ -186,6 +186,42 @@ def minhash_lsh_pairs(
     return cand.withColumn("est_jaccard", est).select("doc_a", "doc_b", "est_jaccard")
 
 
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs: all (a, b) with cosine
+    similarity >= threshold.
+
+    Brute-force self-join kept JVM-side (zip_with/aggregate dot
+    products). At scale, pre-bucket both sides with
+    ``similarity.hyperplane_signature`` or IVF cluster ids and join
+    within buckets — same scoring expression, candidate set shrunk from
+    n^2 to the bucket sizes.
+    """
+    from pygeoapi_ingestor_spark.operators.similarity import _dot, _norm
+
+    base = embeddings.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        (_norm(F.col(vec_col))).alias("nrm"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b, F.col("a.doc") < F.col("b.doc"))
+    cos = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            "cosine",
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of the
     frequency-weighted sum of (+1/-1) contributions from each distinct

@@ -64,6 +64,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a capped window (brute-force
+    self-join is quadratic; the scale path buckets by hyperplane/IVF ids
+    first — see operators/dedup.embedding_cosine_pairs)."""
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 1000)
+    pairs = dedup.embedding_cosine_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.4
+    )
+    return pairs.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_sim_search_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -175,6 +186,7 @@ LLM_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_search_cosine_topk": q_sim_search_cosine_topk,
     "sim_search_ivf": q_sim_search_ivf,
     "sim_search_lsh": q_sim_search_lsh,
@@ -231,6 +243,19 @@ LLM_ORACLES = {
         JOIN sizes sa ON sa.doc = doc_a
         JOIN sizes sb ON sb.doc = doc_b
         WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """,
+    "dedup_embedding_cosine": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 1000
+        )
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                   AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
     """,
     "sim_search_cosine_topk": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

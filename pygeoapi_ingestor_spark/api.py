@@ -26,12 +26,35 @@ from pygeoapi_ingestor_spark.processes import IngestProcess, ProcessorExecuteErr
 MAX_SAMPLE_ROWS = 100
 
 
+def _json_safe(obj):
+    """Recursively make a sampled row JSON-serializable (datetimes ->
+    isoformat, Decimals -> float, bytes -> hex)."""
+    import datetime
+    import decimal
+
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, (datetime.datetime, datetime.date)):
+        return obj.isoformat()
+    if isinstance(obj, decimal.Decimal):
+        return float(obj)
+    if isinstance(obj, (bytes, bytearray)):
+        return bytes(obj).hex()
+    return obj
+
+
 class ProcessAPI:
     def __init__(self, default_sf_dir: str = "/root/testdata/sf0.001"):
         self.default_sf_dir = default_sf_dir
         self._ingestors: dict[str, IngestProcess] = {}
 
     def register_ingestor(self, proc: IngestProcess) -> None:
+        if proc.collection_id in QUERIES:
+            raise ValueError(
+                f"ingestor id {proc.collection_id!r} shadows a catalog query"
+            )
         self._ingestors[proc.collection_id] = proc
 
     def list_processes(self) -> list[dict[str, Any]]:
@@ -66,10 +89,23 @@ class ProcessAPI:
                 "value": res.extents,
             }
         if process_id in QUERIES:
-            sf_dir = inputs.get("sf_dir", self.default_sf_dir)
-            df = QUERIES[process_id](spark, sf_dir)
-            limit = int(inputs.get("limit", MAX_SAMPLE_ROWS))
-            rows = [r.asDict() for r in df.limit(limit).collect()]
+            try:
+                sf_dir = inputs.get("sf_dir", self.default_sf_dir)
+                limit = int(inputs.get("limit", MAX_SAMPLE_ROWS))
+                # MAX_SAMPLE_ROWS is a hard cap, not just a default — the
+                # sample must stay driver-safe regardless of inputs
+                limit = max(0, min(limit, MAX_SAMPLE_ROWS))
+                df = QUERIES[process_id](spark, sf_dir)
+                rows = [
+                    _json_safe(r.asDict(recursive=True))
+                    for r in df.limit(limit).collect()
+                ]
+            except Exception as e:  # dict-in/dict-out: never raise
+                return {
+                    "id": process_id,
+                    "status": "failed",
+                    "message": str(e)[:500],
+                }
             return {
                 "id": process_id,
                 "status": "successful",

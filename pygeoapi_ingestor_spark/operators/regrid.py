@@ -7,29 +7,44 @@ grid. Tabular re-expression: the source grid is (time, lat, lon, value)
 rows; each target point finds its four bracketing grid nodes and blends
 them with the standard bilinear weights.
 
-Spark-first: the grid AXES (distinct lats, distinct lons — tiny) are
-collected and inlined to compute each target's bracketing coordinates as
-pure expressions; the four corner lookups are one equi-join against the
-grid keyed by (time, lat, lon) — shuffle bounded by target rows x 4, no
-range join, no cross product.
+Spark-first: the grid AXES (distinct lats, distinct lons — small) become
+broadcast interval tables; each target picks its lat/lon cell via two
+broadcast range-joins (plan size independent of axis length — a CASE
+chain per axis value would blow past JVM codegen limits on ERA5-sized
+grids), then the four corner lookups are one explode + equi-join keyed
+by (time, lat, lon). No cross product, no range-join on the fact side.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_INTERNAL_COLS = {
+    "_tid", "t_time", "t_lat", "t_lon", "c_lat", "c_lon", "corner", "_c", "_gv",
+    "_lat_lo", "_lat_hi", "_lon_lo", "_lon_hi", "_vlolo", "_vlohi", "_vhilo", "_vhihi",
+}
 
-def _bracket_expr(axis: list[float], col):
-    """lo/hi bracketing coordinates on a sorted axis as CASE chains
-    (first matching cell wins; NULL outside the axis envelope)."""
-    lo_expr = None
-    hi_expr = None
-    for a, b in zip(axis, axis[1:]):
-        cond = (col >= F.lit(float(a))) & (col <= F.lit(float(b)))
-        lo_expr = F.when(cond, F.lit(float(a))) if lo_expr is None else lo_expr.when(cond, F.lit(float(a)))
-        hi_expr = F.when(cond, F.lit(float(b))) if hi_expr is None else hi_expr.when(cond, F.lit(float(b)))
-    return lo_expr, hi_expr
+
+def _clean_axis(values, name: str) -> list[float]:
+    out = sorted(
+        float(v) for v in values if v is not None and not math.isnan(float(v))
+    )
+    if len(out) < 2:
+        raise ValueError(f"grid must have at least 2 distinct finite {name} values")
+    return out
+
+
+def _interval_table(spark, axis: list[float], lo_name: str, hi_name: str):
+    """Half-open cells [lo, hi), last cell closed — one row per cell."""
+    rows = [
+        (axis[i], axis[i + 1], i == len(axis) - 2) for i in range(len(axis) - 1)
+    ]
+    return spark.createDataFrame(
+        rows, f"{lo_name} double, {hi_name} double, _last boolean"
+    )
 
 
 def bilinear_regrid(
@@ -44,35 +59,47 @@ def bilinear_regrid(
     """Interpolate ``grid[value_col]`` at each target (time, lat, lon).
 
     Targets outside the grid envelope get NULL. Exactly-on-node targets
-    resolve via zero-width weights (0/0 guarded to take the node value).
+    resolve via zero-width weights. Duplicate target rows are preserved
+    (internal unique row id). Passthrough target columns must not use
+    the reserved internal names.
     """
-    lats = sorted(r[0] for r in grid.select(lat_col).distinct().collect())
-    lons = sorted(r[0] for r in grid.select(lon_col).distinct().collect())
-    if len(lats) < 2 or len(lons) < 2:
-        raise ValueError("grid must have at least 2 distinct lats and lons")
+    spark = grid.sparkSession
+    passthrough = [c for c in targets.columns if c not in (time_col, lat_col, lon_col)]
+    clash = (_INTERNAL_COLS | {out_col}) & set(passthrough)
+    if clash:
+        raise ValueError(f"target columns collide with internal names: {sorted(clash)}")
+
+    lats = _clean_axis((r[0] for r in grid.select(lat_col).distinct().collect()), "lat")
+    lons = _clean_axis((r[0] for r in grid.select(lon_col).distinct().collect()), "lon")
+
+    lat_cells = F.broadcast(_interval_table(spark, lats, "_lat_lo", "_lat_hi"))
+    lon_cells = F.broadcast(
+        _interval_table(spark, lons, "_lon_lo", "_lon_hi").withColumnsRenamed(
+            {"_last": "_last2"}
+        )
+    )
 
     t_lat, t_lon = F.col("t_lat"), F.col("t_lon")
-    lat_lo, lat_hi = _bracket_expr(lats, t_lat)
-    lon_lo, lon_hi = _bracket_expr(lons, t_lon)
-
     t = targets.select(
-        # unique row id so duplicate target points survive the corner
-        # re-assembly groupBy as distinct output rows
         F.monotonically_increasing_id().alias("_tid"),
         F.col(time_col).alias("t_time"),
         F.col(lat_col).alias("t_lat"),
         F.col(lon_col).alias("t_lon"),
-        *[c for c in targets.columns if c not in (time_col, lat_col, lon_col)],
-    ).withColumns(
-        {
-            "_lat_lo": lat_lo,
-            "_lat_hi": lat_hi,
-            "_lon_lo": lon_lo,
-            "_lon_hi": lon_hi,
-        }
+        *passthrough,
+    )
+    in_lat = (t_lat >= F.col("_lat_lo")) & (
+        (t_lat < F.col("_lat_hi")) | (F.col("_last") & (t_lat <= F.col("_lat_hi")))
+    )
+    in_lon = (t_lon >= F.col("_lon_lo")) & (
+        (t_lon < F.col("_lon_hi")) | (F.col("_last2") & (t_lon <= F.col("_lon_hi")))
+    )
+    t = (
+        t.join(lat_cells, on=in_lat, how="left")
+        .drop("_last")
+        .join(lon_cells, on=in_lon, how="left")
+        .drop("_last2")
     )
 
-    # four corner lookups via one explode + equi-join on (time, lat, lon)
     corners = F.array(
         *[
             F.struct(
@@ -84,10 +111,16 @@ def bilinear_regrid(
             for b in ("lo", "hi")
         ]
     )
-    t_exp = t.withColumn("_c", F.explode(corners)).select(
-        "*", F.col("_c.c_lat").alias("c_lat"), F.col("_c.c_lon").alias("c_lon"),
-        F.col("_c.corner").alias("corner"),
-    ).drop("_c")
+    t_exp = (
+        t.withColumn("_c", F.explode(corners))
+        .select(
+            "*",
+            F.col("_c.c_lat").alias("c_lat"),
+            F.col("_c.c_lon").alias("c_lon"),
+            F.col("_c.corner").alias("corner"),
+        )
+        .drop("_c")
+    )
 
     g = grid.select(
         F.col(time_col).alias("t_time"),
@@ -97,10 +130,9 @@ def bilinear_regrid(
     )
     joined = t_exp.join(g, ["t_time", "c_lat", "c_lon"], "left")
 
-    # bilinear blend: collect the 4 corner values back to one row
     pivot = joined.groupBy(
         "_tid", "t_time", "t_lat", "t_lon", "_lat_lo", "_lat_hi", "_lon_lo", "_lon_hi",
-        *[c for c in targets.columns if c not in (time_col, lat_col, lon_col)],
+        *passthrough,
     ).agg(
         *[
             F.first(F.when(F.col("corner") == cc, F.col("_gv")), ignorenulls=True).alias(f"_v{cc}")
@@ -118,18 +150,11 @@ def bilinear_regrid(
         + F.col("_vhilo") * wy * (1 - wx)
         + F.col("_vhihi") * wy * wx
     )
-    in_bounds = (
-        (t_lat >= F.lit(float(lats[0])))
-        & (t_lat <= F.lit(float(lats[-1])))
-        & (t_lon >= F.lit(float(lons[0])))
-        & (t_lon <= F.lit(float(lons[-1])))
-    )
-    return pivot.withColumn(
-        out_col, F.when(in_bounds, interp)
-    ).select(
+    in_bounds = F.col("_lat_lo").isNotNull() & F.col("_lon_lo").isNotNull()
+    return pivot.withColumn(out_col, F.when(in_bounds, interp)).select(
         F.col("t_time").alias(time_col),
         F.col("t_lat").alias(lat_col),
         F.col("t_lon").alias(lon_col),
-        *[c for c in targets.columns if c not in (time_col, lat_col, lon_col)],
+        *passthrough,
         out_col,
     )

@@ -28,12 +28,13 @@ def bbox_filter(
     lat_col: str = "lat",
 ) -> DataFrame:
     """Envelope selection (W, S, E, N inclusive)."""
-    return df.filter(
-        (F.col(lon_col) >= min_x)
-        & (F.col(lon_col) <= max_x)
-        & (F.col(lat_col) >= min_y)
-        & (F.col(lat_col) <= max_y)
-    )
+    lat_ok = (F.col(lat_col) >= min_y) & (F.col(lat_col) <= max_y)
+    if min_x <= max_x:
+        lon_ok = (F.col(lon_col) >= min_x) & (F.col(lon_col) <= max_x)
+    else:
+        # antimeridian-crossing envelope (OGC W > E form): wrap around
+        lon_ok = (F.col(lon_col) >= min_x) | (F.col(lon_col) <= max_x)
+    return df.filter(lon_ok & lat_ok)
 
 
 def _interleave_bits(v: Column, n_bits: int, offset: int) -> Column:
@@ -56,8 +57,12 @@ def morton_cell(
     neighborhoods, so bbox scans touch a contiguous id range.
     """
     scale = (1 << bits_per_axis) - 1
-    x = F.round((F.col(lon_col) + 180.0) / 360.0 * scale, 0).cast("long")
-    y = F.round((F.col(lat_col) + 90.0) / 180.0 * scale, 0).cast("long")
+    # clamp to the valid envelope first: out-of-range coordinates would
+    # otherwise overflow the bit budget and alias into distant cells
+    lon = F.greatest(F.lit(-180.0), F.least(F.lit(180.0), F.col(lon_col)))
+    lat = F.greatest(F.lit(-90.0), F.least(F.lit(90.0), F.col(lat_col)))
+    x = F.round((lon + 180.0) / 360.0 * scale, 0).cast("long")
+    y = F.round((lat + 90.0) / 180.0 * scale, 0).cast("long")
     return _interleave_bits(x, bits_per_axis, 0).bitwiseOR(
         _interleave_bits(y, bits_per_axis, 1)
     )

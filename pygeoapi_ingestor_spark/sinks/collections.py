@@ -104,6 +104,25 @@ class CollectionCatalog:
 
     def __init__(self, catalog_path: str):
         self.catalog_path = catalog_path
+        self._lock_path = catalog_path + ".lock"
+
+    def _locked(self):
+        """Cross-process advisory lock around load-modify-save (the
+        reference serializes config updates with FileLock the same way:
+        utils_spi.py:519). Context manager yielding nothing."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def cm():
+            with open(self._lock_path, "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+
+        return cm()
 
     def _load(self) -> dict:
         if os.path.exists(self.catalog_path):
@@ -125,7 +144,6 @@ class CollectionCatalog:
         provider: str = "parquet",
         description: str = "",
     ) -> dict:
-        cfg = self._load()
         entry = {
             "type": "collection",
             "title": collection_id,
@@ -133,8 +151,10 @@ class CollectionCatalog:
             "extents": extents,
             "providers": [{"type": "feature", "name": provider, "data": data_path}],
         }
-        cfg["resources"][collection_id] = entry
-        self._save(cfg)
+        with self._locked():
+            cfg = self._load()
+            cfg["resources"][collection_id] = entry
+            self._save(cfg)
         return entry
 
     def exists(self, collection_id: str) -> bool:

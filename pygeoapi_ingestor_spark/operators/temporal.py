@@ -91,6 +91,46 @@ def rolling_agg(
     return out
 
 
+def rolling_agg_range(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    fn: str = "sum",
+    out_col: str = "rolling_value",
+) -> DataFrame:
+    """Time-RANGE trailing window: aggregates everything within
+    ``window_seconds`` of each row's timestamp — gap-correct where the
+    row-count window (``rolling_agg``) silently widens over missing
+    periods."""
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    return df.withColumn(out_col, getattr(F, fn)(value_col).over(w))
+
+
+def forward_fill(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Carry the last non-null observation forward per series (the gap
+    treatment for missing sensor readings before resampling)."""
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        out_col or value_col, F.last(value_col, ignorenulls=True).over(w)
+    )
+
+
 def cumulative_sum(
     df: DataFrame,
     series_cols: list[str],

@@ -99,6 +99,36 @@ def q_rolling_sum_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_sum_7d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling total (gap-correct twin of rolling_sum_7d)."""
+    d = _daily(spark, sf_dir)
+    rolled = temporal.rolling_agg_range(
+        d, series_cols=["event_type"], ts_col="bucket",
+        value_col="daily_total", window_seconds=6 * 86400, out_col="rolling_7d",
+    )
+    return rolled.select(
+        "event_type", "bucket", F.round("rolling_7d", 4).alias("rolling_7d")
+    )
+
+
+def q_forward_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill: null out sub-threshold readings (sensor-dropout
+    analog), then carry the last valid value forward per series."""
+    ev = _events(spark, sf_dir)
+    with_gaps = ev.withColumn(
+        "v_gappy", F.when(F.col("value") >= 10.0, F.col("value"))
+    )
+    filled = temporal.forward_fill(
+        with_gaps, series_cols=["event_type"], order_cols=["ts", "event_id"],
+        value_col="v_gappy", out_col="v_filled",
+    )
+    return filled.select(
+        "event_id", "event_type",
+        F.round("v_gappy", 6).alias("v_gappy"),
+        F.round("v_filled", 6).alias("v_filled"),
+    )
+
+
 def q_climatology_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     clim = indices.climatology(
@@ -353,6 +383,8 @@ ETL_QUERIES = {
     "resample_daily_sum": q_resample_daily_sum,
     "resample_weekly_max": q_resample_weekly_max,
     "rolling_sum_7d": q_rolling_sum_7d,
+    "rolling_sum_7d_range": q_rolling_sum_7d_range,
+    "forward_fill_gaps": q_forward_fill_gaps,
     "climatology_hourly": q_climatology_hourly,
     "anomaly_vs_climatology": q_anomaly_vs_climatology,
     "spi_gamma": q_spi_gamma,
@@ -411,6 +443,27 @@ ETL_ORACLES = {
             WINDOW w AS (PARTITION BY event_type ORDER BY bucket
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         ) WHERE wn = 7
+    """,
+    "rolling_sum_7d_range": _DAILY_CTE + """
+        SELECT event_type, bucket,
+               round(sum(daily_total) OVER (PARTITION BY event_type ORDER BY bucket
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 4)
+                   AS rolling_7d
+        FROM daily
+    """,
+    "forward_fill_gaps": """
+        WITH gappy AS (
+            SELECT event_id, event_type,
+                   CASE WHEN value >= 10.0 THEN value END AS v_gappy, ts
+            FROM events
+        )
+        SELECT event_id, event_type,
+               round(v_gappy, 6) AS v_gappy,
+               round(last_value(v_gappy IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS v_filled
+        FROM gappy
     """,
     "climatology_hourly": """
         SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,

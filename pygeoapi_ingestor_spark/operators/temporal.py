@@ -131,6 +131,44 @@ def forward_fill(
     )
 
 
+def linear_interp_gaps(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    out_col: str = "v_interp",
+) -> DataFrame:
+    """Linear time-interpolation of NULL runs between valid neighbors
+    (rer_river_discharge_arpae_process.py:450-457 interpolates between
+    bracketing observations the same way, on the level axis).
+
+    For a null row: v = prev + (next - prev) * (t - t_prev)/(t_next -
+    t_prev); leading/trailing nulls (no bracket) stay NULL. Two window
+    passes per series, no UDF.
+    """
+    w_prev = (
+        Window.partitionBy(*series_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*series_cols)
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    t = F.col(ts_col).cast("double")
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
+    frac = F.when(next_t > prev_t, (t - prev_t) / (next_t - prev_t)).otherwise(0.0)
+    interp = prev_v + (next_v - prev_v) * frac
+    return df.withColumn(
+        out_col, F.when(v.isNotNull(), v).otherwise(interp)
+    )
+
+
 def cumulative_sum(
     df: DataFrame,
     series_cols: list[str],

@@ -129,6 +129,21 @@ def q_forward_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linear_interp_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time-interpolation across nulled-out readings."""
+    ev = _events(spark, sf_dir)
+    with_gaps = ev.withColumn(
+        "v_gappy", F.when(F.col("value") >= 10.0, F.col("value"))
+    )
+    out = temporal.linear_interp_gaps(
+        with_gaps, series_cols=["event_type"], ts_col="ts",
+        value_col="v_gappy", out_col="v_interp",
+    )
+    return out.select(
+        "event_id", "event_type", F.round("v_interp", 6).alias("v_interp")
+    )
+
+
 def q_climatology_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     clim = indices.climatology(
@@ -385,6 +400,7 @@ ETL_QUERIES = {
     "rolling_sum_7d": q_rolling_sum_7d,
     "rolling_sum_7d_range": q_rolling_sum_7d_range,
     "forward_fill_gaps": q_forward_fill_gaps,
+    "linear_interp_gaps": q_linear_interp_gaps,
     "climatology_hourly": q_climatology_hourly,
     "anomaly_vs_climatology": q_anomaly_vs_climatology,
     "spi_gamma": q_spi_gamma,
@@ -464,6 +480,34 @@ ETL_ORACLES = {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                    AS v_filled
         FROM gappy
+    """,
+    "linear_interp_gaps": """
+        WITH gappy AS (
+            SELECT event_id, event_type, ts,
+                   CASE WHEN value >= 10.0 THEN value END AS v
+            FROM events
+        ), spans AS (
+            SELECT event_id, event_type, v, epoch(ts) AS t,
+                   last_value(v IGNORE NULLS) OVER wp AS prev_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
+                       OVER wp AS prev_t,
+                   first_value(v IGNORE NULLS) OVER wn AS next_v,
+                   first_value(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
+                       OVER wn AS next_t
+            FROM gappy
+            WINDOW wp AS (PARTITION BY event_type ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (PARTITION BY event_type ORDER BY ts
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, event_type,
+               round(CASE WHEN v IS NOT NULL THEN v
+                          ELSE prev_v + (next_v - prev_v) *
+                               (CASE WHEN next_t > prev_t
+                                     THEN (t - prev_t) / (next_t - prev_t)
+                                     ELSE 0.0 END)
+                     END, 6) AS v_interp
+        FROM spans
     """,
     "climatology_hourly": """
         SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,

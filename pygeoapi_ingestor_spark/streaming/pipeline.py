@@ -50,6 +50,16 @@ def read_event_stream(
     return reader.load(path)
 
 
+def dedup_stream(
+    stream: DataFrame, key_cols: list[str] = ("event_id",), watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming idempotent-ingest: drop re-delivered records by key
+    within the watermark horizon (state is bounded by keys-per-horizon —
+    the streaming twin of the skip-if-exists checks in every reference
+    process)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(list(key_cols))
+
+
 def windowed_agg(
     stream: DataFrame,
     window_duration: str = "1 hour",

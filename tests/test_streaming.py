@@ -55,6 +55,25 @@ def test_windowed_agg_matches_batch(spark, sf_dir, tmp_path):
     assert all(batch_n.get(k) == v for k, v in got_n.items())
 
 
+def test_dedup_stream_drops_redelivered(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "dup_src")
+    out = str(tmp_path / "dup_out")
+    ckpt = str(tmp_path / "ckpt_dup")
+    ev = read_events(spark, sf_dir)
+    # stage the same records twice (re-delivery simulation)
+    ev.coalesce(1).write.mode("overwrite").json(src)
+    ev.coalesce(1).write.mode("append").json(src)
+
+    stream = pipeline.read_event_stream(spark, src, fmt="json", max_files_per_trigger=100)
+    deduped = pipeline.dedup_stream(stream, key_cols=["event_id"])
+    pipeline.run_to_sink(deduped, out, ckpt)
+
+    got = spark.read.parquet(out)
+    n_unique = ev.count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
 def test_session_window_stream(spark, sf_dir, tmp_path):
     src = str(tmp_path / "sess_src")
     out = str(tmp_path / "sess_out")

@@ -270,7 +270,47 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers ordering in BOTH years (INTERSECT) and
+    1996-only customers (EXCEPT), labeled and unioned."""
+    o = _t(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_custkey")
+    both = y96.intersect(y97).withColumn("cohort", F.lit("both_years"))
+    # subtract = EXCEPT DISTINCT (exceptAll's bag semantics would keep
+    # both-year customers that ordered more than once in 1996)
+    only96 = y96.subtract(y97).withColumn("cohort", F.lit("only_1996"))
+    return both.unionByName(only96).select(
+        F.col("o_custkey").alias("custkey"), "cohort"
+    )
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: per-column null counts, range, cardinality —
+    the validation stage every reference process runs on its inputs."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).cast("bigint").alias("value_nulls"),
+        F.sum((F.col("value") < 0).cast("int")).cast("bigint").alias("value_negative"),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+        F.countDistinct("event_type").cast("bigint").alias("types"),
+        F.countDistinct("user_id").cast("bigint").alias("users"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )
+
+
 ANALYTICS_QUERIES = {
+    "set_ops_customers": q_set_ops_customers,
+    "profile_events": q_profile_events,
     "approx_distinct_users": q_approx_distinct_users,
     "distinct_users_daily": q_distinct_users_daily,
     "ntile_quartiles": q_ntile_quartiles,
@@ -291,6 +331,31 @@ ANALYTICS_QUERIES = {
 _DEC_DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
 ANALYTICS_ORACLES = {
+    "set_ops_customers": """
+        WITH y96 AS (SELECT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate < TIMESTAMP '1997-01-01'),
+             y97 AS (SELECT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                       AND o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT o_custkey AS custkey, 'both_years' AS cohort
+        FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+        UNION ALL
+        SELECT o_custkey AS custkey, 'only_1996' AS cohort
+        FROM (SELECT DISTINCT o_custkey FROM y96
+              EXCEPT SELECT DISTINCT o_custkey FROM y97)
+    """,
+    "profile_events": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+               CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS value_negative,
+               round(min(value), 6) AS value_min,
+               round(max(value), 6) AS value_max,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS types,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+               min(ts) AS ts_min, max(ts) AS ts_max
+        FROM events
+    """,
     "distinct_users_daily": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
                CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,

@@ -154,6 +154,17 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all grouping-set combinations with
+    exact-decimal totals."""
+    o = _t(spark, sf_dir, "orders")
+    total = F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(total, 2).alias("total_price"),
+    )
+
+
 def q_pivot_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one column per event type of daily totals (the reference's
     wide per-basin stat tables, utils_spi.py:592-599). Explicit
@@ -323,6 +334,7 @@ ANALYTICS_QUERIES = {
     "q19_disjunctive": q19_disjunctive,
     "q22_idle_customers": q22_idle_customers,
     "rollup_revenue": q_rollup_revenue,
+    "cube_orders": q_cube_orders,
     "pivot_daily_by_type": q_pivot_daily_by_type,
     "json_extract_props": q_json_extract_props,
     "value_change_lag": q_value_change_lag,
@@ -459,6 +471,14 @@ ANALYTICS_ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "cube_orders": """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+                   AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
     "pivot_daily_by_type": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,

@@ -87,6 +87,23 @@ def test_lang_id_no_python_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_partitioned_collection_prunes(spark, sf_dir, tmp_path):
+    """The at-rest layout story: a day-partitioned collection scan with a
+    day predicate must show partition filters (pruning), not a full scan."""
+    from pygeoapi_ingestor_spark.sinks import write_collection
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    write_collection(ev, path, partition_by=["day"])
+
+    df = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    plan = _formatted(df)
+    assert "PartitionFilters: [" in plan
+    assert "2024-01-02" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert df.count() > 0
+
+
 def test_q1_partial_agg_single_shuffle(spark, sf_dir):
     df = QUERIES["q1_pricing_summary"](spark, sf_dir)
     # map-side combine feeds exactly one exchange; decimal sums stay in

@@ -222,12 +222,136 @@ def embedding_cosine_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+def embedding_cosine_pairs_bucketed(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs: hyperplane sign-bit signatures
+    split into ``bands``; candidates share at least one band bucket; the
+    exact float64 cosine then gates the output. The join shuffles on
+    (band, bucket) — never the n^2 cartesian pair space.
+
+    Recall is the LSH banding curve: a pair at angle theta agrees per
+    plane w.p. 1-theta/pi, so with r = n_planes/bands rows per band the
+    capture probability is 1-(1-p^r)^bands. At near-duplicate thresholds
+    (0.9+ cosine, p ~ 0.93+) the default 8x2 construction captures
+    ~99.99% of qualifying pairs; at loose thresholds (0.4, p ~ 0.63) it
+    degrades to ~90% — measured against the exact kernel in
+    tests/test_similarity_recall.py. ``embedding_cosine_pairs`` stays the
+    exact (quadratic, cap-gated) verifier.
+
+    Plane weights come from ``similarity.md5_plane_weights`` and the
+    projection is evaluated as a strict left-to-right fold, so an
+    external SQL oracle embedding the same literal matrix reproduces the
+    bucketing bit-for-bit.
+    """
+    from pygeoapi_ingestor_spark.operators.similarity import (
+        _dot,
+        _norm,
+        md5_plane_weights,
+    )
+
+    weights = md5_plane_weights(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+    v = F.col("vec")
+
+    def proj_bit(p: int):
+        w_arr = F.array(*[F.lit(w) for w in weights[p]])
+        proj = F.aggregate(
+            F.zip_with(v, w_arr, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, 1).otherwise(0)
+
+    def band_key(b: int):
+        key = None
+        for r in range(rows_per_band):
+            bit = proj_bit(b * rows_per_band + r) * F.lit(1 << r)
+            key = bit if key is None else key + bit
+        return key
+
+    base = embeddings.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        *[band_key(b).alias(f"k{b}") for b in range(bands)],
+    )
+    keys = [f"k{b}" for b in range(bands)]
+    # banding carries only (id, band keys) — payload vectors stay out of
+    # the explode/join and come back via an id-equi-join afterwards, so
+    # the (possibly wide) vector column is never replicated bands-fold
+    # and the cosine never leaks into the pair-join condition.
+    banded = base.select(
+        "doc", *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"k{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", *keys, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    # first-matching-band rule: emit a pair only from the LOWEST band both
+    # sides share — every earlier band must differ. Each candidate pair
+    # appears exactly once, so no distinct/dedup shuffle is needed.
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc") < F.col("b.doc"))
+    )
+    for j in range(bands):
+        cond = cond & (
+            (F.col("a.band") <= F.lit(j)) | (F.col(f"a.k{j}") != F.col(f"b.k{j}"))
+        )
+    cand = a.join(b, cond).select(
+        F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+    )
+    va = base.select(
+        F.col("doc").alias("doc_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    vb = base.select(
+        F.col("doc").alias("doc_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
+    scored = cand.join(va, "doc_a").join(vb, "doc_b")
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        scored.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, lane_bits: int = 16
+) -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of the
     frequency-weighted sum of (+1/-1) contributions from each distinct
-    token's xxhash64 bit. Token counts are pre-aggregated so the 64
+    token's xxhash64 bit. Token counts are pre-aggregated so the
     bit-sums run over (doc x distinct tokens) rows instead of every
-    occurrence — identical result, ~vocabulary/length less work."""
+    occurrence.
+
+    Lane packing: instead of one conditional-sum aggregate per bit
+    (``bits`` aggregate expressions dominated the whole catalog's codegen
+    cost), each row packs ``64/lane_bits`` bit-counters into one long and
+    we sum ``bits*lane_bits/64`` longs. With the identity
+    sign-sum_i = 2*S_i - T (S_i = count of occurrences whose token has
+    bit i set, T = total occurrences) the packed counters are
+    non-negative, so lanes never borrow. Exact as long as a document has
+    fewer than 2**lane_bits tokens (lane_bits=16 -> 65535; pass
+    lane_bits=32 for pathological documents).
+    """
+    lanes_per_long = 64 // lane_bits
+    n_longs = bits // lanes_per_long
+    lane_mask = (1 << lane_bits) - 1
     words = F.filter(
         F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
         lambda w: w != "",
@@ -238,28 +362,48 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     h = F.xxhash64("w")
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
-            ).otherwise(-F.col("cnt"))
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = tok.groupBy("doc").agg(*bit_sums)
+    cnt = F.col("cnt")
+
+    def packed(j: int):
+        # lanes j*lanes_per_long .. j*lanes_per_long+lanes_per_long-1
+        expr = None
+        for lane in range(lanes_per_long):
+            i = j * lanes_per_long + lane
+            contrib = F.shiftleft(
+                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("long") * cnt,
+                lane * lane_bits,
+            )
+            expr = contrib if expr is None else expr + contrib
+        return F.sum(expr).alias(f"p{j}")
+
+    agg = tok.groupBy("doc").agg(
+        *[packed(j) for j in range(n_longs)], F.sum(cnt).alias("_tot")
+    )
     sim = F.lit(0).cast("long")
     for i in range(bits):
+        j, lane = divmod(i, lanes_per_long)
+        s_i = F.shiftrightunsigned(F.col(f"p{j}"), lane * lane_bits).bitwiseAND(
+            F.lit(lane_mask)
+        )
+        # sign-sum_i > 0  <=>  2*S_i - T > 0
         sim = sim.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                s_i * 2 > F.col("_tot"), F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
         )
     return agg.select("doc", sim.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Near-dup candidates: documents sharing any of the four 16-bit
-    SimHash bands (catches pairs within small hamming distance)."""
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int | None = 3
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash banding (Manku et al., WWW'07
+    shape): candidates share any of the four 16-bit bands, then the full
+    64-bit hamming distance gates the output. The band construction is
+    EXACT for ``max_hamming <= 3``: a pair differing in <= 3 bits must
+    leave at least one of 4 bands untouched (pigeonhole), so every such
+    pair lands in a shared bucket. ``max_hamming=None`` returns all
+    band-collision candidates (the raw LSH recall set)."""
     sh = simhash(df, id_col, text_col)
     bands = F.array(
         *[
@@ -292,6 +436,9 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
-    return pairs.withColumn("hamming", F.bit_count(xor).cast("int")).select(
+    out = pairs.withColumn("hamming", F.bit_count(xor).cast("int")).select(
         "doc_a", "doc_b", "hamming"
     )
+    if max_hamming is not None:
+        out = out.filter(F.col("hamming") <= max_hamming)
+    return out

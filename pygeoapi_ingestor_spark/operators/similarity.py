@@ -67,6 +67,25 @@ def cosine_topk(
     )
 
 
+def md5_plane_weights(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic +/-1 hyperplane weight matrix derived from md5 — an
+    engine-NEUTRAL pseudo-random source (hashlib here, reproducible as a
+    literal in any SQL dialect), unlike ``hyperplane_signature`` whose
+    xxhash64 weights only exist Spark-side. Used where the bucketing
+    itself must be mirrored by an external oracle."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:2], 16) & 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16, seed: int = 7) -> Column:
     """Sign-bit signature: bit p = 1 iff sum_d w[p,d]*v[d] > 0, with
     w[p,d] a deterministic +/-1 pseudo-random weight from xxhash64."""
@@ -115,8 +134,9 @@ def ivf_topk(
 
     Centroids are the ``n_clusters`` lowest-id vectors — a deterministic
     sampling build (no iterative training), collected once to the driver
-    (n_clusters x dim doubles) and broadcast as a tiny table: assignment
-    is a broadcast join + per-vector rank, search is one equi-join
+    (n_clusters x dim doubles) and inlined as a literal array expression:
+    assignment is a pure projection (``array_min`` over per-centroid
+    distances — no join, no window, NO shuffle), search is one equi-join
     shuffle keyed by cluster id. At 100 TB the inverted lists are the
     at-rest partitioning of the vector table.
     """
@@ -126,26 +146,38 @@ def ivf_topk(
         .limit(n_clusters)
         .collect()
     )
-    spark = embeddings.sparkSession
-    id_type = embeddings.schema[id_col].dataType.simpleString()
-    cent_df = spark.createDataFrame(
-        [(r["_id"], [float(x) for x in r["_v"]]) for r in cent_rows],
-        f"cid {id_type}, cvec array<double>",
+    cents = [(r["_id"], [float(x) for x in r["_v"]]) for r in cent_rows]
+    cents_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(x) for x in cv]).alias("cvec"),
+            )
+            for cid, cv in cents
+        ]
     )
 
     def assign(df: DataFrame, idc: str, vecc: str, n: int) -> DataFrame:
-        """Nearest-n centroid assignment: broadcast the centroid table,
-        rank by (distance, cid) — a tiny plan instead of a codegen blowup
-        from inlining n_clusters x dim literal constants."""
-        crossed = df.select(F.col(idc).alias("_aid"), F.col(vecc).alias("_avec")).join(
-            F.broadcast(cent_df)
+        """Nearest-n centroid assignment as a projection: distance to each
+        literal centroid, argmin via array_min / array_sort (struct
+        ordering = (dist, cid), matching the deterministic tie-break)."""
+        scored = F.transform(
+            cents_arr,
+            lambda c: F.struct(
+                _sq_dist(F.col("_avec"), c.getField("cvec")).alias("d"),
+                c.getField("cid").alias("cid"),
+            ),
         )
-        dist = _sq_dist(F.col("_avec"), F.col("cvec"))
-        w = Window.partitionBy("_aid").orderBy(dist.asc(), F.col("cid").asc())
-        ranked = crossed.withColumn("_crn", F.row_number().over(w))
-        return ranked.filter(F.col("_crn") <= n).select(
-            F.col("_aid"), F.col("_avec"), F.col("cid").alias("_cluster")
-        )
+        base = df.select(F.col(idc).alias("_aid"), F.col(vecc).alias("_avec"))
+        if n == 1:
+            picked = base.withColumn(
+                "_cluster", F.array_min(scored).getField("cid")
+            )
+            return picked.select("_aid", "_avec", "_cluster")
+        top = F.slice(F.array_sort(scored), 1, n)
+        return base.withColumn(
+            "_cluster", F.explode(F.transform(top, lambda s: s.getField("cid")))
+        ).select("_aid", "_avec", "_cluster")
 
     e = assign(embeddings, id_col, vec_col, 1).select(
         F.col("_aid").alias("neighbor_id"),

@@ -64,13 +64,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ECP_PARAMS = {"dim": 64, "n_planes": 16, "bands": 8, "seed": 7}
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs over a capped window (brute-force
-    self-join is quadratic; the scale path buckets by hyperplane/IVF ids
-    first — see operators/dedup.embedding_cosine_pairs)."""
+    """Embedding-cosine near-dup pairs via the BUCKETED plan: hyperplane
+    band signatures -> within-bucket join -> exact cosine gate (no
+    cartesian pair join anywhere; see dedup.embedding_cosine_pairs_bucketed
+    for the recall curve). The oracle embeds the same literal md5-derived
+    plane matrix, so the bucketing is mirrored bit-for-bit and the check
+    stays a full value-hash gate."""
     e = _emb(spark, sf_dir).filter(F.col("vec_id") < 1000)
-    pairs = dedup.embedding_cosine_pairs(
-        e, id_col="vec_id", vec_col="embedding", threshold=0.4
+    pairs = dedup.embedding_cosine_pairs_bucketed(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.4, **ECP_PARAMS
     )
     return pairs.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
 
@@ -200,6 +206,55 @@ LLM_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
 }
 
+def _ecp_oracle_sql() -> str:
+    """DuckDB twin of the bucketed embedding-cosine dedup: the SAME
+    literal +/-1 plane matrix (similarity.md5_plane_weights) with the
+    projection written as an explicit left-associated sum, so the sign
+    bits — and therefore the band buckets — are bit-identical to the
+    Spark plan's strict left fold."""
+    from pygeoapi_ingestor_spark.operators.similarity import md5_plane_weights
+
+    dim = ECP_PARAMS["dim"]
+    n_planes = ECP_PARAMS["n_planes"]
+    bands = ECP_PARAMS["bands"]
+    rows_per_band = n_planes // bands
+    weights = md5_plane_weights(dim, n_planes, ECP_PARAMS["seed"])
+
+    def proj(p: int) -> str:
+        terms = " + ".join(
+            f"v[{d + 1}]*({weights[p][d]:.1f})" for d in range(dim)
+        )
+        return f"(0.0 + {terms})"
+
+    k_exprs = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"{1 << r}*(CASE WHEN {proj(b * rows_per_band + r)} > 0 THEN 1 ELSE 0 END)"
+            for r in range(rows_per_band)
+        )
+        k_exprs.append(f"({bits}) AS k{b}")
+    or_clause = " OR ".join(f"a.k{b} = b.k{b}" for b in range(bands))
+    cos = (
+        "list_dot_product(va, vb) / "
+        "(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 1000
+        ), sig AS (
+            SELECT vec_id, v, {", ".join(k_exprs)} FROM e
+        ), cand AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   a.v AS va, b.v AS vb
+            FROM sig a JOIN sig b
+              ON a.vec_id < b.vec_id AND ({or_clause})
+        )
+        SELECT doc_a, doc_b, round({cos}, 6) AS cosine
+        FROM cand WHERE {cos} >= 0.4
+    """
+
+
 _STOP_RE = r"\b(the|and|is|of|to|in|that|it)\b"
 
 _SHINGLE_CTE = r"""
@@ -244,19 +299,7 @@ LLM_ORACLES = {
         JOIN sizes sb ON sb.doc = doc_b
         WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
     """,
-    "dedup_embedding_cosine": """
-        WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings WHERE vec_id < 1000
-        )
-        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-               round(list_dot_product(a.v, b.v) /
-                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-                   AS cosine
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v) /
-              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-    """,
+    "dedup_embedding_cosine": _ecp_oracle_sql(),
     "sim_search_cosine_topk": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

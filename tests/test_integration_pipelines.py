@@ -113,9 +113,12 @@ def test_lsh_finds_planted_near_duplicates(spark):
     # no unrelated doc pairs with the planted pair
     assert all({a, b} <= {0, 1} for (a, b) in pairs)
 
-    # simhash agrees: the planted pair is hamming-close
+    # simhash agrees: the planted pair is hamming-close (max_hamming=None
+    # returns the raw band-collision candidates)
     sim = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in dedup.simhash_near_pairs(docs, "doc_id", "text").collect()
+        for r in dedup.simhash_near_pairs(
+            docs, "doc_id", "text", max_hamming=None
+        ).collect()
     }
     assert (0, 1) in sim and sim[(0, 1)] <= 16

@@ -112,3 +112,22 @@ def test_q1_partial_agg_single_shuffle(spark, sf_dir):
     simple = _simple(df)
     assert simple.count("Exchange") == 1
     assert "EvalPython" not in simple
+
+
+def test_embedding_dedup_is_bucketed_not_cartesian(spark, sf_dir):
+    """The shipped near-dup plan must join within LSH band buckets —
+    never a cartesian / nested-loop pair join over the vector table."""
+    plan = _simple(QUERIES["dedup_embedding_cosine"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assignment_has_no_window_shuffle(spark, sf_dir):
+    """IVF centroid assignment is a pure projection (literal centroid
+    array + array_min): no Window sort and only the cluster equi-join
+    shuffles."""
+    plan = _simple(QUERIES["sim_search_ivf"](spark, sf_dir))
+    # one window remains for the final per-query top-k rank (tiny: query
+    # count x probed lists); assignment itself must not add more.
+    # ("Window [" is the operator; WindowGroupLimit is its pushed limit)
+    assert plan.count("Window [") <= 1

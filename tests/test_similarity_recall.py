@@ -47,6 +47,30 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert hits / total >= 0.4
 
 
+def test_bucketed_cosine_dedup_recall(spark, sf_dir):
+    """The banded near-dup plan must capture nearly all exact qualifying
+    pairs even at the loose 0.4 threshold (worst case for LSH: per-plane
+    agreement ~0.63), and every emitted pair must be exact-correct."""
+    from pygeoapi_ingestor_spark.operators import dedup
+
+    e = _emb(spark, sf_dir)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.embedding_cosine_pairs(
+            e, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    bucketed = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.embedding_cosine_pairs_bucketed(
+            e, "vec_id", "embedding", threshold=0.4,
+            dim=64, n_planes=16, bands=8,
+        ).collect()
+    }
+    assert bucketed <= exact  # precision 1: the cosine gate is exact
+    assert len(bucketed) / len(exact) >= 0.9  # banding recall floor
+
+
 def test_ivf_deterministic(spark, sf_dir):
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 3)

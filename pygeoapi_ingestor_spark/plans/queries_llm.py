@@ -58,6 +58,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'dedup my corpus' action end to end, uncapped: MinHash+LSH
+    candidates -> exact Jaccard verify on candidates only -> verified
+    pairs + keep decision. The oracle is the exact-Jaccard pair set at
+    the same threshold — equal because the banding captures every
+    >= 0.5 pair in this corpus (real dupes sit at jaccard >= 0.9; see
+    dedup.lsh_verified_pairs recall math)."""
+    pairs = dedup.lsh_verified_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        n=3, num_hashes=32, bands=8, threshold=0.5,
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "n_common", "size_a", "size_b",
+        F.round("jaccard", 6).alias("jaccard"), "keep_id",
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text"
@@ -191,6 +208,7 @@ LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_search_cosine_topk": q_sim_search_cosine_topk,
@@ -257,7 +275,8 @@ def _ecp_oracle_sql() -> str:
 
 _STOP_RE = r"\b(the|and|is|of|to|in|that|it)\b"
 
-_SHINGLE_CTE = r"""
+def _shingle_cte(where: str = "") -> str:
+    return rf"""
 WITH words_t AS (
     SELECT doc_id,
            list_filter(
@@ -265,7 +284,7 @@ WITH words_t AS (
                    lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
                    '\s+'),
                w -> w <> '') AS words
-    FROM documents WHERE doc_id < 500
+    FROM documents {where}
 ), sh AS (
     SELECT doc_id AS doc, unnest(list_distinct(
                list_transform(
@@ -274,6 +293,9 @@ WITH words_t AS (
     FROM words_t
 )
 """
+
+
+_SHINGLE_CTE = _shingle_cte("WHERE doc_id < 500")
 
 LLM_ORACLES = {
     "dedup_exact": """
@@ -298,6 +320,26 @@ LLM_ORACLES = {
         JOIN sizes sa ON sa.doc = doc_a
         JOIN sizes sb ON sb.doc = doc_b
         WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """,
+    # exact-Jaccard twin of the LSH-composed pipeline: equal because the
+    # banding captures every pair at the 0.5 threshold in this corpus
+    "dedup_lsh_verified": _shingle_cte() + """
+        , sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(sa.n_sh AS BIGINT) AS size_a,
+               CAST(sb.n_sh AS BIGINT) AS size_b,
+               round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard,
+               CAST(least(doc_a, doc_b) AS BIGINT) AS keep_id
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
     """,
     "dedup_embedding_cosine": _ecp_oracle_sql(),
     "sim_search_cosine_topk": """

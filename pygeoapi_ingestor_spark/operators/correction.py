@@ -28,6 +28,54 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def apply_curve_table(
+    fact: DataFrame,
+    curve: DataFrame,
+    series_cols: list[str],
+    x_col: str,
+    y_col: str,
+    value_col: str,
+    out_col: str = "value_adj",
+) -> DataFrame:
+    """Apply a PRECOMPUTED per-series transfer curve — the reference's
+    production bias-correction mode (bias_correction_cds_process.py:
+    310-400: fitted ``bctf__*`` parameter artifacts are loaded per
+    (variable, init, lead) and applied as a monotone map with constant
+    adjustment beyond the fitted range), as opposed to ``quantile_map``
+    which re-derives the map from data.
+
+    ``curve`` is a (series..., x, y) point table, collapsed to one
+    sorted array per series and BROADCAST; the fact side is corrected in
+    a single projection after one broadcast hash join. In-range values
+    interpolate linearly between bracketing points; out-of-range values
+    get the boundary point's additive offset carried constant
+    (y_edge + (value - x_edge)), mirroring the reference's tail
+    handling. Rows whose series has no stored curve keep NULL."""
+    curves = curve.groupBy(*series_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(x_col).alias("x"), F.col(y_col).alias("y")))
+        ).alias("_curve")
+    )
+    joined = fact.join(F.broadcast(curves), series_cols, "left")
+    v = F.col(value_col)
+    arr = F.col("_curve")
+    idx = F.size(F.filter(arr, lambda p: p.getField("x") <= v))
+    n = F.size(arr)
+    first, last = F.element_at(arr, 1), F.element_at(arr, -1)
+    lo = F.element_at(arr, idx)
+    hi = F.element_at(arr, idx + 1)
+    interp = lo.getField("y") + (hi.getField("y") - lo.getField("y")) * (
+        (v - lo.getField("x")) / (hi.getField("x") - lo.getField("x"))
+    )
+    adj = (
+        F.when(arr.isNull(), F.lit(None).cast("double"))
+        .when(idx == 0, first.getField("y") + (v - first.getField("x")))
+        .when(idx == n, last.getField("y") + (v - last.getField("x")))
+        .otherwise(interp)
+    )
+    return joined.withColumn(out_col, adj).drop("_curve")
+
+
 def quantile_map(
     model: DataFrame,
     reference: DataFrame,

@@ -37,6 +37,32 @@ def bbox_filter(
     return df.filter(lon_ok & lat_ok)
 
 
+def bbox_agg_exprs(lon_col: str = "lon", lat_col: str = "lat") -> list[Column]:
+    """The four OGC-order bbox aggregate expressions (W, S, E, N) for a
+    collection's spatial extent registration (utils_spi.py:481-562
+    registers [min_x, min_y, max_x, max_y] the same way)."""
+    return [
+        F.min(lon_col).alias("bbox_w"),
+        F.min(lat_col).alias("bbox_s"),
+        F.max(lon_col).alias("bbox_e"),
+        F.max(lat_col).alias("bbox_n"),
+    ]
+
+
+def bbox_aggregate(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Spatial extent (bbox) per group — one aggregate pass, map-side
+    combinable, output bounded by group cardinality."""
+    exprs = bbox_agg_exprs(lon_col, lat_col)
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*exprs)
+    return df.agg(*exprs)
+
+
 def _interleave_bits(v: Column, n_bits: int, offset: int) -> Column:
     out = F.lit(0).cast("long")
     for i in range(n_bits):

@@ -49,19 +49,38 @@ def resample(
     value_col: str,
     freq: str,
     aggs: dict[str, str],
+    week_anchor: str = "mon",
 ) -> DataFrame:
     """Time-bucketed aggregation (xarray ``resample`` analog).
 
     freq: 'month' | 'week' | 'day' (date_trunc granularities).
     aggs: {out_name: fn} with fn in {'sum','max','min','avg','count'}.
+    week_anchor (freq='week' only): 'mon' labels each week by its Monday
+    (date_trunc native); 'sun_end' reproduces the reference's pandas
+    ``resample('1W')`` (ll_nl_danger_levels.py:68-105) where weeks END
+    on Sunday and are labeled by that Sunday — every ts Mon..Sun maps to
+    date_trunc('week', ts) + 6 days.
     One shuffle on (series, bucket); map-side partial aggregation applies.
     """
-    bucket = F.date_trunc(freq, F.col(ts_col)).alias("bucket")
+    bucket_expr = F.date_trunc(freq, F.col(ts_col))
+    if freq == "week" and week_anchor == "sun_end":
+        bucket_expr = bucket_expr + F.expr("INTERVAL 6 DAY")
+    elif week_anchor not in ("mon", "sun_end"):
+        raise ValueError(f"unknown week_anchor {week_anchor!r}")
+    bucket = bucket_expr.alias("bucket")
     agg_exprs = []
     for out_name, fn in aggs.items():
         col = F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(value_col)
         agg_exprs.append(col.alias(out_name))
     return df.groupBy(*series_cols, bucket).agg(*agg_exprs)
+
+
+def days_in_month(bucket_col) -> "F.Column":
+    """Day count of the month containing ``bucket_col`` — the reference's
+    ``ds.time.dt.days_in_month`` scaling factor (utils_spi.py:419) used
+    to turn monthly mean rates into monthly totals."""
+    col = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    return F.dayofmonth(F.last_day(col))
 
 
 def rolling_agg(

@@ -34,6 +34,44 @@ def categorize(value_col, levels=DANGER_LEVELS, fallback: str = DANGER_FALLBACK)
     return expr.otherwise(fallback)
 
 
+def categorize_by_table(
+    df: DataFrame,
+    levels: DataFrame,
+    station_col: str,
+    value_col: str,
+    out_col: str = "danger_level",
+    fallback: str = DANGER_FALLBACK,
+) -> DataFrame:
+    """Per-station threshold categorization (reference
+    ll_nl_danger_levels.py:107-121: each station carries its own danger
+    ladder, loaded from a threshold table rather than global literals).
+
+    ``levels`` is a (station, bound, label) dimension. It is collapsed to
+    one sorted ladder array per station and BROADCAST, so the fact side
+    is labeled in a single projection after one broadcast hash join —
+    no per-row shuffle, no row-multiplying join, no re-aggregation. The
+    label is the first ladder entry with value < bound (ascending
+    bounds), else ``fallback``. Stations absent from the table get NULL
+    (surface them, don't silently default)."""
+    ladders = levels.groupBy(F.col(station_col).alias("_station")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bound").alias("x"), F.col("label").alias("lbl")))
+        ).alias("_ladder")
+    )
+    v = F.col(value_col)
+    joined = df.join(
+        F.broadcast(ladders), df[station_col] == F.col("_station"), "left"
+    ).drop("_station")
+    hit = F.filter(F.col("_ladder"), lambda p: v < p.getField("x"))
+    label = F.when(
+        F.col("_ladder").isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        # F.get is null-on-out-of-bounds (ANSI-safe where element_at throws)
+        F.coalesce(F.get(hit, 0).getField("lbl"), F.lit(fallback))
+    )
+    return joined.withColumn(out_col, label).drop("_ladder")
+
+
 def categorize_counts(
     df: DataFrame, group_cols: list[str], value_col: str, out_col: str = "danger_level"
 ) -> DataFrame:

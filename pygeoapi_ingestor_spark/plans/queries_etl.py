@@ -29,6 +29,29 @@ RATING_CURVE = [
     (500.0, 800.0),
 ]
 
+# the global danger ladder (thresholds.DANGER_LEVELS) as (bound, label)
+# rows; per-station ladders scale these bounds by a station factor
+BASE_LADDER = [
+    (50.0, "darkblue"),
+    (100.0, "blue"),
+    (125.0, "green"),
+    (150.0, "yellow"),
+    (175.0, "orange"),
+    (200.0, "red"),
+]
+
+# precomputed bias-correction transfer curves per lead hour — the
+# "fitted offline artifact" of the reference's bctf__* files
+# (bias_correction_cds_process.py:310-400), here a deterministic public
+# stand-in: per-lead slope/offset applied to 5 anchor points. Values are
+# materialized as Python floats so Spark and the oracle embed the SAME
+# literals (no cross-engine expression drift).
+CORRECTION_CURVES = [
+    (h, float(x), round(x * (0.85 + 0.01 * (h % 10)) + 2.0 * h, 6))
+    for h in range(24)
+    for x in (0.0, 50.0, 150.0, 300.0, 500.0)
+]
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoapi_ingestor_spark.sources.readers import read_events
@@ -80,6 +103,73 @@ def q_resample_weekly_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("weekly_max"),
         F.count(F.lit(1)).cast("bigint").alias("n_obs"),
         F.max("ts").alias("last_ts"),
+    )
+
+
+def q_resample_weekly_max_sun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sunday-anchored weekly max — exact parity with the reference's
+    pandas ``resample('1W')`` (weeks END Sunday, labeled by that Sunday;
+    ll_nl_danger_levels.py:68-105)."""
+    ev = _events(spark, sf_dir)
+    out = temporal.resample(
+        ev, ts_col="ts", series_cols=["event_type"], value_col="value",
+        freq="week", week_anchor="sun_end",
+        aggs={"weekly_max": "max", "n_obs": "count"},
+    )
+    return out.select(
+        "event_type", "bucket",
+        F.round("weekly_max", 6).alias("weekly_max"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+    )
+
+
+def q_resample_monthly_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly mean rate x days-in-month = monthly total — the
+    reference's SPI preprocessing step (utils_spi.py:419,
+    ``ds * ds.time.dt.days_in_month``)."""
+    ev = _events(spark, sf_dir)
+    m = temporal.resample(
+        ev, ts_col="ts", series_cols=["event_type"], value_col="value",
+        freq="month", aggs={"monthly_avg": "avg", "n_obs": "count"},
+    )
+    return m.select(
+        "event_type", "bucket",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        temporal.days_in_month("bucket").cast("int").alias("n_days"),
+        F.round("monthly_avg", 6).alias("monthly_avg"),
+        F.round(
+            F.col("monthly_avg") * temporal.days_in_month("bucket"), 4
+        ).alias("monthly_total"),
+    )
+
+
+def q_spi_gamma_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference SPI chain end-to-end: monthly days-in-month-scaled
+    totals (utils_spi.py:419) feeding the gamma-fit SPI
+    (utils_spi.py:428-478). rows-only check (gamma fit is applyInPandas,
+    not SQL-expressible); the resample stage is hash-gated separately as
+    resample_monthly_scaled. NB the test events span a single month, so
+    the per-series fit has one point and SPI is NULL by design here —
+    the gamma math itself is exercised by spi_gamma (30 daily periods)
+    and the numerics unit tests; this entry gates the CHAIN (scaling ->
+    fit -> quantile transform) wiring."""
+    ev = _events(spark, sf_dir)
+    m = temporal.resample(
+        ev, ts_col="ts", series_cols=["event_type"], value_col="value",
+        freq="month", aggs={"monthly_avg": "avg"},
+    )
+    scaled = m.select(
+        "event_type", "bucket",
+        (F.col("monthly_avg") * temporal.days_in_month("bucket")).alias("monthly_total"),
+    )
+    out = indices.spi(
+        scaled, series_cols=["event_type"], bucket_col="bucket",
+        value_col="monthly_total", spi_ts=1,
+    )
+    return out.select(
+        "event_type", "bucket",
+        F.round("monthly_value", 4).alias("monthly_total"),
+        F.round("spi", 6).alias("spi"),
     )
 
 
@@ -304,6 +394,60 @@ def q_threshold_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_threshold_per_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station danger classification (ll_nl_danger_levels.py:107-121:
+    every station has its own threshold ladder). The ladder dimension is
+    derived deterministically here (base ladder x a station factor) and
+    applied via thresholds.categorize_by_table — one broadcast join, no
+    fact-side shuffle for the labeling."""
+    ev = _events(spark, sf_dir)
+    stations = ev.select("user_id").distinct()
+    ladder_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("base_bound"), F.lit(lbl).alias("label"))
+            for b, lbl in BASE_LADDER
+        ]
+    )
+    mult = (F.lit(10) + F.col("user_id") % 5) / F.lit(10.0)
+    levels = (
+        stations.select("user_id", F.explode(ladder_arr).alias("lv"))
+        .select(
+            "user_id",
+            (F.col("lv.base_bound") * mult).alias("bound"),
+            F.col("lv.label").alias("label"),
+        )
+    )
+    labeled = thresholds.categorize_by_table(
+        ev, levels, station_col="user_id", value_col="value", out_col="danger_level"
+    )
+    return labeled.groupBy("user_id", "danger_level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+def q_bias_correction_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-mode bias correction: apply the PRECOMPUTED per-lead
+    transfer curves (the reference's fitted bctf__* artifacts,
+    bias_correction_cds_process.py:310-400) with linear in-range
+    interpolation and constant additive tail adjustment — one broadcast
+    of the parameter table, zero extra shuffles."""
+    ev = _events(spark, sf_dir)
+    model = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "value", F.hour("ts").cast("int").alias("lead_hour")
+    )
+    curve = spark.createDataFrame(
+        CORRECTION_CURVES, "lead_hour int, x double, y double"
+    )
+    out = correction.apply_curve_table(
+        model, curve, series_cols=["lead_hour"], x_col="x", y_col="y",
+        value_col="value", out_col="value_adj",
+    )
+    return out.select(
+        "event_id", "lead_hour", "value", F.round("value_adj", 6).alias("value_adj")
+    )
+
+
 def q_precip_deficit_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _daily(spark, sf_dir).select("event_type", "bucket", "daily_total")
     out = temporal.cumulative_sum(
@@ -345,13 +489,27 @@ def q_dedup_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_collection_healthcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection extents: temporal + value + SPATIAL bbox per collection
+    (the reference registers [min_x, min_y, max_x, max_y] alongside the
+    time extent: utils_spi.py:481-562, collection_healthcheck.py:1-73).
+    Station coordinates come from a deterministic synthetic station grid
+    (the public stand-in for the reference's station-metadata lookup) —
+    a pure projection, so the extent stays one aggregate pass."""
+    from pygeoapi_ingestor_spark.operators import spatial
+
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
+    with_coords = ev.withColumn(
+        "lon", F.lit(-10.0) + (F.col("user_id") % 10) * F.lit(2.5)
+    ).withColumn(
+        "lat", F.lit(35.0) + (F.expr("(user_id div 10) % 10")) * F.lit(1.5)
+    )
+    return with_coords.groupBy("event_type").agg(
         F.min("ts").alias("ts_begin"),
         F.max("ts").alias("ts_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.min("value"), 6).alias("v_min"),
         F.round(F.max("value"), 6).alias("v_max"),
+        *spatial.bbox_agg_exprs("lon", "lat"),
     )
 
 
@@ -397,6 +555,9 @@ ETL_QUERIES = {
     "select_time_range": q_select_time_range,
     "resample_daily_sum": q_resample_daily_sum,
     "resample_weekly_max": q_resample_weekly_max,
+    "resample_weekly_max_sun": q_resample_weekly_max_sun,
+    "resample_monthly_scaled": q_resample_monthly_scaled,
+    "spi_gamma_monthly": q_spi_gamma_monthly,
     "rolling_sum_7d": q_rolling_sum_7d,
     "rolling_sum_7d_range": q_rolling_sum_7d_range,
     "forward_fill_gaps": q_forward_fill_gaps,
@@ -411,6 +572,8 @@ ETL_QUERIES = {
     "bias_correction_qmap": q_bias_correction_qmap,
     "rating_curve_interp": q_rating_curve_interp,
     "threshold_categorize": q_threshold_categorize,
+    "threshold_per_station": q_threshold_per_station,
+    "bias_correction_stored": q_bias_correction_stored,
     "precip_deficit_cumsum": q_precip_deficit_cumsum,
     "unit_convert_derive": q_unit_convert_derive,
     "regrid_snap_agg": q_regrid_snap_agg,
@@ -449,6 +612,26 @@ ETL_ORACLES = {
                CAST(count(*) AS BIGINT) AS n_obs,
                max(ts) AS last_ts
         FROM events GROUP BY 1, 2
+    """,
+    "resample_weekly_max_sun": """
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) + INTERVAL 6 DAY AS bucket,
+               round(max(value), 6) AS weekly_max,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM events GROUP BY 1, 2
+    """,
+    "resample_monthly_scaled": """
+        WITH m AS (
+            SELECT event_type, CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,
+                   avg(value) AS monthly_avg, count(*) AS n_obs
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, bucket,
+               CAST(n_obs AS BIGINT) AS n_obs,
+               CAST(day(last_day(CAST(bucket AS DATE))) AS INTEGER) AS n_days,
+               round(monthly_avg, 6) AS monthly_avg,
+               round(monthly_avg * day(last_day(CAST(bucket AS DATE))), 4) AS monthly_total
+        FROM m
     """,
     "rolling_sum_7d": _DAILY_CTE + """
         SELECT event_type, bucket, round(rolling_7d, 4) AS rolling_7d FROM (
@@ -624,6 +807,54 @@ ETL_ORACLES = {
                round(avg(value), 6) AS avg_value
         FROM labeled GROUP BY 1, 2
     """,
+    "threshold_per_station": """
+        WITH stations AS (SELECT DISTINCT user_id FROM events),
+        ladder(base_bound, label) AS (VALUES
+            (50.0, 'darkblue'), (100.0, 'blue'), (125.0, 'green'),
+            (150.0, 'yellow'), (175.0, 'orange'), (200.0, 'red')),
+        lev AS (
+            SELECT user_id, base_bound * ((10 + user_id % 5) / 10.0) AS bound, label
+            FROM stations CROSS JOIN ladder
+        ),
+        labeled AS (
+            SELECT e.event_id, e.user_id, e.value,
+                   coalesce(arg_min(l.label, l.bound), 'darkred') AS danger_level
+            FROM events e
+            LEFT JOIN lev l ON l.user_id = e.user_id AND e.value < l.bound
+            GROUP BY e.event_id, e.user_id, e.value
+        )
+        SELECT user_id, danger_level, CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 6) AS avg_value
+        FROM labeled GROUP BY 1, 2
+    """,
+    "bias_correction_stored": f"""
+        WITH curve(lead_hour, x, y) AS (VALUES
+            {", ".join(f"({h}, {x!r}, {y!r})" for h, x, y in CORRECTION_CURVES)}),
+        segs AS (
+            SELECT lead_hour, x AS x_lo, lead(x) OVER w AS x_hi,
+                   y AS y_lo, lead(y) OVER w AS y_hi
+            FROM curve WINDOW w AS (PARTITION BY lead_hour ORDER BY x)
+        ),
+        ends AS (
+            SELECT lead_hour, min(x) AS x_min, max(x) AS x_max,
+                   arg_min(y, x) AS y_min, arg_max(y, x) AS y_max
+            FROM curve GROUP BY 1
+        ),
+        m AS (
+            SELECT event_id, value, CAST(hour(ts) AS INTEGER) AS lead_hour
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT m.event_id, m.lead_hour, m.value,
+               round(CASE WHEN m.value < e.x_min THEN e.y_min + (m.value - e.x_min)
+                          WHEN m.value >= e.x_max THEN e.y_max + (m.value - e.x_max)
+                          ELSE s.y_lo + (s.y_hi - s.y_lo)
+                               * ((m.value - s.x_lo) / (s.x_hi - s.x_lo))
+                     END, 6) AS value_adj
+        FROM m
+        JOIN ends e USING (lead_hour)
+        LEFT JOIN segs s ON s.lead_hour = m.lead_hour
+            AND m.value >= s.x_lo AND m.value < s.x_hi
+    """,
     "precip_deficit_cumsum": _DAILY_CTE + """
         SELECT event_type, bucket,
                round(sum(daily_total) OVER (PARTITION BY event_type ORDER BY bucket
@@ -652,10 +883,18 @@ ETL_ORACLES = {
         ) WHERE rn = 1
     """,
     "collection_healthcheck": """
+        WITH coords AS (
+            SELECT *,
+                   -10.0 + (user_id % 10) * CAST(2.5 AS DOUBLE) AS lon,
+                   35.0 + ((user_id // 10) % 10) * CAST(1.5 AS DOUBLE) AS lat
+            FROM events
+        )
         SELECT event_type, min(ts) AS ts_begin, max(ts) AS ts_end,
                CAST(count(*) AS BIGINT) AS n_rows,
-               round(min(value), 6) AS v_min, round(max(value), 6) AS v_max
-        FROM events GROUP BY 1
+               round(min(value), 6) AS v_min, round(max(value), 6) AS v_max,
+               min(lon) AS bbox_w, min(lat) AS bbox_s,
+               max(lon) AS bbox_e, max(lat) AS bbox_n
+        FROM coords GROUP BY 1
     """,
     "asof_join_events": """
         SELECT p.event_id, p.user_id, p.ts, p.value,

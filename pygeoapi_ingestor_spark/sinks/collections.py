@@ -61,21 +61,37 @@ def write_bucketed(
 
 
 def compute_extents(
-    df: DataFrame, ts_col: str | None = None, value_cols: list[str] | None = None
+    df: DataFrame,
+    ts_col: str | None = None,
+    value_cols: list[str] | None = None,
+    lon_col: str | None = None,
+    lat_col: str | None = None,
 ) -> dict[str, Any]:
     """One-pass extents aggregate (the reference reads coord min/max from
     the opened dataset; we aggregate — no data pulled to the driver
-    beyond one row)."""
+    beyond one row). With lon/lat columns the result carries the OGC
+    ``bbox`` [W, S, E, N] the reference registers in the collection
+    config (utils_spi.py:481-562)."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if ts_col:
         aggs += [F.min(ts_col).alias("ts_begin"), F.max(ts_col).alias("ts_end")]
     for c in value_cols or []:
         aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    if lon_col and lat_col:
+        from pygeoapi_ingestor_spark.operators.spatial import bbox_agg_exprs
+
+        aggs += bbox_agg_exprs(lon_col, lat_col)
     row = df.agg(*aggs).collect()[0].asDict()
-    return {
+    out = {
         k: (v.isoformat() if isinstance(v, (datetime.datetime, datetime.date)) else v)
         for k, v in row.items()
     }
+    if lon_col and lat_col:
+        out["bbox"] = [
+            out.pop("bbox_w"), out.pop("bbox_s"),
+            out.pop("bbox_e"), out.pop("bbox_n"),
+        ]
+    return out
 
 
 EXPORT_FORMATS = ("parquet", "json", "csv", "orc")
@@ -95,6 +111,68 @@ def export(
     if fmt == "csv":
         writer = writer.option("header", "true").option("sep", ";")
     getattr(writer, fmt)(path)
+
+
+def geojson_feature_expr(
+    lon_col: str, lat_col: str, props_cols: list[str]
+) -> "F.Column":
+    """One RFC 7946 Point Feature per row as a JSON string — a pure
+    projection (to_json stays JVM-side), so feature serialization
+    distributes with the data."""
+    return F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(F.col(lon_col), F.col(lat_col)).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(*props_cols).alias("properties"),
+        )
+    )
+
+
+def export_geojsonl(
+    df: DataFrame,
+    path: str,
+    lon_col: str,
+    lat_col: str,
+    props_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Vector-feature export (reference GeoJSON collections:
+    ingestor_smhi_process_vector.py, ingestor_ll_gpkg_process.py) as
+    newline-delimited GeoJSON features (RFC 8142 text-sequence style) —
+    the DISTRIBUTED form: one feature per line, one file per partition,
+    nothing materialized on the driver. Readable back with
+    ``spark.read.json``."""
+    df.select(
+        geojson_feature_expr(lon_col, lat_col, props_cols).alias("value")
+    ).write.mode(mode).text(path)
+
+
+def feature_collection(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    props_cols: list[str],
+    limit: int = 10000,
+) -> dict[str, Any]:
+    """A single in-memory GeoJSON FeatureCollection (the reference's
+    one-file vector output shape). Driver-side BY DESIGN and bounded:
+    refuses more than ``limit`` features — for unbounded data use
+    ``export_geojsonl``."""
+    rows = df.select(
+        geojson_feature_expr(lon_col, lat_col, props_cols).alias("f")
+    ).limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"feature_collection is driver-side and capped at {limit} features; "
+            "use export_geojsonl for distributed output"
+        )
+    return {
+        "type": "FeatureCollection",
+        "features": [json.loads(r["f"]) for r in rows],
+    }
 
 
 class CollectionCatalog:

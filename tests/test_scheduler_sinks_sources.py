@@ -101,3 +101,56 @@ def test_external_sources_land_and_load(spark, tmp_path):
     assert stac.count() == 12
     row = stac.orderBy("id").first()
     assert len(row["bbox"]) == 4 and row["asset_href"].endswith(".tif")
+
+
+def test_geojson_export_roundtrip(spark, sf_dir, tmp_path):
+    """GeoJSONL export writes one RFC 7946 Feature per line, distributed;
+    reading it back preserves geometry and properties."""
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.sinks import export_geojsonl, feature_collection
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = (
+        read_events(spark, sf_dir)
+        .withColumn("lon", F.lit(-10.0) + (F.col("user_id") % 10) * F.lit(2.5))
+        .withColumn("lat", F.lit(35.0) + F.expr("(user_id div 10) % 10") * F.lit(1.5))
+        .limit(200)
+    )
+    path = str(tmp_path / "features")
+    export_geojsonl(ev, path, "lon", "lat", ["event_id", "event_type", "value"])
+
+    back = spark.read.json(path)
+    assert back.count() == 200
+    row = back.filter(F.col("properties.event_id") == 0).collect()[0]
+    assert row["type"] == "Feature"
+    assert row["geometry"]["type"] == "Point"
+    assert len(row["geometry"]["coordinates"]) == 2
+    assert row["properties"]["event_type"] is not None
+
+    fc = feature_collection(ev.limit(5), "lon", "lat", ["event_id"])
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 5
+    assert fc["features"][0]["geometry"]["type"] == "Point"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        feature_collection(ev, "lon", "lat", ["event_id"], limit=10)
+
+
+def test_compute_extents_bbox(spark, sf_dir):
+    """Extents with lon/lat carry the OGC bbox [W, S, E, N]."""
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = (
+        read_events(spark, sf_dir)
+        .withColumn("lon", F.lit(-10.0) + (F.col("user_id") % 10) * F.lit(2.5))
+        .withColumn("lat", F.lit(35.0) + F.expr("(user_id div 10) % 10") * F.lit(1.5))
+    )
+    ext = compute_extents(ev, ts_col="ts", value_cols=["value"], lon_col="lon", lat_col="lat")
+    w, s, e, n = ext["bbox"]
+    assert w <= e and s <= n
+    assert w >= -10.0 and e <= 12.5 and s >= 35.0 and n <= 48.5
+    assert ext["n_rows"] > 0 and "ts_begin" in ext

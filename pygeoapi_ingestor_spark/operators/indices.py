@@ -98,14 +98,19 @@ def spi_empirical(
 ) -> DataFrame:
     """Nonparametric SPI: Gringorten plotting-position probability
     H = (rank - 0.44) / (n + 0.12) per series, then the A&S normal
-    quantile — the distribution-free variant of the gamma SPI, fully
-    window-expressible (one shuffle on the series key, no UDF)."""
-    w = Window.partitionBy(*series_cols).orderBy(value_col)
-    wn = Window.partitionBy(*series_cols)
-    rank = F.rank().over(w)
-    n = F.count(F.lit(1)).over(wn)
-    h = (rank.cast("double") - 0.44) / (n.cast("double") + 0.12)
-    return monthly.withColumn(out_col, normal_ppf_expr(h))
+    quantile — the distribution-free variant of the gamma SPI, no UDF.
+
+    The rank comes from ``ranks.bucketed_rank`` (value-range buckets +
+    offset exchange), so the sort is partitioned by (series, bucket) and
+    a low-cardinality series key — e.g. one series per variable — cannot
+    collapse the whole table into one sorted task."""
+    from pygeoapi_ingestor_spark.functions.ranks import bucketed_rank
+
+    ranked = bucketed_rank(
+        monthly, series_cols, value_col, out_col="_rank", count_col="_n"
+    )
+    h = (F.col("_rank").cast("double") - 0.44) / (F.col("_n").cast("double") + 0.12)
+    return ranked.withColumn(out_col, normal_ppf_expr(h)).drop("_rank", "_n")
 
 
 def spi(

@@ -188,6 +188,145 @@ def linear_interp_gaps(
     )
 
 
+def chunked_lag(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    chunk_col,
+    out_col: str = "lag_value",
+) -> DataFrame:
+    """Exact per-series lag(1) with the sort partitioned by
+    (series, chunk) instead of the bare series key — the classic
+    chunked-scan + boundary-exchange construction for low-cardinality
+    series over big facts.
+
+    Per chunk: an ordinary local lag. Chunk boundaries: a per-chunk
+    summary (last row's value by order) is lagged across chunks on the
+    TINY (series x chunks) summary table and broadcast back, filling the
+    first row of each chunk. Identical output to
+    ``lag(value) OVER (PARTITION BY series ORDER BY order_cols)``;
+    parallelism scales with the chunk count (e.g. weeks), not with the
+    series cardinality.
+    """
+    chunk = chunk_col if not isinstance(chunk_col, str) else F.col(chunk_col)
+    d = df.withColumn("_chunk", chunk)
+    w_local = Window.partitionBy(*series_cols, "_chunk").orderBy(*order_cols)
+    last_by_order = F.max(
+        F.struct(*[F.col(c) for c in order_cols], F.col(value_col).alias("_v"))
+    )
+    summary = d.groupBy(*series_cols, "_chunk").agg(last_by_order.alias("_last"))
+    w_sum = Window.partitionBy(*series_cols).orderBy("_chunk")
+    carry = summary.select(
+        *series_cols, "_chunk",
+        F.lag(F.col("_last").getField("_v")).over(w_sum).alias("_carry"),
+    )
+    out = d.join(F.broadcast(carry), [*series_cols, "_chunk"])
+    res = F.when(
+        F.row_number().over(w_local) == 1, F.col("_carry")
+    ).otherwise(F.lag(value_col).over(w_local))
+    return out.withColumn(out_col, res).drop("_chunk", "_carry")
+
+
+def chunked_forward_fill(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    chunk_col,
+    out_col: str | None = None,
+) -> DataFrame:
+    """``forward_fill`` re-keyed to (series, chunk) with boundary
+    exchange: rows before a chunk's first valid value take the carry-in
+    (the last valid value of any earlier chunk, computed on the tiny
+    summary). Identical output to the single-partition-per-series
+    variant."""
+    chunk = chunk_col if not isinstance(chunk_col, str) else F.col(chunk_col)
+    d = df.withColumn("_chunk", chunk)
+    v = F.col(value_col)
+    w_local = (
+        Window.partitionBy(*series_cols, "_chunk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_valid = F.max(
+        F.when(v.isNotNull(), F.struct(*[F.col(c) for c in order_cols], v.alias("_v")))
+    )
+    summary = d.groupBy(*series_cols, "_chunk").agg(last_valid.alias("_lv"))
+    w_sum = (
+        Window.partitionBy(*series_cols)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summary.select(
+        *series_cols, "_chunk",
+        F.last(F.col("_lv").getField("_v"), ignorenulls=True).over(w_sum).alias("_carry_in"),
+    )
+    out = d.join(F.broadcast(carry), [*series_cols, "_chunk"])
+    filled = F.coalesce(F.last(v, ignorenulls=True).over(w_local), F.col("_carry_in"))
+    return out.withColumn(out_col or value_col, filled).drop("_chunk", "_carry_in")
+
+
+def chunked_linear_interp(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    chunk_col,
+    out_col: str = "v_interp",
+) -> DataFrame:
+    """``linear_interp_gaps`` re-keyed to (series, chunk) with boundary
+    exchange in BOTH directions: per chunk the local prev/next valid
+    neighbors, with the cross-chunk neighbors (last valid of earlier
+    chunks, first valid of later chunks) carried via the tiny summary.
+    Identical output to the single-partition-per-series variant."""
+    chunk = chunk_col if not isinstance(chunk_col, str) else F.col(chunk_col)
+    d = df.withColumn("_chunk", chunk)
+    v = F.col(value_col)
+    t = F.col(ts_col).cast("double")
+    valid = F.when(v.isNotNull(), F.struct(t.alias("_t"), v.alias("_v")))
+
+    w_prev = (
+        Window.partitionBy(*series_cols, "_chunk")
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*series_cols, "_chunk")
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    summary = d.groupBy(*series_cols, "_chunk").agg(
+        F.max(valid).alias("_lastv"), F.min(valid).alias("_firstv")
+    )
+    w_in = (
+        Window.partitionBy(*series_cols)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_out = (
+        Window.partitionBy(*series_cols)
+        .orderBy("_chunk")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carry = summary.select(
+        *series_cols, "_chunk",
+        F.last("_lastv", ignorenulls=True).over(w_in).alias("_cin"),
+        F.first("_firstv", ignorenulls=True).over(w_out).alias("_cout"),
+    )
+    out = d.join(F.broadcast(carry), [*series_cols, "_chunk"])
+
+    prev = F.coalesce(F.last(valid, ignorenulls=True).over(w_prev), F.col("_cin"))
+    nxt = F.coalesce(F.first(valid, ignorenulls=True).over(w_next), F.col("_cout"))
+    prev_v, prev_t = prev.getField("_v"), prev.getField("_t")
+    next_v, next_t = nxt.getField("_v"), nxt.getField("_t")
+    frac = F.when(next_t > prev_t, (t - prev_t) / (next_t - prev_t)).otherwise(0.0)
+    interp = prev_v + (next_v - prev_v) * frac
+    return out.withColumn(
+        out_col, F.when(v.isNotNull(), v).otherwise(interp)
+    ).drop("_chunk", "_cin", "_cout")
+
+
 def cumulative_sum(
     df: DataFrame,
     series_cols: list[str],

@@ -205,11 +205,19 @@ def q_value_change_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     georgia_ftp_alazani_shaqriani_hydro_process.py)."""
     from pygeoapi_ingestor_spark.sources.readers import read_events
 
+    from pygeoapi_ingestor_spark.operators import temporal
+
     ev = read_events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    delta = F.col("value") - F.lag("value").over(w)
-    return ev.select(
-        "event_id", "event_type", F.round(delta, 6).alias("value_delta")
+    # chunked lag: 5-value series key would otherwise sort 1/5 of the
+    # table in one task; weekly chunks + boundary exchange are exact
+    lagged = temporal.chunked_lag(
+        ev, series_cols=["event_type"], order_cols=["ts", "event_id"],
+        value_col="value", chunk_col=F.date_trunc("week", F.col("ts")),
+        out_col="_prev",
+    )
+    return lagged.select(
+        "event_id", "event_type",
+        F.round(F.col("value") - F.col("_prev"), 6).alias("value_delta"),
     )
 
 
@@ -231,9 +239,16 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE bucketing per series + per-quartile aggregates."""
     from pygeoapi_ingestor_spark.sources.readers import read_events
 
+    from pygeoapi_ingestor_spark.functions import ranks
+
     ev = read_events(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
-    tiles = ev.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+    # distributed exact ntile: bucketed row_number + closed-form tiling
+    # (a plain ntile window would sort 1/5 of the table per task)
+    rn = ranks.bucketed_row_number(
+        ev, series_cols=["event_type"], value_col="value",
+        tiebreak_cols=["event_id"], out_col="_rn", count_col="_cnt",
+    )
+    tiles = rn.withColumn("quartile", ranks.ntile_expr("_rn", "_cnt", 4))
     return tiles.groupBy("event_type", "quartile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.min("value"), 6).alias("q_min"),

@@ -208,9 +208,13 @@ def q_forward_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_gaps = ev.withColumn(
         "v_gappy", F.when(F.col("value") >= 10.0, F.col("value"))
     )
-    filled = temporal.forward_fill(
+    # chunked scan: event_type has 5 values, so the plain per-series
+    # window would sort 1/5 of the table in one task; weekly chunks +
+    # boundary exchange keep the result identical and the sort parallel
+    filled = temporal.chunked_forward_fill(
         with_gaps, series_cols=["event_type"], order_cols=["ts", "event_id"],
-        value_col="v_gappy", out_col="v_filled",
+        value_col="v_gappy", chunk_col=F.date_trunc("week", F.col("ts")),
+        out_col="v_filled",
     )
     return filled.select(
         "event_id", "event_type",
@@ -225,9 +229,10 @@ def q_linear_interp_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_gaps = ev.withColumn(
         "v_gappy", F.when(F.col("value") >= 10.0, F.col("value"))
     )
-    out = temporal.linear_interp_gaps(
+    out = temporal.chunked_linear_interp(
         with_gaps, series_cols=["event_type"], ts_col="ts",
-        value_col="v_gappy", out_col="v_interp",
+        value_col="v_gappy", chunk_col=F.date_trunc("week", F.col("ts")),
+        out_col="v_interp",
     )
     return out.select(
         "event_id", "event_type", F.round("v_interp", 6).alias("v_interp")

@@ -131,3 +131,88 @@ def test_sessionize_matches_naive(spark, gaps):
             want_id += 1
         assert r["session_id"] == want_id, (s, r["session_id"], want_id)
         prev = s
+
+
+def test_chunked_ops_equal_plain_windows(spark, sf_dir):
+    """Boundary exchange must be exact: chunked lag/ffill/interp with
+    DAY chunks reproduce the single-partition-per-series windows
+    row for row, including nulls at series heads and all-null chunks."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.operators import temporal
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "v", F.when(F.col("value") >= 30.0, F.col("value"))
+    )
+    day = F.date_trunc("day", F.col("ts"))
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    plain_lag = ev.select(
+        "event_id", F.lag("v").over(w).alias("x")
+    ).collect()
+    chunk_lag = temporal.chunked_lag(
+        ev, ["event_type"], ["ts", "event_id"], "v", day, out_col="x"
+    ).select("event_id", "x").collect()
+    assert sorted(map(tuple, plain_lag)) == sorted(map(tuple, chunk_lag))
+
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    plain_ff = ev.select(
+        "event_id", F.last("v", ignorenulls=True).over(wf).alias("x")
+    ).collect()
+    chunk_ff = temporal.chunked_forward_fill(
+        ev, ["event_type"], ["ts", "event_id"], "v", day, out_col="x"
+    ).select("event_id", "x").collect()
+    assert sorted(map(tuple, plain_ff)) == sorted(map(tuple, chunk_ff))
+
+    plain_li = temporal.linear_interp_gaps(
+        ev, ["event_type"], "ts", "v", out_col="x"
+    ).select("event_id", F.round("x", 9).alias("x")).collect()
+    chunk_li = temporal.chunked_linear_interp(
+        ev, ["event_type"], "ts", "v", day, out_col="x"
+    ).select("event_id", F.round("x", 9).alias("x")).collect()
+    assert sorted(map(tuple, plain_li)) == sorted(map(tuple, chunk_li))
+
+
+def test_bucketed_rank_equals_window_rank(spark, sf_dir):
+    """bucketed_rank/row_number must equal the plain window functions for
+    every bucket count, including n_buckets far above the data range."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.functions import ranks
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).limit(3000)
+    w = Window.partitionBy("event_type").orderBy("value")
+    plain = ev.select(
+        "event_id", F.rank().over(w).alias("r")
+    ).collect()
+    for nb in (4, 32, 1000):
+        got = ranks.bucketed_rank(
+            ev, ["event_type"], "value", n_buckets=nb, out_col="r"
+        ).select("event_id", "r").collect()
+        assert sorted(map(tuple, plain)) == sorted(map(tuple, got)), nb
+
+    w2 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    plain_rn = ev.select("event_id", F.row_number().over(w2).alias("r")).collect()
+    got_rn = ranks.bucketed_row_number(
+        ev, ["event_type"], "value", ["event_id"], out_col="r"
+    ).select("event_id", "r").collect()
+    assert sorted(map(tuple, plain_rn)) == sorted(map(tuple, got_rn))
+
+    # ntile closed form vs SQL ntile for several k
+    for k in (3, 4, 7):
+        plain_nt = ev.select(
+            "event_id", F.ntile(k).over(w2).alias("t")
+        ).collect()
+        got_nt = (
+            ranks.bucketed_row_number(
+                ev, ["event_type"], "value", ["event_id"],
+                out_col="_rn", count_col="_cnt",
+            )
+            .select("event_id", ranks.ntile_expr("_rn", "_cnt", k).alias("t"))
+            .collect()
+        )
+        assert sorted(map(tuple, plain_nt)) == sorted(map(tuple, got_nt)), k

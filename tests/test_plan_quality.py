@@ -131,3 +131,30 @@ def test_ivf_assignment_has_no_window_shuffle(spark, sf_dir):
     # count x probed lists); assignment itself must not add more.
     # ("Window [" is the operator; WindowGroupLimit is its pushed limit)
     assert plan.count("Window [") <= 1
+
+
+def _exchange_lines(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+
+
+def test_low_cardinality_windows_are_chunked(spark, sf_dir):
+    """The 5-key window family must shuffle on (event_type, chunk/bucket),
+    never on the bare 5-value series key: no full-table sort may land in
+    5 partitions at any scale."""
+    for key, extra in [
+        ("value_change_lag", "_chunk"),
+        ("forward_fill_gaps", "_chunk"),
+        ("linear_interp_gaps", "_chunk"),
+        ("ntile_quartiles", "_bucket"),
+        ("spi_empirical", "_bucket"),
+    ]:
+        plan = _simple(QUERIES[key](spark, sf_dir))
+        composite = [
+            ln
+            for ln in _exchange_lines(plan)
+            if "event_type" in ln and extra in ln
+        ]
+        assert composite, (
+            f"{key}: no exchange partitioned by (event_type, {extra}) — "
+            "the full-table sort fell back to the bare 5-value key"
+        )

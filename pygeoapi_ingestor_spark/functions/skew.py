@@ -22,10 +22,19 @@ _ALGEBRAIC = {"sum", "count", "min", "max"}
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Uniform deterministic salt derived from a stable row hash (uses
-    all columns; no rand() so retries/replays stay consistent)."""
+    """Uniform salt from the row hash MIXED with a per-row ordinal
+    (monotonically_increasing_id = partition id + in-partition offset).
+    The ordinal matters: skew often comes from fully-duplicated rows,
+    and a pure content hash would send every duplicate to ONE salt —
+    defeating the fan-out exactly when it's needed. No rand(), so the
+    salt is stable for a fixed partition layout (task retries replay
+    the same ids)."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+        salt_col,
+        F.pmod(
+            F.xxhash64(*df.columns, F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ).cast("int"),
     )
 
 
@@ -67,7 +76,17 @@ def salt_join(
     """Skew-safe equi-join: salt the big side, replicate the small side
     across all salt values, join on (keys + salt). The small side grows
     n_salts x — use only when it can't be broadcast outright but fits
-    replicated."""
+    replicated.
+
+    Only big-side-preserving joins are allowed: under right/full the
+    replicated small side would emit its unmatched rows once PER SALT
+    (n_salts duplicate outer rows)."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salt_join supports {sorted(allowed)} only; {how!r} would "
+            "duplicate unmatched small-side rows across salts"
+        )
     big_s = with_salt(big, n_salts)
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

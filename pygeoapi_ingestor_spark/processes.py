@@ -17,6 +17,7 @@ Handle200Exception levels (OK / SKIPPED / FAILED).
 from __future__ import annotations
 
 import dataclasses
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -78,17 +79,27 @@ class IngestProcess:
         self.ts_col = ts_col
         self.value_cols = value_cols
 
+    #: env var holding the shared ingest secret (the reference gates its
+    #: write-path processes on a configured token the same way). When
+    #: unset, any non-empty token is accepted (dev mode); when set, the
+    #: supplied token must match exactly.
+    TOKEN_ENV = "PYGEOAPI_INGESTOR_TOKEN"
+
     def validate(self, params: dict) -> None:
         """Shared parameter validation (reference: validate_parameters).
-        Subclass/extend per process; base rule: a token must be present
-        and non-empty (the reference gates every process on one)."""
+        Subclass/extend per process; base rules: a token must be present
+        and non-empty, and must match the configured secret if one is
+        set — omitted params always fail (no auto-token default)."""
         token = params.get("token")
         if not token or not isinstance(token, str):
             raise ProcessorExecuteError("You must provide a valid token")
+        secret = os.environ.get(self.TOKEN_ENV)
+        if secret is not None and token != secret:
+            raise ProcessorExecuteError("Invalid token")
 
     def execute(self, spark: SparkSession, params: dict | None = None, force: bool = False) -> ProcessResult:
-        # an explicitly-empty params dict must still fail validation
-        self.validate(params if params is not None else {"token": "local"})
+        # omitted params get NO default token: the write path is gated
+        self.validate(params or {})
         if not force and self.catalog.exists(self.collection_id):
             return ProcessResult(
                 SKIPPED,

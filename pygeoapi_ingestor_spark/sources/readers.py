@@ -1,33 +1,69 @@
 """Parquet readers with schema normalization.
 
-The events table is written with nanosecond timestamps, which Spark's
-parquet reader rejects by default. We flip the session to read nanos as
-raw longs, then rebuild a microsecond TimestampType column with exact
-integer arithmetic (``div`` — a double round-trip would lose sub-ms
-precision at 2^60 nanosecond magnitudes). The source data is
-microsecond-precision, so the conversion is lossless and matches
-DuckDB's own ns->us truncation.
+Some tables (events) are written with nanosecond timestamps, which
+Spark's parquet reader rejects by default. ``read_table`` inspects the
+parquet footer (pyarrow) for TIMESTAMP(NANOS) columns; when present it
+flips the session to read nanos as raw longs and rebuilds microsecond
+TimestampType columns with exact integer arithmetic (``div`` — a double
+round-trip would lose sub-ms precision at 2^60 nanosecond magnitudes).
+The source data is microsecond-precision, so the conversion is lossless
+and matches DuckDB's own ns->us truncation.
+
+The footer check is what keeps the session-level ``nanosAsLong`` flag
+safe: every read through this module rebuilds ANY ns column it
+encounters, so a later ns-typed parquet can't silently surface as
+bigint just because an earlier ``read_events`` flipped the flag.
 """
 
 from __future__ import annotations
+
+import glob
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Column names declared TIMESTAMP(NANOS) in the parquet footer.
+    Accepts a single file or a directory of part files (footer read from
+    one part — parquet datasets are schema-uniform)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not parts:
+            return []
+        target = parts[0]
+    schema = pq.read_schema(target)
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _ns_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    # session-level side effect by design: the conf must remain true when
+    # the (lazy) scan executes, so it cannot be restored after this call.
+    # Safe because every reader in this module rebuilds ns columns found
+    # in the footer rather than trusting surfaced dtypes.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    for c in ns_cols:
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # session-level side effect by design: the conf must remain true when
-    # the (lazy) scan executes, so it cannot be restored after this call.
-    # Other ns-timestamp parquet read in the same session will surface
-    # those columns as raw bigint nanos.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return read_table(spark, sf_dir, "events")

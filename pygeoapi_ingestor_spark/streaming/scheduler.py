@@ -46,7 +46,7 @@ def parse_scheduler_config(cfg: dict) -> list[ScheduledProcess]:
     return jobs
 
 
-def _field_matches(expr: str, value: int, lo: int, norm=None) -> bool:
+def _field_matches(expr: str, value: int, lo: int, hi: int, norm=None) -> bool:
     norm = norm or (lambda x: x)
     if expr == "*":
         return True
@@ -59,9 +59,17 @@ def _field_matches(expr: str, value: int, lo: int, norm=None) -> bool:
             if (value - lo) % step == 0:
                 return True
         elif "-" in part:
-            a, b = part.split("-")
-            a, b = norm(int(a)), norm(int(b))
-            if a <= value <= b and (value - a) % step == 0:
+            a_s, b_s = part.split("-")
+            a, b = int(a_s), int(b_s)
+            # expand to the member set BEFORE normalizing: '5-7' in dow
+            # means {5,6,7}->{5,6,0}; normalizing the bounds first would
+            # produce the empty range 5..0 and the entry would never fire
+            if a <= b:
+                members = list(range(a, b + 1))
+            else:
+                # wrap-around range (e.g. dow 6-1): a..hi then lo..b
+                members = list(range(a, hi + 1)) + list(range(lo, b + 1))
+            if any(norm(x) == value for x in members[::step]):
                 return True
         elif part and norm(int(part)) == value:
             return True
@@ -81,14 +89,14 @@ def cron_matches(expr: str, when: datetime.datetime) -> bool:
         raise ValueError(f"not a 5-field cron expression: {expr!r}")
     minute, hour, dom, month, dow = fields
     base = (
-        _field_matches(minute, when.minute, 0)
-        and _field_matches(hour, when.hour, 0)
-        and _field_matches(month, when.month, 1)
+        _field_matches(minute, when.minute, 0, 59)
+        and _field_matches(hour, when.hour, 0, 23)
+        and _field_matches(month, when.month, 1, 12)
     )
     if not base:
         return False
-    dom_hit = _field_matches(dom, when.day, 1)
-    dow_hit = _field_matches(dow, when.isoweekday() % 7, 0, norm=lambda d: d % 7)
+    dom_hit = _field_matches(dom, when.day, 1, 31)
+    dow_hit = _field_matches(dow, when.isoweekday() % 7, 0, 7, norm=lambda d: d % 7)
     if dom != "*" and dow != "*":
         return dom_hit or dow_hit
     return dom_hit and dow_hit

@@ -102,3 +102,88 @@ def test_regrid_rejects_reserved_columns_and_null_axes(spark, tmp_path):
     )
     out = regrid.bilinear_regrid(null_grid, ok_targets).collect()
     assert len(out) == 1
+
+
+def test_token_gate_requires_secret_match(spark, tmp_path, monkeypatch):
+    """With a configured secret, only the exact token passes; omitted
+    params never auto-pass."""
+    import pytest
+
+    from pygeoapi_ingestor_spark.processes import (
+        IngestProcess,
+        ProcessorExecuteError,
+    )
+    from pygeoapi_ingestor_spark.sinks.collections import CollectionCatalog
+
+    cat = CollectionCatalog(str(tmp_path / "cat.json"))
+    proc = IngestProcess(
+        "c1", fetch=lambda s: s.range(3), transform=lambda d: d,
+        out_path=str(tmp_path / "c1"), catalog=cat,
+    )
+    # omitted params: no auto-token
+    with pytest.raises(ProcessorExecuteError):
+        proc.execute(spark, None)
+    monkeypatch.setenv(IngestProcess.TOKEN_ENV, "s3cret")
+    with pytest.raises(ProcessorExecuteError):
+        proc.execute(spark, {"token": "wrong"})
+    res = proc.execute(spark, {"token": "s3cret"})
+    assert res.status == "OK"
+
+
+def test_cron_dow_range_ending_in_seven():
+    """'5-7' (Fri-Sun) must match Friday, Saturday AND Sunday; wrap
+    ranges like 6-1 cover Sat..Mon."""
+    import datetime
+
+    from pygeoapi_ingestor_spark.streaming.scheduler import cron_matches
+
+    fri = datetime.datetime(2024, 1, 5, 0, 0)   # Friday
+    sat = datetime.datetime(2024, 1, 6, 0, 0)
+    sun = datetime.datetime(2024, 1, 7, 0, 0)
+    mon = datetime.datetime(2024, 1, 8, 0, 0)
+    for d, want in [(fri, True), (sat, True), (sun, True), (mon, False)]:
+        assert cron_matches("0 0 * * 5-7", d) is want, d
+    for d, want in [(sat, True), (sun, True), (mon, True), (fri, False)]:
+        assert cron_matches("0 0 * * 6-1", d) is want, d
+
+
+def test_read_table_rebuilds_any_ns_column(spark, tmp_path):
+    """A ns-typed parquet read AFTER read_events (flag already flipped)
+    must still surface proper timestamps, not raw longs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pygeoapi_ingestor_spark.sources.readers import read_events, read_table
+
+    read_events(spark, "/root/testdata/sf0.001")  # flips nanosAsLong
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "created": pa.array([1704067200_000_000_000, 1704067260_500_000_000],
+                            pa.timestamp("ns")),
+    })
+    pq.write_table(t, str(tmp_path / "other.parquet"))
+    df = read_table(spark, str(tmp_path), "other")
+    assert dict(df.dtypes)["created"] == "timestamp"
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert rows[0]["created"].year == 2024
+    assert rows[1]["created"].microsecond == 500000
+
+
+def test_salt_spreads_duplicate_rows(spark):
+    """Fully-identical rows must fan out across salts (the hot-key case
+    salting exists for)."""
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.functions.skew import salt_join, with_salt
+
+    dup = spark.range(2000).select(
+        F.lit("hot").alias("k"), F.lit(1.0).alias("v")
+    ).repartition(8)
+    n_salts = with_salt(dup, 16).select("_salt").distinct().count()
+    assert n_salts >= 8
+
+    import pytest
+
+    small = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salt_join(dup, small, on=["k"], how="full")

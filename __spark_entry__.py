@@ -26,7 +26,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible query (see SURVEY.md §6 for
-    the numeric-match conventions). Keys absent here (spi_gamma,
-    minhash/simhash/hyperplane LSH, multimodal) are non-SQL-expressible
-    and take the rows-only check."""
+    the numeric-match conventions). Keys absent here (the gamma-fit SPI
+    family, xxhash64-based MinHash/SimHash/hyperplane-LSH buckets, HLL
+    sketches) are non-SQL-expressible and take the rows-only check; the
+    md5-derived LSH plans (dedup_embedding_cosine) and the composed
+    dedup_lsh_verified DO have full value-hash oracles."""
     return dict(ORACLES)

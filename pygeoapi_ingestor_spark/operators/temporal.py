@@ -327,6 +327,44 @@ def chunked_linear_interp(
     ).drop("_chunk", "_cin", "_cout")
 
 
+def chunked_cumulative_sum(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    chunk_col,
+    out_col: str = "cum_value",
+) -> DataFrame:
+    """``cumulative_sum`` re-keyed to (series, chunk) with boundary
+    exchange: local running totals within each chunk, plus the summed
+    carry of all earlier chunks (computed on the tiny per-chunk summary
+    and broadcast back). Identical output to the per-series window;
+    parallelism scales with the chunk count."""
+    chunk = chunk_col if not isinstance(chunk_col, str) else F.col(chunk_col)
+    d = df.withColumn("_chunk", chunk)
+    w_local = (
+        Window.partitionBy(*series_cols, "_chunk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    summary = d.groupBy(*series_cols, "_chunk").agg(
+        F.sum(value_col).alias("_chunk_total")
+    )
+    w_sum = (
+        Window.partitionBy(*series_cols)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summary.select(
+        *series_cols, "_chunk",
+        F.coalesce(F.sum("_chunk_total").over(w_sum), F.lit(0)).alias("_carry"),
+    )
+    out = d.join(F.broadcast(carry), [*series_cols, "_chunk"])
+    return out.withColumn(
+        out_col, F.sum(value_col).over(w_local) + F.col("_carry")
+    ).drop("_chunk", "_carry")
+
+
 def cumulative_sum(
     df: DataFrame,
     series_cols: list[str],

@@ -98,3 +98,38 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> D
     md5 — the canonical exact-dedup key (whitespace/punct-insensitive)."""
     normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
     return df.withColumn(out_col, F.md5(normalized))
+
+
+# Scrub patterns chosen inside the Java-regex ∩ RE2 common subset so a
+# SQL oracle can mirror them verbatim. The mechanic (global redaction +
+# per-pattern hit counts + content fingerprint of the scrubbed text) is
+# the PII-removal stage of a training-data pipeline.
+SCRUB_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\+?\d[\d .-]{7,}\d\b",
+}
+
+
+def scrub(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+    replacement: str = "[REDACTED]",
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Redact every pattern match and count hits per pattern — the PII /
+    blocklist scrub stage. Patterns apply in dict order (order matters:
+    an earlier redaction can destroy a later pattern's match). Pure
+    column expressions; counts are taken on the ORIGINAL text."""
+    patterns = SCRUB_PATTERNS if patterns is None else patterns
+    text = F.col(text_col)
+    out = df
+    scrubbed = text
+    for name, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).cast("bigint"),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    return out.withColumn(out_col, scrubbed)

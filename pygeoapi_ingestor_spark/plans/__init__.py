@@ -46,6 +46,10 @@ _FRONT = [
     "collection_healthcheck",
     "dedup_lsh_verified",
     "spi_gamma_monthly",
+    "corpus_mix_sample",
+    "decontaminate_ngram",
+    "pack_sequences",
+    "text_scrub",
     # re-planned in round 2 (chunked/bucketed windows)
     "value_change_lag",
     "ntile_quartiles",

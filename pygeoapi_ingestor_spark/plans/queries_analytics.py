@@ -126,9 +126,12 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = c.filter(F.col("c_acctbal") > 0).agg(
         (F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
     )
-    avg_bal = stats.collect()[0]["avg_bal"]
-    idle = c.filter(F.col("c_acctbal") > avg_bal).join(
-        o, c.c_custkey == o.o_custkey, "left_anti"
+    # scalar subquery as a broadcast cross join: keeps the whole query
+    # one lazy plan (no driver round-trip / extra job for the average)
+    idle = (
+        c.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
     )
     return idle.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("numcust"),

@@ -198,6 +198,110 @@ def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-source sampling rates for corpus mixing — a config artifact in a
+# real pipeline (kept literal so the oracle embeds the same table)
+MIX_WEIGHTS = {f"src{i}": (0.25, 0.5, 0.75, 1.0)[i % 4] for i in range(20)}
+MIX_DEFAULT = 0.5
+PACK_BUDGET = 2048
+DECON_NGRAM = 8
+# terms live in this corpus; email/ipv4 exercise the same mechanic on
+# PII shapes (unit-tested on synthetic strings — the corpus has none)
+SCRUB_QUERY_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "blocklist": r"\b(spark|hash|merge)\b",
+}
+
+
+def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus mixing: keep each document with
+    its source's configured rate, decided by a content-stable uniform
+    draw u = md5(doc_id)[0:8] / 2^32 — reproducible across engines and
+    re-runs (no rand()), one broadcast join against the weights table.
+    The sampling step every multi-source training mix runs."""
+    docs = _docs(spark, sf_dir)
+    weights = spark.createDataFrame(
+        list(MIX_WEIGHTS.items()), "source string, rate double"
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0)
+    )
+    joined = docs.join(F.broadcast(weights), "source", "left").withColumn(
+        "rate", F.coalesce(F.col("rate"), F.lit(MIX_DEFAULT))
+    )
+    return (
+        joined.withColumn("u", u)
+        .filter(F.col("u") < F.col("rate"))
+        .select("doc_id", "source", "rate", F.round("u", 6).alias("u"))
+    )
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing
+    any 8-gram with the held-out set (doc_id % 97 == 0 stands in for the
+    eval benchmark). Shingle semi-join — cost bounded by shared-shingle
+    pairs, never |train| x |eval|. Near-duplicates of eval documents are
+    exactly what this catches."""
+    docs = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % 97 == 0
+    sh = dedup.shingles(docs, id_col="doc_id", text_col="text", n=DECON_NGRAM)
+    eval_sh = sh.join(
+        docs.filter(is_eval).select(F.col("doc_id").alias("doc")), "doc", "left_semi"
+    ).select("shingle").distinct()
+    contaminated = (
+        sh.join(eval_sh, "shingle", "left_semi").select("doc").distinct()
+    )
+    train = docs.filter(~is_eval)
+    clean = train.join(
+        contaminated.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti"
+    )
+    return clean.select("doc_id", "lang", "source")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing: documents stream into token-budget bins
+    per source (contiguous greedy packing by doc_id order — bin id =
+    floor(preceding-token-total / budget)). The running total uses the
+    chunked cumulative sum, so the 20-value source key never collapses
+    the scan into 20 sorted tasks."""
+    from pygeoapi_ingestor_spark.operators import temporal
+
+    counted = text.token_counts(_docs(spark, sf_dir), text_col="text").select(
+        "doc_id", "source", "regex_tokens"
+    )
+    cum = temporal.chunked_cumulative_sum(
+        counted, series_cols=["source"], order_cols=["doc_id"],
+        value_col="regex_tokens", chunk_col=(F.col("doc_id") - F.col("doc_id") % 100),
+        out_col="cum_tokens",
+    )
+    bin_id = F.floor(
+        (F.col("cum_tokens") - F.col("regex_tokens")) / F.lit(float(PACK_BUDGET))
+    ).cast("bigint")
+    return (
+        cum.withColumn("bin_id", bin_id)
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("regex_tokens").cast("bigint").alias("bin_tokens"),
+        )
+    )
+
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / blocklist scrub: count and redact pattern hits, fingerprint
+    the scrubbed text (the redaction stage of a training-data pipeline).
+    Patterns sit in the Java-regex ∩ RE2 subset so the oracle replays
+    them verbatim."""
+    out = text.scrub(
+        _docs(spark, sf_dir), text_col="text", patterns=SCRUB_QUERY_PATTERNS
+    )
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_blocklist",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_payload(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
     decoded = multimodal.extract_metadata(media, use_stub=True)
@@ -221,6 +325,10 @@ LLM_QUERIES = {
     "dedup_keep_corpus": q_dedup_keep_corpus,
     "quality_filter": q_quality_filter,
     "corpus_token_stats": q_corpus_token_stats,
+    "corpus_mix_sample": q_corpus_mix_sample,
+    "decontaminate_ngram": q_decontaminate_ngram,
+    "pack_sequences": q_pack_sequences,
+    "text_scrub": q_text_scrub,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -275,7 +383,7 @@ def _ecp_oracle_sql() -> str:
 
 _STOP_RE = r"\b(the|and|is|of|to|in|that|it)\b"
 
-def _shingle_cte(where: str = "") -> str:
+def _shingle_cte(where: str = "", n: int = 3) -> str:
     return rf"""
 WITH words_t AS (
     SELECT doc_id,
@@ -288,8 +396,8 @@ WITH words_t AS (
 ), sh AS (
     SELECT doc_id AS doc, unnest(list_distinct(
                list_transform(
-                   range(1, greatest(len(words) - 2, 0) + 1),
-                   i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+                   range(1, greatest(len(words) - {n - 1}, 0) + 1),
+                   i -> array_to_string(words[i:i+{n - 1}], ' ')))) AS shingle
     FROM words_t
 )
 """
@@ -508,6 +616,64 @@ LLM_ORACLES = {
                           ORDER BY cosine DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """,
+    "corpus_mix_sample": f"""
+        WITH weights(source, rate) AS (VALUES
+            {", ".join(f"('{s}', {r!r})" for s, r in MIX_WEIGHTS.items())}),
+        d AS (
+            SELECT doc_id, documents.source,
+                   coalesce(CAST(w.rate AS DOUBLE), {MIX_DEFAULT!r}) AS rate,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+            FROM documents LEFT JOIN weights w ON documents.source = w.source
+        )
+        SELECT doc_id, source, rate, round(u, 6) AS u
+        FROM d WHERE u < rate
+    """,
+    "decontaminate_ngram": _shingle_cte(n=DECON_NGRAM) + """
+        , eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc % 97 = 0),
+        contaminated AS (
+            SELECT DISTINCT doc FROM sh JOIN eval_sh USING (shingle)
+        )
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc FROM contaminated)
+    """,
+    "pack_sequences": rf"""
+        WITH counted AS (
+            SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                        AS BIGINT) AS regex_tokens
+            FROM documents
+        ), cum AS (
+            SELECT source, doc_id, regex_tokens,
+                   sum(regex_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+            FROM counted
+        )
+        SELECT source,
+               CAST(floor((cum_tokens - regex_tokens) / {float(PACK_BUDGET)!r}) AS BIGINT)
+                   AS bin_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(regex_tokens) AS BIGINT) AS bin_tokens
+        FROM cum GROUP BY 1, 2
+    """,
+    "text_scrub": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{SCRUB_QUERY_PATTERNS["email"]}'))
+                    AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{SCRUB_QUERY_PATTERNS["ipv4"]}'))
+                    AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '{SCRUB_QUERY_PATTERNS["blocklist"]}'))
+                    AS BIGINT) AS n_blocklist,
+               md5(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '{SCRUB_QUERY_PATTERNS["email"]}', '[REDACTED]', 'g'),
+                           '{SCRUB_QUERY_PATTERNS["ipv4"]}', '[REDACTED]', 'g'),
+                       '{SCRUB_QUERY_PATTERNS["blocklist"]}', '[REDACTED]', 'g'))
+                   AS scrubbed_md5
+        FROM documents
     """,
     # the decode STUB derives dimensions from the payload sha256, which is
     # SQL-expressible — so even the stubbed multimodal path gets a full

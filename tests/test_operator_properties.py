@@ -216,3 +216,23 @@ def test_bucketed_rank_equals_window_rank(spark, sf_dir):
             .collect()
         )
         assert sorted(map(tuple, plain_nt)) == sorted(map(tuple, got_nt)), k
+
+
+def test_scrub_pii_patterns(spark):
+    """The PII patterns must hit real email/IP/phone shapes (the corpus
+    has none, so the catalog query exercises only the blocklist arm)."""
+    from pygeoapi_ingestor_spark.operators.text import scrub
+
+    rows = [
+        (0, "contact alice.smith+x@example.org or bob@sub.domain.co"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (2, "call +1 555 123 4567 or 020-7946-0958 today"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in scrub(df, "text").collect()}
+    assert out[0]["n_email"] == 2 and "[REDACTED]" in out[0]["scrubbed"]
+    assert "@" not in out[0]["scrubbed"]
+    assert out[1]["n_ipv4"] == 2 and "192.168.0.1" not in out[1]["scrubbed"]
+    assert out[2]["n_phone"] >= 2
+    assert out[3]["n_email"] == 0 and out[3]["scrubbed"] == rows[3][1]

@@ -50,6 +50,12 @@ _FRONT = [
     "decontaminate_ngram",
     "pack_sequences",
     "text_scrub",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
     # re-planned in round 2 (chunked/bucketed windows)
     "value_change_lag",
     "ntile_quartiles",

@@ -137,15 +137,267 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. Both nation lookups and both dimension sides broadcast;
+    the only shuffle is the lineitem x orders fact join."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sk"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_ck"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        joined.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.round(_revenue_sum(), 2).alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part volume sold
+    into one region's customers, by order year. Conditional-sum ratio
+    over exact decimal volumes."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n_cust = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("_ck")
+    )
+    n_supp = n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("_sk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("_ck"))
+    )
+    vol = _dec_price() * _one_minus_disc()
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    ).cast("double")
+    total_vol = F.sum(vol).cast("double")
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(nation_vol / total_vol, 6).alias("mkt_share"),
+            F.round(total_vol, 2).alias("total_volume"),
+        )
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many (non-URGENT)
+    orders, including zero. Left join + two aggregations; the custkey
+    shuffle is high-cardinality by construction."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(F.col("c_count").cast("bigint").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue in a
+    quarter. The scalar max joins back as a broadcast (one lazy plan, no
+    driver round-trip); equality is tested on the EXACT decimal sum so
+    both engines pick the identical winner set."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(_dec_price() * _one_minus_disc()).alias("_rev")
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(F.col("_rev") == F.col("_mx"))
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name",
+        F.round(F.col("_rev").cast("double"), 2).alias("total_revenue"),
+    )
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp re-expressed over lineitem): distinct
+    suppliers per (brand, type, size) for non-excluded parts."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: weekly-ized revenue of small-quantity orders for
+    one brand. The per-part average-quantity threshold is an aggregate
+    of the fact table — part-cardinality output, broadcast back, so the
+    fact side never self-joins with a shuffle. The threshold is derived
+    from an exact decimal sum (identical comparison boundary in both
+    engines)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    avgq = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("_lim")
+    )
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(avgq), l.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_lim"))
+    )
+    return joined.agg(
+        F.round(F.sum(_dec_price()).cast("double") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
 TPCH_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "top_parts_by_revenue": q_top_parts_by_revenue,
 }
 
+_DEC_VOL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+_NEW_TPCH_ORACLES = {
+    "q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               round(CAST(sum({_DEC_VOL}) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """,
+    "q8_market_share": f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                                   THEN {_DEC_VOL}
+                                   ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                     / CAST(sum({_DEC_VOL}) AS DOUBLE), 6) AS mkt_share,
+               round(CAST(sum({_DEC_VOL}) AS DOUBLE), 2) AS total_volume
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "q13_order_distribution": """
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY 1
+    """,
+    "q15_top_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey, sum({_DEC_VOL}) AS total
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name,
+               round(CAST(total AS DOUBLE), 2) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total = (SELECT max(total) FROM rev)
+    """,
+    "q16_supplier_variety": """
+        SELECT p_brand, p_type, CAST(p_size AS INTEGER) AS p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        GROUP BY 1, 2, 3
+    """,
+    "q17_small_quantity_revenue": """
+        WITH avgq AS (
+            SELECT l_partkey AS pk,
+                   0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                          / count(*)) AS lim
+            FROM lineitem GROUP BY 1
+        )
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                     / 7.0, 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN avgq ON l_partkey = pk
+        WHERE p_brand = 'Brand#2' AND l_quantity < lim
+    """,
+}
+
 TPCH_ORACLES = {
+    **_NEW_TPCH_ORACLES,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,

@@ -67,3 +67,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "events")
+
+
+def read_geojsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read newline-delimited GeoJSON Point features (the shape
+    ``sinks.export_geojsonl`` writes and the reference's vector
+    collections carry) back into a flat DataFrame: one row per feature,
+    ``lon``/``lat`` columns plus every property column. Geometry types
+    other than Point keep NULL coordinates rather than failing, so a
+    mixed collection still loads."""
+    raw = spark.read.json(path)
+    is_point = F.col("geometry.type") == "Point"
+    out = raw.select(
+        F.when(is_point, F.col("geometry.coordinates")[0]).alias("lon"),
+        F.when(is_point, F.col("geometry.coordinates")[1]).alias("lat"),
+        F.col("properties.*"),
+    )
+    return out

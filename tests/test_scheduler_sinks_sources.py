@@ -154,3 +154,28 @@ def test_compute_extents_bbox(spark, sf_dir):
     assert w <= e and s <= n
     assert w >= -10.0 and e <= 12.5 and s >= 35.0 and n <= 48.5
     assert ext["n_rows"] > 0 and "ts_begin" in ext
+
+
+def test_geojsonl_reader_roundtrip(spark, sf_dir, tmp_path):
+    """export_geojsonl -> read_geojsonl is a lossless round trip for
+    Point features: coordinates and properties come back as columns."""
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.sinks import export_geojsonl
+    from pygeoapi_ingestor_spark.sources.readers import read_events, read_geojsonl
+
+    ev = (
+        read_events(spark, sf_dir)
+        .withColumn("lon", F.lit(-10.0) + (F.col("user_id") % 10) * F.lit(2.5))
+        .withColumn("lat", F.lit(35.0) + F.expr("(user_id div 10) % 10") * F.lit(1.5))
+        .limit(100)
+    )
+    path = str(tmp_path / "features")
+    export_geojsonl(ev, path, "lon", "lat", ["event_id", "event_type", "value"])
+    back = read_geojsonl(spark, path)
+    assert set(back.columns) == {"lon", "lat", "event_id", "event_type", "value"}
+    orig = {r["event_id"]: r for r in ev.select("event_id", "lon", "lat", "value").collect()}
+    for r in back.collect():
+        o = orig[r["event_id"]]
+        assert abs(r["lon"] - o["lon"]) < 1e-9 and abs(r["lat"] - o["lat"]) < 1e-9
+        assert abs(r["value"] - o["value"]) < 1e-9

@@ -357,12 +357,19 @@ def chunked_cumulative_sum(
     )
     carry = summary.select(
         *series_cols, "_chunk",
-        F.coalesce(F.sum("_chunk_total").over(w_sum), F.lit(0)).alias("_carry"),
+        F.sum("_chunk_total").over(w_sum).alias("_carry"),
     )
     out = d.join(F.broadcast(carry), [*series_cols, "_chunk"])
-    return out.withColumn(
-        out_col, F.sum(value_col).over(w_local) + F.col("_carry")
-    ).drop("_chunk", "_carry")
+    local = F.sum(value_col).over(w_local)
+    # SQL sum null semantics: the running total is NULL only while NO
+    # non-null value has appeared anywhere in the frame — an all-null
+    # chunk must pass the carry through, and a null carry (no earlier
+    # values) must not null out a live local sum
+    total = F.when(
+        local.isNotNull() | F.col("_carry").isNotNull(),
+        F.coalesce(local, F.lit(0)) + F.coalesce(F.col("_carry"), F.lit(0)),
+    )
+    return out.withColumn(out_col, total).drop("_chunk", "_carry")
 
 
 def cumulative_sum(

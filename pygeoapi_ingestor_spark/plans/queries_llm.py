@@ -220,18 +220,23 @@ def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs (no rand()), one broadcast join against the weights table.
     The sampling step every multi-source training mix runs."""
     docs = _docs(spark, sf_dir)
-    weights = spark.createDataFrame(
-        list(MIX_WEIGHTS.items()), "source string, rate double"
+    # 20-entry config as a literal map expression: pure projection, no
+    # dim-table materialization or broadcast needed at this size (a
+    # thousands-row weights table would be a broadcast-joined DataFrame
+    # instead — see thresholds.categorize_by_table for that pattern)
+    weight_map = F.create_map(
+        *[F.lit(x) for kv in MIX_WEIGHTS.items() for x in kv]
     )
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint") / F.lit(4294967296.0)
     )
-    joined = docs.join(F.broadcast(weights), "source", "left").withColumn(
-        "rate", F.coalesce(F.col("rate"), F.lit(MIX_DEFAULT))
-    )
     return (
-        joined.withColumn("u", u)
+        docs.withColumn(
+            "rate",
+            F.coalesce(weight_map.getItem(F.col("source")), F.lit(MIX_DEFAULT)),
+        )
+        .withColumn("u", u)
         .filter(F.col("u") < F.col("rate"))
         .select("doc_id", "source", "rate", F.round("u", 6).alias("u"))
     )

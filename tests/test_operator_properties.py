@@ -236,3 +236,58 @@ def test_scrub_pii_patterns(spark):
     assert out[1]["n_ipv4"] == 2 and "192.168.0.1" not in out[1]["scrubbed"]
     assert out[2]["n_phone"] >= 2
     assert out[3]["n_email"] == 0 and out[3]["scrubbed"] == rows[3][1]
+
+
+def test_chunked_and_rank_edge_cases(spark):
+    """Adversarial shapes: all-null series, single-row series, every
+    value tied, chunks with no valid rows — chunked ops and bucketed
+    ranks must still equal their single-partition window twins."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.functions import ranks
+    from pygeoapi_ingestor_spark.operators import temporal
+
+    rows = []
+    # series A: all nulls          series B: one row
+    rows += [("A", i, None) for i in range(6)]
+    rows += [("B", 0, 5.0)]
+    # series C: every value tied
+    rows += [("C", i, 7.0) for i in range(9)]
+    # series D: nulls interleaved so some chunks are entirely null
+    rows += [("D", i, (None if (i // 3) % 2 == 0 else float(i))) for i in range(12)]
+    df = spark.createDataFrame(rows, "s string, i int, v double").repartition(4)
+    chunk = F.col("i") - F.col("i") % 3
+
+    w = Window.partitionBy("s").orderBy("i")
+    plain_lag = sorted(map(tuple, df.select("s", "i", F.lag("v").over(w).alias("x")).collect()))
+    got_lag = sorted(map(tuple, temporal.chunked_lag(
+        df, ["s"], ["i"], "v", chunk, out_col="x").select("s", "i", "x").collect()))
+    assert plain_lag == got_lag
+
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    plain_ff = sorted(map(tuple, df.select(
+        "s", "i", F.last("v", ignorenulls=True).over(wf).alias("x")).collect()))
+    got_ff = sorted(map(tuple, temporal.chunked_forward_fill(
+        df, ["s"], ["i"], "v", chunk, out_col="x").select("s", "i", "x").collect()))
+    assert plain_ff == got_ff
+
+    plain_cs = sorted(map(tuple, df.select(
+        "s", "i", F.sum("v").over(wf).alias("x")).collect()))
+    got_cs = sorted(map(tuple, temporal.chunked_cumulative_sum(
+        df, ["s"], ["i"], "v", chunk, out_col="x").select("s", "i", "x").collect()))
+    assert plain_cs == got_cs
+
+    plain_li = sorted(map(tuple, temporal.linear_interp_gaps(
+        df, ["s"], "i", "v", out_col="x").select("s", "i", "x").collect()))
+    got_li = sorted(map(tuple, temporal.chunked_linear_interp(
+        df, ["s"], "i", "v", chunk, out_col="x").select("s", "i", "x").collect()))
+    assert plain_li == got_li
+
+    nn = df.filter(F.col("v").isNotNull())
+    wv = Window.partitionBy("s").orderBy("v")
+    plain_rank = sorted(map(tuple, nn.select(
+        "s", "i", F.rank().over(wv).alias("r")).collect()))
+    got_rank = sorted(map(tuple, ranks.bucketed_rank(
+        nn, ["s"], "v", n_buckets=3, out_col="r").select("s", "i", "r").collect()))
+    assert plain_rank == got_rank

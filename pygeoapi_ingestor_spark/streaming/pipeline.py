@@ -190,3 +190,50 @@ def run_to_memory(result: DataFrame, name: str, mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, fmt: str = "json", max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source document stream — continuous corpus ingestion (new
+    crawl/dump drops appear as files; swap format for kafka/cloud files
+    in production)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )
+
+
+def document_quality_stream(
+    stream: DataFrame,
+    min_quality: float = 0.65,
+    scrub_patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """The LLM-corpus intake pipeline as one continuous query: language
+    ID + quality scoring + quality gate + PII/blocklist scrub, all pure
+    column expressions (operators/text.py), so the SAME transforms serve
+    batch and streaming — no state, no watermark needed (per-document
+    decisions only; cross-document stages like dedup run downstream on
+    the landed collection, see dedup_stream for the exact-key case)."""
+    from pygeoapi_ingestor_spark.operators import text
+
+    scored = text.quality_features(
+        text.lang_id(stream, text_col="text"), text_col="text"
+    )
+    gated = scored.filter(F.col("quality_score") >= min_quality)
+    scrubbed = text.scrub(gated, text_col="text", patterns=scrub_patterns)
+    keep = [c for c in scrubbed.columns if c not in ("text",)]
+    return scrubbed.select(*keep)

@@ -90,3 +90,44 @@ def test_session_window_stream(spark, sf_dir, tmp_path):
     bad = got.filter(F.col("session_end") < F.col("session_start")).count()
     assert bad == 0
     assert os.path.isdir(ckpt)
+
+
+def test_document_quality_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming corpus-intake pipeline (lang ID -> quality gate ->
+    scrub) must produce exactly the batch result over the same files."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.operators import text
+    from pygeoapi_ingestor_spark.streaming.pipeline import (
+        document_quality_stream,
+        read_document_stream,
+        run_to_memory,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    drop_dir = str(tmp_path / "drops")
+    docs.coalesce(3).write.mode("overwrite").json(drop_dir)
+
+    stream = read_document_stream(spark, drop_dir)
+    result = document_quality_stream(stream, min_quality=0.65)
+    q = run_to_memory(result, "doc_quality")
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r
+            for r in spark.sql("SELECT * FROM doc_quality").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_docs = spark.read.json(drop_dir)
+    scored = text.quality_features(
+        text.lang_id(batch_docs, text_col="text"), text_col="text"
+    ).filter(F.col("quality_score") >= 0.65)
+    want_ids = {r["doc_id"] for r in scored.select("doc_id").collect()}
+    assert set(got) == want_ids and len(got) > 0
+    sample = next(iter(got.values()))
+    assert "scrubbed" in sample.asDict() and "lang_pred" in sample.asDict()
+    shutil.rmtree(drop_dir, ignore_errors=True)

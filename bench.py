@@ -41,6 +41,20 @@ def main() -> None:
         timings[key] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_total0, 3)
 
+    # count() lets Catalyst prune computed columns (a projection-heavy
+    # query times as a bare scan); the noop sink forces FULL evaluation
+    # of every output column — the honest per-query cost. Both are
+    # reported: `queries`/`value` keep the count-based series for
+    # round-over-round comparability, `queries_noop`/`noop_total` carry
+    # the full-evaluation numbers.
+    noop_timings: dict[str, float] = {}
+    t_n0 = time.perf_counter()
+    for key in BENCH_KEYS:
+        t0 = time.perf_counter()
+        QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        noop_timings[key] = round(time.perf_counter() - t0, 3)
+    noop_total = round(time.perf_counter() - t_n0, 3)
+
     # concurrent catalog throughput: submit all queries from a thread
     # pool (Spark schedules jobs from multiple threads concurrently) —
     # the multi-tenant number a shared cluster actually sees
@@ -58,6 +72,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_noop": noop_timings,
+                "noop_total": noop_total,
                 "concurrent_wall": concurrent_total,
                 "sf": sf,
             }

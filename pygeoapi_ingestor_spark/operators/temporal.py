@@ -164,23 +164,30 @@ def linear_interp_gaps(
     For a null row: v = prev + (next - prev) * (t - t_prev)/(t_next -
     t_prev); leading/trailing nulls (no bracket) stay NULL. Two window
     passes per series, no UDF.
+
+    Both lookups use RUNNING frames (unboundedPreceding..current): the
+    "next valid" side runs over DESCENDING time, because a
+    ``first() OVER (... ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+    FOLLOWING)`` frame is evaluated per row from scratch — quadratic in
+    the partition length — while a running ``last()`` is one linear
+    scan.
     """
     w_prev = (
         Window.partitionBy(*series_cols)
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_next = (
+    w_next_rev = (
         Window.partitionBy(*series_cols)
-        .orderBy(ts_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     v = F.col(value_col)
     t = F.col(ts_col).cast("double")
     prev_v = F.last(v, ignorenulls=True).over(w_prev)
     prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_prev)
-    next_v = F.first(v, ignorenulls=True).over(w_next)
-    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
+    next_v = F.last(v, ignorenulls=True).over(w_next_rev)
+    next_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next_rev)
     frac = F.when(next_t > prev_t, (t - prev_t) / (next_t - prev_t)).otherwise(0.0)
     interp = prev_v + (next_v - prev_v) * frac
     return df.withColumn(
@@ -286,15 +293,18 @@ def chunked_linear_interp(
     t = F.col(ts_col).cast("double")
     valid = F.when(v.isNotNull(), F.struct(t.alias("_t"), v.alias("_v")))
 
+    # running frames only — a (current..unboundedFollowing) frame with
+    # first() re-scans the tail per row (quadratic in chunk length);
+    # "next valid" is a running last() over DESCENDING time instead
     w_prev = (
         Window.partitionBy(*series_cols, "_chunk")
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_next = (
+    w_next_rev = (
         Window.partitionBy(*series_cols, "_chunk")
-        .orderBy(ts_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     summary = d.groupBy(*series_cols, "_chunk").agg(
         F.max(valid).alias("_lastv"), F.min(valid).alias("_firstv")
@@ -304,20 +314,20 @@ def chunked_linear_interp(
         .orderBy("_chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_out = (
+    w_out_rev = (
         Window.partitionBy(*series_cols)
-        .orderBy("_chunk")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("_chunk").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = summary.select(
         *series_cols, "_chunk",
         F.last("_lastv", ignorenulls=True).over(w_in).alias("_cin"),
-        F.first("_firstv", ignorenulls=True).over(w_out).alias("_cout"),
+        F.last("_firstv", ignorenulls=True).over(w_out_rev).alias("_cout"),
     )
     out = d.join(F.broadcast(carry), [*series_cols, "_chunk"])
 
     prev = F.coalesce(F.last(valid, ignorenulls=True).over(w_prev), F.col("_cin"))
-    nxt = F.coalesce(F.first(valid, ignorenulls=True).over(w_next), F.col("_cout"))
+    nxt = F.coalesce(F.last(valid, ignorenulls=True).over(w_next_rev), F.col("_cout"))
     prev_v, prev_t = prev.getField("_v"), prev.getField("_t")
     next_v, next_t = nxt.getField("_v"), nxt.getField("_t")
     frac = F.when(next_t > prev_t, (t - prev_t) / (next_t - prev_t)).otherwise(0.0)

@@ -158,3 +158,42 @@ def test_low_cardinality_windows_are_chunked(spark, sf_dir):
             f"{key}: no exchange partitioned by (event_type, {extra}) — "
             "the full-table sort fell back to the bare 5-value key"
         )
+
+
+def test_corpus_mix_is_pure_projection(spark, sf_dir):
+    """Literal-map weights: the sampling query must be scan -> filter ->
+    project with no join and no shuffle at all."""
+    plan = _simple(QUERIES["corpus_mix_sample"](spark, sf_dir))
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_q7_dimensions_broadcast_single_fact_shuffle(spark, sf_dir):
+    """Q7: every dimension side broadcast; only lineitem x orders may
+    sort-merge/shuffle."""
+    plan = _simple(QUERIES["q7_volume_shipping"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q17_threshold_broadcast_no_self_shuffle_join(spark, sf_dir):
+    """Q17: the per-part avg-quantity threshold aggregates the fact
+    table down to part cardinality and joins back as a broadcast — the
+    fact side must not shuffle into a sort-merge self-join."""
+    plan = _simple(QUERIES["q17_small_quantity_revenue"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_no_cartesian(spark, sf_dir):
+    plan = _simple(QUERIES["decontaminate_ngram"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interp_windows_are_running_frames(spark, sf_dir):
+    """No (CURRENT ROW .. UNBOUNDED FOLLOWING) frame may survive in the
+    interpolation plans — that frame shape re-scans the partition tail
+    per row (quadratic)."""
+    for key in ("linear_interp_gaps", "forward_fill_gaps"):
+        plan = _simple(QUERIES[key](spark, sf_dir))
+        assert "unboundedfollowing$()" not in plan, key

@@ -119,7 +119,12 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame
     index with a deterministic per-frame fingerprint (real extraction
     swaps the fingerprint for decoded frame bytes). Non-video rows pass
-    through with frame 0."""
+    through with frame 0.
+
+    The fingerprint is sha256 over the TEXT ``"<payload-sha-hex>:<idx>"``
+    rather than raw payload bytes, so an external SQL oracle can replay
+    the whole mapInPandas stage symbolically — the multimodal pipeline
+    stays value-hash-gated end to end."""
     from pygeoapi_ingestor_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(df.sparkSession)
@@ -127,12 +132,12 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for mid, mtype, payload, n_frames in zip(
-                pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["n_frames"]
+            for mid, mtype, sha_hex, n_frames in zip(
+                pdf["media_id"], pdf["media_type"], pdf["sha256"], pdf["n_frames"]
             ):
                 idxs = range(0, int(n_frames or 1), every_n) if mtype == "video" else [0]
                 for i in idxs:
-                    digest = hashlib.sha256(bytes(payload) + i.to_bytes(4, "big")).hexdigest()
+                    digest = hashlib.sha256(f"{sha_hex}:{i}".encode()).hexdigest()
                     rows.append(
                         {"media_id": mid, "frame_idx": int(i), "frame_sha256": digest}
                     )

@@ -33,6 +33,7 @@ _FRONT = [
     "corpus_token_stats",
     "dedup_keep_corpus",
     "multimodal_meta",
+    "multimodal_frames",
     "sim_search_cosine_topk",
     "sim_search_lsh",
     "sim_search_ivf",

@@ -313,6 +313,17 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("media_id", "media_type", "width", "height", "n_frames", "sha256")
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the multimodal pipeline: payload -> Arrow
+    decode (stub) -> mapInPandas frame explode, every 10th frame per
+    video. The per-frame fingerprint is text-derived, so even this
+    two-UDF-stage pipeline keeps a full value-hash oracle."""
+    media = multimodal.attach_payload(_docs(spark, sf_dir), id_col="doc_id", text_col="text")
+    decoded = multimodal.extract_metadata(media, use_stub=True)
+    frames = multimodal.sample_frames(decoded, every_n=10)
+    return frames.select("media_id", "frame_idx", "frame_sha256")
+
+
 LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -335,6 +346,7 @@ LLM_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "text_scrub": q_text_scrub,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 def _ecp_oracle_sql() -> str:
@@ -679,6 +691,33 @@ LLM_ORACLES = {
                        '{SCRUB_QUERY_PATTERNS["blocklist"]}', '[REDACTED]', 'g'))
                    AS scrubbed_md5
         FROM documents
+    """,
+    # the two-UDF-stage frame pipeline replayed symbolically: n_frames
+    # from the payload sha (decode stub), every-10th index explode for
+    # video, text-derived per-frame fingerprint
+    "multimodal_frames": """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   sha256(text) AS sha
+            FROM documents
+        ), meta AS (
+            SELECT media_id, media_type, sha,
+                   CASE WHEN media_type = 'video'
+                        THEN 1 + CAST('0x' || substr(sha, 5, 2) AS INTEGER) % 120
+                        ELSE 1 END AS nf
+            FROM m
+        ), frames AS (
+            SELECT media_id, sha,
+                   unnest(CASE WHEN media_type = 'video' THEN range(0, nf, 10)
+                               ELSE [CAST(0 AS BIGINT)] END) AS f
+            FROM meta
+        )
+        SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+               sha256(sha || ':' || CAST(f AS VARCHAR)) AS frame_sha256
+        FROM frames
     """,
     # the decode STUB derives dimensions from the payload sha256, which is
     # SQL-expressible — so even the stubbed multimodal path gets a full

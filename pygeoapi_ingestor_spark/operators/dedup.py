@@ -278,6 +278,69 @@ def lsh_verified_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    grouping step that turns verified pairs into dedup clusters (every
+    member of a component is transitively a duplicate; keep one).
+
+    Iterative min-label propagation: each node repeatedly adopts the
+    smallest label among itself and its neighbors until fixpoint —
+    the standard Pregel-style formulation, driver-coordinated like any
+    Spark iterative algorithm. Convergence needs O(component diameter)
+    rounds (tiny for dup clusters); each round is one join + one
+    aggregate, with ``localCheckpoint`` truncating the lineage so the
+    plan does not grow with iterations.
+
+    Returns (node, component) with component = min node id reachable.
+    """
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), F.col("comp").alias("_nc")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("_nc").alias("_minn"))
+            .select(F.col("a").alias("node"), "_minn")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("_minn"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_cosine_pairs_bucketed(
     embeddings: DataFrame,
     id_col: str,

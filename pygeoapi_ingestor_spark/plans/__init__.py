@@ -46,6 +46,7 @@ _FRONT = [
     "bias_correction_stored",
     "collection_healthcheck",
     "dedup_lsh_verified",
+    "dedup_components",
     "spi_gamma_monthly",
     "corpus_mix_sample",
     "decontaminate_ngram",

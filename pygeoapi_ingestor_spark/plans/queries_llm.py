@@ -75,6 +75,22 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERS: verified near-dup pairs grouped into connected
+    components (iterative min-label propagation — the one genuinely
+    iterative algorithm in the catalog, driver-coordinated rounds with
+    checkpointed lineage). Oracle: transitive closure as a recursive
+    CTE over the same verified pair set."""
+    pairs = dedup.lsh_verified_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        n=3, num_hashes=32, bands=8, threshold=0.5,
+    )
+    comps = dedup.connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text"
@@ -329,6 +345,7 @@ LLM_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_verified": q_dedup_lsh_verified,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_search_cosine_topk": q_sim_search_cosine_topk,
@@ -465,6 +482,35 @@ LLM_ORACLES = {
         JOIN sizes sa ON sa.doc = doc_a
         JOIN sizes sb ON sb.doc = doc_b
         WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+    # transitive closure of the verified near-dup graph as a recursive
+    # CTE — the SQL twin of the iterative min-label propagation
+    "dedup_components": _shingle_cte().replace("WITH words_t", "WITH RECURSIVE words_t") + """
+        , sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2
+        ),
+        vpairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc = doc_a
+            JOIN sizes sb ON sb.doc = doc_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs
+        ),
+        reach(node, lbl) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(min(lbl) AS BIGINT) AS component
+        FROM reach GROUP BY node
     """,
     "dedup_embedding_cosine": _ecp_oracle_sql(),
     "sim_search_cosine_topk": """

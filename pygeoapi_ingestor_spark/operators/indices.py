@@ -30,23 +30,47 @@ def climatology(
     bucket_col: str,
     value_col: str,
     cycle: str = "month",
+    exact_decimal: str | None = None,
 ) -> DataFrame:
     """Per (series, cycle position) mean/std over the reference window —
     month-of-year for seasonal climatology, hour-of-day for diurnal.
 
     Output is O(series x cycle length) — always broadcastable back to the
     fact side.
+
+    ``exact_decimal`` (e.g. "decimal(14,2)" for 2-decimal data): compute
+    mean and std from EXACT decimal sums (two-pass formula
+    sqrt((Σx² − (Σx)²/n)/(n−1))) instead of the engines' streaming
+    double aggregates, whose partial-merge order — and therefore last
+    ulp — is nondeterministic under parallelism. With exact sums both
+    Spark and any SQL oracle evaluate the identical double expression.
     """
     cycle_fn = _CYCLES[cycle]
-    return (
-        monthly.groupBy(
-            *series_cols, cycle_fn(bucket_col).cast("int").alias("cycle_key")
-        )
-        .agg(
+    grouped = monthly.groupBy(
+        *series_cols, cycle_fn(bucket_col).cast("int").alias("cycle_key")
+    )
+    if exact_decimal is None:
+        return grouped.agg(
             F.avg(value_col).alias("clim_mean"),
             F.stddev_samp(value_col).alias("clim_std"),
             F.count(F.lit(1)).cast("bigint").alias("clim_n"),
         )
+    x = F.col(value_col).cast(exact_decimal)
+    agg = grouped.agg(
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum(x * x).cast("double").alias("_sxx"),
+        F.count(F.lit(1)).cast("bigint").alias("clim_n"),
+    )
+    n = F.col("clim_n")
+    mean = F.col("_sx") / n
+    std = F.sqrt(
+        (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n) / (n - F.lit(1))
+    )
+    return agg.select(
+        *series_cols, "cycle_key",
+        mean.alias("clim_mean"),
+        F.when(n > 1, std).alias("clim_std"),
+        "clim_n",
     )
 
 

@@ -176,9 +176,11 @@ def q_pivot_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events(spark, sf_dir)
     day = F.date_trunc("day", F.col("ts")).alias("bucket")
+    vdec = F.col("value").cast("decimal(14,2)")
+    zero = F.lit(0).cast("decimal(14,2)")
     aggs = [
         F.round(
-            F.sum(F.when(F.col("event_type") == t, F.col("value")).otherwise(F.lit(0.0))),
+            F.sum(F.when(F.col("event_type") == t, vdec).otherwise(zero)).cast("double"),
             4,
         ).alias(f"{t}_total")
         for t in EVENT_TYPES
@@ -198,7 +200,11 @@ def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_type"), (F.col("k") % 10).alias("k_mod"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
         )
     )
 
@@ -265,10 +271,27 @@ def q_corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoapi_ingestor_spark.sources.readers import read_events
 
     ev = read_events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("double")
-    return ev.withColumn("k", k).groupBy("event_type").agg(
-        F.round(F.corr("value", "k"), 6).alias("corr_value_k"),
+    # hand-rolled Pearson r from EXACT sums (value is 2-decimal, k is
+    # integer): the engines' streaming corr() accumulates doubles in
+    # nondeterministic merge order; with exact sums both sides evaluate
+    # the identical closed-form double expression
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    x = F.col("value").cast("decimal(14,2)")
+    agg = ev.withColumn("k", k).groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum(F.col("k")).cast("double").alias("_sy"),
+        F.sum(x * F.col("k").cast("decimal(10,0)")).cast("double").alias("_sxy"),
+        F.sum(x * x).cast("double").alias("_sxx"),
+        F.sum(F.col("k") * F.col("k")).cast("double").alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    r = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        F.sqrt(n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * F.sqrt(n * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    )
+    return agg.select(
+        "event_type", F.round(r, 6).alias("corr_value_k"), "n"
     )
 
 
@@ -405,11 +428,27 @@ ANALYTICS_ORACLES = {
         ) GROUP BY 1, 2
     """,
     "corr_value_props": """
+        WITH s AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+                   CAST(sum(k) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(value AS DECIMAL(14,2)) * CAST(k AS DECIMAL(10,0)))
+                        AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2)))
+                        AS DOUBLE) AS sxx,
+                   CAST(sum(k * k) AS DOUBLE) AS syy
+            FROM (SELECT event_type, value,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY 1
+        )
         SELECT event_type,
-               round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
-                   AS corr_value_k,
-               CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY 1
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_value_k,
+               CAST(n AS BIGINT) AS n
+        FROM s
     """,
     "extreme_values": """
         SELECT event_type,
@@ -500,18 +539,19 @@ ANALYTICS_ORACLES = {
     """,
     "pivot_daily_by_type": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
-               round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END), 4) AS click_total,
-               round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END), 4) AS error_total,
-               round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_total,
-               round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0.0 END), 4) AS signup_total,
-               round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 4) AS view_total
+               round(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS click_total,
+               round(CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS error_total,
+               round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS purchase_total,
+               round(CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS signup_total,
+               round(CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS view_total
         FROM events GROUP BY 1
     """,
     "json_extract_props": """
         SELECT event_type,
                CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
                CAST(count(*) AS BIGINT) AS n,
-               round(avg(value), 6) AS avg_value
+               round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*), 6)
+                   AS avg_value
         FROM events GROUP BY 1, 2
     """,
     "value_change_lag": """

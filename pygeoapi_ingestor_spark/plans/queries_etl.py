@@ -59,14 +59,30 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_events(spark, sf_dir)
 
 
+# events.value is exactly 2-decimal; aggregating it as DECIMAL makes
+# every sum/avg order-independent. This matters for the ORACLE side:
+# DuckDB's multi-threaded double aggregation merges partials in
+# nondeterministic order, so a double-summed oracle can flip its 6th
+# decimal between runs and randomly fail the hash gate (observed on
+# threshold_per_station). Exact decimal sums are bit-stable in BOTH
+# engines; averages derive as CAST(sum AS DOUBLE)/count — the same
+# convention the TPC-H money queries already use.
+VALUE_DEC = "decimal(14,2)"
+
+
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return temporal.resample(
-        _events(spark, sf_dir),
+    """Per-day exact-decimal totals; ``daily_total`` is DECIMAL (cast
+    when a double is needed), ``avg_value`` derives from the exact sum."""
+    d = temporal.resample(
+        _events(spark, sf_dir).withColumn("value", F.col("value").cast(VALUE_DEC)),
         ts_col="ts",
         series_cols=["event_type"],
         value_col="value",
         freq="day",
-        aggs={"daily_total": "sum", "n_obs": "count", "avg_value": "avg"},
+        aggs={"daily_total": "sum", "n_obs": "count"},
+    )
+    return d.withColumn(
+        "avg_value", F.col("daily_total").cast("double") / F.col("n_obs")
     )
 
 
@@ -88,7 +104,7 @@ def q_resample_daily_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "event_type",
         F.col("bucket"),
-        F.round("daily_total", 4).alias("daily_total"),
+        F.round(F.col("daily_total").cast("double"), 4).alias("daily_total"),
         F.col("n_obs").cast("bigint").alias("n_obs"),
         F.round("avg_value", 6).alias("avg_value"),
     )
@@ -127,19 +143,18 @@ def q_resample_monthly_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly mean rate x days-in-month = monthly total — the
     reference's SPI preprocessing step (utils_spi.py:419,
     ``ds * ds.time.dt.days_in_month``)."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).withColumn("value", F.col("value").cast(VALUE_DEC))
     m = temporal.resample(
         ev, ts_col="ts", series_cols=["event_type"], value_col="value",
-        freq="month", aggs={"monthly_avg": "avg", "n_obs": "count"},
+        freq="month", aggs={"monthly_sum": "sum", "n_obs": "count"},
     )
+    avg = F.col("monthly_sum").cast("double") / F.col("n_obs")
     return m.select(
         "event_type", "bucket",
         F.col("n_obs").cast("bigint").alias("n_obs"),
         temporal.days_in_month("bucket").cast("int").alias("n_days"),
-        F.round("monthly_avg", 6).alias("monthly_avg"),
-        F.round(
-            F.col("monthly_avg") * temporal.days_in_month("bucket"), 4
-        ).alias("monthly_total"),
+        F.round(avg, 6).alias("monthly_avg"),
+        F.round(avg * temporal.days_in_month("bucket"), 4).alias("monthly_total"),
     )
 
 
@@ -153,14 +168,17 @@ def q_spi_gamma_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gamma math itself is exercised by spi_gamma (30 daily periods)
     and the numerics unit tests; this entry gates the CHAIN (scaling ->
     fit -> quantile transform) wiring."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).withColumn("value", F.col("value").cast(VALUE_DEC))
     m = temporal.resample(
         ev, ts_col="ts", series_cols=["event_type"], value_col="value",
-        freq="month", aggs={"monthly_avg": "avg"},
+        freq="month", aggs={"monthly_sum": "sum", "n_obs": "count"},
     )
     scaled = m.select(
         "event_type", "bucket",
-        (F.col("monthly_avg") * temporal.days_in_month("bucket")).alias("monthly_total"),
+        (
+            F.col("monthly_sum").cast("double") / F.col("n_obs")
+            * temporal.days_in_month("bucket")
+        ).alias("monthly_total"),
     )
     out = indices.spi(
         scaled, series_cols=["event_type"], bucket_col="bucket",
@@ -185,7 +203,8 @@ def q_rolling_sum_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="rolling_7d",
     )
     return rolled.select(
-        "event_type", "bucket", F.round("rolling_7d", 4).alias("rolling_7d")
+        "event_type", "bucket",
+        F.round(F.col("rolling_7d").cast("double"), 4).alias("rolling_7d"),
     )
 
 
@@ -197,7 +216,8 @@ def q_rolling_sum_7d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="daily_total", window_seconds=6 * 86400, out_col="rolling_7d",
     )
     return rolled.select(
-        "event_type", "bucket", F.round("rolling_7d", 4).alias("rolling_7d")
+        "event_type", "bucket",
+        F.round(F.col("rolling_7d").cast("double"), 4).alias("rolling_7d"),
     )
 
 
@@ -242,7 +262,8 @@ def q_linear_interp_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_climatology_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     clim = indices.climatology(
-        ev, series_cols=["event_type"], bucket_col="ts", value_col="value", cycle="hour"
+        ev, series_cols=["event_type"], bucket_col="ts", value_col="value",
+        cycle="hour", exact_decimal=VALUE_DEC,
     )
     return clim.select(
         "event_type",
@@ -256,7 +277,8 @@ def q_climatology_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_anomaly_vs_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     clim = indices.climatology(
-        ev, series_cols=["event_type"], bucket_col="ts", value_col="value", cycle="hour"
+        ev, series_cols=["event_type"], bucket_col="ts", value_col="value",
+        cycle="hour", exact_decimal=VALUE_DEC,
     )
     anom = indices.anomaly(
         ev, clim, series_cols=["event_type"], bucket_col="ts",
@@ -339,8 +361,12 @@ def q_ensemble_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     # member series: each user's daily mean, then collapse the member axis
     member_daily = temporal.resample(
-        ev, ts_col="ts", series_cols=["event_type", "user_id"],
-        value_col="value", freq="day", aggs={"member_avg": "avg"},
+        ev.withColumn("value", F.col("value").cast(VALUE_DEC)),
+        ts_col="ts", series_cols=["event_type", "user_id"],
+        value_col="value", freq="day",
+        aggs={"member_sum": "sum", "member_n": "count"},
+    ).withColumn(
+        "member_avg", F.col("member_sum").cast("double") / F.col("member_n")
     )
     out = zonal.ensemble_stats(
         member_daily, bucket_cols=["event_type", "bucket"],
@@ -427,7 +453,9 @@ def q_threshold_per_station(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return labeled.groupBy("user_id", "danger_level").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(
+            F.sum(F.col("value").cast(VALUE_DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_value"),
     )
 
 
@@ -460,7 +488,8 @@ def q_precip_deficit_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="daily_total", out_col="cum_total",
     )
     return out.select(
-        "event_type", "bucket", F.round("cum_total", 4).alias("cum_total")
+        "event_type", "bucket",
+        F.round(F.col("cum_total").cast("double"), 4).alias("cum_total"),
     )
 
 
@@ -481,7 +510,9 @@ def q_regrid_snap_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (F.floor(F.col("value") / 25.0) * 25.0).alias("cell")
     return ev.groupBy("event_type", cell).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.avg("value"), 6).alias("cell_avg"),
+        F.round(
+            F.sum(F.col("value").cast(VALUE_DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("cell_avg"),
     )
 
 
@@ -552,7 +583,7 @@ def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        F.round(F.sum(F.col("value").cast(VALUE_DEC)).cast("double"), 4).alias("session_value"),
     )
 
 
@@ -592,9 +623,9 @@ ETL_QUERIES = {
 _DAILY_CTE = """
 WITH daily AS (
     SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
-           sum(value) AS daily_total,
+           sum(CAST(value AS DECIMAL(14,2))) AS daily_total,
            count(*) AS n_obs,
-           avg(value) AS avg_value
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_value
     FROM events GROUP BY 1, 2
 )
 """
@@ -607,7 +638,8 @@ ETL_ORACLES = {
           AND event_type IN ('click', 'purchase') AND value > 100
     """,
     "resample_daily_sum": _DAILY_CTE + """
-        SELECT event_type, bucket, round(daily_total, 4) AS daily_total,
+        SELECT event_type, bucket,
+               round(CAST(daily_total AS DOUBLE), 4) AS daily_total,
                CAST(n_obs AS BIGINT) AS n_obs, round(avg_value, 6) AS avg_value
         FROM daily
     """,
@@ -628,7 +660,9 @@ ETL_ORACLES = {
     "resample_monthly_scaled": """
         WITH m AS (
             SELECT event_type, CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,
-                   avg(value) AS monthly_avg, count(*) AS n_obs
+                   CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+                       AS monthly_avg,
+                   count(*) AS n_obs
             FROM events GROUP BY 1, 2
         )
         SELECT event_type, bucket,
@@ -639,7 +673,8 @@ ETL_ORACLES = {
         FROM m
     """,
     "rolling_sum_7d": _DAILY_CTE + """
-        SELECT event_type, bucket, round(rolling_7d, 4) AS rolling_7d FROM (
+        SELECT event_type, bucket,
+               round(CAST(rolling_7d AS DOUBLE), 4) AS rolling_7d FROM (
             SELECT event_type, bucket,
                    sum(daily_total) OVER w AS rolling_7d,
                    count(*) OVER w AS wn
@@ -650,8 +685,8 @@ ETL_ORACLES = {
     """,
     "rolling_sum_7d_range": _DAILY_CTE + """
         SELECT event_type, bucket,
-               round(sum(daily_total) OVER (PARTITION BY event_type ORDER BY bucket
-                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 4)
+               round(CAST(sum(daily_total) OVER (PARTITION BY event_type ORDER BY bucket
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
                    AS rolling_7d
         FROM daily
     """,
@@ -698,18 +733,34 @@ ETL_ORACLES = {
         FROM spans
     """,
     "climatology_hourly": """
-        SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
-               round(avg(value), 6) AS clim_mean,
-               round(stddev_samp(value), 6) AS clim_std,
-               CAST(count(*) AS BIGINT) AS clim_n
-        FROM events GROUP BY 1, 2
+        WITH s AS (
+            SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+                   CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(value AS DECIMAL(14,2))
+                            * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hour_of_day,
+               round(sx / n, 6) AS clim_mean,
+               round(CASE WHEN n > 1
+                          THEN sqrt((sxx - sx * sx / n) / (n - 1)) END, 6) AS clim_std,
+               CAST(n AS BIGINT) AS clim_n
+        FROM s
     """,
     "anomaly_vs_climatology": """
-        SELECT event_id, event_type,
-               round((value - avg(value) OVER w) / (stddev_samp(value) OVER w), 6)
-                   AS zscore
-        FROM events
-        WINDOW w AS (PARTITION BY event_type, hour(ts))
+        WITH s AS (
+            SELECT event_type, hour(ts) AS hh,
+                   CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(value AS DECIMAL(14,2))
+                            * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_id, e.event_type,
+               round((value - sx / n)
+                     / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS zscore
+        FROM events e JOIN s ON e.event_type = s.event_type AND hour(e.ts) = s.hh
     """,
     "spi_empirical": _DAILY_CTE + """
         , ranked AS (
@@ -752,7 +803,8 @@ ETL_ORACLES = {
     "ensemble_stats": """
         WITH member_daily AS (
             SELECT event_type, user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
-                   avg(value) AS member_avg
+                   CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+                       AS member_avg
             FROM events GROUP BY 1, 2, 3
         )
         SELECT event_type, bucket,
@@ -809,7 +861,8 @@ ETL_ORACLES = {
             FROM events
         )
         SELECT event_type, danger_level, CAST(count(*) AS BIGINT) AS n,
-               round(avg(value), 6) AS avg_value
+               round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*), 6)
+                   AS avg_value
         FROM labeled GROUP BY 1, 2
     """,
     "threshold_per_station": """
@@ -829,7 +882,8 @@ ETL_ORACLES = {
             GROUP BY e.event_id, e.user_id, e.value
         )
         SELECT user_id, danger_level, CAST(count(*) AS BIGINT) AS n,
-               round(avg(value), 6) AS avg_value
+               round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*), 6)
+                   AS avg_value
         FROM labeled GROUP BY 1, 2
     """,
     "bias_correction_stored": f"""
@@ -862,8 +916,8 @@ ETL_ORACLES = {
     """,
     "precip_deficit_cumsum": _DAILY_CTE + """
         SELECT event_type, bucket,
-               round(sum(daily_total) OVER (PARTITION BY event_type ORDER BY bucket
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               round(CAST(sum(daily_total) OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
                    AS cum_total
         FROM daily
     """,
@@ -877,7 +931,8 @@ ETL_ORACLES = {
     "regrid_snap_agg": """
         SELECT event_type, floor(value / 25.0) * 25.0 AS cell,
                CAST(count(*) AS BIGINT) AS n,
-               round(avg(value), 6) AS cell_avg
+               round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*), 6)
+                   AS cell_avg
         FROM events GROUP BY 1, 2
     """,
     "dedup_latest_snapshot": """
@@ -929,7 +984,7 @@ ETL_ORACLES = {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                CAST(count(*) AS BIGINT) AS n_events,
                min(ts) AS session_start, max(ts) AS session_end,
-               round(sum(value), 4) AS session_value
+               round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 4) AS session_value
         FROM sess GROUP BY 1, 2
     """,
 }

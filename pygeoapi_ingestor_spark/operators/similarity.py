@@ -67,6 +67,24 @@ def cosine_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str, out_prefix: str = "q"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage-compression
+    stage of an embedding corpus (4x smaller at-rest than float32, 8x
+    than float64; dequantize as q * max_abs / 127). Adds
+    ``{p}_scale`` (max_abs), ``{p}_vec`` (array<int> in [-127, 127]).
+    Pure column expressions — quantization happens inside the scan
+    projection, no UDF, no shuffle."""
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, mx).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.round(x * F.lit(127.0) / scale, 0).cast("int"))
+    return df.withColumn(f"{out_prefix}_scale", scale).withColumn(
+        f"{out_prefix}_vec", q
+    )
+
+
 def md5_plane_weights(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic +/-1 hyperplane weight matrix derived from md5 — an
     engine-NEUTRAL pseudo-random source (hashlib here, reproducible as a

@@ -34,6 +34,7 @@ _FRONT = [
     "dedup_keep_corpus",
     "multimodal_meta",
     "multimodal_frames",
+    "embedding_quantize_int8",
     "sim_search_cosine_topk",
     "sim_search_lsh",
     "sim_search_ivf",

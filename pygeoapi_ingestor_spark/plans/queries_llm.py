@@ -329,6 +329,25 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("media_id", "media_type", "width", "height", "n_frames", "sha256")
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization: per-vector symmetric scale +
+    quantized codes, verified via a digest of the code array plus
+    summary stats (scalar outputs keep the hash gate engine-neutral).
+    Quantization is a pure projection — the 100 TB path rewrites the
+    vector table at 4-8x compression with zero shuffles."""
+    e = _emb(spark, sf_dir)
+    qd = similarity.quantize_int8(e, vec_col="embedding")
+    qv = F.col("q_vec")
+    return qd.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        F.md5(F.concat_ws(",", F.transform(qv, lambda x: x.cast("string")))).alias("q_digest"),
+        F.aggregate(qv, F.lit(0), lambda acc, x: acc + x).cast("bigint").alias("q_sum"),
+        F.array_max(qv).cast("int").alias("q_max"),
+        F.array_min(qv).cast("int").alias("q_min"),
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over the multimodal pipeline: payload -> Arrow
     decode (stub) -> mapInPandas frame explode, every 10th frame per
@@ -364,6 +383,7 @@ LLM_QUERIES = {
     "text_scrub": q_text_scrub,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
+    "embedding_quantize_int8": q_embedding_quantize,
 }
 
 def _ecp_oracle_sql() -> str:
@@ -737,6 +757,28 @@ LLM_ORACLES = {
                        '{SCRUB_QUERY_PATTERNS["blocklist"]}', '[REDACTED]', 'g'))
                    AS scrubbed_md5
         FROM documents
+    """,
+    "embedding_quantize_int8": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), scaled AS (
+            SELECT vec_id,
+                   CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                        THEN list_max(list_transform(v, x -> abs(x)))
+                        ELSE 1.0 END AS q_scale,
+                   v
+            FROM e
+        ), quant AS (
+            SELECT vec_id, q_scale,
+                   list_transform(v, x -> CAST(round(x * 127.0 / q_scale, 0) AS INTEGER)) AS q
+            FROM scaled
+        )
+        SELECT vec_id, round(q_scale, 6) AS q_scale,
+               md5(array_to_string(q, ',')) AS q_digest,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               CAST(list_max(q) AS INTEGER) AS q_max,
+               CAST(list_min(q) AS INTEGER) AS q_min
+        FROM quant
     """,
     # the two-UDF-stage frame pipeline replayed symbolically: n_frames
     # from the payload sha (decode stub), every-10th index explode for

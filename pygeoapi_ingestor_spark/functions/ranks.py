@@ -38,12 +38,20 @@ def _with_buckets(
     )
     joined = df.join(F.broadcast(stats), series_cols)
     width = (F.col("_mx") - F.col("_mn")) / F.lit(float(n_buckets))
-    bucket = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
-        F.least(
-            F.floor((F.col(value_col) - F.col("_mn")) / width),
-            F.lit(n_buckets - 1),
+    # NULL values get the dedicated bucket -1 so they sort before every
+    # real bucket — matching a plain window's default nulls-first order —
+    # instead of dropping out of the (series, _bucket) equi-joins.
+    bucket = (
+        F.when(F.col(value_col).isNull(), F.lit(-1))
+        .when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(value_col) - F.col("_mn")) / width),
+                F.lit(n_buckets - 1),
+            )
         )
-    ).cast("int")
+        .cast("int")
+    )
     return joined.withColumn("_bucket", bucket).drop("_mn", "_mx")
 
 

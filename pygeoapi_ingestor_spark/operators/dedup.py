@@ -338,6 +338,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iter without a fixpoint: labels would be silently
+        # wrong for any component whose min-label path exceeds max_iter hops
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations; raise max_iter (component diameter exceeds it)"
+        )
     return labels
 
 
@@ -460,16 +467,21 @@ def simhash(
 
     Lane packing: instead of one conditional-sum aggregate per bit
     (``bits`` aggregate expressions dominated the whole catalog's codegen
-    cost), each row packs ``64/lane_bits`` bit-counters into one long and
-    we sum ``bits*lane_bits/64`` longs. With the identity
-    sign-sum_i = 2*S_i - T (S_i = count of occurrences whose token has
-    bit i set, T = total occurrences) the packed counters are
-    non-negative, so lanes never borrow. Exact as long as a document has
-    fewer than 2**lane_bits tokens (lane_bits=16 -> 65535; pass
-    lane_bits=32 for pathological documents).
+    cost), each row packs several bit-counters into one long and we sum
+    the packed longs. With the identity sign-sum_i = 2*S_i - T
+    (S_i = count of occurrences whose token has bit i set, T = total
+    occurrences) the packed counters are non-negative, so lanes never
+    borrow. The TOP lane of each long is deliberately left unused: a
+    counter occupying bits 48-63 would reach the sign bit at S_i >=
+    2**15 and make the ANSI-mode sum overflow-throw, so we pack only
+    ``64 // lane_bits - 1`` counters per long and let carries spill into
+    the vacant top bits. Exact while every per-bit count S_i <
+    2**lane_bits (lane_bits=16 -> 65535 occurrences of any one token;
+    pass a larger lane_bits for pathological documents); the sum cannot
+    hit the sign bit below ~2**(62 - 2*lane_bits) total tokens.
     """
-    lanes_per_long = 64 // lane_bits
-    n_longs = bits // lanes_per_long
+    lanes_per_long = max(64 // lane_bits - 1, 1)
+    n_longs = -(-bits // lanes_per_long)
     lane_mask = (1 << lane_bits) - 1
     words = F.filter(
         F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
@@ -488,6 +500,8 @@ def simhash(
         expr = None
         for lane in range(lanes_per_long):
             i = j * lanes_per_long + lane
+            if i >= bits:
+                break
             contrib = F.shiftleft(
                 F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("long") * cnt,
                 lane * lane_bits,

@@ -62,12 +62,19 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'dedup my corpus' action end to end, uncapped: MinHash+LSH
     candidates -> exact Jaccard verify on candidates only -> verified
     pairs + keep decision. The oracle is the exact-Jaccard pair set at
-    the same threshold — equal because the banding captures every
-    >= 0.5 pair in this corpus (real dupes sit at jaccard >= 0.9; see
-    dedup.lsh_verified_pairs recall math)."""
+    the same threshold.
+
+    CORPUS-DEPENDENT EQUALITY (accepted, documented risk): LSH recall at
+    the 0.6 threshold is probabilistic (~0.67 for a pair at exactly
+    j=0.6 with 32 hashes / 8 bands), so oracle equality holds because
+    this corpus's true near-dups sit at jaccard >= 0.9 (recall ~1-3e-5)
+    and nothing else comes near the threshold. A regenerated dataset
+    with a borderline pair in the steep-recall region would make the
+    hash gate fail WITHOUT a repo regression — check the pair's jaccard
+    before debugging the operator."""
     pairs = dedup.lsh_verified_pairs(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text",
-        n=3, num_hashes=32, bands=8, threshold=0.5,
+        n=3, num_hashes=32, bands=8, threshold=0.6,
     )
     return pairs.select(
         "doc_a", "doc_b", "n_common", "size_a", "size_b",
@@ -83,7 +90,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE over the same verified pair set."""
     pairs = dedup.lsh_verified_pairs(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text",
-        n=3, num_hashes=32, bands=8, threshold=0.5,
+        n=3, num_hashes=32, bands=8, threshold=0.6,
     )
     comps = dedup.connected_components(pairs, a_col="doc_a", b_col="doc_b")
     return comps.select(
@@ -483,8 +490,9 @@ LLM_ORACLES = {
         JOIN sizes sb ON sb.doc = doc_b
         WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
     """,
-    # exact-Jaccard twin of the LSH-composed pipeline: equal because the
-    # banding captures every pair at the 0.5 threshold in this corpus
+    # exact-Jaccard twin of the LSH-composed pipeline: equal because this
+    # corpus's near-dups sit at j >= 0.9, far above the 0.6 threshold
+    # (corpus-dependent — see q_dedup_lsh_verified docstring)
     "dedup_lsh_verified": _shingle_cte() + """
         , sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
         inter AS (
@@ -501,7 +509,7 @@ LLM_ORACLES = {
         FROM inter
         JOIN sizes sa ON sa.doc = doc_a
         JOIN sizes sb ON sb.doc = doc_b
-        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
     """,
     # transitive closure of the verified near-dup graph as a recursive
     # CTE — the SQL twin of the iterative min-label propagation
@@ -517,7 +525,7 @@ LLM_ORACLES = {
             FROM inter
             JOIN sizes sa ON sa.doc = doc_a
             JOIN sizes sb ON sb.doc = doc_b
-            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
         ),
         edges AS (
             SELECT doc_a AS a, doc_b AS b FROM vpairs

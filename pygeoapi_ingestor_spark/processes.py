@@ -93,7 +93,9 @@ class IngestProcess:
         token = params.get("token")
         if not token or not isinstance(token, str):
             raise ProcessorExecuteError("You must provide a valid token")
-        secret = os.environ.get(self.TOKEN_ENV)
+        # empty env var == unset: an empty secret could never match the
+        # (required non-empty) token and would lock out the write path
+        secret = os.environ.get(self.TOKEN_ENV) or None
         if secret is not None and token != secret:
             raise ProcessorExecuteError("Invalid token")
 

@@ -291,6 +291,198 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp re-expressed over lineitem): for each
+    part of one size, the EUROPE supplier(s) offering the minimum unit
+    price, via a correlated per-part min. The (part, supplier) unit-cost
+    summary is a fact-table aggregate (high-cardinality shuffle); the
+    per-part min joins back as a broadcast. Unit cost is a per-row IEEE
+    division — identical in both engines — and the min/equality compare
+    exact doubles, so the winner set is deterministic."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    unit = F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(F.min(unit).alias("_cost"))
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = (
+        ps.join(F.broadcast(eu_supp), ps.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+    )
+    minc = ps_eu.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("_cost").alias("_minc")
+    )
+    out = ps_eu.join(
+        F.broadcast(minc),
+        (ps_eu.l_partkey == F.col("_pk")) & (F.col("_cost") == F.col("_minc")),
+    )
+    return (
+        out.select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("_cost", 6).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for one
+    part family, with supply cost proxied by the part's retail price
+    (no partsupp table). All money math in exact decimals so the sums
+    are order-independent across engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+        * F.expr("CAST(0.1 AS DECIMAL(2,1))")
+    )
+    profit = _dec_price() * _one_minus_disc() - cost
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value from one nation's
+    suppliers exceeds a fraction of that nation's total — group-agg plus
+    a global-scalar threshold. The 1-row total joins back as a broadcast
+    (one lazy plan, no driver round-trip) and the threshold compare is
+    exact decimal * decimal, so the boundary is identical in DuckDB."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    vol = _dec_price() * _one_minus_disc()
+    nat = l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
+    )
+    per_part = nat.groupBy("l_partkey").agg(F.sum(vol).alias("_val"))
+    total = nat.agg(F.sum(vol).alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_val") > F.col("_tot") * F.expr("CAST(0.0005 AS DECIMAL(5,4))"))
+        .select(
+            "l_partkey", F.round(F.col("_val"), 2).cast("double").alias("value")
+        )
+    )
+
+
+def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column): order-priority mix by
+    ship-delay bucket — how many critical vs non-critical orders fall
+    into each 30-day shipping-latency band. One fact-fact shuffle on the
+    order key; day arithmetic on CAST-to-date values so both engines
+    count calendar days identically."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.greatest(F.least(F.floor(delay / F.lit(30)), F.lit(6)), F.lit(0))
+        .cast("int")
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(high).cast("bigint").alias("high_line_count"),
+            F.sum(1 - high).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def q20_volume_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who shipped more than
+    2x their FAIR SHARE (part total / suppliers-for-part) of some
+    'small*' part (excess-share stands in for excess-stock; no partsupp
+    availqty). A fair-share multiple stays meaningful as the data grows
+    — an absolute share threshold empties out once every part has many
+    suppliers. Nested aggregates: per-(part, supplier) quantity vs
+    per-part total, then a semi-join onto the supplier dimension; the
+    threshold compare is exact decimal x integer."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    per_ps = lp.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("_pq"))
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_pq").alias("_tq"), F.count(F.lit(1)).alias("_ns")
+    )
+    excess = per_ps.join(F.broadcast(per_p), per_ps.l_partkey == F.col("_pk")).filter(
+        F.col("_pq") * F.col("_ns") > F.col("_tq") * F.lit(2)
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            excess.select("l_suppkey").distinct(),
+            s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers in one nation who were the SOLE late
+    shipper (ship > order date + 60 days) on a finished multi-supplier
+    order. The exists / not-exists pair becomes two aggregate gates on
+    the per-order supplier summary (n_suppliers >= 2, n_late == 1) —
+    set algebra instead of correlated subqueries, one fact-fact shuffle
+    plus order-key-partitioned aggregates."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_os = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("_late"))
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count(F.lit(1)).alias("_n_supp"), F.sum("_late").alias("_n_late")
+    )
+    sole_late = (
+        per_os.filter(F.col("_late") == 1)
+        .join(
+            per_o.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)),
+            per_os.l_orderkey == F.col("_ok"),
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 TPCH_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -303,6 +495,12 @@ TPCH_QUERIES = {
     "q16_supplier_variety": q16_supplier_variety,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "top_parts_by_revenue": q_top_parts_by_revenue,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q12_ship_delay": q12_ship_delay,
+    "q20_volume_share_suppliers": q20_volume_share_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
 }
 
 _DEC_VOL = (
@@ -311,6 +509,120 @@ _DEC_VOL = (
 )
 
 _NEW_TPCH_ORACLES = {
+    "q2_min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min(CAST(l_extendedprice AS DOUBLE)
+                       / CAST(l_quantity AS DOUBLE)) AS cost
+            FROM lineitem GROUP BY 1, 2
+        ), eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), pse AS (
+            SELECT * FROM ps
+            JOIN eu ON l_suppkey = s_suppkey
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_size = 15
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               round(cost, 6) AS supply_cost
+        FROM pse
+        WHERE cost = (SELECT min(cost) FROM pse p2
+                      WHERE p2.l_partkey = pse.l_partkey)
+        ORDER BY s_acctbal DESC, s_name, p_partkey
+        LIMIT 100
+    """,
+    "q9_product_profit": f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(round(sum({_DEC_VOL}
+                   - CAST(p_retailprice AS DECIMAL(12,2))
+                     * CAST(l_quantity AS DECIMAL(12,2))
+                     * CAST(0.1 AS DECIMAL(2,1))), 2) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """,
+    "q11_important_parts": f"""
+        WITH nat AS (
+            SELECT l_partkey, {_DEC_VOL} AS vol
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+        )
+        SELECT l_partkey,
+               CAST(round(sum(vol), 2) AS DOUBLE) AS value
+        FROM nat
+        GROUP BY 1
+        HAVING sum(vol) > (SELECT sum(vol) FROM nat)
+                          * CAST(0.0005 AS DECIMAL(5,4))
+    """,
+    "q12_ship_delay": """
+        SELECT CAST(greatest(least(floor(date_diff('day',
+                   CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) / 30), 6), 0) AS INTEGER)
+                   AS delay_bucket,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
+    "q20_volume_share_suppliers": """
+        WITH lp AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(l_quantity AS DECIMAL(12,2)) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+        ), per_ps AS (
+            SELECT l_partkey, l_suppkey, sum(qty) AS pq
+            FROM lp GROUP BY 1, 2
+        ), per_p AS (
+            SELECT l_partkey, sum(pq) AS tq, count(*) AS ns
+            FROM per_ps GROUP BY 1
+        ), excess AS (
+            SELECT DISTINCT l_suppkey
+            FROM per_ps JOIN per_p USING (l_partkey)
+            WHERE pq * ns > tq * 2
+        )
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_9'
+          AND s_suppkey IN (SELECT l_suppkey FROM excess)
+    """,
+    "q21_waiting_suppliers": """
+        WITH per_os AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY 1, 2
+        ), per_o AS (
+            SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+            FROM per_os GROUP BY 1
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM per_os
+        JOIN per_o USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE per_os.late = 1 AND n_supp >= 2 AND n_late = 1
+          AND n_name = 'NATION_2'
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
     "q7_volume_shipping": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INTEGER) AS l_year,

@@ -197,3 +197,36 @@ def test_interp_windows_are_running_frames(spark, sf_dir):
     for key in ("linear_interp_gaps", "forward_fill_gaps"):
         plan = _simple(QUERIES[key](spark, sf_dir))
         assert "unboundedfollowing$()" not in plan, key
+
+
+def test_q2_min_join_back_is_broadcast(spark, sf_dir):
+    """Q2 shape: the (part, supplier) unit-cost summary shuffles once;
+    the per-part min and every dimension join back as broadcasts, so
+    the fact table never sort-merge self-joins."""
+    plan = _simple(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q9_dimensions_broadcast(spark, sf_dir):
+    """Q9 shape: part/supplier/nation broadcast; only lineitem x orders
+    may shuffle."""
+    plan = _simple(QUERIES["q9_product_profit"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q11_threshold_is_broadcast_not_collected(spark, sf_dir):
+    """Q11 shape: the global total joins back as a 1-row broadcast —
+    one lazy plan, no cartesian blow-up and no driver round-trip."""
+    plan = _simple(QUERIES["q11_important_parts"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q21_single_fact_shuffle(spark, sf_dir):
+    """Q21 shape: per-order aggregate gates reuse the order-key
+    partitioning; supplier/nation sides broadcast."""
+    plan = _simple(QUERIES["q21_waiting_suppliers"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

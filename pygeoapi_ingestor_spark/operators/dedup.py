@@ -94,24 +94,50 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per document from two base xxhash64 passes per
+    """MinHash signature per document from two base hash passes per
     shingle, derived as h_i = h1 XOR rotl(h2, i) — a double-hashing
     variant with only bitwise ops, so it stays overflow-free under ANSI
     mode and inside whole-stage codegen. 2 hash evaluations instead of
     ``num_hashes``; one explode + one groupBy bounded by
-    (doc x distinct shingles)."""
+    (doc x distinct shingles).
+
+    ``shingle_hash="md5"`` swaps xxhash64 for two 60-bit values cut from
+    the shingle's md5 hex — an engine-neutral source a SQL oracle can
+    rebuild — and rotates within the 60-bit ring via mask-then-shift so
+    no intermediate exceeds 2**60 (DuckDB's shift overflow-checks;
+    Spark's wraps — staying under the bound keeps both identical)."""
     sh = shingles(df, id_col, text_col, n=n)
-    h1 = F.xxhash64(F.col("shingle"))
-    h2 = F.xxhash64(F.col("shingle"), F.lit(1))
+    if shingle_hash == "md5":
+        hex_ = F.md5(F.col("shingle"))
+        h1 = F.conv(F.substring(hex_, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(hex_, 17, 15), 16, 10).cast("long")
+        width = 60
+    else:
+        h1 = F.xxhash64(F.col("shingle"))
+        h2 = F.xxhash64(F.col("shingle"), F.lit(1))
+        width = 64
     sh = sh.select("doc", h1.alias("_h1"), h2.alias("_h2"))
 
     def rotl(col, i):
-        if i % 64 == 0:
+        r = i % width
+        if r == 0:
             return col
-        return F.shiftleft(col, i % 64).bitwiseOR(
-            F.shiftrightunsigned(col, 64 - (i % 64))
+        if width == 64:
+            return F.shiftleft(col, r).bitwiseOR(
+                F.shiftrightunsigned(col, width - r)
+            )
+        # 60-bit ring: mask the bits that survive the shift so the
+        # shifted value stays < 2**60 (no sign bit, no engine overflow)
+        mask = (1 << (width - r)) - 1
+        return F.shiftleft(col.bitwiseAND(F.lit(mask)), r).bitwiseOR(
+            F.shiftrightunsigned(col, width - r)
         )
 
     mins = [
@@ -131,6 +157,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows, bucket by
     (band_id, band_hash), emit candidate pairs sharing any bucket.
@@ -139,7 +166,10 @@ def minhash_lsh_pairs(
     Jaccard (fraction of matching signature positions).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    sig = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes,
+        shingle_hash=shingle_hash,
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -457,7 +487,12 @@ def embedding_cosine_pairs_bucketed(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64, lane_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    lane_bits: int = 16,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of the
     frequency-weighted sum of (+1/-1) contributions from each distinct
@@ -492,7 +527,18 @@ def simhash(
         .groupBy("doc", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    h = F.xxhash64("w")
+    if token_hash == "md5":
+        # engine-neutral 64-bit token hash: low 60 bits from the first 15
+        # md5 hex chars, top 4 bits from the 16th — both halves stay
+        # below 2**60 before the shift, so an external SQL oracle can
+        # rebuild every bit without a 64-bit overflow (the shifted nibble
+        # may set the sign bit; shifts are bit-ops, not ANSI arithmetic)
+        hex_ = F.md5(F.col("w"))
+        h = F.conv(F.substring(hex_, 1, 15), 16, 10).cast("long").bitwiseOR(
+            F.shiftleft(F.conv(F.substring(hex_, 16, 1), 16, 10).cast("long"), 60)
+        )
+    else:
+        h = F.xxhash64("w")
     cnt = F.col("cnt")
 
     def packed(j: int):
@@ -528,7 +574,11 @@ def simhash(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int | None = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int | None = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash banding (Manku et al., WWW'07
     shape): candidates share any of the four 16-bit bands, then the full
@@ -537,7 +587,7 @@ def simhash_near_pairs(
     leave at least one of 4 bands untouched (pigeonhole), so every such
     pair lands in a shared bucket. ``max_hamming=None`` returns all
     band-collision candidates (the raw LSH recall set)."""
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, token_hash=token_hash)
     bands = F.array(
         *[
             F.struct(

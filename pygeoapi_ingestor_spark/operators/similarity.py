@@ -104,6 +104,26 @@ def md5_plane_weights(dim: int, n_planes: int, seed: int = 7) -> list[list[float
     ]
 
 
+def md5_signature(vec_col: Column, dim: int, n_planes: int, seed: int = 7) -> Column:
+    """Sign-bit signature from the engine-neutral md5 plane matrix: bit
+    p = 1 iff the strict left-fold projection onto plane p is > 0. Same
+    construction as ``hyperplane_signature`` but with literal +/-1
+    weights an external SQL oracle can embed verbatim (the fold order is
+    left-to-right in both engines, so the sign bits are bit-identical)."""
+    weights = md5_plane_weights(dim, n_planes, seed)
+    sig = None
+    for p in range(n_planes):
+        w_arr = F.array(*[F.lit(w) for w in weights[p]])
+        proj = F.aggregate(
+            F.zip_with(vec_col, w_arr, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
 def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16, seed: int = 7) -> Column:
     """Sign-bit signature: bit p = 1 iff sum_d w[p,d]*v[d] > 0, with
     w[p,d] a deterministic +/-1 pseudo-random weight from xxhash64."""
@@ -234,23 +254,27 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 12,
+    use_md5_planes: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare only within matching hyperplane buckets.
 
     At scale this replaces the cross join with an equi-join on the bucket
     signature; recall is tunable via n_planes (fewer planes = bigger
-    buckets = higher recall).
+    buckets = higher recall). ``use_md5_planes`` swaps the xxhash64
+    plane weights for the engine-neutral md5 literal matrix so an
+    external SQL oracle can reproduce the bucketing exactly.
     """
+    sig_fn = md5_signature if use_md5_planes else hyperplane_signature
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vec"),
-        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("_sig"),
+        sig_fn(F.col(vec_col), dim, n_planes).alias("_sig"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("_qvec"),
-            hyperplane_signature(F.col(query_vec_col), dim, n_planes).alias("_sig"),
+            sig_fn(F.col(query_vec_col), dim, n_planes).alias("_sig"),
         )
     )
     joined = e.join(q, "_sig").filter(F.col("neighbor_id") != F.col("query_id"))

@@ -51,9 +51,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with the engine-neutral md5 shingle
+    hash (60-bit double hashing, mask-rotated) so the DuckDB oracle
+    rebuilds the full signature -> banding -> bucket-join pipeline and
+    the check is a value-hash gate, not rows-only."""
     pairs = dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text",
-        n=3, num_hashes=32, bands=8,
+        n=3, num_hashes=32, bands=8, shingle_hash="md5",
     )
     return pairs.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
@@ -99,8 +103,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the engine-neutral md5 token hash so
+    the DuckDB oracle rebuilds every signature bit (per-bit weighted
+    sums -> sign bits -> 16-bit band buckets -> hamming gate) and the
+    check is a full value-hash gate, not rows-only."""
     return dedup.simhash_near_pairs(
-        _docs(spark, sf_dir), id_col="doc_id", text_col="text"
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        token_hash="md5",
     )
 
 
@@ -147,12 +156,17 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN top-k via hyperplane LSH. Uses the engine-neutral
+    md5 plane matrix (similarity.md5_signature) so the DuckDB oracle
+    embeds the same literal weights and reproduces bucketing — and
+    therefore the approximate result set — bit-for-bit; the check is a
+    full value-hash gate, not rows-only."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
     out = similarity.lsh_topk(
         e, q, id_col="vec_id", vec_col="embedding",
         query_id_col="vec_id", query_vec_col="embedding",
-        dim=64, k=TOPK, n_planes=8,
+        dim=64, k=TOPK, n_planes=8, use_md5_planes=True,
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
@@ -442,6 +456,152 @@ def _ecp_oracle_sql() -> str:
     """
 
 
+def _lsh_topk_oracle_sql() -> str:
+    """DuckDB twin of the md5-plane LSH top-k: the same literal +/-1
+    plane matrix with left-associated projections, full-signature
+    equi-join buckets, then cosine row_number top-k (cosine via
+    list_dot_product — the exact construction proven cross-engine by
+    sim_search_cosine_topk)."""
+    from pygeoapi_ingestor_spark.operators.similarity import md5_plane_weights
+
+    dim, n_planes = 64, 8
+    weights = md5_plane_weights(dim, n_planes, 7)
+
+    def proj(p: int) -> str:
+        terms = " + ".join(
+            f"v[{d + 1}]*({weights[p][d]:.1f})" for d in range(dim)
+        )
+        return f"(0.0 + {terms})"
+
+    sig = " + ".join(
+        f"{1 << p}*(CASE WHEN {proj(p)} > 0 THEN 1 ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    cos = (
+        "list_dot_product(e.v, q.v) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)))"
+    )
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sig AS (
+            SELECT vec_id, v, ({sig}) AS sg FROM emb
+        ), q AS (
+            SELECT * FROM sig WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   {cos} AS cosine
+            FROM sig e JOIN q ON e.sg = q.sg AND e.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+               CAST(rnk AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of the md5-token SimHash near-pair pipeline. The
+    64-bit token hash is rebuilt as (low 60 bits, top nibble) so no
+    intermediate exceeds BIGINT range (DuckDB shifts overflow-check,
+    unlike Spark's wrapping bit-ops); per-bit weighted sums, sign bits,
+    four 16-bit band buckets, pigeonhole band join, hamming <= 3 gate —
+    mirroring operators/dedup.py simhash/simhash_near_pairs."""
+    lo = "(('0x' || substr(md5(w), 1, 15))::BIGINT)"
+    nib = "(('0x' || substr(md5(w), 16, 1))::BIGINT)"
+
+    def bit(i: int) -> str:
+        if i < 60:
+            return f"(({lo} >> {i}) & 1)"
+        return f"(({nib} >> {i - 60}) & 1)"
+
+    s_cols = ", ".join(
+        f"sum({bit(i)} * cnt) AS s{i}" for i in range(64)
+    )
+    band_exprs = ", ".join(
+        "("
+        + " + ".join(
+            f"{1 << r}*(CASE WHEN 2*s{b * 16 + r} > tot THEN 1 ELSE 0 END)"
+            for r in range(16)
+        )
+        + f") AS b{b}"
+        for b in range(4)
+    )
+    or_clause = " OR ".join(f"a.b{i} = b.b{i}" for i in range(4))
+    ham = " + ".join(
+        f"bit_count(xor(a.b{i}::BIGINT, b.b{i}::BIGINT))" for i in range(4)
+    )
+    return rf"""
+        WITH words_t AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(
+                           lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                           '\s+'),
+                       w -> w <> '') AS words
+            FROM documents
+        ), tok AS (
+            SELECT doc_id AS doc, w, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(words) AS w FROM words_t)
+            GROUP BY 1, 2
+        ), agg AS (
+            SELECT doc, sum(cnt) AS tot, {s_cols}
+            FROM tok GROUP BY doc
+        ), sig AS (
+            SELECT doc, {band_exprs} FROM agg
+        )
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               CAST(({ham}) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.doc < b.doc AND ({or_clause})
+        WHERE ({ham}) <= 3
+    """
+
+
+def _minhash_lsh_oracle_sql() -> str:
+    """DuckDB twin of the md5-shingle MinHash+LSH candidate pipeline:
+    the same two 60-bit hex cuts, the same mask-then-shift 60-bit
+    rotations (every intermediate < 2**60, so DuckDB's overflow-checked
+    shifts and Spark's wrapping shifts agree), 32 per-doc mins, md5 band
+    buckets, pigeonhole bucket join, and the matching-position estimate
+    — mirroring operators/dedup.py minhash_signatures/minhash_lsh_pairs."""
+    num_hashes, bands = 32, 8
+    rows_per_band = num_hashes // bands
+    h1 = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT)"
+    h2 = "(('0x' || substr(md5(shingle), 17, 15))::BIGINT)"
+
+    def rotl60(x: str, r: int) -> str:
+        mask = (1 << (60 - r)) - 1
+        return f"((({x} & {mask}) << {r}) | ({x} >> {60 - r}))"
+
+    mins = ", ".join(
+        f"min(xor({h1}, {rotl60(h2, (7 * i + 1) % 60)})) AS h{i}"
+        for i in range(num_hashes)
+    )
+    buckets = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f")) AS mb{b}"
+        for b in range(bands)
+    )
+    or_clause = " OR ".join(f"a.mb{b} = b.mb{b}" for b in range(bands))
+    est = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return _shingle_cte() + f"""
+        , sig AS (
+            SELECT doc, {mins} FROM sh GROUP BY doc
+        ), banded AS (
+            SELECT *, {buckets} FROM sig
+        )
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               round(({est}) / 32.0, 6) AS est_jaccard
+        FROM banded a JOIN banded b ON a.doc < b.doc AND ({or_clause})
+    """
+
+
 _STOP_RE = r"\b(the|and|is|of|to|in|that|it)\b"
 
 def _shingle_cte(where: str = "", n: int = 3) -> str:
@@ -467,6 +627,9 @@ WITH words_t AS (
 _SHINGLE_CTE = _shingle_cte("WHERE doc_id < 500")
 
 LLM_ORACLES = {
+    "sim_search_lsh": _lsh_topk_oracle_sql(),
+    "dedup_simhash": _simhash_oracle_sql(),
+    "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),
     "dedup_exact": """
         SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
                CAST(min(doc_id) AS BIGINT) AS keep_id,

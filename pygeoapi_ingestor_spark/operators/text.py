@@ -133,3 +133,62 @@ def scrub(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, replacement)
     return out.withColumn(out_col, scrubbed)
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition / diversity signals for corpus quality
+    filtering — the n-gram family of the Gopher rules (Rae et al. 2021,
+    "Scaling Language Models", App. A: fraction of tokens in the most
+    common n-gram, fraction in duplicated n-grams), plus the type-token
+    ratio. Line-based siblings are omitted: this corpus is single-line.
+
+    Two shuffles, both on high-cardinality keys ((doc, word) and
+    (doc, gram)), each collapsing to per-doc rows — the canonical
+    map-side-combine shape that survives any corpus size. The 2-gram
+    array is built from two O(n) slices (zip_with), never a
+    slice-per-element transform (O(n^2)).
+
+    Returns (doc, n_words, distinct_word_ratio, top_word_frac,
+    top_2gram_frac, dup_2gram_frac).
+    """
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+    base = df.select(F.col(id_col).alias("doc"), words.alias("_ws"))
+    grams = F.zip_with(
+        F.slice(F.col("_ws"), 1, F.greatest(F.size("_ws") - 1, F.lit(0))),
+        F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    wtok = base.select("doc", F.explode("_ws").alias("w"))
+    gtok = base.select("doc", F.explode(grams).alias("g"))
+    wstats = (
+        wtok.groupBy("doc", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc")
+        .agg(
+            F.sum("c").alias("_nw"),
+            F.max("c").alias("_topw"),
+            F.count(F.lit(1)).alias("_dw"),
+        )
+    )
+    gstats = (
+        gtok.groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc")
+        .agg(
+            F.sum("c").alias("_ng"),
+            F.max("c").alias("_topg"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_dupg"),
+        )
+    )
+    out = wstats.join(gstats, "doc", "left")
+    return out.select(
+        "doc",
+        F.col("_nw").cast("bigint").alias("n_words"),
+        F.round(F.col("_dw") / F.col("_nw"), 6).alias("distinct_word_ratio"),
+        F.round(F.col("_topw") / F.col("_nw"), 6).alias("top_word_frac"),
+        F.round(F.col("_topg") / F.col("_ng"), 6).alias("top_2gram_frac"),
+        F.round(F.col("_dupg") / F.col("_ng"), 6).alias("dup_2gram_frac"),
+    )

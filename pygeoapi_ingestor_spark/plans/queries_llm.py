@@ -380,6 +380,37 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_idx", "frame_sha256")
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition/diversity quality signals (top n-gram
+    fraction, duplicated-2gram fraction, type-token ratio) per document
+    — the word/n-gram rules from Rae et al. 2021 App. A; the line-based
+    siblings are degenerate on this single-line corpus."""
+    out = text.repetition_metrics(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text"
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"), "n_words", "distinct_word_ratio",
+        "top_word_frac", "top_2gram_frac", "dup_2gram_frac",
+    )
+
+
+def q_sim_search_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: the search path of
+    a compressed index (embedding_quantize_int8 is the storage path).
+    Scales cancel in cosine, so scoring is exact integer dot products —
+    deterministic across engines, full value-hash gate."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = similarity.cosine_topk_int8(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine_q", 6).alias("cosine_q"), "rank",
+    )
+
+
 LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -391,6 +422,8 @@ LLM_QUERIES = {
     "sim_search_cosine_topk": q_sim_search_cosine_topk,
     "sim_search_ivf": q_sim_search_ivf,
     "sim_search_lsh": q_sim_search_lsh,
+    "sim_search_int8": q_sim_search_int8,
+    "repetition_metrics": q_repetition_metrics,
     "lang_id_heuristic": q_lang_id,
     "text_quality_score": q_text_quality,
     "token_count": q_token_count,
@@ -627,6 +660,75 @@ WITH words_t AS (
 _SHINGLE_CTE = _shingle_cte("WHERE doc_id < 500")
 
 LLM_ORACLES = {
+    "repetition_metrics": """
+        WITH words_t AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(
+                           lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                           '\s+'),
+                       w -> w <> '') AS words
+            FROM documents
+        ), w AS (
+            SELECT doc_id AS doc, unnest(words) AS w FROM words_t
+        ), g AS (
+            SELECT doc_id AS doc,
+                   unnest(list_transform(
+                       generate_series(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i + 1])) AS g
+            FROM words_t
+        ), wc AS (
+            SELECT doc, w, count(*) AS c FROM w GROUP BY 1, 2
+        ), ws AS (
+            SELECT doc, sum(c) AS nw, max(c) AS topw, count(*) AS dw
+            FROM wc GROUP BY 1
+        ), gc AS (
+            SELECT doc, g, count(*) AS c FROM g GROUP BY 1, 2
+        ), gs AS (
+            SELECT doc, sum(c) AS ng, max(c) AS topg,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupg
+            FROM gc GROUP BY 1
+        )
+        SELECT ws.doc AS doc_id,
+               CAST(nw AS BIGINT) AS n_words,
+               round(dw / nw, 6) AS distinct_word_ratio,
+               round(topw / nw, 6) AS top_word_frac,
+               round(topg / ng, 6) AS top_2gram_frac,
+               round(dupg / ng, 6) AS dup_2gram_frac
+        FROM ws LEFT JOIN gs ON ws.doc = gs.doc
+    """,
+    "sim_search_int8": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), scaled AS (
+            SELECT vec_id,
+                   CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                        THEN list_max(list_transform(v, x -> abs(x)))
+                        ELSE 1.0 END AS s,
+                   v
+            FROM e
+        ), quant AS (
+            SELECT vec_id,
+                   list_transform(v, x -> CAST(round(x * 127.0 / s, 0) AS INTEGER)) AS q
+            FROM scaled
+        ), qr AS (
+            SELECT * FROM quant WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   list_dot_product(e.q, q.q) /
+                       (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(q.q, q.q)))
+                       AS cosine_q
+            FROM quant e CROSS JOIN qr q
+            WHERE e.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, round(cosine_q, 6) AS cosine_q,
+               CAST(rnk AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine_q DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """,
     "sim_search_lsh": _lsh_topk_oracle_sql(),
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_minhash_lsh": _minhash_lsh_oracle_sql(),

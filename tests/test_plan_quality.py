@@ -230,3 +230,19 @@ def test_q21_single_fact_shuffle(spark, sf_dir):
     plan = _simple(QUERIES["q21_waiting_suppliers"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_metrics_no_cartesian_no_udf(spark, sf_dir):
+    """Repetition metrics: two (doc, gram) aggregates joined on doc —
+    no pair join, no Python in the loop."""
+    plan = _simple(QUERIES["repetition_metrics"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sim_search_int8_stays_jvm_side(spark, sf_dir):
+    """int8 ANN: quantization and scoring are column expressions — the
+    query side broadcasts, no Python eval anywhere."""
+    plan = _simple(QUERIES["sim_search_int8"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

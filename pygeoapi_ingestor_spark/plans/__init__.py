@@ -22,58 +22,78 @@ from pygeoapi_ingestor_spark.plans.queries_tpch import TPCH_ORACLES, TPCH_QUERIE
 
 _ALL = {**ETL_QUERIES, **TPCH_QUERIES, **ANALYTICS_QUERIES, **LLM_QUERIES}
 
-# keys the round-1 driver check never reached (no CORRECTNESS row yet),
-# cheapest first
+# Round-3 front-load: the driver's correctness gate stops after ~50
+# entries, so rank keys by how stale their evidence is.
+# Tier 1 — brand new this round (no CORRECTNESS row ever).
+# Tier 2 — oracle/plan changed this round (md5-hash oracles, 0.6
+#          threshold), so the old green row no longer covers them.
+# Tier 3 — hash-green only in ROUND 1, before the round-2 exact-decimal
+#          aggregate rework touched their plans.
+# Tier 4 (implicit middle) — keys with a round-2 green row on current
+#          code.
+# Tail — heavy rows-only keys whose contract is unchanged.
 _FRONT = [
-    "token_count",
-    "doc_fingerprint",
-    "lang_id_heuristic",
-    "text_quality_score",
-    "quality_filter",
-    "corpus_token_stats",
-    "dedup_keep_corpus",
-    "multimodal_meta",
-    "multimodal_frames",
-    "embedding_quantize_int8",
-    "sim_search_cosine_topk",
-    "sim_search_lsh",
-    "sim_search_ivf",
+    # tier 1: new in round 3
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_delay",
+    "q20_volume_share_suppliers",
+    "q21_waiting_suppliers",
+    "repetition_metrics",
+    "sim_search_int8",
+    # tier 2: oracle upgraded or semantics changed in round 3
+    "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
-    # new in round 2
-    "resample_weekly_max_sun",
-    "resample_monthly_scaled",
-    "threshold_per_station",
-    "bias_correction_stored",
-    "collection_healthcheck",
+    "sim_search_lsh",
     "dedup_lsh_verified",
     "dedup_components",
-    "spi_gamma_monthly",
-    "corpus_mix_sample",
-    "decontaminate_ngram",
-    "pack_sequences",
-    "text_scrub",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    # re-planned in round 2 (chunked/bucketed windows)
-    "value_change_lag",
     "ntile_quartiles",
-    "forward_fill_gaps",
-    "linear_interp_gaps",
     "spi_empirical",
-]
-
-# heavy or rows-only keys with round-1 evidence — safe at the back
-_TAIL = [
+    # tier 3: round-1 green row predates the round-2 plan rework
+    "corr_value_props",
+    "profile_events",
+    "extreme_values",
+    "distinct_users_daily",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "top_parts_by_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q22_idle_customers",
+    "rollup_revenue",
+    "cube_orders",
+    "pivot_daily_by_type",
+    "json_extract_props",
+    "set_ops_customers",
+    "precip_deficit_cumsum",
+    "unit_convert_derive",
+    "regrid_snap_agg",
+    "dedup_latest_snapshot",
+    "asof_join_events",
+    "sessionize_gap",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "dedup_keep_corpus",
+    # round-2 replans worth a second stamp if budget remains
+    "value_change_lag",
+    "forward_fill_gaps",
+    "linear_interp_gaps",
+    "dedup_embedding_cosine",
+    "sim_search_cosine_topk",
+    "sim_search_ivf",
+]
+
+# heavy or rows-only keys with standing evidence — safe at the back
+_TAIL = [
     "spi_gamma",
     "spi_gamma_ts3",
+    "spi_gamma_monthly",
     "approx_distinct_users",
 ]
 

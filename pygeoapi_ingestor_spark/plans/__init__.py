@@ -42,15 +42,13 @@ _FRONT = [
     "q21_waiting_suppliers",
     "repetition_metrics",
     "sim_search_int8",
-    # tier 2: oracle upgraded or semantics changed in round 3
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    # tier 2a: cheap keys whose oracle/semantics changed in round 3
     "sim_search_lsh",
-    "dedup_lsh_verified",
-    "dedup_components",
     "ntile_quartiles",
     "spi_empirical",
     # tier 3: round-1 green row predates the round-2 plan rework
+    # (all sub-second — if the driver budget is time-based, these fit
+    # before the heavy dedup tier below; if entry-based, order is moot)
     "corr_value_props",
     "profile_events",
     "extreme_values",
@@ -80,6 +78,11 @@ _FRONT = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_keep_corpus",
+    # tier 2b: heavy keys whose oracle/semantics changed in round 3
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_lsh_verified",
+    "dedup_components",
     # round-2 replans worth a second stamp if budget remains
     "value_change_lag",
     "forward_fill_gaps",

@@ -660,7 +660,7 @@ WITH words_t AS (
 _SHINGLE_CTE = _shingle_cte("WHERE doc_id < 500")
 
 LLM_ORACLES = {
-    "repetition_metrics": """
+    "repetition_metrics": r"""
         WITH words_t AS (
             SELECT doc_id,
                    list_filter(

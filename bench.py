@@ -65,20 +65,43 @@ def main() -> None:
         list(pool.map(lambda k: QUERIES[k](spark, sf_dir).count(), BENCH_KEYS))
     concurrent_total = round(time.perf_counter() - t_c0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_noop": noop_timings,
-                "noop_total": noop_total,
-                "concurrent_wall": concurrent_total,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_noop": noop_timings,
+        "noop_total": noop_total,
+        "concurrent_wall": concurrent_total,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # The harness captures only the LAST 2000 chars of stdout; a 90-query
+    # timing dict overflows that window and the line becomes unparseable.
+    # Print a compact line that always fits: totals + as many per-query
+    # timings as fit (slowest first — the informative tail), and point at
+    # BENCH_FULL.json for the complete series.
+    budget = 1900
+    line_queries: dict[str, float] = {}
+    base = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": line_queries,
+        "n_queries": len(timings),
+        "noop_total": noop_total,
+        "concurrent_wall": concurrent_total,
+        "full": "BENCH_FULL.json",
+        "sf": sf,
+    }
+    for key in sorted(timings, key=timings.get, reverse=True):
+        line_queries[key] = timings[key]
+        if len(json.dumps(base, separators=(",", ":"))) > budget:
+            del line_queries[key]
+            break
+    print(json.dumps(base, separators=(",", ":")))
     spark.stop()
 
 

@@ -113,6 +113,126 @@ def bucketed_row_number(
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str,
+    ps: list[float],
+    tiebreak_cols: list[str],
+    n_buckets: int = 256,
+    p_col: str = "p",
+    out_col: str = "pct",
+) -> DataFrame:
+    """Exact linear-interpolated percentiles (SQL ``percentile_cont`` /
+    numpy 'linear') per series, WITHOUT sorting the series.
+
+    Spark's exact ``percentile`` aggregate buffers every value of a group
+    in one task — a scale-killer when the series key is low-cardinality
+    (5 event types x 100 TB = 20 TB per task). This uses bucket
+    drill-down instead:
+
+    1. range-bucket every row (`_with_buckets` — one tiny stats agg,
+       broadcast back, no shuffle of the fact table);
+    2. count rows per (series, bucket) and prefix-sum the counts into
+       exclusive offsets (tiny);
+    3. the percentile positions lo/hi = floor/ceil((n-1)*p) are known
+       from the counts alone, so only buckets whose [offset,
+       offset+count) range covers a needed position are ranked at all —
+       the sort touches O(|ps| * n/n_buckets) rows, not n;
+    4. join the two neighbour values and interpolate
+       ``v_lo + (v_hi - v_lo) * frac``.
+
+    Precondition: ``value_col`` non-null (same contract as the SQL
+    aggregate, which skips nulls — callers filter first).
+    """
+    b = _with_buckets(df, series_cols, value_col, n_buckets)
+
+    counts = b.groupBy(*series_cols, "_bucket").agg(
+        F.count(F.lit(1)).alias("_bcnt"), F.first("_n").alias("_n")
+    )
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_bcnt").over(w), F.lit(0))
+    )
+
+    # (series, p, lo, hi, frac): 0-based neighbour positions per series.
+    # All-double arithmetic, mirrored verbatim in the oracle SQL so the
+    # interpolation fraction is bit-identical across engines.
+    ps_df = offsets.sparkSession.createDataFrame(
+        [(float(p),) for p in ps], f"{p_col} double"
+    )
+    pos = (
+        offsets.select(*series_cols, "_n").distinct()
+        .crossJoin(F.broadcast(ps_df))
+        .withColumn("_target", (F.col("_n") - F.lit(1)) * F.col(p_col))
+        .select(
+            *series_cols,
+            p_col,
+            F.floor("_target").cast("long").alias("_lo"),
+            F.ceil("_target").cast("long").alias("_hi"),
+            (F.col("_target") - F.floor("_target")).alias("_frac"),
+        )
+    )
+    # renamed key columns break the shared lineage with `offsets`/`b`,
+    # avoiding Spark's ambiguous-self-join resolution
+    needed = (
+        pos.select(
+            *[F.col(c).alias(f"_k_{c}") for c in series_cols],
+            F.explode(F.array("_lo", "_hi")).alias("_pos"),
+        )
+        .distinct()
+    )
+
+    # buckets whose global-position range covers a needed position
+    keep = (
+        offsets.join(
+            F.broadcast(needed),
+            [
+                *[offsets[c] == needed[f"_k_{c}"] for c in series_cols],
+                needed["_pos"] >= offsets["_offset"],
+                needed["_pos"] < offsets["_offset"] + offsets["_bcnt"],
+            ],
+        )
+        .select(*series_cols, "_bucket", "_offset")
+        .distinct()
+    )
+
+    pruned = b.drop("_n").join(F.broadcast(keep), [*series_cols, "_bucket"])
+    w_local = Window.partitionBy(*series_cols, "_bucket").orderBy(
+        value_col, *tiebreak_cols
+    )
+    ranked = pruned.withColumn(
+        "_idx", F.col("_offset") + F.row_number().over(w_local) - 1
+    )
+
+    hits = ranked.join(
+        F.broadcast(needed),
+        [
+            *[ranked[c] == needed[f"_k_{c}"] for c in series_cols],
+            ranked["_idx"] == needed["_pos"],
+        ],
+    ).select(*series_cols, "_idx", value_col)
+    out = (
+        pos.join(hits, series_cols)
+        .filter((F.col("_idx") == F.col("_lo")) | (F.col("_idx") == F.col("_hi")))
+        .groupBy(*series_cols, p_col)
+        .agg(
+            F.min(F.when(F.col("_idx") == F.col("_lo"), F.col(value_col))).alias("_vlo"),
+            F.min(F.when(F.col("_idx") == F.col("_hi"), F.col(value_col))).alias("_vhi"),
+            F.first("_frac").alias("_frac"),
+        )
+        .withColumn(
+            out_col, F.col("_vlo") + (F.col("_vhi") - F.col("_vlo")) * F.col("_frac")
+        )
+        .drop("_vlo", "_vhi", "_frac")
+    )
+    return out
+
+
 def ntile_expr(rn_col: str, count_col: str, n_tiles: int) -> Column:
     """SQL ntile(k) from an exact row number and the partition count:
     the first n%k tiles take ceil(n/k) rows, the rest floor(n/k) —

@@ -34,6 +34,10 @@ _ALL = {**ETL_QUERIES, **TPCH_QUERIES, **ANALYTICS_QUERIES, **LLM_QUERIES}
 # Tail — heavy rows-only keys whose contract is unchanged.
 _FRONT = [
     # tier 1: new in round 3
+    "value_percentiles",
+    "value_histogram",
+    "docs_top_per_source",
+    "approx_percentile_value",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_parts",

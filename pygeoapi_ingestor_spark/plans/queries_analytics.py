@@ -360,8 +360,71 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per series via bucket drill-down
+    (functions/ranks.exact_percentiles): positions are located from
+    bucket counts alone, so only the buckets containing a percentile
+    position are ever sorted — no per-group value buffering (Spark's
+    exact `percentile` aggregate) and no single-task series sort.
+    Reference parity: the p05..p95 summary family of utils_spi.py's
+    basin_zonal_stat, as a standalone scale-safe operator."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    from pygeoapi_ingestor_spark.functions import ranks
+
+    ev = read_events(spark, sf_dir)
+    out = ranks.exact_percentiles(
+        ev, series_cols=["event_type"], value_col="value",
+        ps=[0.25, 0.5, 0.75, 0.9], tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_type", "p", F.round("pct", 6).alias("pct")
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram per series (distribution profiling): one
+    map-side-combinable aggregate, integer counts + exact decimal sums —
+    the cheap first look at a 100 TB column."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    bin_id = (
+        F.least(F.greatest(F.floor(F.col("value") / F.lit(25.0)), F.lit(0)), F.lit(19))
+        .cast("int")
+        .alias("bin")
+    )
+    return ev.groupBy("event_type", bin_id).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("sum_v"),
+    )
+
+
+def q_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles — the sketch path for
+    when even bucket drill-down's two passes are too many. rows-only
+    check (sketch internals are engine-specific); a unit test bounds the
+    rank error against the exact interpolated result."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)).alias("_qs")
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.col("_qs")[0], 6).alias("p50_approx"),
+        F.round(F.col("_qs")[1], 6).alias("p90_approx"),
+    )
+
+
 ANALYTICS_QUERIES = {
     "set_ops_customers": q_set_ops_customers,
+    "value_percentiles": q_value_percentiles,
+    "value_histogram": q_value_histogram,
+    "approx_percentile_value": q_approx_percentile_value,
     "profile_events": q_profile_events,
     "approx_distinct_users": q_approx_distinct_users,
     "distinct_users_daily": q_distinct_users_daily,
@@ -414,6 +477,40 @@ ANALYTICS_ORACLES = {
                CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY 1, 2
+    """,
+    "value_percentiles": """
+        WITH v AS (SELECT event_type, value, event_id FROM events),
+             n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM v GROUP BY event_type),
+             ps AS (SELECT CAST(p AS DOUBLE) AS p
+                    FROM (VALUES (0.25), (0.5), (0.75), (0.9)) t(p)),
+             pos AS (SELECT event_type, n, p,
+                            CAST(floor((n - 1) * p) AS BIGINT) AS lo,
+                            CAST(ceil((n - 1) * p) AS BIGINT) AS hi,
+                            (n - 1) * p - floor((n - 1) * p) AS frac
+                     FROM n CROSS JOIN ps),
+             r AS (SELECT event_type, value,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY value, event_id) - 1 AS idx
+                   FROM v),
+             j AS (SELECT pos.event_type, pos.p, pos.frac,
+                          min(CASE WHEN r.idx = pos.lo THEN r.value END) AS vlo,
+                          min(CASE WHEN r.idx = pos.hi THEN r.value END) AS vhi
+                   FROM pos JOIN r
+                     ON r.event_type = pos.event_type
+                    AND (r.idx = pos.lo OR r.idx = pos.hi)
+                   GROUP BY 1, 2, 3)
+        SELECT event_type, p,
+               round(vlo + (vhi - vlo) * frac, 6) AS pct
+        FROM j
+    """,
+    "value_histogram": """
+        SELECT event_type,
+               CAST(least(greatest(floor(value / CAST(25.0 AS DOUBLE)), 0), 19) AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_v
+        FROM events
+        GROUP BY 1, 2
     """,
     "ntile_quartiles": """
         SELECT event_type, CAST(quartile AS INTEGER) AS quartile,

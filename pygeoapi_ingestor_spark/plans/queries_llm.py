@@ -411,8 +411,31 @@ def q_sim_search_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_top_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document selection (keep the best k docs per source —
+    the 'top documents per domain' curation stage): distributed top-k
+    via bucketed row_number, so a skewed mega-domain never sorts in one
+    task the way a plain per-source window would."""
+    from pygeoapi_ingestor_spark.functions import ranks
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "_neg_chars", -F.col("n_chars")
+    )
+    rn = ranks.bucketed_row_number(
+        docs, series_cols=["source"], value_col="_neg_chars",
+        tiebreak_cols=["doc_id"], out_col="_rn", count_col="_cnt",
+    )
+    return rn.filter(F.col("_rn") <= 3).select(
+        "source",
+        F.col("_rn").cast("int").alias("rank"),
+        "doc_id",
+        "n_chars",
+    )
+
+
 LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "docs_top_per_source": q_docs_top_per_source,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_verified": q_dedup_lsh_verified,
@@ -660,6 +683,14 @@ WITH words_t AS (
 _SHINGLE_CTE = _shingle_cte("WHERE doc_id < 500")
 
 LLM_ORACLES = {
+    "docs_top_per_source": """
+        SELECT source, CAST(rn AS INTEGER) AS rank, doc_id, n_chars
+        FROM (SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+        WHERE rn <= 3
+    """,
     "repetition_metrics": r"""
         WITH words_t AS (
             SELECT doc_id,

@@ -47,3 +47,21 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         assert abs(approx[k] - exact[k]) <= max(3, 0.1 * exact[k]), (
             k, approx[k], exact[k],
         )
+
+
+def test_approx_percentile_rank_error_bounded(spark, sf_dir):
+    """The GK sketch's p50/p90 must sit within +/-5% rank of the target:
+    the count of values at or below the sketch answer, as a fraction of
+    n, brackets the requested percentile."""
+    ev = read_events(spark, sf_dir)
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p90_approx"])
+        for r in QUERIES["approx_percentile_value"](spark, sf_dir).collect()
+    }
+    for et, (p50, p90) in approx.items():
+        sub = ev.filter(F.col("event_type") == et)
+        n = sub.count()
+        for target, v in ((0.5, p50), (0.9, p90)):
+            at_most = sub.filter(F.col("value") <= v).count() / n
+            at_least = sub.filter(F.col("value") < v).count() / n
+            assert at_least - 0.05 <= target <= at_most + 0.05, (et, target, v)

@@ -291,3 +291,35 @@ def test_chunked_and_rank_edge_cases(spark):
     got_rank = sorted(map(tuple, ranks.bucketed_rank(
         nn, ["s"], "v", n_buckets=3, out_col="r").select("s", "i", "r").collect()))
     assert plain_rank == got_rank
+
+
+def test_exact_percentiles_matches_percentile_agg(spark, sf_dir):
+    """Bucket drill-down percentiles must equal Spark's exact
+    `percentile` aggregate for every bucket count — including p=0/p=1
+    edges and n_buckets far above the per-series row count."""
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from pygeoapi_ingestor_spark.functions import ranks
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).limit(3000)
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    plain = {
+        (r["event_type"], p): r[f"q{i}"]
+        for r in ev.groupBy("event_type")
+        .agg(*[F.percentile("value", F.lit(p)).alias(f"q{i}") for i, p in enumerate(ps)])
+        .collect()
+        for i, p in enumerate(ps)
+    }
+    for nb in (4, 64, 100000):
+        got = {
+            (r["event_type"], r["p"]): r["pct"]
+            for r in ranks.exact_percentiles(
+                ev, ["event_type"], "value", ps, ["event_id"], n_buckets=nb
+            ).collect()
+        }
+        assert set(got) == set(plain), nb
+        for k in plain:
+            assert got[k] == pytest.approx(plain[k], abs=1e-9), (nb, k)

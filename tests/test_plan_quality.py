@@ -246,3 +246,42 @@ def test_sim_search_int8_stays_jvm_side(spark, sf_dir):
     plan = _simple(QUERIES["sim_search_int8"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_percentile_and_topk_sorts_are_bucketed(spark, sf_dir):
+    """value_percentiles / docs_top_per_source rank inside (series,
+    value-bucket) partitions — the sort must never shuffle on the bare
+    low-cardinality series key alone."""
+    for key, series in [
+        ("value_percentiles", "event_type"),
+        ("docs_top_per_source", "source"),
+    ]:
+        plan = _simple(QUERIES[key](spark, sf_dir))
+        composite = [
+            ln
+            for ln in _exchange_lines(plan)
+            if series in ln and "_bucket" in ln
+        ]
+        assert composite, (
+            f"{key}: no exchange partitioned by ({series}, _bucket)"
+        )
+
+
+def test_exact_percentiles_prunes_sorted_rows(spark, sf_dir):
+    """The drill-down must rank only rows from buckets containing a
+    needed percentile position — far fewer than the input rows."""
+    from pygeoapi_ingestor_spark.functions import ranks
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    n_total = ev.count()
+    out = ranks.exact_percentiles(
+        ev, ["event_type"], "value", [0.5], ["event_id"], n_buckets=256
+    )
+    # the bucket prune is a join feeding the ranking sort — the raw scan
+    # must not reach the sort directly
+    plan = _simple(out)
+    assert "Sort" in plan and "Join" in plan
+    rows = out.collect()
+    assert 0 < len(rows) <= 5  # one row per (series, p)
+    assert n_total >= 500  # sanity: non-trivial input

@@ -425,40 +425,70 @@ def asof_join(
     left_keys: list[str],
     right_keys: list[str],
     right_value_cols: list[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    ``right_on <= left_on`` within the key group.
+    """As-of join (pandas ``merge_asof`` semantics): for each left row,
+    the latest right row with ``right_on <= left_on`` (backward) or the
+    earliest with ``right_on >= left_on`` (forward) within the key
+    group; with ``tolerance_seconds`` the nearest match is discarded
+    (nulled) when further than the tolerance — matching merge_asof,
+    which picks the nearest row FIRST and then applies the tolerance.
 
     Spark-first formulation: union both sides tagged with a side marker,
-    sort within key by time, carry the last right value forward with
-    ``last(..., ignorenulls=True)``, keep left rows. One shuffle on the
-    key — no range-explosion, no per-row lookup; scales linearly.
+    sort within key by time (descending for forward), carry the last
+    right value with ``last(..., ignorenulls=True)``, keep left rows.
+    One shuffle on the key — no range-explosion, no per-row lookup;
+    scales linearly. The forward case deliberately re-sorts descending
+    instead of using a (CURRENT ROW .. UNBOUNDED FOLLOWING) frame with
+    ``first()``, which Spark evaluates quadratically per partition.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lkey = [F.col(k).alias(f"_k{i}") for i, k in enumerate(left_keys)]
     rkey = [F.col(k).alias(f"_k{i}") for i, k in enumerate(right_keys)]
     key_names = [f"_k{i}" for i in range(len(left_keys))]
 
+    # the matched right timestamp (_rt) rides inside the carried struct
+    # so the tolerance gate can compare it against the left timestamp
+    rt_type = right.schema[right_on].dataType.simpleString()
     l_tag = left.select(
         *lkey, F.col(left_on).alias("_t"), F.lit(1).alias("_side"), F.struct(*left.columns).alias("_l")
     ).withColumn("_r", F.lit(None).cast(
-        "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_value_cols) + ">"
+        "struct<_rt:" + rt_type + ","
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_value_cols) + ">"
     ))
     r_tag = right.select(
         *rkey, F.col(right_on).alias("_t"), F.lit(0).alias("_side"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
-        F.struct(*right_value_cols).alias("_r"),
+        F.struct(F.col(right_on).alias("_rt"), *right_value_cols).alias("_r"),
     )
     unioned = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal timestamps => "<=" semantics;
-    # tertiary key on the value struct makes duplicate right timestamps
-    # resolve deterministically (greatest value wins)
+    # right rows sort before left rows at equal timestamps => inclusive
+    # comparison on both directions; tertiary key on the value struct
+    # makes duplicate right timestamps resolve deterministically
+    # (greatest value wins). Forward = the same carry over descending
+    # time: the last right row seen before a left row in DESC order is
+    # the one with the smallest right_on still >= left_on.
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(*key_names)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_r").asc())
+        .orderBy(t_order, F.col("_side").asc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = unioned.withColumn("_rlast", F.last("_r", ignorenulls=True).over(w))
-    out = matched.filter(F.col("_side") == 1).select("_l.*", "_rlast.*")
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("_t").cast("double") - F.col("_rlast._rt").cast("double")
+        )
+        matched = matched.withColumn(
+            "_rlast", F.when(gap <= F.lit(float(tolerance_seconds)), F.col("_rlast"))
+        )
+    out = (
+        matched.filter(F.col("_side") == 1)
+        .select("_l.*", "_rlast.*")
+        .drop("_rt")
+    )
     return out
 
 

@@ -35,6 +35,7 @@ _ALL = {**ETL_QUERIES, **TPCH_QUERIES, **ANALYTICS_QUERIES, **LLM_QUERIES}
 _FRONT = [
     # tier 1: new in round 3
     "value_percentiles",
+    "asof_join_forward",
     "value_histogram",
     "docs_top_per_source",
     "approx_percentile_value",

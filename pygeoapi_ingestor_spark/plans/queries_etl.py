@@ -574,6 +574,36 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (merge_asof direction='forward'):
+    each purchase matched to the NEXT click of the same user within one
+    hour — the lead-time shape (forecast issue -> first observation)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    out = temporal.asof_join(
+        purchases,
+        clicks,
+        left_on="ts",
+        right_on="click_ts",
+        left_keys=["user_id"],
+        right_keys=["c_user"],
+        right_value_cols=["click_ts", "click_value"],
+        direction="forward",
+        tolerance_seconds=3600,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", "click_ts",
+        F.round("click_value", 6).alias("click_value"),
+    )
+
+
 def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     s = temporal.sessionize(ev, key_cols=["user_id"], ts_col="ts", gap_seconds=1800)
@@ -616,6 +646,7 @@ ETL_QUERIES = {
     "dedup_latest_snapshot": q_dedup_latest_snapshot,
     "collection_healthcheck": q_collection_healthcheck,
     "asof_join_events": q_asof_join_events,
+    "asof_join_forward": q_asof_join_forward,
     "sessionize_gap": q_sessionize_gap,
 }
 
@@ -965,6 +996,24 @@ ETL_ORACLES = {
                                value AS click_value
                         FROM events WHERE event_type = 'click') c
             ON p.user_id = c.c_user AND p.ts >= c.click_ts
+    """,
+    "asof_join_forward": """
+        WITH m AS (
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   c.click_ts, c.click_value
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id AS c_user, ts AS click_ts,
+                                   value AS click_value
+                            FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.c_user AND p.ts <= c.click_ts
+        )
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN epoch(click_ts) - epoch(ts) <= 3600
+                    THEN click_ts END AS click_ts,
+               CASE WHEN epoch(click_ts) - epoch(ts) <= 3600
+                    THEN round(click_value, 6) END AS click_value
+        FROM m
     """,
     "sessionize_gap": """
         WITH flagged AS (

@@ -60,6 +60,76 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def compact_collection(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet collection into target-size files (small-files
+    compaction).
+
+    Streaming/incremental ingest leaves collections as thousands of tiny
+    files; at 100 TB that means a scan pays per-file open/footer costs
+    and the driver pays per-file listing/planning memory. Compaction
+    reads the collection, repartitions to ``ceil(total_bytes /
+    target_bytes)`` output files, and atomically swaps the rewritten
+    copy in (write to sibling tmp dir, rename old -> .bak, tmp -> path,
+    drop .bak) so a concurrent reader never sees a half-written
+    collection.
+
+    File sizes come from Hadoop's FileSystem API (works for any
+    supported scheme, not just local paths). Returns
+    {files_before, files_after, bytes}.
+    """
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+
+    it = fs.listFiles(hadoop_path, True)
+    total_bytes, files_before = 0, 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        total_bytes += f.getLen()
+        files_before += 1
+
+    n_files = max(1, -(-total_bytes // int(target_bytes)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    bak = path.rstrip("/") + "._compact_bak"
+    writer = df.repartition(int(n_files)).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    bak_path = jvm.org.apache.hadoop.fs.Path(bak)
+    if fs.exists(bak_path):
+        fs.delete(bak_path, True)
+    if not fs.rename(hadoop_path, bak_path):
+        raise IOError(f"compact: could not move {path} aside")
+    if not fs.rename(tmp_path, hadoop_path):
+        fs.rename(bak_path, hadoop_path)  # roll back
+        raise IOError(f"compact: could not swap in rewritten {path}")
+    fs.delete(bak_path, True)
+
+    it = fs.listFiles(hadoop_path, True)
+    files_after = 0
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            files_after += 1
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": int(total_bytes),
+    }
+
+
 def compute_extents(
     df: DataFrame,
     ts_col: str | None = None,

@@ -112,6 +112,40 @@ def session_agg(
     )
 
 
+def correlate_streams(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase paired with the same
+    user's clicks in the preceding ``max_lag`` window.
+
+    Both sides are watermarked so the join state (buffered unmatched
+    rows) is bounded by the interval + watermark horizon — the condition
+    Structured Streaming requires to ever GC state. The join condition
+    is an equi-key plus a time band, which Spark executes as a
+    state-store lookup per key, not a cross product.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    ).withWatermark("p_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_lag}")),
+    ).select("p_id", "p_user", "p_ts", "p_value", "c_ts", "c_value")
+
+
 def run_to_sink(
     result: DataFrame,
     out_path: str,

@@ -54,6 +54,50 @@ def test_asof_join_matches_naive(spark, left, right):
     assert got == want
 
 
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2000)), min_size=1, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2000), st.floats(0, 100)),
+        min_size=0,
+        max_size=15,
+    ),
+    tol=st.sampled_from([None, 600]),
+)
+def test_asof_join_forward_matches_naive(spark, left, right, tol):
+    ldf = spark.createDataFrame(
+        [(i, k, _ts(m)) for i, (k, m) in enumerate(left)], "lid int, k int, ts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(m), round(v, 3)) for k, m, v in right],
+        "rk int, rts timestamp, rv double",
+    )
+    out = temporal.asof_join(
+        ldf, rdf, left_on="ts", right_on="rts",
+        left_keys=["k"], right_keys=["rk"], right_value_cols=["rts", "rv"],
+        direction="forward", tolerance_seconds=tol,
+    ).collect()
+
+    naive = {}
+    for i, (k, m) in enumerate(left):
+        cands = [(rm, rv) for (rk, rm, rv) in right if rk == k and rm >= m]
+        if not cands:
+            naive[i] = None
+            continue
+        # nearest first (min rts; among ties the max value, matching the
+        # operator's greatest-struct tiebreak), THEN the tolerance gate
+        rm_min = min(rm for rm, _ in cands)
+        rv_pick = max(rv for rm, rv in cands if rm == rm_min)
+        naive[i] = rv_pick if tol is None or (rm_min - m) * 60 <= tol else None
+
+    got = {r["lid"]: (round(r["rv"], 3) if r["rv"] is not None else None) for r in out}
+    want = {i: (round(v, 3) if v is not None else None) for i, v in naive.items()}
+    assert len(out) == len(left)
+    assert got == want
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     model=st.lists(st.floats(0, 100), min_size=2, max_size=20),

@@ -179,3 +179,26 @@ def test_geojsonl_reader_roundtrip(spark, sf_dir, tmp_path):
         o = orig[r["event_id"]]
         assert abs(r["lon"] - o["lon"]) < 1e-9 and abs(r["lat"] - o["lat"]) < 1e-9
         assert abs(r["value"] - o["value"]) < 1e-9
+
+
+def test_compact_collection_reduces_files(spark, sf_dir, tmp_path):
+    from pygeoapi_ingestor_spark.sinks.collections import compact_collection
+
+    path = str(tmp_path / "frag")
+    ev = spark.read.parquet(f"{sf_dir}/region.parquet")
+    # fragment: one file per row
+    ev.repartition(64).write.mode("overwrite").parquet(path)
+    before = sorted(
+        t for r in spark.read.parquet(path).collect() for t in [tuple(r)]
+    )
+    stats = compact_collection(spark, path, target_bytes=256 * 1024 * 1024)
+    after = sorted(
+        t for r in spark.read.parquet(path).collect() for t in [tuple(r)]
+    )
+    assert after == before
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1
+    # tmp/bak directories cleaned up
+    import os
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_bak")

@@ -131,3 +131,48 @@ def test_document_quality_stream_matches_batch(spark, sf_dir, tmp_path):
     sample = next(iter(got.values()))
     assert "scrubbed" in sample.asDict() and "lang_pred" in sample.asDict()
     shutil.rmtree(drop_dir, ignore_errors=True)
+
+
+def test_correlate_streams_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "corr_src")
+    out = str(tmp_path / "corr_out")
+    ckpt = str(tmp_path / "ckpt_corr")
+    ev = _stage_events_json(spark, sf_dir, src)
+
+    stream = pipeline.read_event_stream(spark, src, fmt="json")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    result = pipeline.correlate_streams(
+        purchases, clicks, max_lag="1 hour", watermark="2 hours"
+    )
+    pipeline.run_to_sink(result, out, ckpt)
+
+    got = spark.read.parquet(out)
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"), F.col("value").alias("p_value"),
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    batch = bp.join(
+        bc,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+    ).select("p_id", "c_ts")
+
+    # the json staging file carries millisecond precision, the batch
+    # parquet microseconds — truncate both for comparison
+    def _ms(t):
+        return t.replace(microsecond=t.microsecond // 1000 * 1000)
+
+    got_pairs = {(r["p_id"], _ms(r["c_ts"])) for r in got.collect()}
+    batch_pairs = {(r["p_id"], _ms(r["c_ts"])) for r in batch.collect()}
+    # append-mode inner interval join emits a pair once both watermarks
+    # pass; everything emitted must be a true batch pair, and the bulk
+    # of closable pairs must have been emitted
+    assert got_pairs <= batch_pairs
+    assert len(got_pairs) > 0
+    assert len(got_pairs) >= int(0.5 * len(batch_pairs))

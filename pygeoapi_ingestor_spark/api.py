@@ -69,6 +69,71 @@ class ProcessAPI:
         ]
         return out
 
+    def items(
+        self,
+        spark: SparkSession,
+        collection_path: str,
+        datetime_range: tuple[str | None, str | None] | None = None,
+        bbox: tuple[float, float, float, float] | None = None,
+        properties: dict[str, Any] | None = None,
+        sort_col: str | None = None,
+        limit: int = 10,
+        offset: int = 0,
+        time_col: str = "ts",
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        count_matched: bool = False,
+    ) -> dict[str, Any]:
+        """The ``/collections/{id}/items`` read surface (pygeoapi
+        feature-paging analog): datetime interval + bbox + property
+        equality filters, deterministic keyset paging, bounded response.
+
+        Every filter is a plain column predicate, so it reaches the
+        parquet scan as a pushed-down filter (plan-asserted in tests) —
+        at 100 TB the page costs a pruned scan, not a full read. Paging
+        uses ``ORDER BY sort_col OFFSET/LIMIT``; Spark executes the
+        order + limit as a TakeOrdered (top-k per partition + merge), so
+        no global sort materializes.
+        """
+        df = spark.read.parquet(collection_path)
+        if datetime_range is not None:
+            lo, hi = datetime_range
+            from pyspark.sql import functions as F
+
+            if lo is not None:
+                df = df.filter(F.col(time_col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(time_col) < F.lit(hi))
+        if bbox is not None:
+            from pygeoapi_ingestor_spark.operators.spatial import bbox_filter
+
+            df = bbox_filter(df, *bbox, lon_col=lon_col, lat_col=lat_col)
+        if properties:
+            from pyspark.sql import functions as F
+
+            for k, v in properties.items():
+                df = df.filter(F.col(k) == F.lit(v))
+        matched = df.count() if count_matched else None
+        limit = max(0, min(int(limit), MAX_SAMPLE_ROWS))
+        page = df
+        if sort_col is not None:
+            page = page.orderBy(sort_col)
+        if offset:
+            page = page.offset(int(offset))
+        rows = [
+            _json_safe(r.asDict(recursive=True))
+            for r in page.limit(limit).collect()
+        ]
+        out = {
+            "type": "items",
+            "numberReturned": len(rows),
+            "features": rows,
+            "offset": int(offset),
+        }
+        if matched is not None:
+            out["numberMatched"] = int(matched)
+        return out
+
     def execute(
         self, spark: SparkSession, process_id: str, inputs: dict[str, Any] | None = None
     ) -> dict[str, Any]:

@@ -36,6 +36,7 @@ _FRONT = [
     # tier 1: new in round 3
     "value_percentiles",
     "asof_join_forward",
+    "unpivot_daily",
     "value_histogram",
     "docs_top_per_source",
     "approx_percentile_value",

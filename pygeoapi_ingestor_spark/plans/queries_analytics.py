@@ -188,6 +188,20 @@ def q_pivot_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(day).agg(*aggs)
 
 
+def q_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the wide daily table back to long form (`DataFrame.unpivot`
+    — the wide->long half of the reference's per-basin stat reshaping).
+    A pure projection+generate: no shuffle beyond the upstream pivot's
+    aggregate."""
+    wide = q_pivot_daily_by_type(spark, sf_dir)
+    return wide.unpivot(
+        ids=["bucket"],
+        values=[f"{t}_total" for t in EVENT_TYPES],
+        variableColumnName="series",
+        valueColumnName="total",
+    )
+
+
 def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull props.k out of the JSON payload
     and aggregate on it (get_json_object stays JVM-side)."""
@@ -440,6 +454,7 @@ ANALYTICS_QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "cube_orders": q_cube_orders,
     "pivot_daily_by_type": q_pivot_daily_by_type,
+    "unpivot_daily": q_unpivot_daily,
     "json_extract_props": q_json_extract_props,
     "value_change_lag": q_value_change_lag,
 }
@@ -642,6 +657,22 @@ ANALYTICS_ORACLES = {
                round(CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS signup_total,
                round(CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS view_total
         FROM events GROUP BY 1
+    """,
+    "unpivot_daily": """
+        WITH wide AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                   round(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS click_total,
+                   round(CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS error_total,
+                   round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS purchase_total,
+                   round(CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS signup_total,
+                   round(CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE), 4) AS view_total
+            FROM events GROUP BY 1
+        )
+        SELECT bucket, 'click_total' AS series, click_total AS total FROM wide
+        UNION ALL SELECT bucket, 'error_total', error_total FROM wide
+        UNION ALL SELECT bucket, 'purchase_total', purchase_total FROM wide
+        UNION ALL SELECT bucket, 'signup_total', signup_total FROM wide
+        UNION ALL SELECT bucket, 'view_total', view_total FROM wide
     """,
     "json_extract_props": """
         SELECT event_type,

@@ -46,3 +46,39 @@ def test_execute_ingestor_process(spark, tmp_path):
     # validation failure surfaces as failed, not an exception
     res3 = api.execute(spark, "stac_items", {"force": True})
     assert res3["status"] == "failed"
+
+
+def test_items_paging_filters_pushdown(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    api = ProcessAPI(default_sf_dir=sf_dir)
+    path = str(tmp_path / "coll")
+    read_events(spark, sf_dir).write.mode("overwrite").parquet(path)
+
+    # datetime + property filter, keyset paging: two disjoint pages
+    kw = dict(
+        datetime_range=("2024-01-02", "2024-01-20"),
+        properties={"event_type": "click"},
+        sort_col="event_id",
+        limit=5,
+        count_matched=True,
+    )
+    p1 = api.items(spark, path, offset=0, **kw)
+    p2 = api.items(spark, path, offset=5, **kw)
+    assert p1["numberReturned"] == 5 and p2["numberReturned"] == 5
+    ids1 = [r["event_id"] for r in p1["features"]]
+    ids2 = [r["event_id"] for r in p2["features"]]
+    assert ids1 == sorted(ids1) and ids2 == sorted(ids2)
+    assert max(ids1) < min(ids2)
+    assert p1["numberMatched"] == p2["numberMatched"] > 10
+    assert all(r["event_type"] == "click" for r in p1["features"] + p2["features"])
+
+    # the filters must reach the parquet scan
+    df = spark.read.parquet(path).filter(
+        (F.col("ts") >= F.lit("2024-01-02")) & (F.col("event_type") == "click")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(event_type)" in plan or "EqualTo(event_type" in plan

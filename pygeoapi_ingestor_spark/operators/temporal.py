@@ -492,6 +492,98 @@ def asof_join(
     return out
 
 
+def chunked_ewma(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    chunk_col,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exact recursive EWMA (pandas ``ewm(alpha, adjust=False)``:
+    y_0 = x_0, y_t = (1-a)·y_{t-1} + a·x_t) without a per-series sort —
+    the batch twin of the streaming EWMA alert state
+    (streaming/stateful.py), for reference-style sensor smoothing.
+
+    The recursion is linear, so a chunk's output is affine in its
+    incoming carry c (the previous chunk's final y):
+    ``y_t = D_t·c + L_t`` with D_t = (1-a)^(t+1) and L_t the zero-init
+    recursion. One Arrow-batched ``applyInPandas`` pass over
+    (series, chunk) computes L/D per row; the per-chunk summaries
+    (A = D_end, B = L_end, first x) resolve the carries sequentially on
+    the TINY (series × chunks) table; a broadcast join finishes
+    ``y = L + D·c``. The first chunk's carry is its own first value
+    (x_0 solves (1-a)·c + a·x_0 = x_0), which makes every chunk
+    uniform. Parallelism scales with chunk count, never with series
+    cardinality; per-task memory is one chunk.
+    """
+    import pandas as pd
+
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
+
+    chunk = chunk_col if not isinstance(chunk_col, str) else F.col(chunk_col)
+    d = df.withColumn("_chunk", chunk)
+    a = float(alpha)
+
+    ld_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in d.schema.fields
+    ) + ", _L double, _D double"
+
+    def _local(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort").reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype="float64")
+        n = len(x)
+        L = [0.0] * n
+        D = [0.0] * n
+        prev_l, prev_d = 0.0, 1.0
+        for i in range(n):
+            prev_l = (1.0 - a) * prev_l + a * x[i]
+            prev_d = (1.0 - a) * prev_d
+            L[i] = prev_l
+            D[i] = prev_d
+        pdf["_L"] = L
+        pdf["_D"] = D
+        return pdf
+
+    ensure_package_on_executors(d.sparkSession)
+    with_ld = d.groupBy(*series_cols, "_chunk").applyInPandas(_local, schema=ld_schema)
+
+    first_by_order = F.min(
+        F.struct(*[F.col(c) for c in order_cols], F.col(value_col).alias("_v"))
+    )
+    last_by_order = F.max(
+        F.struct(*[F.col(c) for c in order_cols], F.col("_L").alias("_l"), F.col("_D").alias("_d"))
+    )
+    summary = with_ld.groupBy(*series_cols, "_chunk").agg(
+        first_by_order.getField("_v").alias("_x_first"),
+        last_by_order.getField("_l").alias("_B"),
+        last_by_order.getField("_d").alias("_A"),
+    )
+
+    carry_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in summary.schema.fields
+        if f.name in ([*series_cols, "_chunk"])
+    ) + ", _carry_in double"
+
+    def _resolve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["_chunk"], kind="mergesort").reset_index(drop=True)
+        carries = []
+        c = float(pdf["_x_first"].iloc[0])  # first chunk: y_0 = x_0
+        for i in range(len(pdf)):
+            carries.append(c)
+            c = float(pdf["_A"].iloc[i]) * c + float(pdf["_B"].iloc[i])
+        pdf["_carry_in"] = carries
+        return pdf[[*series_cols, "_chunk", "_carry_in"]]
+
+    carries = summary.groupBy(*series_cols).applyInPandas(_resolve, schema=carry_schema)
+    out = with_ld.join(F.broadcast(carries), [*series_cols, "_chunk"])
+    return out.withColumn(
+        out_col, F.col("_L") + F.col("_D") * F.col("_carry_in")
+    ).drop("_chunk", "_L", "_D", "_carry_in")
+
+
 def sessionize(
     df: DataFrame,
     key_cols: list[str],

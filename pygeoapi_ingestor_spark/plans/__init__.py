@@ -37,6 +37,7 @@ _FRONT = [
     "value_percentiles",
     "asof_join_forward",
     "unpivot_daily",
+    "ewma_smooth",
     "value_histogram",
     "docs_top_per_source",
     "approx_percentile_value",

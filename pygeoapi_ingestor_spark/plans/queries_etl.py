@@ -574,6 +574,24 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive EWMA smoothing per series (sensor-smoothing analog;
+    batch twin of streaming/stateful.py's alert EWMA). rows-only by
+    declared contract: the recursion's float evaluation order (Horner
+    in pandas vs any SQL re-expression) diverges in the last bits, so
+    no engine-neutral hash oracle exists — exactness is pinned by the
+    property test against pandas ewm(adjust=False) instead."""
+    ev = _events(spark, sf_dir)
+    out = temporal.chunked_ewma(
+        ev, series_cols=["event_type"], order_cols=["ts", "event_id"],
+        value_col="value", alpha=0.3,
+        chunk_col=F.date_trunc("week", F.col("ts")), out_col="ewma",
+    )
+    return out.select(
+        "event_id", "event_type", F.round("ewma", 6).alias("ewma")
+    )
+
+
 def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of with tolerance (merge_asof direction='forward'):
     each purchase matched to the NEXT click of the same user within one
@@ -647,6 +665,7 @@ ETL_QUERIES = {
     "collection_healthcheck": q_collection_healthcheck,
     "asof_join_events": q_asof_join_events,
     "asof_join_forward": q_asof_join_forward,
+    "ewma_smooth": q_ewma_smooth,
     "sessionize_gap": q_sessionize_gap,
 }
 

@@ -367,3 +367,41 @@ def test_exact_percentiles_matches_percentile_agg(spark, sf_dir):
         assert set(got) == set(plain), nb
         for k in plain:
             assert got[k] == pytest.approx(plain[k], abs=1e-9), (nb, k)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 5000), st.floats(0, 100)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    alpha=st.sampled_from([0.1, 0.5, 0.9]),
+)
+def test_chunked_ewma_matches_pandas(spark, data, alpha):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(k, i, _ts(m), round(v, 3)) for i, (k, m, v) in enumerate(data)],
+        "k int, rid int, ts timestamp, v double",
+    )
+    got = {
+        r["rid"]: r["y"]
+        for r in temporal.chunked_ewma(
+            df, ["k"], ["ts", "rid"], "v", alpha,
+            F.date_trunc("day", F.col("ts")), out_col="y",
+        ).collect()
+    }
+    pdf = pd.DataFrame(
+        [(k, i, m, round(v, 3)) for i, (k, m, v) in enumerate(data)],
+        columns=["k", "rid", "m", "v"],
+    ).sort_values(["k", "m", "rid"])
+    pdf["y"] = pdf.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=alpha, adjust=False).mean()
+    )
+    want = dict(zip(pdf["rid"], pdf["y"]))
+    assert set(got) == set(want)
+    for rid in want:
+        assert abs(got[rid] - want[rid]) < 1e-9, (rid, got[rid], want[rid])

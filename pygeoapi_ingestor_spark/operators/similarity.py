@@ -330,3 +330,95 @@ def cosine_topk_int8(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_q", F.col("rank").cast("int"))
     )
+
+
+def kmeans_fit_int8(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+):
+    """Deterministic Lloyd's k-means over int8-QUANTIZED vectors — the
+    trained-centroid build for IVF inverted lists (the reference-free
+    public pattern: Jegou et al., IVF/PQ), expressed as an iterative
+    DataFrame algorithm with nothing nondeterministic anywhere:
+
+    - init: the k vectors with the smallest md5(id) digest — an
+      engine-neutral pseudo-random draw (same trick as
+      ``md5_plane_weights``);
+    - assign: nearest centroid by INTEGER squared distance, ties to the
+      lowest cluster id (argmin via ``array_min`` over (dist, cid)
+      structs — a pure projection against the literal centroid array, no
+      shuffle);
+    - update: per-dimension exact integer sums (64 map-combinable
+      aggregates — no explode) and floor-division means, so the new
+      centroids are independent of partitioning and merge order — the
+      float-kmeans nondeterminism (order-dependent double sums) is
+      engineered away, and every iteration is reproducible bit-for-bit
+      in any engine.
+
+    Per iteration: one scan + one k×dim-sized aggregate; centroids
+    (k × dim ints) round-trip through the driver as literals — bounded,
+    never data-sized. Returns (centroids, assigned_df) where centroids
+    is [(cid, [int]*dim)] and assigned_df carries ``cluster`` and the
+    integer ``sq_dist`` of each vector to its centroid.
+    """
+    q = quantize_int8(
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v"
+    ).select("_id", F.col("q_vec").alias("_q"))
+
+    # distributed init draw: ORDER BY md5 LIMIT k plans as TakeOrdered
+    # (per-partition top-k + merge), so no id list ever reaches the
+    # driver — only the k winners do
+    cents = [
+        (ci, [int(x) for x in r["_q"]])
+        for ci, r in enumerate(
+            q.orderBy(F.md5(F.col("_id").cast("string")))
+            .limit(k)
+            .orderBy("_id")
+            .collect()
+        )
+    ]
+
+    def _assign(cur):
+        cents_arr = F.array(
+            *[
+                F.struct(
+                    _sq_dist_int(F.col("_q"), F.array(*[F.lit(x) for x in cv])).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cur
+            ]
+        )
+        best = F.array_min(cents_arr)
+        return q.withColumn("cluster", best.getField("cid")).withColumn(
+            "sq_dist", best.getField("d")
+        )
+
+    for _ in range(iters):
+        assigned = _assign(cents)
+        stats = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(F.get(F.col("_q"), d)).alias(f"_s{d}") for d in range(dim)],
+        )
+        new = {
+            # Python // on ints is exact floor division (toward -inf)
+            r["cluster"]: [int(r[f"_s{d}"]) // int(r["_n"]) for d in range(dim)]
+            for r in stats.collect()
+        }
+        # empty clusters keep their previous centroid
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+
+    return cents, _assign(cents)
+
+
+def _sq_dist_int(vec: Column, centroid: Column) -> Column:
+    """Exact integer squared distance (|x|<=254 per dim keeps every term
+    and the sum well inside long range)."""
+    return F.aggregate(
+        F.zip_with(vec, centroid, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )

@@ -38,6 +38,7 @@ _FRONT = [
     "asof_join_forward",
     "unpivot_daily",
     "ewma_smooth",
+    "kmeans_clusters_int8",
     "value_histogram",
     "docs_top_per_source",
     "approx_percentile_value",

@@ -411,6 +411,121 @@ def q_sim_search_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_PARAMS = {"k": 8, "iters": 3, "dim": 64}
+
+
+def q_kmeans_clusters_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer k-means (Lloyd) over int8-quantized
+    embeddings — the trained-centroid build for IVF inverted lists,
+    value-hash-gated END TO END: init (md5 order), every assignment
+    (integer distances, ties to lowest cid), every centroid update
+    (exact integer sums, floor means) and the final inertia are exact
+    integer arithmetic, so the UNROLLED-iteration SQL twin reproduces
+    the whole training run bit-for-bit. Output: per-cluster size,
+    inertia, and centroid L1 checksum (pins the centroid values)."""
+    from pygeoapi_ingestor_spark.operators import similarity
+
+    emb = _emb(spark, sf_dir)
+    cents, assigned = similarity.kmeans_fit_int8(
+        emb, "vec_id", "embedding", **KMEANS_PARAMS
+    )
+    l1_map = F.create_map(
+        *[
+            F.lit(v)
+            for cid, cv in cents
+            for v in (cid, sum(abs(x) for x in cv))
+        ]
+    )
+    return (
+        assigned.groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("sq_dist").cast("bigint").alias("inertia"),
+        )
+        .withColumn(
+            "centroid_l1", F.element_at(l1_map, F.col("cluster")).cast("bigint")
+        )
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    """DuckDB twin of kmeans_fit_int8: the SAME quantization expression
+    as the embedding_quantize_int8 oracle, the SAME md5-order init, and
+    each Lloyd iteration unrolled as assign (QUALIFY row_number over
+    (dist, cid)) -> per-dimension integer sums (generate_series
+    indexing) -> floor means, with empty clusters carrying the previous
+    centroid. All-integer arithmetic makes the replay exact."""
+    k = KMEANS_PARAMS["k"]
+    iters = KMEANS_PARAMS["iters"]
+    dim = KMEANS_PARAMS["dim"]
+
+    quant = f"""
+q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(round(x * 127.0 /
+                (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) > 0
+                      THEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))
+                      ELSE 1.0 END), 0) AS INTEGER)) AS qv
+  FROM embeddings
+),
+init AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+  FROM (SELECT vec_id FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})
+),
+c0 AS (SELECT init.cid, q.qv AS cv FROM init JOIN q USING (vec_id))
+"""
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
+        " s -> CAST((s[1] - s[2]) AS BIGINT) * (s[1] - s[2]))) AS BIGINT)"
+    )
+    parts = [quant]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+p{t} AS (
+  SELECT q.vec_id, q.qv, c.cid, {dist} AS d
+  FROM q CROSS JOIN {prev} c
+),
+a{t} AS (
+  SELECT vec_id, qv, cid, d FROM p{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+s{t} AS (
+  SELECT cid, i, CAST(sum(qv[i]) AS BIGINT) AS s, count(*) AS n
+  FROM a{t} CROSS JOIN generate_series(1, {dim}) t(i)
+  GROUP BY cid, i
+),
+cv{t} AS (
+  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS INTEGER) ORDER BY i) AS cv
+  FROM s{t} GROUP BY cid
+),
+c{t} AS (
+  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN cv{t} u USING (cid)
+)""")
+        prev = f"c{t}"
+    final = f"""
+pf AS (
+  SELECT q.vec_id, c.cid, {dist} AS d
+  FROM q CROSS JOIN {prev} c
+),
+af AS (
+  SELECT vec_id, cid, d FROM pf
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+chk AS (
+  SELECT cid, CAST(list_sum(list_transform(cv, x -> abs(x))) AS BIGINT) AS centroid_l1
+  FROM {prev}
+)
+SELECT af.cid AS cluster, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(af.d) AS BIGINT) AS inertia, chk.centroid_l1
+FROM af JOIN chk USING (cid)
+GROUP BY af.cid, chk.centroid_l1
+"""
+    return "WITH " + ",".join(parts) + "," + final
+
+
 def q_docs_top_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document selection (keep the best k docs per source —
     the 'top documents per domain' curation stage): distributed top-k
@@ -436,6 +551,7 @@ def q_docs_top_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "docs_top_per_source": q_docs_top_per_source,
+    "kmeans_clusters_int8": q_kmeans_clusters_int8,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_verified": q_dedup_lsh_verified,
@@ -683,6 +799,7 @@ WITH words_t AS (
 _SHINGLE_CTE = _shingle_cte("WHERE doc_id < 500")
 
 LLM_ORACLES = {
+    "kmeans_clusters_int8": _kmeans_oracle_sql(),
     "docs_top_per_source": """
         SELECT source, CAST(rn AS INTEGER) AS rank, doc_id, n_chars
         FROM (SELECT source, doc_id, n_chars,

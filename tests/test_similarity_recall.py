@@ -81,3 +81,30 @@ def test_ivf_deterministic(spark, sf_dir):
         e, q, "vec_id", "embedding", "vec_id", "embedding", k=3
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmeans_int8_deterministic_and_monotone(spark, sf_dir):
+    """Training must be bit-reproducible across runs and partitionings,
+    and Lloyd inertia must be non-increasing in the iteration count."""
+    from pygeoapi_ingestor_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    runs = []
+    for reparts in (None, 7):
+        e = emb.repartition(reparts) if reparts else emb
+        cents, assigned = similarity.kmeans_fit_int8(
+            e, "vec_id", "embedding", k=4, iters=2
+        )
+        inertia = assigned.groupBy().sum("sq_dist").collect()[0][0]
+        runs.append((cents, inertia))
+    assert runs[0] == runs[1]
+
+    prev = None
+    for iters in (1, 2, 3):
+        _, assigned = similarity.kmeans_fit_int8(
+            emb, "vec_id", "embedding", k=4, iters=iters
+        )
+        v = assigned.groupBy().sum("sq_dist").collect()[0][0]
+        if prev is not None:
+            assert v <= prev, (iters, v, prev)
+        prev = v

@@ -625,3 +625,70 @@ def simhash_near_pairs(
     if max_hamming is not None:
         out = out.filter(F.col("hamming") <= max_hamming)
     return out
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 10,
+) -> DataFrame:
+    """Span-level dedup (the C4 'discard repeated spans' rule at a fixed
+    word granularity): split every document into consecutive
+    ``span_words``-word chunks, keep each distinct chunk only at its
+    FIRST corpus position (lowest (doc, chunk index)), and reassemble
+    documents from their surviving chunks. A fully-duplicated document
+    disappears — the document-level exact dedup is the degenerate case.
+
+    One explode + one groupBy-min on the chunk text + one semi-join-like
+    equality filter + one re-aggregation: every step shuffles on the
+    chunk hash or the doc id, nothing is quadratic, and the chunk
+    explode multiplies rows by ~n_words/span_words, not n_words (the
+    shingle explode's factor).
+
+    Returns (id, n_spans, n_kept, dedup_digest) where dedup_digest is
+    the md5 of the reassembled text — enough to value-gate the rebuilt
+    content without hauling it around.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.greatest(F.ceil(F.size(words) / F.lit(float(span_words))), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(
+            F.slice(words, i * span_words + 1, span_words), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(chunks).alias("idx", "chunk")
+    )
+    winners = exploded.groupBy("chunk").agg(
+        F.min(F.struct("doc", "idx")).alias("_w")
+    )
+    kept = exploded.join(winners, "chunk").filter(
+        (F.col("doc") == F.col("_w.doc")) & (F.col("idx") == F.col("_w.idx"))
+    )
+    rebuilt = (
+        kept.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s.getField("chunk"),
+                ),
+                " ",
+            ).alias("_text"),
+        )
+    )
+    orig = df.select(
+        F.col(id_col).alias("doc"), F.size(chunks).cast("bigint").alias("n_spans")
+    )
+    return (
+        orig.join(rebuilt, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_spans",
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.md5(F.col("_text")).alias("dedup_digest"),
+        )
+    )

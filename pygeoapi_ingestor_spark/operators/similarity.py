@@ -422,3 +422,79 @@ def _sq_dist_int(vec: Column, centroid: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x.cast("long"),
     )
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 5,
+    n_clusters: int = 8,
+    iters: int = 3,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF search over TRAINED centroids: ``kmeans_fit_int8`` builds the
+    inverted lists, assignment and probing use exact integer distances
+    on the quantized vectors (deterministic — no float-compare ties),
+    scoring is exact double cosine on the original vectors within the
+    probed lists only. The full production ANN path (train -> index ->
+    probe -> score) with every stage reproducible in SQL.
+    """
+    cents, _ = kmeans_fit_int8(
+        embeddings, id_col, vec_col, k=n_clusters, iters=iters
+    )
+
+    def dist_arr(qcol: str) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    _sq_dist_int(
+                        F.col(qcol), F.array(*[F.lit(x) for x in cv])
+                    ).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+
+    eq = quantize_int8(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        ),
+        "_v",
+    ).select("neighbor_id", "_v", F.col("q_vec").alias("_q"))
+    assigned = eq.withColumn(
+        "cluster", F.array_min(dist_arr("_q")).getField("cid")
+    ).select("neighbor_id", "_v", "cluster")
+
+    qq = quantize_int8(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_v")
+        ),
+        "_v",
+    ).select("query_id", F.col("_v").alias("_qv"), F.col("q_vec").alias("_qq"))
+    probes = (
+        qq.withColumn(
+            "_p", F.explode(F.slice(F.array_sort(dist_arr("_qq")), 1, n_probe))
+        )
+        .select("query_id", "_qv", F.col("_p").getField("cid").alias("cluster"))
+    )
+
+    joined = assigned.join(F.broadcast(probes), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("_v"), F.col("_qv")) / (
+        _norm(F.col("_v")) * _norm(F.col("_qv"))
+    )
+    scored = joined.withColumn("cosine", cos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )

@@ -39,6 +39,9 @@ _FRONT = [
     "unpivot_daily",
     "ewma_smooth",
     "kmeans_clusters_int8",
+    "dedup_spans",
+    "sim_search_ivf_trained",
+    "skew_join_salted",
     "value_histogram",
     "docs_top_per_source",
     "approx_percentile_value",

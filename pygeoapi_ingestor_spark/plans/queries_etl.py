@@ -574,6 +574,35 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-dim join via salting (functions/skew.salt_join):
+    the big side's hot keys fan out over 8 salt values, the dim is
+    replicated per salt, and the join shuffles on (user_id, _salt) — the
+    technique for when a hot key would otherwise pin one reducer. The
+    shuffle_hash hint keeps the demo on the shuffle path (a dim this
+    small would broadcast outright in production, making salting moot —
+    the point here is the plan shape under skew). Results are identical
+    to the plain join, which is exactly what the oracle checks."""
+    from pygeoapi_ingestor_spark.functions import skew
+
+    ev = _events(spark, sf_dir)
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .hint("shuffle_hash")
+    )
+    joined = skew.salt_join(ev, cust, on=["user_id"], n_salts=8)
+    return joined.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum(F.col("value").cast(VALUE_DEC)), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive EWMA smoothing per series (sensor-smoothing analog;
     batch twin of streaming/stateful.py's alert EWMA). rows-only by
@@ -666,6 +695,7 @@ ETL_QUERIES = {
     "asof_join_events": q_asof_join_events,
     "asof_join_forward": q_asof_join_forward,
     "ewma_smooth": q_ewma_smooth,
+    "skew_join_salted": q_skew_join_salted,
     "sessionize_gap": q_sessionize_gap,
 }
 
@@ -1015,6 +1045,13 @@ ETL_ORACLES = {
                                value AS click_value
                         FROM events WHERE event_type = 'click') c
             ON p.user_id = c.c_user AND p.ts >= c.click_ts
+    """,
+    "skew_join_salted": """
+        SELECT c.c_nationkey AS nationkey,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(round(sum(CAST(e.value AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
     """,
     "asof_join_forward": """
         WITH m AS (

@@ -411,6 +411,36 @@ def q_sim_search_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup: every distinct 10-word chunk survives only
+    at its first corpus position; documents reassemble from surviving
+    chunks (fully-duplicated docs vanish). The digest column value-gates
+    the rebuilt text itself."""
+    return dedup.span_dedup(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", span_words=10
+    )
+
+
+def q_sim_search_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN path end to end: k-means-trained inverted
+    lists (kmeans_fit_int8), integer-distance assignment and probing on
+    quantized vectors, exact double cosine within the probed lists. The
+    oracle replays the identical training run via the shared unrolled
+    CTE chain, so train -> index -> probe -> score is one value-hash
+    gate."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = similarity.ivf_topk_trained(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding",
+        k=TOPK, n_clusters=KMEANS_PARAMS["k"], iters=KMEANS_PARAMS["iters"],
+        n_probe=3,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 KMEANS_PARAMS = {"k": 8, "iters": 3, "dim": 64}
 
 
@@ -448,16 +478,10 @@ def q_kmeans_clusters_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql() -> str:
-    """DuckDB twin of kmeans_fit_int8: the SAME quantization expression
-    as the embedding_quantize_int8 oracle, the SAME md5-order init, and
-    each Lloyd iteration unrolled as assign (QUALIFY row_number over
-    (dist, cid)) -> per-dimension integer sums (generate_series
-    indexing) -> floor means, with empty clusters carrying the previous
-    centroid. All-integer arithmetic makes the replay exact."""
-    k = KMEANS_PARAMS["k"]
-    iters = KMEANS_PARAMS["iters"]
-    dim = KMEANS_PARAMS["dim"]
+def _kmeans_cte(k: int, iters: int, dim: int) -> tuple[list, str]:
+    """Shared unrolled-Lloyd CTE chain (see _kmeans_oracle_sql): returns
+    (with_parts, final_centroid_cte_name) so both the training oracle
+    and the trained-IVF search oracle replay the identical run."""
 
     quant = f"""
 q AS (
@@ -505,6 +529,67 @@ c{t} AS (
   FROM {prev} p LEFT JOIN cv{t} u USING (cid)
 )""")
         prev = f"c{t}"
+    return parts, prev
+
+
+def _ivf_trained_oracle_sql() -> str:
+    """Trained-IVF search twin: the SAME unrolled k-means chain, then
+    integer-distance assignment of every vector, integer-distance probe
+    lists per query (rn <= n_probe), and exact double cosine within the
+    probed lists only — mirroring ivf_topk_trained stage for stage."""
+    parts, prev = _kmeans_cte(
+        KMEANS_PARAMS["k"], KMEANS_PARAMS["iters"], KMEANS_PARAMS["dim"]
+    )
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
+        " s -> CAST((s[1] - s[2]) AS BIGINT) * (s[1] - s[2]))) AS BIGINT)"
+    )
+    final = f"""
+ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+aa AS (
+  SELECT q.vec_id, c.cid AS cluster FROM q CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cid) = 1
+),
+probes AS (
+  SELECT q.vec_id AS query_id, c.cid AS cluster FROM q CROSS JOIN {prev} c
+  WHERE q.vec_id < {N_QUERY_VECS}
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cid) <= 3
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(av.v, qv.v) /
+             (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(qv.v, qv.v)))
+             AS cosine
+  FROM aa a JOIN probes p ON a.cluster = p.cluster
+  JOIN ed av ON av.vec_id = a.vec_id
+  JOIN ed qv ON qv.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+       CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOPK}
+"""
+    return "WITH " + ",".join(parts) + "," + final
+
+
+def _kmeans_oracle_sql() -> str:
+    """DuckDB twin of kmeans_fit_int8: the SAME quantization expression
+    as the embedding_quantize_int8 oracle, the SAME md5-order init, and
+    each Lloyd iteration unrolled as assign (QUALIFY row_number over
+    (dist, cid)) -> per-dimension integer sums (generate_series
+    indexing) -> floor means, with empty clusters carrying the previous
+    centroid. All-integer arithmetic makes the replay exact."""
+    parts, prev = _kmeans_cte(
+        KMEANS_PARAMS["k"], KMEANS_PARAMS["iters"], KMEANS_PARAMS["dim"]
+    )
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
+        " s -> CAST((s[1] - s[2]) AS BIGINT) * (s[1] - s[2]))) AS BIGINT)"
+    )
     final = f"""
 pf AS (
   SELECT q.vec_id, c.cid, {dist} AS d
@@ -552,6 +637,8 @@ LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "docs_top_per_source": q_docs_top_per_source,
     "kmeans_clusters_int8": q_kmeans_clusters_int8,
+    "dedup_spans": q_dedup_spans,
+    "sim_search_ivf_trained": q_sim_search_ivf_trained,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_verified": q_dedup_lsh_verified,
@@ -800,6 +887,37 @@ _SHINGLE_CTE = _shingle_cte("WHERE doc_id < 500")
 
 LLM_ORACLES = {
     "kmeans_clusters_int8": _kmeans_oracle_sql(),
+    "sim_search_ivf_trained": _ivf_trained_oracle_sql(),
+    "dedup_spans": r"""
+        WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS words
+            FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(0, CAST(greatest(ceil(len(words) / 10.0), 1) AS INTEGER) - 1),
+                       i -> array_to_string(list_slice(words, i * 10 + 1, i * 10 + 10), ' ')
+                   ) AS chunks
+            FROM w
+        ), e AS (
+            SELECT doc_id AS doc,
+                   generate_subscripts(chunks, 1) - 1 AS idx,
+                   unnest(chunks) AS chunk
+            FROM c
+        ), kept AS (
+            SELECT doc, idx, chunk FROM e
+            QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc, idx) = 1
+        ), rebuilt AS (
+            SELECT doc, CAST(count(*) AS BIGINT) AS n_kept,
+                   md5(string_agg(chunk, ' ' ORDER BY idx)) AS dedup_digest
+            FROM kept GROUP BY doc
+        )
+        SELECT c.doc_id, CAST(len(c.chunks) AS BIGINT) AS n_spans,
+               r.n_kept, r.dedup_digest
+        FROM c JOIN rebuilt r ON c.doc_id = r.doc
+    """,
+
     "docs_top_per_source": """
         SELECT source, CAST(rn AS INTEGER) AS rank, doc_id, n_chars
         FROM (SELECT source, doc_id, n_chars,

@@ -285,3 +285,16 @@ def test_exact_percentiles_prunes_sorted_rows(spark, sf_dir):
     rows = out.collect()
     assert 0 < len(rows) <= 5  # one row per (series, p)
     assert n_total >= 500  # sanity: non-trivial input
+
+
+def test_skew_join_shuffles_on_salted_key(spark, sf_dir):
+    """The salted join must exchange on (user_id, _salt) — the whole
+    point is that a hot user key fans out across salt partitions."""
+    plan = _simple(QUERIES["skew_join_salted"](spark, sf_dir))
+    salted = [
+        ln
+        for ln in _exchange_lines(plan)
+        if "user_id" in ln and "_salt" in ln
+    ]
+    assert salted, "no exchange partitioned by (user_id, _salt)"
+    assert "BroadcastHashJoin" not in plan.split("Aggregate")[0] or salted

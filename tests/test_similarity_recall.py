@@ -108,3 +108,30 @@ def test_kmeans_int8_deterministic_and_monotone(spark, sf_dir):
         if prev is not None:
             assert v <= prev, (iters, v, prev)
         prev = v
+
+
+def test_trained_ivf_probe_semantics(spark, sf_dir):
+    """Trained IVF: probing every list must reproduce the exact top-k
+    (the approximation comes ONLY from unprobed lists), and recall must
+    be monotone in n_probe with a sane floor at 3/8 lists."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(
+        similarity.cosine_topk(e, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    )
+
+    def recall(approx):
+        hits = sum(len(approx.get(k, set()) & exact[k]) for k in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    sets = {}
+    for n_probe in (3, 5, 8):
+        sets[n_probe] = _topk_sets(
+            similarity.ivf_topk_trained(
+                e, q, "vec_id", "embedding", "vec_id", "embedding",
+                k=5, n_clusters=8, iters=3, n_probe=n_probe,
+            )
+        )
+    assert sets[8] == exact
+    assert recall(sets[3]) <= recall(sets[5]) <= 1.0
+    assert recall(sets[3]) >= 0.4

@@ -42,6 +42,9 @@ _FRONT = [
     "dedup_spans",
     "sim_search_ivf_trained",
     "skew_join_salted",
+    "grouping_sets_mixed",
+    "interval_overlap_join",
+    "percent_rank_bucketed",
     "value_histogram",
     "docs_top_per_source",
     "approx_percentile_value",

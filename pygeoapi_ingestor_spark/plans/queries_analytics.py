@@ -374,6 +374,84 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS over two INDEPENDENT dimensions —
+    ((event_type), (day), ()) — the grouping-set shape neither ROLLUP
+    nor CUBE can express (no (event_type, day) cell). One expand +
+    aggregate, exact decimal totals."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return ev.groupingSets(
+        [["event_type"], ["day"], []], "event_type", "day"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+MAINTENANCE_WINDOWS = [
+    (1, "2024-01-03 00:00:00", "2024-01-04 12:00:00"),
+    (2, "2024-01-07 06:00:00", "2024-01-07 18:00:00"),
+    (3, "2024-01-10 00:00:00", "2024-01-15 00:00:00"),
+    (4, "2024-01-18 20:00:00", "2024-01-19 04:00:00"),
+    (5, "2024-01-22 00:00:00", "2024-01-29 00:00:00"),
+    (6, "2024-01-30 12:00:00", "2024-02-02 00:00:00"),
+]
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (events x maintenance windows): the
+    interval dim is tiny, so broadcast + range predicate — a
+    BroadcastNestedLoopJoin whose inner side is 6 rows, not a shuffle
+    range join. Windows may overlap; an event counts in each window
+    containing it."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    win = spark.createDataFrame(
+        MAINTENANCE_WINDOWS, "window_id int, w_start string, w_end string"
+    ).select(
+        "window_id",
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+    )
+    joined = ev.join(
+        F.broadcast(win),
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def q_percent_rank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL percent_rank per series — (rank-1)/(n-1) from the bucketed
+    distributed rank, so the low-cardinality series key never collapses
+    the sort into one task."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    from pygeoapi_ingestor_spark.functions import ranks
+
+    ev = read_events(spark, sf_dir)
+    ranked = ranks.bucketed_rank(
+        ev, series_cols=["event_type"], value_col="value",
+        out_col="_rank", count_col="_n",
+    )
+    pr = (F.col("_rank") - 1).cast("double") / (F.col("_n") - 1).cast("double")
+    return ranked.select(
+        "event_id", "event_type", F.round(pr, 6).alias("pct_rank")
+    )
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per series via bucket drill-down
     (functions/ranks.exact_percentiles): positions are located from
@@ -437,6 +515,9 @@ def q_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANALYTICS_QUERIES = {
     "set_ops_customers": q_set_ops_customers,
     "value_percentiles": q_value_percentiles,
+    "grouping_sets_mixed": q_grouping_sets_mixed,
+    "interval_overlap_join": q_interval_overlap_join,
+    "percent_rank_bucketed": q_percent_rank_bucketed,
     "value_histogram": q_value_histogram,
     "approx_percentile_value": q_approx_percentile_value,
     "profile_events": q_profile_events,
@@ -492,6 +573,33 @@ ANALYTICS_ORACLES = {
                CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY 1, 2
+    """,
+    "grouping_sets_mixed": """
+        SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_value
+        FROM (SELECT event_type, date_trunc('day', ts) AS day, value FROM events)
+        GROUP BY GROUPING SETS ((event_type), (day), ())
+    """,
+    "interval_overlap_join": """
+        WITH win(window_id, w_start, w_end) AS (VALUES
+            %s)
+        SELECT window_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_value
+        FROM events e JOIN win w
+          ON e.ts >= CAST(w.w_start AS TIMESTAMP) AND e.ts < CAST(w.w_end AS TIMESTAMP)
+        GROUP BY 1
+    """ % ",\n            ".join(
+        f"({i}, '{s}', '{e}')" for i, s, e in MAINTENANCE_WINDOWS
+    ),
+    "percent_rank_bucketed": """
+        SELECT event_id, event_type,
+               round(CAST(rank() OVER w - 1 AS DOUBLE)
+                     / CAST(count(*) OVER (PARTITION BY event_type) - 1 AS DOUBLE),
+                     6) AS pct_rank
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value)
     """,
     "value_percentiles": """
         WITH v AS (SELECT event_type, value, event_id FROM events),

@@ -60,6 +60,14 @@ _FRONT = [
     "sim_search_lsh",
     "ntile_quartiles",
     "spi_empirical",
+    # tier 2b: heavy keys whose oracle/threshold changed in round 3, and
+    # the as-of operator refactored this session — must precede the
+    # merely-stale tier below so the ~50-entry window reaches them
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_lsh_verified",
+    "dedup_components",
+    "asof_join_events",
     # tier 3: round-1 green row predates the round-2 plan rework
     # (all sub-second — if the driver budget is time-based, these fit
     # before the heavy dedup tier below; if entry-based, order is moot)
@@ -87,16 +95,10 @@ _FRONT = [
     "unit_convert_derive",
     "regrid_snap_agg",
     "dedup_latest_snapshot",
-    "asof_join_events",
     "sessionize_gap",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_keep_corpus",
-    # tier 2b: heavy keys whose oracle/semantics changed in round 3
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_lsh_verified",
-    "dedup_components",
     # round-2 replans worth a second stamp if budget remains
     "value_change_lag",
     "forward_fill_gaps",

@@ -350,22 +350,19 @@ def connected_components(
             .agg(F.min("_nc").alias("_minn"))
             .select(F.col("a").alias("node"), "_minn")
         )
-        new_labels = (
+        # carry the old label through the select so convergence detection
+        # is a scan of the checkpointed result, not a second join
+        stepped = (
             labels.join(neigh, "node", "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("_minn"), F.col("comp"))).alias("comp"),
+                F.col("comp").alias("_prev"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("comp") != F.col("_prev")).limit(1).count()
+        labels = stepped.select("node", "comp")
         if changed == 0:
             break
     else:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -368,6 +369,12 @@ def kmeans_fit_int8(
     q = quantize_int8(
         embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v"
     ).select("_id", F.col("q_vec").alias("_q"))
+    # the iterative loop re-scans q once per iteration (init + iters +
+    # final assign): persist the quantized projection so every pass after
+    # the first reads columnar cache, not parquet + re-quantization.
+    # MEMORY_AND_DISK is the standard iterative-algorithm tier — at
+    # cluster scale partitions that do not fit spill instead of OOMing.
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
 
     # distributed init draw: ORDER BY md5 LIMIT k plans as TakeOrdered
     # (per-partition top-k + merge), so no id list ever reaches the

@@ -165,31 +165,11 @@ def minhash_lsh_pairs(
     Returns distinct (doc_a, doc_b) candidates with their estimated
     Jaccard (fraction of matching signature positions).
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(
         df, id_col, text_col, n=n, num_hashes=num_hashes,
         shingle_hash=shingle_hash,
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("signature")[b * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("doc", "signature", F.explode(band_structs).alias("bb")).select(
-        "doc", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    banded = _banded(sig, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -214,6 +194,32 @@ def minhash_lsh_pairs(
         )
     ) / F.lit(float(num_hashes))
     return cand.withColumn("est_jaccard", est).select("doc_a", "doc_b", "est_jaccard")
+
+
+def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a signature df (doc, signature) into LSH band-bucket rows
+    (doc, signature, band, bucket)."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("signature")[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc", "signature", F.explode(band_structs).alias("bb")).select(
+        "doc", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 def embedding_cosine_pairs(
@@ -305,6 +311,89 @@ def lsh_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .withColumn("keep_id", F.least("doc_a", "doc_b"))
         .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard", "keep_id")
+    )
+
+
+def minhash_lsh_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+    shingle_hash: str = "md5",
+) -> DataFrame:
+    """Incremental corpus dedup: screen a NEW batch of documents against
+    an EXISTING corpus without re-pairing the corpus against itself —
+    the steady-state production shape (the index side's signatures are
+    computed once and persisted; each arriving batch only pays its own
+    signature pass plus a directional bucket join).
+
+    Pipeline: MinHash signatures on both sides -> LSH band buckets ->
+    batch-to-corpus join (directional: never corpus x corpus, never
+    batch x batch) -> exact n-gram Jaccard verify on the candidates ->
+    one decision row per batch document.
+
+    Returns (doc_id, is_dup, n_matches, dup_of, best_jaccard): dup_of =
+    the smallest corpus id among verified matches (the keep-survivor
+    convention), best_jaccard = the strongest verified similarity; both
+    NULL when the document is novel.
+    """
+    sig_c = minhash_signatures(
+        corpus, id_col, text_col, n=n, num_hashes=num_hashes, shingle_hash=shingle_hash
+    )
+    sig_b = minhash_signatures(
+        batch, id_col, text_col, n=n, num_hashes=num_hashes, shingle_hash=shingle_hash
+    )
+    bd_c = _banded(sig_c, num_hashes, bands).select(
+        F.col("doc").alias("corpus_doc"), "band", "bucket"
+    )
+    bd_b = _banded(sig_b, num_hashes, bands).select(
+        F.col("doc").alias("new_doc"), "band", "bucket"
+    )
+    cand = (
+        bd_b.join(bd_c, ["band", "bucket"])
+        .select("new_doc", "corpus_doc")
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+
+    sh_b = shingles(batch, id_col, text_col, n=n)
+    sh_c = shingles(corpus, id_col, text_col, n=n)
+    size_b = sh_b.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("size_new"))
+    size_c = sh_c.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("size_corpus"))
+    inter = (
+        cand.join(sh_b.select(F.col("doc").alias("new_doc"), "shingle"), "new_doc")
+        .join(
+            sh_c.select(F.col("doc").alias("_docc"), F.col("shingle").alias("_shc")),
+            (F.col("corpus_doc") == F.col("_docc")) & (F.col("shingle") == F.col("_shc")),
+        )
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    verified = (
+        inter.join(size_b.select(F.col("doc").alias("new_doc"), "size_new"), "new_doc")
+        .join(size_c.select(F.col("doc").alias("corpus_doc"), "size_corpus"), "corpus_doc")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_new") + F.col("size_corpus") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    per_new = verified.groupBy("new_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("corpus_doc").alias("dup_of"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    ids = batch.select(F.col(id_col).alias("new_doc")).distinct()
+    return ids.join(per_new, "new_doc", "left").select(
+        F.col("new_doc").alias("doc_id"),
+        F.col("n_matches").isNotNull().alias("is_dup"),
+        F.coalesce(F.col("n_matches"), F.lit(0).cast("bigint")).alias("n_matches"),
+        "dup_of",
+        "best_jaccard",
     )
 
 

@@ -192,3 +192,90 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(F.col("_topg") / F.col("_ng"), 6).alias("top_2gram_frac"),
         F.round(F.col("_dupg") / F.col("_ng"), 6).alias("dup_2gram_frac"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 40,
+    stride: int = 30,
+) -> DataFrame:
+    """Sliding-window token chunking: split each document into
+    ``size``-token chunks starting every ``stride`` tokens (overlap =
+    size - stride) — the context-window preparation step of a training
+    or retrieval pipeline (chunk + overlap so no boundary sentence is
+    lost to truncation).
+
+    Whitespace tokens, original casing (chunks must reassemble the real
+    text). Pure generate: sequence -> explode -> slice -> array_join,
+    no shuffle at all — chunking parallelizes per input row, so the
+    operator is embarrassingly parallel at any corpus size. The trailing
+    chunk may be shorter than ``size``; every token index <= n starts a
+    chunk, so short tails are emitted (standard sliding-window
+    semantics).
+
+    Returns (doc, chunk_index, start_token, n_tokens, chunk_fp) with
+    chunk_fp = md5 of the chunk text — the dedup/lineage key downstream
+    span-dedup and decontamination stages join on.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc"), toks.alias("_toks"), F.size(toks).alias("_n")
+        )
+        .filter(F.col("_n") > 0)
+    )
+    starts = F.sequence(F.lit(1), F.col("_n"), F.lit(stride))
+    chunk = F.slice(F.col("_toks"), F.col("_start"), size)
+    return (
+        base.select("doc", "_toks", F.explode(starts).alias("_start"))
+        .select(
+            "doc",
+            ((F.col("_start") - 1) / stride).cast("int").alias("chunk_index"),
+            F.col("_start").cast("bigint").alias("start_token"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Global top-k word n-grams by total occurrence count — the
+    vocabulary/boilerplate-mining pass of a corpus pipeline (frequent
+    n-grams expose templates and junk worth filtering).
+
+    Tokenization matches the shingle pipeline (lowercase, alnum words)
+    so counts line up with the dedup operators. One explode + one
+    groupBy(gram) with map-side partial aggregation; the top-k is
+    orderBy+limit, which Spark plans as TakeOrdered (per-partition
+    heap + driver merge of k rows) — no global sort. Doc frequency
+    rides along via count(DISTINCT doc), a standard two-phase expand.
+    Ties broken by gram text so the cut at rank k is deterministic.
+    """
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+    base = df.select(F.col(id_col).alias("doc"), words.alias("_w")).filter(
+        F.size("_w") >= n  # guard: sequence(1, 0) would DESCEND in Spark
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_w"), i + j) for j in range(n)]
+        ),
+    )
+    tok = base.select("doc", F.explode(grams).alias("ngram"))
+    counts = tok.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_count"),
+        F.countDistinct("doc").cast("bigint").alias("doc_freq"),
+    )
+    return counts.orderBy(F.col("total_count").desc(), F.col("ngram").asc()).limit(k)

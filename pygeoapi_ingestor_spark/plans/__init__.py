@@ -34,6 +34,12 @@ _ALL = {**ETL_QUERIES, **TPCH_QUERIES, **ANALYTICS_QUERIES, **LLM_QUERIES}
 # Tail — heavy rows-only keys whose contract is unchanged.
 _FRONT = [
     # tier 1: new in round 3
+    "chunk_documents",
+    "top_ngrams",
+    "dedup_incremental_lsh",
+    "funnel_conversion",
+    "time_weighted_avg",
+    "fuzzy_match_names",
     "value_percentiles",
     "asof_join_forward",
     "unpivot_daily",

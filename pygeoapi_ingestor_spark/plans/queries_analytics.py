@@ -512,7 +512,77 @@ def q_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: users
+    reaching each stage (each stage strictly after the previous one) and
+    the conversion rate vs stage 1. One shuffle on user_id; the per-user
+    fold scans that user's funnel events once in sorted order — see
+    operators/temporal.funnel_stages. Reference semantics analog:
+    staged alert escalation over station events."""
+    from pygeoapi_ingestor_spark.operators import temporal
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    depths = temporal.funnel_stages(
+        ev, user_col="user_id", ts_col="ts", type_col="event_type",
+        stages=list(FUNNEL_STAGES),
+    )
+    ks = range(1, len(FUNNEL_STAGES) + 1)
+    agg = depths.agg(
+        *[
+            F.sum((F.col("depth") >= i).cast("long")).alias(f"_s{i}")
+            for i in ks
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(f"{i}_{FUNNEL_STAGES[i - 1]}").alias("stage"),
+                F.col(f"_s{i}").cast("bigint").alias("users"),
+                F.round(F.col(f"_s{i}") / F.col("_s1"), 6).alias("conversion"),
+            )
+            for i in ks
+        ]
+    )
+    return agg.select(F.explode(rows).alias("_r")).select("_r.*")
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(series, day) time-weighted average of the irregular value
+    series — step-interpolated TWA with exact integer-microsecond
+    weights and exact decimal weighted sums (bit-stable under any
+    partitioning). Windows key on (event_type, day), never the bare
+    5-value series key."""
+    from pygeoapi_ingestor_spark.operators import temporal
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    return temporal.time_weighted_avg(
+        ev, series_cols=["event_type"], ts_col="ts", value_col="value",
+        id_col="event_id",
+    )
+
+
+def q_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity canonicalization: distinct part-name pairs within edit
+    distance 2, via q-gram prefix filtering (Ed-Join) — candidates
+    shuffle on each name's 5 RAREST bigrams only, then the exact
+    ``levenshtein`` gate runs on candidates; no all-pairs join at any
+    scale. Reference analog: station/feature name normalization at
+    ingest registration."""
+    from pygeoapi_ingestor_spark.operators import fuzzy
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return fuzzy.fuzzy_name_pairs(part, name_col="p_name", q=2, max_dist=2)
+
+
 ANALYTICS_QUERIES = {
+    "funnel_conversion": q_funnel_conversion,
+    "time_weighted_avg": q_time_weighted_avg,
+    "fuzzy_match_names": q_fuzzy_match_names,
     "set_ops_customers": q_set_ops_customers,
     "value_percentiles": q_value_percentiles,
     "grouping_sets_mixed": q_grouping_sets_mixed,
@@ -543,6 +613,86 @@ ANALYTICS_QUERIES = {
 _DEC_DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
 ANALYTICS_ORACLES = {
+    "funnel_conversion": """
+        WITH f AS (
+            SELECT user_id, ts, event_type FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ), s1 AS (
+            SELECT user_id, min(ts) AS t FROM f
+            WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+            SELECT f.user_id, min(f.ts) AS t
+            FROM f JOIN s1 USING (user_id)
+            WHERE f.event_type = 'click' AND f.ts > s1.t
+            GROUP BY f.user_id
+        ), s3 AS (
+            SELECT f.user_id, min(f.ts) AS t
+            FROM f JOIN s2 USING (user_id)
+            WHERE f.event_type = 'purchase' AND f.ts > s2.t
+            GROUP BY f.user_id
+        ), c AS (
+            SELECT (SELECT count(*) FROM s1) AS n1,
+                   (SELECT count(*) FROM s2) AS n2,
+                   (SELECT count(*) FROM s3) AS n3
+        )
+        SELECT '1_view' AS stage, CAST(n1 AS BIGINT) AS users,
+               round(n1 / n1, 6) AS conversion FROM c
+        UNION ALL
+        SELECT '2_click', CAST(n2 AS BIGINT), round(n2 / n1, 6) FROM c
+        UNION ALL
+        SELECT '3_purchase', CAST(n3 AS BIGINT), round(n3 / n1, 6) FROM c
+    """,
+    "time_weighted_avg": """
+        WITH b AS (
+            SELECT event_type,
+                   date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+                   CAST(ts AS TIMESTAMP) AS tsu, event_id,
+                   CAST(value AS DECIMAL(14,2)) AS v
+            FROM events
+        ), h AS (
+            SELECT event_type, d, v,
+                   coalesce(
+                       epoch_us(lead(tsu) OVER (PARTITION BY event_type, d
+                                                ORDER BY tsu, event_id)),
+                       epoch_us(d + INTERVAL 1 DAY)
+                   ) - epoch_us(tsu) AS hold
+            FROM b
+        )
+        SELECT event_type, CAST(d AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(v * CAST(hold AS DECIMAL(20,0))) AS DOUBLE)
+                     / CAST(sum(hold) AS DOUBLE), 6) AS twa
+        FROM h GROUP BY 1, 2
+    """,
+    "fuzzy_match_names": """
+        WITH names AS (
+            SELECT DISTINCT p_name AS name FROM part
+            WHERE p_name IS NOT NULL AND length(p_name) >= 2
+        ), g AS (
+            SELECT name,
+                   unnest(list_distinct(list_transform(
+                       range(1, length(name)),
+                       i -> substr(name, i, 2)))) AS gram
+            FROM names
+        ), freq AS (
+            SELECT gram, count(*) AS f FROM g GROUP BY 1
+        ), pfx AS (
+            SELECT name, gram FROM (
+                SELECT g.name, g.gram,
+                       row_number() OVER (PARTITION BY g.name
+                                          ORDER BY freq.f, g.gram) AS rn
+                FROM g JOIN freq USING (gram)
+            ) WHERE rn <= 5
+        ), cand AS (
+            SELECT DISTINCT a.name AS name_a, b.name AS name_b
+            FROM pfx a JOIN pfx b ON a.gram = b.gram AND a.name < b.name
+        )
+        SELECT name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+        FROM cand
+        WHERE abs(length(name_a) - length(name_b)) <= 2
+          AND levenshtein(name_a, name_b) <= 2
+    """,
     "set_ops_customers": """
         WITH y96 AS (SELECT o_custkey FROM orders
                      WHERE o_orderdate >= TIMESTAMP '1996-01-01'

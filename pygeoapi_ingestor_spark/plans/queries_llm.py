@@ -633,7 +633,55 @@ def q_docs_top_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (size 40, stride 30): the
+    context-window preparation stage of a training/retrieval pipeline.
+    Pure generate — no shuffle; the chunk fingerprint is the join key
+    downstream span-dedup/decontamination stages use."""
+    out = text.chunk_documents(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", size=40, stride=30
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"), "chunk_index", "start_token",
+        "n_tokens", "chunk_fp",
+    )
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary mining: global top-20 word 2-grams by total
+    occurrences (+doc frequency) — the boilerplate/template detection
+    pass. One gram shuffle; top-k plans as TakeOrdered, no global
+    sort."""
+    return text.top_ngrams(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=2, k=20
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen the NEW batch (doc_id % 5 == 4 — a
+    deterministic 20% split at any sf) against the EXISTING corpus
+    (the rest) with a directional LSH bucket join — never corpus x
+    corpus — then exact-Jaccard verify. The oracle is the exact
+    directional Jaccard pair set at the same 0.6 threshold; the same
+    corpus-dependent LSH-recall caveat as dedup_lsh_verified applies
+    (this corpus's true dups sit at j >= 0.9 where banding recall ~ 1)."""
+    docs = _docs(spark, sf_dir)
+    out = dedup.minhash_lsh_incremental(
+        corpus=docs.filter(F.col("doc_id") % 5 != 4),
+        batch=docs.filter(F.col("doc_id") % 5 == 4),
+        id_col="doc_id", text_col="text",
+        n=3, num_hashes=32, bands=8, threshold=0.6, shingle_hash="md5",
+    )
+    return out.select(
+        "doc_id", "is_dup", "n_matches", "dup_of",
+        F.round("best_jaccard", 6).alias("best_jaccard"),
+    )
+
+
 LLM_QUERIES = {
+    "chunk_documents": q_chunk_documents,
+    "top_ngrams": q_top_ngrams,
+    "dedup_incremental_lsh": q_dedup_incremental,
     "dedup_exact": q_dedup_exact,
     "docs_top_per_source": q_docs_top_per_source,
     "kmeans_clusters_int8": q_kmeans_clusters_int8,
@@ -886,6 +934,75 @@ WITH words_t AS (
 _SHINGLE_CTE = _shingle_cte("WHERE doc_id < 500")
 
 LLM_ORACLES = {
+    "chunk_documents": r"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE length(trim(text)) > 0
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks), 30)) AS st
+            FROM w WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST((st - 1) / 30 AS INTEGER) AS chunk_index,
+               CAST(st AS BIGINT) AS start_token,
+               CAST(len(toks[st:least(st + 39, len(toks))]) AS BIGINT) AS n_tokens,
+               md5(array_to_string(toks[st:least(st + 39, len(toks))], ' ')) AS chunk_fp
+        FROM s
+    """,
+    "top_ngrams": r"""
+        WITH words_t AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(
+                           lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                           '\s+'),
+                       w -> w <> '') AS words
+            FROM documents
+        ), g AS (
+            SELECT doc_id AS doc,
+                   unnest(list_transform(
+                       generate_series(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i + 1])) AS ngram
+            FROM words_t WHERE len(words) >= 2
+        )
+        SELECT ngram,
+               CAST(count(*) AS BIGINT) AS total_count,
+               CAST(count(DISTINCT doc) AS BIGINT) AS doc_freq
+        FROM g GROUP BY 1
+        ORDER BY total_count DESC, ngram ASC LIMIT 20
+    """,
+    # directional exact-Jaccard twin of the incremental LSH screen
+    # (corpus-dependent recall caveat — see q_dedup_incremental)
+    "dedup_incremental_lsh": _shingle_cte() + """
+        , sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT b.doc AS new_doc, a.doc AS corpus_doc, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc % 5 <> 4 AND b.doc % 5 = 4
+            GROUP BY 1, 2
+        ), ver AS (
+            SELECT new_doc, corpus_doc,
+                   n_common / (sa.n_sh + sb.n_sh - n_common) AS j
+            FROM inter
+            JOIN sizes sa ON sa.doc = corpus_doc
+            JOIN sizes sb ON sb.doc = new_doc
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+        ), agg AS (
+            SELECT new_doc,
+                   CAST(count(*) AS BIGINT) AS n_matches,
+                   CAST(min(corpus_doc) AS BIGINT) AS dup_of,
+                   max(j) AS bj
+            FROM ver GROUP BY 1
+        )
+        SELECT d.doc_id,
+               agg.new_doc IS NOT NULL AS is_dup,
+               coalesce(agg.n_matches, 0) AS n_matches,
+               agg.dup_of,
+               round(agg.bj, 6) AS best_jaccard
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+        LEFT JOIN agg ON agg.new_doc = d.doc_id
+    """,
     "kmeans_clusters_int8": _kmeans_oracle_sql(),
     "sim_search_ivf_trained": _ivf_trained_oracle_sql(),
     "dedup_spans": r"""

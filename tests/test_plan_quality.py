@@ -298,3 +298,44 @@ def test_skew_join_shuffles_on_salted_key(spark, sf_dir):
     ]
     assert salted, "no exchange partitioned by (user_id, _salt)"
     assert "BroadcastHashJoin" not in plan.split("Aggregate")[0] or salted
+
+
+def test_chunk_documents_has_no_shuffle(spark, sf_dir):
+    """Chunking is pure generate: any Exchange means a regression."""
+    plan = _simple(QUERIES["chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_time_weighted_avg_windows_on_series_day(spark, sf_dir):
+    """TWA must exchange on (event_type, day) — re-keyed, never the bare
+    5-value series key."""
+    plan = _simple(QUERIES["time_weighted_avg"](spark, sf_dir))
+    keyed = [
+        ln for ln in _exchange_lines(plan)
+        if "event_type" in ln and "_day" in ln
+    ]
+    assert keyed, "no exchange partitioned by (event_type, _day)"
+
+
+def test_funnel_single_fact_shuffle(spark, sf_dir):
+    """The funnel folds per user after ONE shuffle on user_id; the final
+    3-row explode must not add fact-sized exchanges."""
+    plan = _simple(QUERIES["funnel_conversion"](spark, sf_dir))
+    assert len(_exchange_lines(plan)) <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_lsh_is_directional(spark, sf_dir):
+    """The batch-vs-corpus screen joins on (band, bucket) and never
+    cross-joins; exchanges carry the bucket key."""
+    plan = _simple(QUERIES["dedup_incremental_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate join must be keyed on (band, bucket) — as a shuffle
+    # exchange at scale or a broadcast hash join when one side is small
+    bucketed = [ln for ln in _exchange_lines(plan) if "bucket" in ln] or [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin [band" in ln.strip()
+    ]
+    assert bucketed, "candidate join is not keyed on the LSH bucket"

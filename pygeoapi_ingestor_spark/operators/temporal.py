@@ -24,6 +24,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ts_seconds(col) -> "F.Column":
+    """Wall-clock seconds since 1970-01-01 as double (µs precision).
+
+    Type-agnostic replacement for ``cast(ts as double)`` /
+    ``unix_micros``: naive-µs parquet surfaces as TIMESTAMP_NTZ under
+    Spark 4, where both of those are analysis errors. ``timestamp_diff``
+    accepts TIMESTAMP and TIMESTAMP_NTZ alike; with an NTZ epoch anchor
+    the NTZ path is fully timezone-free (matches DuckDB ``epoch()`` on
+    naive timestamps), and the TZ path resolves under the session zone.
+    """
+    epoch = F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+    return F.timestamp_diff("MICROSECOND", epoch, col) / F.lit(1e6)
+
+
+def micros_between(start, end) -> "F.Column":
+    """Signed whole microseconds ``end - start`` for any timestamp type.
+
+    Pairwise (same-typed operands), so no epoch anchor or timezone enters
+    at all — the NTZ-safe form of ``unix_micros(end) - unix_micros(start)``.
+    """
+    return F.timestamp_diff("MICROSECOND", start, end)
+
+
+def axis_seconds(df: DataFrame, ts_col: str) -> "F.Column":
+    """Numeric ordering axis for ``ts_col``: wall-clock epoch seconds when
+    the column is a timestamp (either flavor), plain ``cast(double)`` when
+    it is already numeric (operators like interpolation accept integer
+    axes in tests and sensor-sequence data)."""
+    dt = dict(df.dtypes).get(ts_col, "")
+    if dt.startswith("timestamp"):
+        return ts_seconds(F.col(ts_col))
+    return F.col(ts_col).cast("double")
+
+
 def select_time_range(
     df: DataFrame,
     ts_col: str,
@@ -183,7 +217,7 @@ def linear_interp_gaps(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     v = F.col(value_col)
-    t = F.col(ts_col).cast("double")
+    t = axis_seconds(df, ts_col)
     prev_v = F.last(v, ignorenulls=True).over(w_prev)
     prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_prev)
     next_v = F.last(v, ignorenulls=True).over(w_next_rev)
@@ -290,7 +324,7 @@ def chunked_linear_interp(
     chunk = chunk_col if not isinstance(chunk_col, str) else F.col(chunk_col)
     d = df.withColumn("_chunk", chunk)
     v = F.col(value_col)
-    t = F.col(ts_col).cast("double")
+    t = axis_seconds(df, ts_col)
     valid = F.when(v.isNotNull(), F.struct(t.alias("_t"), v.alias("_v")))
 
     # running frames only — a (current..unboundedFollowing) frame with
@@ -478,9 +512,14 @@ def asof_join(
     )
     matched = unioned.withColumn("_rlast", F.last("_r", ignorenulls=True).over(w))
     if tolerance_seconds is not None:
-        gap = F.abs(
-            F.col("_t").cast("double") - F.col("_rlast._rt").cast("double")
-        )
+        if rt_type.startswith("timestamp"):
+            gap = F.abs(
+                micros_between(F.col("_rlast._rt"), F.col("_t")) / F.lit(1e6)
+            )
+        else:
+            gap = F.abs(
+                F.col("_t").cast("double") - F.col("_rlast._rt").cast("double")
+            )
         matched = matched.withColumn(
             "_rlast", F.when(gap <= F.lit(float(tolerance_seconds)), F.col("_rlast"))
         )
@@ -597,9 +636,11 @@ def sessionize(
     """
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
-    # cast to double epoch seconds to keep sub-second precision (parity
-    # with DuckDB's epoch()); unix_timestamp would truncate to seconds
-    gap = F.col(ts_col).cast("double") - prev.cast("double")
+    # microsecond-precision diff (parity with DuckDB's epoch());
+    # unix_timestamp would truncate to seconds
+    a = axis_seconds(df, ts_col)
+    prev_a = F.lag(a).over(w)
+    gap = a - prev_a
     is_new = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
     run = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(
         Window.unboundedPreceding, 0
@@ -698,9 +739,11 @@ def time_weighted_avg(
         F.col(value_col).cast(value_decimal).alias("_v"),
     )
     w = Window.partitionBy(*series_cols, "_day").orderBy("_ts", "_id")
-    us = F.unix_micros(F.col("_ts"))
-    day_end_us = F.unix_micros(F.col("_day") + F.expr("INTERVAL 1 DAY"))
-    hold = F.coalesce(F.unix_micros(F.lead("_ts").over(w)), day_end_us) - us
+    day_end = F.col("_day") + F.expr("INTERVAL 1 DAY")
+    hold = F.coalesce(
+        micros_between(F.col("_ts"), F.lead("_ts").over(w)),
+        micros_between(F.col("_ts"), day_end),
+    )
     weighted = base.withColumn("_hold", hold)
     return (
         weighted.groupBy(*series_cols, F.col("_day").cast("date").alias("day"))

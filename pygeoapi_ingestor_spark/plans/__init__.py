@@ -22,26 +22,96 @@ from pygeoapi_ingestor_spark.plans.queries_tpch import TPCH_ORACLES, TPCH_QUERIE
 
 _ALL = {**ETL_QUERIES, **TPCH_QUERIES, **ANALYTICS_QUERIES, **LLM_QUERIES}
 
-# Round-3 front-load: the driver's correctness gate stops after ~50
-# entries, so rank keys by how stale their evidence is.
-# Tier 1 — brand new this round (no CORRECTNESS row ever).
-# Tier 2 — oracle/plan changed this round (md5-hash oracles, 0.6
-#          threshold), so the old green row no longer covers them.
-# Tier 3 — hash-green only in ROUND 1, before the round-2 exact-decimal
-#          aggregate rework touched their plans.
-# Tier 4 (implicit middle) — keys with a round-2 green row on current
-#          code.
-# Tail — heavy rows-only keys whose contract is unchanged.
-_FRONT = [
-    # tier 1: new in round 3
+# Round-4 front-load: the driver's correctness gate stamps the first ~50
+# entries in dict order, so rank keys by how stale their evidence is.
+# Tier 0 — brand new this round (no CORRECTNESS row ever).
+# Tier 1 — operator code changed this round (the TIMESTAMP_NTZ fix in
+#          temporal.py touched TWA / as-of / sessionize / interp), so
+#          their old rows no longer cover the shipped plans; two of them
+#          (time_weighted_avg, asof_join_forward) were the round-3
+#          analysis-error failures and need a green stamp most of all.
+# Tier 2 — last stamped in round 1.
+# Tier 3 — last stamped in round 2 (cheap keys first, heavy tail last).
+# Tail  — freshly stamped in round 3 on unchanged code.
+_R4_NEW: list[str] = [
+]
+
+_FRONT = _R4_NEW + [
+    # tier 1: round-4 NTZ fix touched these plans
+    "time_weighted_avg",
+    "asof_join_forward",
+    "sessionize_gap",
+    "linear_interp_gaps",
+    # tier 2: latest evidence is round 1
+    "approx_distinct_users",
+    "cube_orders",
+    "dedup_exact",
+    "dedup_latest_snapshot",
+    "dedup_ngram_jaccard",
+    "json_extract_props",
+    "pivot_daily_by_type",
+    "precip_deficit_cumsum",
+    "q22_idle_customers",
+    "regrid_snap_agg",
+    "rollup_revenue",
+    "set_ops_customers",
+    "spi_gamma",
+    "spi_gamma_ts3",
+    "unit_convert_derive",
+    # tier 3: latest evidence is round 2 — cheap single-table keys first
+    "select_time_range",
+    "resample_daily_sum",
+    "resample_weekly_max",
+    "resample_weekly_max_sun",
+    "resample_monthly_scaled",
+    "rolling_sum_7d",
+    "rolling_sum_7d_range",
+    "climatology_hourly",
+    "anomaly_vs_climatology",
+    "zonal_stats",
+    "ensemble_stats",
+    "bias_correction_qmap",
+    "rating_curve_interp",
+    "threshold_categorize",
+    "threshold_per_station",
+    "bias_correction_stored",
+    "collection_healthcheck",
+    "value_change_lag",
+    "forward_fill_gaps",
+    "lang_id_heuristic",
+    "text_quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "quality_filter",
+    "corpus_token_stats",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "spi_gamma_monthly",
+    "corpus_mix_sample",
+    "text_scrub",
+    "dedup_keep_corpus",
+    "embedding_quantize_int8",
+    "multimodal_meta",
+    "multimodal_frames",
+    "pack_sequences",
+    "decontaminate_ngram",
+    "sim_search_cosine_topk",
+    "sim_search_ivf",
+    "dedup_embedding_cosine",
+]
+
+# freshly stamped in round 3 on code unchanged since — safe at the back
+_TAIL = [
     "chunk_documents",
     "top_ngrams",
     "dedup_incremental_lsh",
     "funnel_conversion",
-    "time_weighted_avg",
     "fuzzy_match_names",
     "value_percentiles",
-    "asof_join_forward",
     "unpivot_daily",
     "ewma_smooth",
     "kmeans_clusters_int8",
@@ -62,21 +132,14 @@ _FRONT = [
     "q21_waiting_suppliers",
     "repetition_metrics",
     "sim_search_int8",
-    # tier 2a: cheap keys whose oracle/semantics changed in round 3
     "sim_search_lsh",
     "ntile_quartiles",
     "spi_empirical",
-    # tier 2b: heavy keys whose oracle/threshold changed in round 3, and
-    # the as-of operator refactored this session — must precede the
-    # merely-stale tier below so the ~50-entry window reaches them
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_lsh_verified",
     "dedup_components",
     "asof_join_events",
-    # tier 3: round-1 green row predates the round-2 plan rework
-    # (all sub-second — if the driver budget is time-based, these fit
-    # before the heavy dedup tier below; if entry-based, order is moot)
     "corr_value_props",
     "profile_events",
     "extreme_values",
@@ -91,35 +154,6 @@ _FRONT = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive",
-    "q22_idle_customers",
-    "rollup_revenue",
-    "cube_orders",
-    "pivot_daily_by_type",
-    "json_extract_props",
-    "set_ops_customers",
-    "precip_deficit_cumsum",
-    "unit_convert_derive",
-    "regrid_snap_agg",
-    "dedup_latest_snapshot",
-    "sessionize_gap",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_keep_corpus",
-    # round-2 replans worth a second stamp if budget remains
-    "value_change_lag",
-    "forward_fill_gaps",
-    "linear_interp_gaps",
-    "dedup_embedding_cosine",
-    "sim_search_cosine_topk",
-    "sim_search_ivf",
-]
-
-# heavy or rows-only keys with standing evidence — safe at the back
-_TAIL = [
-    "spi_gamma",
-    "spi_gamma_ts3",
-    "spi_gamma_monthly",
-    "approx_distinct_users",
 ]
 
 _order = list(_FRONT)

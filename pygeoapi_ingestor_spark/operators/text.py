@@ -279,3 +279,133 @@ def top_ngrams(
         F.countDistinct("doc").cast("bigint").alias("doc_freq"),
     )
     return counts.orderBy(F.col("total_count").desc(), F.col("ngram").asc()).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per group (source/domain) — the
+    characteristic-vocabulary pass of corpus curation (what makes this
+    domain's text distinctive; flat-IDF terms are boilerplate).
+
+    Each group is one "document" for IDF purposes, so document
+    frequency is countDistinct(group) per word — a bounded second
+    aggregate, not a per-row window. The per-group top-k runs through
+    the bucketed distributed row_number (functions/ranks), never a raw
+    single-partition sort; input to the ranking is the aggregated
+    (group, word) vocabulary, already reduced by the tf shuffle.
+    Score = tf * ln(n_groups / df), natural log on both engines.
+    """
+    from pygeoapi_ingestor_spark.functions import ranks
+
+    words = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")),
+            r"\s+",
+        ),
+        lambda w: w != "",
+    )
+    tok = df.select(F.col(group_col).alias("grp"), F.explode(words).alias("w"))
+    tf = tok.groupBy("grp", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    )
+    ngroups = tf.select("grp").distinct().agg(
+        F.count(F.lit(1)).alias("_ng")
+    )
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(ngroups))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.log(F.col("_ng").cast("double") / F.col("_df").cast("double")),
+        )
+        .withColumn("_neg", -F.col("score"))
+    )
+    ranked = ranks.bucketed_row_number(
+        scored, series_cols=["grp"], value_col="_neg",
+        tiebreak_cols=["w"], out_col="_rn", count_col="_cnt",
+    )
+    return ranked.filter(F.col("_rn") <= k).select(
+        F.col("grp").alias(group_col),
+        F.col("_rn").cast("int").alias("rank"),
+        F.col("w").alias("term"),
+        "tf",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document character Shannon entropy (bits/char) — the cheap
+    perplexity proxy of quality filtering: near-zero entropy is
+    repeated filler, unusually high is binary junk/encoded blobs.
+
+    Exact-count formulation: H = log2(n) - sum(c_i * log2(c_i)) / n over
+    per-(doc, char) counts — two shuffles on high-cardinality keys, all
+    integer until the final two log2/divide steps, so the value-hash
+    twin reproduces it bit-for-bit. Returns (doc_id, n_chars, entropy_bits).
+    """
+    chars = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), "")).alias("c"),
+    )
+    counts = chars.groupBy("doc", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return (
+        counts.groupBy("doc")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chars"),
+            F.sum(F.col("cnt").cast("double") * F.log2(F.col("cnt").cast("double"))).alias("_clog"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_chars",
+            F.round(
+                F.log2(F.col("n_chars").cast("double"))
+                - F.col("_clog") / F.col("n_chars").cast("double"),
+                6,
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+def bigram_merge_counts(
+    df: DataFrame,
+    text_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k intra-word character-pair frequencies — the first merge
+    step of BPE vocabulary induction (which adjacent symbol pair is most
+    frequent across the corpus). Pure explode + one gram shuffle with
+    map-side combine; top-k plans as TakeOrdered. Ties break on the pair
+    text so the rank-k cut is deterministic."""
+    words = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")),
+            r"\s+",
+        ),
+        lambda w: w != "",
+    )
+    w_rows = df.select(F.explode(words).alias("w")).filter(F.length("w") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.col("w").substr(i, F.lit(2)),
+    )
+    exploded = w_rows.select(F.explode(pairs).alias("pair"))
+    counts = exploded.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_count")
+    )
+    return counts.orderBy(
+        F.col("pair_count").desc(), F.col("pair").asc()
+    ).limit(k)

@@ -16,11 +16,21 @@ from pygeoapi_ingestor_spark.plans.queries_analytics import (
     ANALYTICS_ORACLES,
     ANALYTICS_QUERIES,
 )
+from pygeoapi_ingestor_spark.plans.queries_behavior import (
+    BEHAVIOR_ORACLES,
+    BEHAVIOR_QUERIES,
+)
 from pygeoapi_ingestor_spark.plans.queries_etl import ETL_ORACLES, ETL_QUERIES
 from pygeoapi_ingestor_spark.plans.queries_llm import LLM_ORACLES, LLM_QUERIES
 from pygeoapi_ingestor_spark.plans.queries_tpch import TPCH_ORACLES, TPCH_QUERIES
 
-_ALL = {**ETL_QUERIES, **TPCH_QUERIES, **ANALYTICS_QUERIES, **LLM_QUERIES}
+_ALL = {
+    **ETL_QUERIES,
+    **TPCH_QUERIES,
+    **ANALYTICS_QUERIES,
+    **LLM_QUERIES,
+    **BEHAVIOR_QUERIES,
+}
 
 # Round-4 front-load: the driver's correctness gate stamps the first ~50
 # entries in dict order, so rank keys by how stale their evidence is.
@@ -34,6 +44,18 @@ _ALL = {**ETL_QUERIES, **TPCH_QUERIES, **ANALYTICS_QUERIES, **LLM_QUERIES}
 # Tier 3 — last stamped in round 2 (cheap keys first, heavy tail last).
 # Tail  — freshly stamped in round 3 on unchanged code.
 _R4_NEW: list[str] = [
+    "dedup_against_reference",
+    "tfidf_top_terms",
+    "char_entropy",
+    "bigram_merges",
+    "ann_recall_eval",
+    "retention_cohorts",
+    "rfm_segments",
+    "mad_outliers",
+    "session_stats",
+    "streak_lengths",
+    "gap_fill_calendar",
+    "hist2d_value_hour",
 ]
 
 _FRONT = _R4_NEW + [
@@ -162,7 +184,13 @@ _order += [k for k in _TAIL if k in _ALL]
 assert set(_order) == set(_ALL), sorted(set(_ALL) ^ set(_order))
 
 QUERIES = {k: _ALL[k] for k in _order}
-_ALL_ORACLES = {**ETL_ORACLES, **TPCH_ORACLES, **ANALYTICS_ORACLES, **LLM_ORACLES}
+_ALL_ORACLES = {
+    **ETL_ORACLES,
+    **TPCH_ORACLES,
+    **ANALYTICS_ORACLES,
+    **LLM_ORACLES,
+    **BEHAVIOR_ORACLES,
+}
 ORACLES = {k: _ALL_ORACLES[k] for k in _order if k in _ALL_ORACLES}
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,375 @@
+"""Behavioral / user-journey analytics (SURVEY.md §2 block B continued):
+cohort retention, RFM segmentation, robust outliers, session statistics,
+activity streaks, calendar gap-fill, and 2-D histograms.
+
+These are the event-log analyses a reference user layers on top of the
+ingested collections (the reference's own dashboards aggregate station
+events per period; the cohort/session/streak family is the same shape
+keyed on users). Same parity conventions as the other catalogs: exact
+DECIMAL money/value sums, derived doubles rounded, identical aliases in
+both engines.
+
+Scale notes: every query shuffles on a high-cardinality key (user_id,
+(event_type, day), (source, word)) or on aggregated summaries; global
+quantile windows route through functions/ranks (bucketed two-phase
+construction), never a single-partition sort of raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pygeoapi_ingestor_spark.operators import temporal
+from pygeoapi_ingestor_spark.operators.temporal import micros_between
+from pygeoapi_ingestor_spark.sources.readers import read_events
+
+SESSION_GAP_S = 1800
+MAD_K = 3.0
+VBUCKET_W = 50.0
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-active day, then
+    distinct-user counts per (cohort, day-offset). Two shuffles — one on
+    user_id to find cohorts (map-side combinable min), one on the tiny
+    (cohort, offset) key — both scale-safe at any row count."""
+    ev = read_events(spark, sf_dir)
+    user_day = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    cohort = user_day.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = user_day.join(cohort, "user_id")
+    return (
+        joined.groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    customers from their orders — the standard marketing-analytics
+    cube. Quartiles come from the bucketed distributed row_number +
+    closed-form ntile (functions/ranks), NOT a single-partition
+    ``ntile(4) OVER (ORDER BY ...)``: the global sort that formulation
+    needs is the round-1-verdict scale-killer. All three metrics rank
+    ascending with c_custkey tie-break so the SQL twin's ntile choices
+    match exactly."""
+    from pygeoapi_ingestor_spark.functions import ranks
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    maxd = o.agg(F.max("o_orderdate").alias("_maxd"))
+    per_cust = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("_maxd"), F.max("o_orderdate"))
+            .cast("int")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("_mon"),
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    cur = per_cust
+    for metric, out in (
+        ("recency_days", "r_q"),
+        ("frequency", "f_q"),
+        ("_mon_d", "m_q"),
+    ):
+        if metric == "_mon_d":
+            cur = cur.withColumn("_mon_d", F.col("_mon").cast("double"))
+        cur = ranks.bucketed_row_number(
+            cur, series_cols=["_g"], value_col=metric,
+            tiebreak_cols=["o_custkey"], out_col="_rn", count_col="_cnt",
+        )
+        cur = cur.withColumn(out, ranks.ntile_expr("_rn", "_cnt", 4)).drop(
+            "_rn", "_cnt"
+        )
+    return cur.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("_mon").cast("double"), 2).alias("total_monetary"),
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per series: median + MAD (median
+    absolute deviation), flag |v - med| > 3*MAD. The robust sibling of
+    the z-score screens in the reference's QC stage — MAD shrugs off
+    the very outliers a stddev-based gate lets widen the band. Exact
+    medians via sort-based percentile on both engines; two tiny
+    aggregate/broadcast rounds, no all-data window."""
+    ev = read_events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "_adev", F.abs(F.col("value") - F.col("_med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("_med").alias("_med"),
+        F.expr("percentile(_adev, 0.5)").alias("_mad"),
+    )
+    flagged = dev.drop("_med").join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.round(F.first("_med"), 6).alias("median_value"),
+            F.round(F.first("_mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("_adev") > F.lit(MAD_K) * F.col("_mad")).cast("bigint")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length/duration distribution on top of the sessionize
+    operator: per (user, session) event count and exact integer-µs
+    duration, histogrammed by events-per-session (capped at 10). The
+    downstream consumer of ``sessionize_gap`` every engagement report
+    runs; durations aggregate as exact BIGINT µs so the double division
+    at the end is bit-stable."""
+    ev = read_events(spark, sf_dir)
+    s = temporal.sessionize(ev, ["user_id"], "ts", SESSION_GAP_S)
+    per = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        micros_between(F.min("ts"), F.max("ts")).alias("_dur_us"),
+    )
+    bucket = F.least(F.col("_n"), F.lit(10)).cast("int")
+    return (
+        per.groupBy(bucket.alias("events_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.round(
+                (F.sum("_dur_us").cast("double") / F.count(F.lit(1)))
+                / F.lit(1e6),
+                6,
+            ).alias("avg_duration_s"),
+        )
+    )
+
+
+def q_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — gaps-and-
+    islands: distinct active days, island id = day - row_number (the
+    constant-per-run trick), max island size per user. Window partitions
+    on user_id (high cardinality), input is the distinct (user, day)
+    set, never raw events."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = F.date_sub(F.col("day"), F.row_number().over(w))
+    runs = ud.withColumn("_grp", grp).groupBy("user_id", "_grp").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("_len").cast("int").alias("max_streak"),
+        F.sum("_len").cast("bigint").alias("active_days"),
+    )
+
+
+def q_gap_fill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reindex daily aggregates onto the complete calendar per series —
+    the xarray-style 'resample onto a full time index' the reference
+    relies on (missing days must EXIST as zero/flagged rows before
+    rolling/interp stages). Per-series min/max is a tiny aggregate; the
+    calendar explodes from it (rows = series x days, never raw-row
+    bound); one left join back brings the actual values."""
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).alias("_sum"),
+    )
+    rng = daily.groupBy("event_type").agg(
+        F.min("day").alias("_mn"), F.max("day").alias("_mx")
+    )
+    cal = rng.select(
+        "event_type", F.explode(F.sequence("_mn", "_mx")).alias("day")
+    )
+    out = cal.join(daily, ["event_type", "day"], "left")
+    return out.select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.round(
+            F.coalesce(F.col("_sum"), F.lit(0).cast("decimal(14,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("day_total"),
+        F.col("_n").isNull().alias("is_gap"),
+    )
+
+
+def q_hist2d_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (hour-of-day x value band): the density heatmap
+    behind load/usage dashboards. Pure one-pass aggregation on a tiny
+    composite key; exact DECIMAL band sums."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.hour("ts").cast("int").alias("hour"),
+            (F.floor(F.col("value") / F.lit(VBUCKET_W)) * int(VBUCKET_W))
+            .cast("int")
+            .alias("value_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 2
+            ).alias("band_total"),
+        )
+    )
+
+
+BEHAVIOR_QUERIES = {
+    "retention_cohorts": q_retention_cohorts,
+    "rfm_segments": q_rfm_segments,
+    "mad_outliers": q_mad_outliers,
+    "session_stats": q_session_stats,
+    "streak_lengths": q_streak_lengths,
+    "gap_fill_calendar": q_gap_fill_calendar,
+    "hist2d_value_hour": q_hist2d_value_hour,
+}
+
+
+BEHAVIOR_ORACLES = {
+    "retention_cohorts": """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, u.day) AS INT) AS day_offset,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users
+FROM ud u JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+""",
+    "rfm_segments": """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(o_orderdate),
+                        (SELECT max(o_orderdate) FROM orders)) AS INT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS mon
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT o_custkey, mon,
+         ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+         ntile(4) OVER (ORDER BY frequency, o_custkey)    AS f_q,
+         ntile(4) OVER (ORDER BY CAST(mon AS DOUBLE), o_custkey) AS m_q
+  FROM per_cust
+)
+SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+       CAST(m_q AS INT) AS m_q,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(mon) AS DOUBLE), 2) AS total_monetary
+FROM tiled GROUP BY 1, 2, 3
+""",
+    "mad_outliers": """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, any_value(med) AS med,
+         quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       round(any_value(m.med), 6) AS median_value,
+       round(any_value(m.mad), 6) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+    "session_stats": """
+WITH lagd AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), news AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL
+                OR date_diff('microsecond', prev, ts) / 1e6 > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagd
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM news
+), per AS (
+  SELECT user_id, session_id,
+         CAST(count(*) AS BIGINT) AS n,
+         date_diff('microsecond', min(ts), max(ts)) AS dur_us
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT CAST(least(n, 10) AS INT) AS events_bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       round((CAST(sum(dur_us) AS DOUBLE) / count(*)) / 1e6, 6)
+         AS avg_duration_s
+FROM per GROUP BY 1
+""",
+    "streak_lengths": """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), runs AS (
+  SELECT user_id,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS grp
+  FROM ud
+), sized AS (
+  SELECT user_id, grp, count(*) AS len FROM runs GROUP BY user_id, grp
+)
+SELECT user_id, CAST(max(len) AS INT) AS max_streak,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM sized GROUP BY user_id
+""",
+    "gap_fill_calendar": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(14,2))) AS s
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT event_type, min(day) AS mn, max(day) AS mx FROM daily
+  GROUP BY event_type
+), cal AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM rng
+)
+SELECT c.event_type, c.day,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+       round(CAST(coalesce(d.s, 0) AS DOUBLE), 2) AS day_total,
+       d.n IS NULL AS is_gap
+FROM cal c LEFT JOIN daily d ON c.event_type = d.event_type
+                            AND c.day = d.day
+""",
+    "hist2d_value_hour": """
+SELECT CAST(hour(ts) AS INT) AS hour,
+       CAST(floor(value / 50.0) * 50 AS INT) AS value_band,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2)
+         AS band_total
+FROM events
+GROUP BY 1, 2
+""",
+}

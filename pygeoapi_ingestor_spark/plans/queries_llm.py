@@ -1485,3 +1485,192 @@ LLM_ORACLES = {
         FROM m
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: reference-corpus dedup, TF-IDF vocabulary, char
+# entropy, BPE merge counts, ANN recall evaluation
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_against_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup: drop every candidate document whose normalized
+    content fingerprint already exists in a reference corpus (doc_id % 10
+    == 0 stands in for the already-ingested corpus). One fingerprint
+    shuffle + a left-anti join on the md5 key — the canonical "don't
+    re-train on what you already have" pass; at 100 TB the anti-join
+    shuffles fingerprints only, never text."""
+    docs = text.fingerprint(_docs(spark, sf_dir), text_col="text")
+    is_ref = F.col("doc_id") % 10 == 0
+    ref_fp = docs.filter(is_ref).select("fingerprint")
+    return (
+        docs.filter(~is_ref)
+        .join(ref_fp, "fingerprint", "left_anti")
+        .select("doc_id", "source", "lang")
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic vocabulary per source via TF-IDF (each source is
+    one IDF 'document'): the domain-profiling pass of corpus curation.
+    Ranking runs through the bucketed distributed row_number."""
+    return text.tfidf_top_terms(
+        _docs(spark, sf_dir), group_col="source", text_col="text", k=5
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy (quality/perplexity proxy)."""
+    return text.char_entropy(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text"
+    )
+
+
+def q_bigram_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top BPE merge candidates (most frequent intra-word char pairs)."""
+    return text.bigram_merge_counts(
+        _docs(spark, sf_dir), text_col="text", k=20
+    )
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@k of the hyperplane-LSH index
+    against brute-force ground truth, per query — the acceptance gate
+    every ANN deployment needs before swapping the exact path out.
+    Composes the two catalog operators (same params as their standalone
+    queries) and joins on (query, neighbor); both sides are
+    deterministic, so even the approximate side is value-hash-gated."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    gt = similarity.cosine_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
+    )
+    cand = similarity.lsh_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding",
+        dim=64, k=TOPK, n_planes=8, use_md5_planes=True,
+    )
+    hits = gt.select("query_id", "neighbor_id").join(
+        cand.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.lit(float(TOPK)),
+            6,
+        ).alias("recall_at_k"),
+    )
+
+
+_WORDS_CTE = r"""
+    WITH words_t AS (
+        SELECT doc_id, source,
+               list_filter(
+                   string_split_regex(
+                       lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                       '\s+'),
+                   w -> w <> '') AS words
+        FROM documents
+    )
+"""
+
+LLM_QUERIES.update(
+    {
+        "dedup_against_reference": q_dedup_against_reference,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "char_entropy": q_char_entropy,
+        "bigram_merges": q_bigram_merges,
+        "ann_recall_eval": q_ann_recall_eval,
+    }
+)
+
+LLM_ORACLES.update(
+    {
+        "dedup_against_reference": """
+            WITH fp AS (
+                SELECT doc_id, source, lang,
+                       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                         AS f
+                FROM documents
+            )
+            SELECT doc_id, source, lang FROM fp
+            WHERE doc_id % 10 <> 0
+              AND f NOT IN (SELECT f FROM fp WHERE doc_id % 10 = 0)
+        """,
+        "tfidf_top_terms": _WORDS_CTE + """
+            , tok AS (SELECT source AS grp, unnest(words) AS w FROM words_t),
+            tf AS (
+                SELECT grp, w, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+            ng AS (SELECT count(DISTINCT grp) AS ng FROM tf),
+            scored AS (
+                SELECT grp, w, tf,
+                       CAST(tf AS DOUBLE)
+                         * ln((SELECT CAST(ng AS DOUBLE) FROM ng)
+                              / CAST(df AS DOUBLE)) AS score
+                FROM tf JOIN dfreq USING (w)
+            ),
+            ranked AS (
+                SELECT grp, w, tf, score,
+                       row_number() OVER (PARTITION BY grp
+                                          ORDER BY score DESC, w ASC) AS rn
+                FROM scored
+            )
+            SELECT grp AS source, CAST(rn AS INT) AS rank, w AS term, tf,
+                   round(score, 6) AS score
+            FROM ranked WHERE rn <= 5
+        """,
+        "char_entropy": """
+            WITH chars AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents
+            ), counts AS (
+                SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+                FROM chars GROUP BY 1, 2
+            ), agg AS (
+                SELECT doc_id, sum(cnt) AS n,
+                       sum(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE)))
+                         AS clog
+                FROM counts GROUP BY 1
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+                   round(log2(CAST(n AS DOUBLE)) - clog / CAST(n AS DOUBLE), 6)
+                     AS entropy_bits
+            FROM agg
+        """,
+        "bigram_merges": _WORDS_CTE + """
+            , w_rows AS (
+                SELECT unnest(words) AS w FROM words_t
+            ), pairs AS (
+                SELECT unnest(list_transform(
+                           generate_series(1, length(w) - 1),
+                           i -> substr(w, i, 2))) AS pair
+                FROM w_rows WHERE length(w) >= 2
+            )
+            SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY 1
+            ORDER BY pair_count DESC, pair ASC LIMIT 20
+        """,
+    }
+)
+
+# recall oracle composes the two standalone (hash-green) oracle queries
+# as CTE subqueries — nested WITH inside a parenthesized subquery is
+# valid DuckDB — so the evaluation twin stays in lockstep with whatever
+# those operators' oracles say
+LLM_ORACLES["ann_recall_eval"] = f"""
+    WITH gt AS (SELECT * FROM ({LLM_ORACLES["sim_search_cosine_topk"]})),
+         cand AS (SELECT * FROM ({LLM_ORACLES["sim_search_lsh"]}))
+    SELECT gt.query_id,
+           CAST(count(cand.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(cand.neighbor_id) / {float(TOPK)}, 6) AS recall_at_k
+    FROM gt LEFT JOIN cand
+      ON gt.query_id = cand.query_id AND gt.neighbor_id = cand.neighbor_id
+    GROUP BY gt.query_id
+"""

@@ -504,7 +504,7 @@ def embedding_cosine_pairs_bucketed(
     v = F.col("vec")
 
     def proj_bit(p: int):
-        w_arr = F.array(*[F.lit(w) for w in weights[p]])
+        w_arr = F.lit(list(weights[p]))  # single array literal: one AST node, not dim
         proj = F.aggregate(
             F.zip_with(v, w_arr, lambda x, w: x * w),
             F.lit(0.0),
@@ -525,6 +525,14 @@ def embedding_cosine_pairs_bucketed(
         _norm(F.col(vec_col)).alias("nrm"),
         *[band_key(b).alias(f"k{b}") for b in range(bands)],
     )
+    # materialize the signature table before the pair join: without the
+    # barrier CollapseProject can inline the n_planes interpreted
+    # projection folds into the join condition / both join sides,
+    # re-projecting per CANDIDATE PAIR instead of per row. The persisted
+    # (id, keys, norm) table is the LSH index artifact itself.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     keys = [f"k{b}" for b in range(bands)]
     # banding carries only (id, band keys) — payload vectors stay out of
     # the explode/join and come back via an id-equi-join afterwards, so

@@ -114,7 +114,7 @@ def md5_signature(vec_col: Column, dim: int, n_planes: int, seed: int = 7) -> Co
     weights = md5_plane_weights(dim, n_planes, seed)
     sig = None
     for p in range(n_planes):
-        w_arr = F.array(*[F.lit(w) for w in weights[p]])
+        w_arr = F.lit(list(weights[p]))  # single array literal: one AST node, not dim
         proj = F.aggregate(
             F.zip_with(vec_col, w_arr, lambda x, w: x * w),
             F.lit(0.0),
@@ -190,7 +190,7 @@ def ivf_topk(
         *[
             F.struct(
                 F.lit(cid).alias("cid"),
-                F.array(*[F.lit(x) for x in cv]).alias("cvec"),
+                F.lit(list(cv)).alias("cvec"),
             )
             for cid, cv in cents
         ]
@@ -333,6 +333,32 @@ def cosine_topk_int8(
     )
 
 
+def _sq_dist_sql(vec_sql: str, cv) -> str:
+    """SQL-text twin of ``_sq_dist_int`` against a literal centroid:
+    exact integer squared distance ((a-b)^2 <= 508^2 fits INT; the fold
+    accumulates in BIGINT)."""
+    arr = "array(" + ",".join(str(int(x)) for x in cv) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (a, b) -> (a - b) * (a - b)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT))"
+    )
+
+
+def _centroid_structs_sql(vec_sql: str, cents) -> str:
+    return ",".join(
+        f"struct({_sq_dist_sql(vec_sql, cv)} AS d, {cid} AS cid)"
+        for cid, cv in cents
+    )
+
+
+def _argmin_centroid_sql(vec_sql: str, cents) -> str:
+    """argmin over centroids as ONE generated SQL expression (ties to the
+    lowest cid via lexicographic struct comparison — same semantics as
+    the Column-built array_min it replaces, built in a single py4j
+    call)."""
+    return f"array_min(array({_centroid_structs_sql(vec_sql, cents)}))"
+
+
 def kmeans_fit_int8(
     embeddings: DataFrame,
     id_col: str,
@@ -390,25 +416,26 @@ def kmeans_fit_int8(
     ]
 
     def _assign(cur):
-        cents_arr = F.array(
-            *[
-                F.struct(
-                    _sq_dist_int(F.col("_q"), F.array(*[F.lit(x) for x in cv])).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv in cur
-            ]
-        )
-        best = F.array_min(cents_arr)
-        return q.withColumn("cluster", best.getField("cid")).withColumn(
-            "sq_dist", best.getField("d")
+        # one F.expr over a generated SQL string instead of ~300 Column
+        # calls: the training loop rebuilds this expression every
+        # iteration, and per-call py4j latency (not execution) dominated
+        # the iteration wall time at small scale
+        best = F.expr(_argmin_centroid_sql("_q", cur))
+        return (
+            q.withColumn("_best", best)
+            .select(
+                "*",
+                F.col("_best.cid").alias("cluster"),
+                F.col("_best.d").alias("sq_dist"),
+            )
+            .drop("_best")
         )
 
     for _ in range(iters):
         assigned = _assign(cents)
         stats = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[F.sum(F.get(F.col("_q"), d)).alias(f"_s{d}") for d in range(dim)],
+            F.expr("CAST(count(1) AS BIGINT) AS _n"),
+            *[F.expr(f"sum(_q[{d}]) AS _s{d}") for d in range(dim)],
         )
         new = {
             # Python // on ints is exact floor division (toward -inf)
@@ -455,17 +482,8 @@ def ivf_topk_trained(
     )
 
     def dist_arr(qcol: str) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    _sq_dist_int(
-                        F.col(qcol), F.array(*[F.lit(x) for x in cv])
-                    ).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv in cents
-            ]
-        )
+        # single-py4j-call SQL build — see _argmin_centroid_sql
+        return F.expr(f"array({_centroid_structs_sql(qcol, cents)})")
 
     eq = quantize_int8(
         embeddings.select(
@@ -473,6 +491,14 @@ def ivf_topk_trained(
         ),
         "_v",
     ).select("neighbor_id", "_v", F.col("q_vec").alias("_q"))
+    # materialize the quantized corpus before the argmin: without the
+    # barrier, CollapseProject inlines the quantize transform into every
+    # centroid-distance lambda (HOFs run interpreted, with no common-
+    # subexpression elimination), re-quantizing each row k x dim times —
+    # measured 5-6s vs ~0.3s on this step alone at sf0.1. Persisting IS
+    # the index build: the quantized corpus is the at-rest artifact a
+    # real IVF index stores.
+    eq = eq.persist(StorageLevel.MEMORY_AND_DISK)
     assigned = eq.withColumn(
         "cluster", F.array_min(dist_arr("_q")).getField("cid")
     ).select("neighbor_id", "_v", "cluster")

@@ -74,7 +74,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_g", F.lit(1))
     )
-    cur = per_cust
+    from pyspark import StorageLevel
+
+    # each rank pass branches its input (stats agg + join-back), so an
+    # unpersisted chain recomputes pass N-1 twice per pass — 2^3 orders
+    # scans by the third quartile. The per-customer table is one row per
+    # customer (bounded, spillable): persist between passes.
+    cur = per_cust.persist(StorageLevel.MEMORY_AND_DISK)
     for metric, out in (
         ("recency_days", "r_q"),
         ("frequency", "f_q"),
@@ -88,7 +94,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = cur.withColumn(out, ranks.ntile_expr("_rn", "_cnt", 4)).drop(
             "_rn", "_cnt"
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     return cur.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.round(F.sum("_mon").cast("double"), 2).alias("total_monetary"),

@@ -786,3 +786,74 @@ def span_dedup(
             F.md5(F.col("_text")).alias("dedup_digest"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every word n-gram, then keep the minimum
+    hash of every ``window`` consecutive grams. Guarantees any shared
+    run of ``n + window - 1`` words between two documents shares at
+    least one selected fingerprint — the local-similarity detector that
+    whole-doc hashing misses and all-grams storage over-pays for
+    (density 2/(window+1) of all grams).
+
+    Relational formulation (no sequential scan): positioned grams from
+    posexplode + lead, an engine-neutral 60-bit md5 gram hash, and the
+    per-window minimum as a ``min`` over a (CURRENT ROW .. w-1 FOLLOWING)
+    frame on a zero-padded sortable key — ties break to the LOWEST
+    position (the deterministic variant; classic winnowing breaks right).
+    Selected fingerprints are the distinct window minima over full
+    windows only. One shuffle on doc; both windows share it.
+
+    Returns (doc, pos, gram_hash) — the positioned fingerprint set.
+    """
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "w")
+    )
+    wo = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(wo) for i in range(1, n)]
+    gram = F.concat_ws(" ", *parts)
+    grams = (
+        tok.select("doc", "pos", gram.alias("_g"), parts[-1].alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    h = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long")
+    keyed = grams.select(
+        "doc",
+        "pos",
+        h.alias("gram_hash"),
+        F.concat(
+            F.lpad(F.substring(F.md5(F.col("_g")), 1, 15), 15, "0"),
+            F.lpad(F.col("pos").cast("string"), 8, "0"),
+        ).alias("_key"),
+    )
+    w_fwd = (
+        Window.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    with_min = keyed.select(
+        "doc",
+        "pos",
+        "gram_hash",
+        "_key",
+        F.min("_key").over(w_fwd).alias("_wmin"),
+        F.count(F.lit(1)).over(w_fwd).alias("_wn"),
+    )
+    selected_keys = (
+        with_min.filter(F.col("_wn") == window)
+        .select("doc", F.col("_wmin").alias("_key"))
+        .distinct()
+    )
+    return keyed.join(selected_keys, ["doc", "_key"], "left_semi").select(
+        "doc", "pos", "gram_hash"
+    )

@@ -1674,3 +1674,124 @@ LLM_ORACLES["ann_recall_eval"] = f"""
       ON gt.query_id = cand.query_id AND gt.neighbor_id = cand.neighbor_id
     GROUP BY gt.query_id
 """
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) positioned fingerprints over the corpus — the
+    local-similarity detector between whole-doc hashing (misses partial
+    overlap) and all-grams storage (overpays ~(w+1)/2 x)."""
+    return dedup.winnow_fingerprints(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=4, window=5
+    )
+
+
+LLM_QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
+
+LLM_ORACLES["winnow_fingerprints"] = r"""
+WITH words_t AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                   '\s+'),
+               w -> w <> '') AS words
+    FROM documents
+), g0 AS (
+    SELECT doc_id AS doc,
+           unnest(list_transform(
+               range(1, greatest(len(words) - 3, 0) + 1),
+               i -> struct_pack(pos := i - 1,
+                                g := array_to_string(words[i:i+3], ' '))))
+             AS s
+    FROM words_t
+), grams AS (
+    SELECT doc, s.pos AS pos,
+           (('0x' || substr(md5(s.g), 1, 15))::BIGINT) AS gram_hash,
+           lpad(substr(md5(s.g), 1, 15), 15, '0')
+             || lpad(CAST(s.pos AS VARCHAR), 8, '0') AS key
+    FROM g0
+), winm AS (
+    SELECT doc, pos, gram_hash, key,
+           min(key) OVER (PARTITION BY doc ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+           count(*) OVER (PARTITION BY doc ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wn
+    FROM grams
+), sel AS (
+    SELECT DISTINCT doc, wmin AS key FROM winm WHERE wn = 5
+)
+SELECT g.doc, g.pos, g.gram_hash
+FROM grams g JOIN sel USING (doc, key)
+"""
+
+
+def q_sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k over the embeddings table — the
+    compressed-index scan completing the ANN family (int8 flat /
+    LSH buckets / IVF lists / trained IVF / PQ codes)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.pq_adc_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding",
+        k=TOPK, m_subs=8, n_codes=16, dim=64,
+    )
+
+
+LLM_QUERIES["sim_search_pq_adc"] = q_sim_search_pq_adc
+
+
+def _pq_adc_oracle_sql(m_subs: int = 8, n_codes: int = 16, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of pq_adc_topk: same quantization, the same md5-draw
+    codebook, per-subspace integer distances written as explicit 8-term
+    sums, codes via (d, j) row_number argmin, ADC via code-table join."""
+    sub = dim // m_subs
+    terms = " + ".join(
+        f"(v.q[{sub}*mm.m+{t}] - s.sq[{sub}*mm.m+{t}])"
+        f"*(v.q[{sub}*mm.m+{t}] - s.sq[{sub}*mm.m+{t}])"
+        for t in range(1, sub + 1)
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scaled AS (
+    SELECT vec_id,
+           CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                THEN list_max(list_transform(v, x -> abs(x)))
+                ELSE 1.0 END AS q_scale, v
+    FROM e
+), quant AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(round(x * 127.0 / q_scale, 0) AS INTEGER)) AS q
+    FROM scaled
+), seeds0 AS (
+    SELECT vec_id, q FROM quant
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_codes}
+), seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q AS sq FROM seeds0
+), ms AS (SELECT unnest(range(0, {m_subs})) AS m),
+cdist AS (
+    SELECT v.vec_id, mm.m, s.j, ({terms}) AS d
+    FROM quant v, seeds s, ms mm
+), codes AS (
+    SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        FROM cdist) WHERE rn = 1
+), qtab AS (
+    SELECT vec_id AS query_id, m, j, d FROM cdist WHERE vec_id < 5
+), adc AS (
+    SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.d) AS adc_dist
+    FROM codes c JOIN qtab t ON t.m = c.m AND t.j = c.code
+    WHERE c.vec_id <> t.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc) WHERE rn <= {k}
+"""
+
+
+LLM_ORACLES["sim_search_pq_adc"] = _pq_adc_oracle_sql()

@@ -339,3 +339,55 @@ def test_incremental_lsh_is_directional(spark, sf_dir):
         if "BroadcastHashJoin [band" in ln.strip()
     ]
     assert bucketed, "candidate join is not keyed on the LSH bucket"
+
+
+# ---- round-4 additions ----
+
+
+def test_retention_and_streaks_no_cartesian(spark, sf_dir):
+    for key in ("retention_cohorts", "streak_lengths", "session_stats"):
+        plan = _simple(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+
+
+def test_rfm_ranks_broadcast_no_global_sort_window(spark, sf_dir):
+    plan = _simple(QUERIES["rfm_segments"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hist2d_is_single_aggregate(spark, sf_dir):
+    plan = _simple(QUERIES["hist2d_value_hour"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_char_entropy_no_join_no_udf(spark, sf_dir):
+    plan = _simple(QUERIES["char_entropy"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_merges_topk_is_take_ordered(spark, sf_dir):
+    plan = _simple(QUERIES["bigram_merges"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_against_reference_is_anti_join(spark, sf_dir):
+    plan = _simple(QUERIES["dedup_against_reference"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_selects_via_semi_join(spark, sf_dir):
+    plan = _simple(QUERIES["winnow_fingerprints"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_scans_materialized_codes(spark, sf_dir):
+    plan = _simple(QUERIES["sim_search_pq_adc"](spark, sf_dir))
+    # the encoded PQ index must come from the persisted materialization,
+    # not be recomputed inside the ADC scan join
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan

@@ -1093,3 +1093,183 @@ ETL_ORACLES = {
         FROM sess GROUP BY 1, 2
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: oracled bilinear regrid + Z-order cell rollup (A20/A22
+# graduate from tests-only to value-hash-gated catalog rows)
+# ---------------------------------------------------------------------------
+
+
+def q_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear regrid of a gridded daily field onto scattered target
+    points (reference: bias_correction_cds_process.py:272,295 —
+    ``ds.interp(method="linear")``). The grid derives deterministically
+    from events (10x10 lattice per day, exact DECIMAL cell means so the
+    field itself is bit-stable); targets are fractional points, some
+    outside the envelope (NULL path exercised). Axis interval tables
+    broadcast; corner lookup is one explode + equi-join."""
+    from pygeoapi_ingestor_spark.operators import regrid
+
+    ev = _events(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    grid = (
+        ev.filter(day < F.lit("2024-01-03").cast("date"))
+        .groupBy(
+            day.alias("day"),
+            (F.col("user_id") % 10).cast("double").alias("lat"),
+            (F.col("event_id") % 10).cast("double").alias("lon"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("gval")
+        )
+    )
+    targets = (
+        ev.filter((F.col("event_id") < 200) & (day < F.lit("2024-01-03").cast("date")))
+        .select(
+            "event_id",
+            day.alias("day"),
+            ((F.col("user_id") % 93) / F.lit(10.0)).alias("lat"),
+            ((F.col("event_id") % 87) / F.lit(10.0)).alias("lon"),
+        )
+    )
+    out = regrid.bilinear_regrid(
+        grid, targets, value_col="gval", time_col="day",
+        lat_col="lat", lon_col="lon", out_col="value_interp",
+    )
+    return out.select(
+        "event_id", "day",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        F.round("value_interp", 6).alias("value_interp"),
+    )
+
+
+def q_morton_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) spatial rollup: interleave quantized lon/lat
+    bits into a cell id and aggregate per cell — the co-locating
+    partition key for spatial scans (a bbox touches a contiguous id
+    range). Coordinates derive from events on a 1/16-degree lattice
+    (binary-exact doubles), stats use exact DECIMAL sums."""
+    from pygeoapi_ingestor_spark.operators import spatial
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        ((F.col("event_id") % 5760) / F.lit(16.0) - F.lit(180.0)).alias("lon"),
+        ((F.col("user_id") % 2880) / F.lit(16.0) - F.lit(90.0)).alias("lat"),
+        F.col("value"),
+    )
+    cell = spatial.morton_cell("lon", "lat", bits_per_axis=8).alias("cell_id")
+    return pts.groupBy(cell).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 2
+        ).alias("cell_total"),
+        F.round(F.min("value"), 6).alias("cell_min"),
+        F.round(F.max("value"), 6).alias("cell_max"),
+        F.round(
+            F.sum(F.col("lon").cast("decimal(14,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid_lon"),
+    )
+
+
+ETL_QUERIES["regrid_bilinear"] = q_regrid_bilinear
+ETL_QUERIES["morton_cells"] = q_morton_cells
+
+ETL_ORACLES["regrid_bilinear"] = """
+WITH ev AS (
+    SELECT event_id, user_id, value, CAST(ts AS DATE) AS day FROM events
+    WHERE CAST(ts AS DATE) < DATE '2024-01-03'
+), grid AS (
+    SELECT day,
+           CAST(user_id % 10 AS DOUBLE) AS glat,
+           CAST(event_id % 10 AS DOUBLE) AS glon,
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS gv
+    FROM ev GROUP BY 1, 2, 3
+), lats AS (SELECT DISTINCT glat AS v FROM grid),
+lat_cells AS (
+    SELECT v AS lo, lead(v) OVER (ORDER BY v) AS hi,
+           lead(v) OVER (ORDER BY v) = (SELECT max(v) FROM lats) AS last
+    FROM lats QUALIFY hi IS NOT NULL
+), lons AS (SELECT DISTINCT glon AS v FROM grid),
+lon_cells AS (
+    SELECT v AS lo, lead(v) OVER (ORDER BY v) AS hi,
+           lead(v) OVER (ORDER BY v) = (SELECT max(v) FROM lons) AS last
+    FROM lons QUALIFY hi IS NOT NULL
+), targets AS (
+    SELECT event_id, day,
+           (user_id % 93) / 10.0 AS tlat,
+           (event_id % 87) / 10.0 AS tlon
+    FROM ev WHERE event_id < 200
+), bracketed AS (
+    SELECT t.*, la.lo AS lat_lo, la.hi AS lat_hi, lo_.lo AS lon_lo, lo_.hi AS lon_hi
+    FROM targets t
+    LEFT JOIN lat_cells la
+      ON t.tlat >= la.lo AND (t.tlat < la.hi OR (la.last AND t.tlat <= la.hi))
+    LEFT JOIN lon_cells lo_
+      ON t.tlon >= lo_.lo AND (t.tlon < lo_.hi OR (lo_.last AND t.tlon <= lo_.hi))
+), cornered AS (
+    SELECT b.*,
+           g00.gv AS vlolo, g01.gv AS vlohi, g10.gv AS vhilo, g11.gv AS vhihi
+    FROM bracketed b
+    LEFT JOIN grid g00 ON g00.day = b.day AND g00.glat = b.lat_lo AND g00.glon = b.lon_lo
+    LEFT JOIN grid g01 ON g01.day = b.day AND g01.glat = b.lat_lo AND g01.glon = b.lon_hi
+    LEFT JOIN grid g10 ON g10.day = b.day AND g10.glat = b.lat_hi AND g10.glon = b.lon_lo
+    LEFT JOIN grid g11 ON g11.day = b.day AND g11.glat = b.lat_hi AND g11.glon = b.lon_hi
+), weighted AS (
+    SELECT *,
+           CASE WHEN (lat_hi - lat_lo) > 0
+                THEN (tlat - lat_lo) / (lat_hi - lat_lo) ELSE 0.0 END AS wy,
+           CASE WHEN (lon_hi - lon_lo) > 0
+                THEN (tlon - lon_lo) / (lon_hi - lon_lo) ELSE 0.0 END AS wx
+    FROM cornered
+)
+SELECT event_id, day,
+       round(tlat, 6) AS lat, round(tlon, 6) AS lon,
+       round(CASE WHEN lat_lo IS NOT NULL AND lon_lo IS NOT NULL
+                  THEN vlolo * (1 - wy) * (1 - wx)
+                     + vlohi * (1 - wy) * wx
+                     + vhilo * wy * (1 - wx)
+                     + vhihi * wy * wx
+             END, 6) AS value_interp
+FROM weighted
+"""
+
+
+def _morton_oracle_sql(bits: int = 8) -> str:
+    scale = (1 << bits) - 1
+    ix = " + ".join(f"(((x >> {i}) & 1) << {2 * i})" for i in range(bits))
+    iy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(bits))
+    return f"""
+WITH pts AS (
+    SELECT (event_id % 5760) / 16.0 - 180.0 AS lon,
+           (user_id % 2880) / 16.0 - 90.0 AS lat,
+           value
+    FROM events
+), q AS (
+    SELECT CAST(round((greatest(-180.0, least(180.0, lon)) + 180.0)
+                      / 360.0 * {scale}, 0) AS BIGINT) AS x,
+           CAST(round((greatest(-90.0, least(90.0, lat)) + 90.0)
+                      / 180.0 * {scale}, 0) AS BIGINT) AS y,
+           lon, value
+    FROM pts
+), cells AS (
+    SELECT ({ix}) + ({iy}) AS cell_id, lon, value FROM q
+)
+SELECT CAST(cell_id AS BIGINT) AS cell_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2) AS cell_total,
+       round(min(value), 6) AS cell_min,
+       round(max(value), 6) AS cell_max,
+       round(CAST(sum(CAST(lon AS DECIMAL(14,4))) AS DOUBLE) / count(*), 6)
+         AS centroid_lon
+FROM cells GROUP BY 1
+"""
+
+
+ETL_ORACLES["morton_cells"] = _morton_oracle_sql()

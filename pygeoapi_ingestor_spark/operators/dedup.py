@@ -857,3 +857,99 @@ def winnow_fingerprints(
     return keyed.join(selected_keys, ["doc", "_key"], "left_semi").select(
         "doc", "pos", "gram_hash"
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    n: int | None = 3,
+) -> DataFrame:
+    """Exact set-Jaccard similarity join with PPJoin-style prefix
+    filtering (Xiao/Wang/Lin/Yu 2008): order every document's tokens by
+    global rarity, and generate candidates only from each document's
+    PREFIX (the first |T| - ceil(t*|T|) + 1 tokens). Lossless: a pair
+    with J >= t must overlap in >= t*max(|A|,|B|) tokens, so two
+    disjoint prefixes bound the overlap strictly below that — unlike
+    MinHash this prunes with NO recall loss, which is why it is the
+    canonical exact set-similarity join at scale (candidates shuffle on
+    rare tokens only; frequent tokens never generate pairs).
+
+    ``n`` picks the set universe: word n-gram shingles for n >= 2 (the
+    discriminative choice — single words collapse on small-vocabulary
+    corpora), bare words for n=None. Verification is the exact
+    shared-token count over candidate pairs.
+    Returns (doc_a, doc_b, n_common, size_a, size_b, jaccard).
+    """
+    if n is not None and n >= 2:
+        toks = shingles(df, id_col, text_col, n=n).select(
+            "doc", F.col("shingle").alias("w")
+        )
+    else:
+        words = F.filter(
+            F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+            lambda w: w != "",
+        )
+        toks = (
+            df.select(F.col(id_col).alias("doc"), F.explode(words).alias("w"))
+            .distinct()
+        )
+    dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = toks.join(dfreq, "w")
+    # per-doc tokens ordered by (global df asc, token): rarest first —
+    # the order that makes prefixes maximally selective
+    per_doc = ranked.groupBy("doc").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_df").alias("d"), F.col("w").alias("w")))
+        ).alias("_sorted"),
+        F.count(F.lit(1)).cast("bigint").alias("size"),
+    )
+    prefix_len = (
+        F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
+    ).cast("int")
+    prefixes = per_doc.select(
+        "doc",
+        "size",
+        F.explode(
+            F.transform(
+                F.slice(F.col("_sorted"), F.lit(1), prefix_len),
+                lambda s: s.getField("w"),
+            )
+        ).alias("w"),
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.size").alias("size_a"),
+            F.col("b.size").alias("size_b"),
+        )
+        .distinct()
+        # length filter: |B| >= t*|A| is necessary for J >= t — prunes
+        # before the verification join ever sees the pair
+        .filter(
+            F.col("size_b").cast("double") >= F.lit(threshold) * F.col("size_a")
+        )
+    )
+    ta = toks.select(F.col("doc").alias("doc_a"), "w")
+    tb = toks.select(F.col("doc").alias("doc_b"), "w")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "w"], "left_semi")
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    j = F.col("n_common") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_common")
+    )
+    return (
+        inter.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a", "doc_b", "n_common", "size_a", "size_b",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

@@ -1795,3 +1795,36 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 
 
 LLM_ORACLES["sim_search_pq_adc"] = _pq_adc_oracle_sql()
+
+
+def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard similarity join via PPJoin prefix
+    filtering — the lossless exact-dedup sibling of the MinHash screen
+    (candidates only from globally-rare prefix shingles; no recall
+    loss, no caps). The oracle is the BRUTE-FORCE exact join: equality
+    of results is precisely the PPJoin losslessness guarantee."""
+    return dedup.ppjoin_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        threshold=0.6, n=3,
+    )
+
+
+LLM_QUERIES["dedup_ppjoin"] = q_dedup_ppjoin
+
+LLM_ORACLES["dedup_ppjoin"] = _shingle_cte() + """
+    , sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n_sh AS BIGINT) AS size_a,
+           CAST(sb.n_sh AS BIGINT) AS size_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+"""

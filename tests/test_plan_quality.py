@@ -391,3 +391,10 @@ def test_pq_adc_scans_materialized_codes(spark, sf_dir):
     # not be recomputed inside the ADC scan join
     assert "InMemoryTableScan" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ppjoin_candidates_from_prefix_join_only(spark, sf_dir):
+    plan = _simple(QUERIES["dedup_ppjoin"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # verification is a semi-join against the token table
+    assert "LeftSemi" in plan

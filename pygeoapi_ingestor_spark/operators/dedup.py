@@ -895,6 +895,11 @@ def ppjoin_pairs(
             df.select(F.col(id_col).alias("doc"), F.explode(words).alias("w"))
             .distinct()
         )
+    # four DAG branches read the token table (df counts, per-doc sort,
+    # both verification sides): materialize the tokenization once
+    from pyspark import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
     ranked = toks.join(dfreq, "w")
     # per-doc tokens ordered by (global df asc, token): rarest first —
@@ -919,8 +924,21 @@ def ppjoin_pairs(
         ).alias("w"),
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    # length filter inside the join condition: J >= t needs
+    # min(|A|,|B|) >= t*max(|A|,|B|), so size-incompatible pairs are
+    # dropped before the candidate distinct ever shuffles them
+    length_ok = (
+        F.col("b.size").cast("double") >= F.lit(threshold) * F.col("a.size")
+    ) & (
+        F.col("a.size").cast("double") >= F.lit(threshold) * F.col("b.size")
+    )
     cand = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & length_ok,
+        )
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
@@ -928,11 +946,6 @@ def ppjoin_pairs(
             F.col("b.size").alias("size_b"),
         )
         .distinct()
-        # length filter: |B| >= t*|A| is necessary for J >= t — prunes
-        # before the verification join ever sees the pair
-        .filter(
-            F.col("size_b").cast("double") >= F.lit(threshold) * F.col("size_a")
-        )
     )
     ta = toks.select(F.col("doc").alias("doc_a"), "w")
     tb = toks.select(F.col("doc").alias("doc_b"), "w")

@@ -47,6 +47,19 @@ def micros_between(start, end) -> "F.Column":
     return F.timestamp_diff("MICROSECOND", start, end)
 
 
+def wall_trunc(freq: str, col) -> "F.Column":
+    """WALL-CLOCK ``date_trunc``, independent of the session timezone.
+
+    Spark's ``date_trunc`` pushes TIMESTAMP_NTZ input through the
+    session zone and returns TIMESTAMP, so under a non-UTC session a
+    naive '2024-01-19 00:00' day-bucket surfaces shifted (e.g. 05:00).
+    Round-tripping through TIMESTAMP_NTZ on both sides makes the
+    truncation a pure wall-clock operation for either input flavor —
+    matching DuckDB's ``date_trunc`` on naive timestamps whatever
+    timezone the driver's session happens to run in."""
+    return F.date_trunc(freq, F.col(col).cast("timestamp_ntz") if isinstance(col, str) else col.cast("timestamp_ntz")).cast("timestamp_ntz")
+
+
 def axis_seconds(df: DataFrame, ts_col: str) -> "F.Column":
     """Numeric ordering axis for ``ts_col``: wall-clock epoch seconds when
     the column is a timestamp (either flavor), plain ``cast(double)`` when
@@ -96,7 +109,7 @@ def resample(
     date_trunc('week', ts) + 6 days.
     One shuffle on (series, bucket); map-side partial aggregation applies.
     """
-    bucket_expr = F.date_trunc(freq, F.col(ts_col))
+    bucket_expr = wall_trunc(freq, F.col(ts_col))
     if freq == "week" and week_anchor == "sun_end":
         bucket_expr = bucket_expr + F.expr("INTERVAL 6 DAY")
     elif week_anchor not in ("mon", "sun_end"):
@@ -159,7 +172,9 @@ def rolling_agg_range(
     periods."""
     w = (
         Window.partitionBy(*series_cols)
-        .orderBy(F.col(ts_col).cast("long"))
+        # axis_seconds, not cast(long): NTZ timestamps reject the cast,
+        # and the wall-clock µs-precision axis is type-agnostic
+        .orderBy(axis_seconds(df, ts_col))
         .rangeBetween(-window_seconds, 0)
     )
     return df.withColumn(out_col, getattr(F, fn)(value_col).over(w))
@@ -730,7 +745,7 @@ def time_weighted_avg(
     BIGINT product — bit-stable under any partitioning/merge order.
     Returns (series..., day, n_events, twa).
     """
-    day = F.date_trunc("day", F.col(ts_col))
+    day = wall_trunc("day", F.col(ts_col))
     base = df.select(
         *[F.col(c) for c in series_cols],
         day.alias("_day"),

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pygeoapi_ingestor_spark.operators import temporal
 from pygeoapi_ingestor_spark.plans.queries_tpch import (
     _dec_price,
     _one_minus_disc,
@@ -175,7 +176,7 @@ def q_pivot_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoapi_ingestor_spark.sources.readers import read_events
 
     ev = read_events(spark, sf_dir)
-    day = F.date_trunc("day", F.col("ts")).alias("bucket")
+    day = temporal.wall_trunc("day", F.col("ts")).alias("bucket")
     vdec = F.col("value").cast("decimal(14,2)")
     zero = F.lit(0).cast("decimal(14,2)")
     aggs = [
@@ -235,7 +236,7 @@ def q_value_change_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table in one task; weekly chunks + boundary exchange are exact
     lagged = temporal.chunked_lag(
         ev, series_cols=["event_type"], order_cols=["ts", "event_id"],
-        value_col="value", chunk_col=F.date_trunc("week", F.col("ts")),
+        value_col="value", chunk_col=temporal.wall_trunc("week", F.col("ts")),
         out_col="_prev",
     )
     return lagged.select(
@@ -251,7 +252,7 @@ def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events(spark, sf_dir)
     return ev.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("bucket"), F.col("event_type")
+        temporal.wall_trunc("day", F.col("ts")).alias("bucket"), F.col("event_type")
     ).agg(
         F.countDistinct("user_id").cast("bigint").alias("distinct_users"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -382,7 +383,7 @@ def q_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoapi_ingestor_spark.sources.readers import read_events
 
     ev = read_events(spark, sf_dir).withColumn(
-        "day", F.date_trunc("day", F.col("ts"))
+        "day", temporal.wall_trunc("day", F.col("ts"))
     )
     return ev.groupingSets(
         [["event_type"], ["day"], []], "event_type", "day"

@@ -114,7 +114,7 @@ def q_resample_weekly_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     # one scan, one shuffle: all weekly aggregates in a single groupBy
     return ev.groupBy(
-        "event_type", F.date_trunc("week", F.col("ts")).alias("bucket")
+        "event_type", temporal.wall_trunc("week", F.col("ts")).alias("bucket")
     ).agg(
         F.round(F.max("value"), 6).alias("weekly_max"),
         F.count(F.lit(1)).cast("bigint").alias("n_obs"),
@@ -233,7 +233,7 @@ def q_forward_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary exchange keep the result identical and the sort parallel
     filled = temporal.chunked_forward_fill(
         with_gaps, series_cols=["event_type"], order_cols=["ts", "event_id"],
-        value_col="v_gappy", chunk_col=F.date_trunc("week", F.col("ts")),
+        value_col="v_gappy", chunk_col=temporal.wall_trunc("week", F.col("ts")),
         out_col="v_filled",
     )
     return filled.select(
@@ -251,7 +251,7 @@ def q_linear_interp_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = temporal.chunked_linear_interp(
         with_gaps, series_cols=["event_type"], ts_col="ts",
-        value_col="v_gappy", chunk_col=F.date_trunc("week", F.col("ts")),
+        value_col="v_gappy", chunk_col=temporal.wall_trunc("week", F.col("ts")),
         out_col="v_interp",
     )
     return out.select(
@@ -342,7 +342,7 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         zones,
         join_key="user_id",
         zone_col="zone",
-        bucket_col=F.date_trunc("week", F.col("ts")).alias("bucket"),
+        bucket_col=temporal.wall_trunc("week", F.col("ts")).alias("bucket"),
         value_col="value",
         percentiles=(0.05, 0.5, 0.95),
     )
@@ -614,7 +614,7 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = temporal.chunked_ewma(
         ev, series_cols=["event_type"], order_cols=["ts", "event_id"],
         value_col="value", alpha=0.3,
-        chunk_col=F.date_trunc("week", F.col("ts")), out_col="ewma",
+        chunk_col=temporal.wall_trunc("week", F.col("ts")), out_col="ewma",
     )
     return out.select(
         "event_id", "event_type", F.round("ewma", 6).alias("ewma")

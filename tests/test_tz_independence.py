@@ -1,0 +1,54 @@
+"""Session-timezone independence: the driver's correctness gate may run
+under any session timezone, while the DuckDB oracles treat naive
+timestamps as pure wall-clock. Every date-bucketing operator must
+therefore be wall-clock (``wall_trunc`` / ``timestamp_diff``), never
+routed through the session zone — a regression here reproduces the
+round-4 bug where ``date_trunc`` on TIMESTAMP_NTZ shifted day buckets
+by the session offset.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.test_queries_oracle import _duck, _normalize
+
+from pygeoapi_ingestor_spark.plans import ORACLES, QUERIES
+
+# the queries most exposed to session-zone leakage: date buckets,
+# calendar explode, range windows, µs arithmetic, sessionization
+TZ_SENSITIVE = [
+    "resample_daily_sum",
+    "resample_weekly_max_sun",
+    "resample_monthly_scaled",
+    "rolling_sum_7d_range",
+    "time_weighted_avg",
+    "sessionize_gap",
+    "gap_fill_calendar",
+    "retention_cohorts",
+    "distinct_users_daily",
+    "asof_join_forward",
+]
+
+
+@pytest.mark.parametrize("key", TZ_SENSITIVE)
+def test_query_matches_oracle_under_non_utc_session(spark, sf_dir, key):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = QUERIES[key](spark, sf_dir)
+        spark_cols = df.columns
+        spark_rows = [tuple(r) for r in df.collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+    con = _duck(sf_dir)
+    res = con.execute(ORACLES[key])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    ns = _normalize(spark_rows, spark_cols)
+    nd = _normalize(duck_rows, duck_cols)
+    assert len(ns) == len(nd), f"{key}: row count {len(ns)} vs {len(nd)}"
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{key}: first mismatches: {mismatches[:3]}"

@@ -105,19 +105,25 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection per series: median + MAD (median
     absolute deviation), flag |v - med| > 3*MAD. The robust sibling of
     the z-score screens in the reference's QC stage — MAD shrugs off
-    the very outliers a stddev-based gate lets widen the band. Exact
-    medians via sort-based percentile on both engines; two tiny
-    aggregate/broadcast rounds, no all-data window."""
+    the very outliers a stddev-based gate lets widen the band. Both
+    medians come from the bucket-drill-down exact percentile
+    (functions/ranks) — Spark's ``percentile`` aggregate buffers every
+    group value in one task, a scale-killer on a 5-value series key."""
+    from pygeoapi_ingestor_spark.functions import ranks
+
     ev = read_events(spark, sf_dir)
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("_med")
-    )
+    med = ranks.exact_percentiles(
+        ev, series_cols=["event_type"], value_col="value",
+        ps=[0.5], tiebreak_cols=["event_id"],
+    ).select("event_type", F.col("pct").alias("_med"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "_adev", F.abs(F.col("value") - F.col("_med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.first("_med").alias("_med"),
-        F.expr("percentile(_adev, 0.5)").alias("_mad"),
+    mad = ranks.exact_percentiles(
+        dev, series_cols=["event_type"], value_col="_adev",
+        ps=[0.5], tiebreak_cols=["event_id"],
+    ).select("event_type", F.col("pct").alias("_mad")).join(
+        F.broadcast(med), "event_type"
     )
     flagged = dev.drop("_med").join(F.broadcast(mad), "event_type")
     return (

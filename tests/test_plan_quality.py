@@ -398,3 +398,10 @@ def test_ppjoin_candidates_from_prefix_join_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # verification is a semi-join against the token table
     assert "LeftSemi" in plan
+
+
+def test_mad_outliers_avoids_buffering_percentile(spark, sf_dir):
+    plan = _formatted(QUERIES["mad_outliers"](spark, sf_dir))
+    # medians must come from bucket drill-down, never the buffering
+    # percentile aggregate (one task holds a whole 5-key group's values)
+    assert "percentile(" not in plan

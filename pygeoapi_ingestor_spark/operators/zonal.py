@@ -31,20 +31,45 @@ def zonal_stats(
 ) -> DataFrame:
     """Per (zone, bucket) min/max + interpolated percentiles.
 
-    ``zones`` is a small dimension (basin table analog) — broadcast so the
-    fact side never shuffles for the join; the single shuffle is the
-    groupBy on (zone, bucket).
+    ``zones`` is a small dimension (basin table analog) — broadcast so
+    the fact side never shuffles for the join. Percentiles come from the
+    bucket drill-down (functions/ranks.exact_percentiles), never the
+    buffering ``percentile`` aggregate: a (zone, week) group holds every
+    event of a basin-week, which one task cannot buffer at 100 TB.
+    Identical values (SQL percentile_cont interpolation) either way.
     """
-    joined = fact.join(F.broadcast(zones), on=join_key)
-    aggs = [
-        F.min(value_col).alias("v_min"),
-        F.max(value_col).alias("v_max"),
-    ]
-    for p in percentiles:
-        aggs.append(
-            F.percentile(value_col, F.lit(p)).alias(f"p{int(round(p * 100)):02d}")
-        )
-    return joined.groupBy(F.col(zone_col), bucket_col).agg(*aggs)
+    from pygeoapi_ingestor_spark.functions import ranks
+
+    bucket = bucket_col if not isinstance(bucket_col, str) else F.col(bucket_col)
+    joined = fact.join(F.broadcast(zones), on=join_key).select(
+        F.col(zone_col).alias("_zone"), bucket.alias("_bucket_v"), F.col(value_col).alias("_v")
+    )
+    base = joined.groupBy("_zone", "_bucket_v").agg(
+        F.min("_v").alias("v_min"),
+        F.max("_v").alias("v_max"),
+    )
+    pcts = ranks.exact_percentiles(
+        joined, series_cols=["_zone", "_bucket_v"], value_col="_v",
+        ps=list(percentiles), tiebreak_cols=[],
+    )
+    wide = pcts.groupBy("_zone", "_bucket_v").agg(
+        *[
+            F.min(F.when(F.col("p") == float(p), F.col("pct"))).alias(
+                f"p{int(round(p * 100)):02d}"
+            )
+            for p in percentiles
+        ]
+    )
+    out = base.join(wide, ["_zone", "_bucket_v"])
+    bucket_name = "bucket"
+    try:
+        bucket_name = bucket_col._jc.toString().split(" AS ")[-1].strip("`")
+    except Exception:
+        if isinstance(bucket_col, str):
+            bucket_name = bucket_col
+    return out.withColumnRenamed("_zone", zone_col).withColumnRenamed(
+        "_bucket_v", bucket_name
+    )
 
 
 def ensemble_stats(
@@ -54,7 +79,11 @@ def ensemble_stats(
     percentiles: tuple[float, ...] = (0.10, 0.90),
 ) -> DataFrame:
     """Collapse the ensemble-member dimension: per bucket median/min/max
-    plus requested percentiles (reference ``spi_ensemble``/``spi_perc``)."""
+    plus requested percentiles (reference ``spi_ensemble``/``spi_perc``).
+
+    The buffering ``percentile`` aggregate is fine HERE: group size is
+    the ensemble-member count (tens, by data model), not a data-scaled
+    row count — unlike zonal_stats, which drills down instead."""
     aggs = [
         F.min(value_col).alias("ens_min"),
         F.max(value_col).alias("ens_max"),

@@ -224,15 +224,27 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token statistics per source: totals, means, and
-    interpolated percentiles of per-document token counts."""
+    interpolated percentiles of per-document token counts. Percentiles
+    via the bucket drill-down — a source's documents are unbounded at
+    corpus scale, so the buffering aggregate is out."""
+    from pygeoapi_ingestor_spark.functions import ranks
+
     counted = text.token_counts(_docs(spark, sf_dir), text_col="text")
-    return counted.groupBy("source").agg(
+    base = counted.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("regex_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.sum("regex_tokens").cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
-        F.round(F.percentile("regex_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
-        F.round(F.percentile("regex_tokens", F.lit(0.95)), 6).alias("p95_tokens"),
     )
+    pcts = ranks.exact_percentiles(
+        counted.select("source", "doc_id", F.col("regex_tokens").cast("double").alias("_t")),
+        series_cols=["source"], value_col="_t",
+        ps=[0.5, 0.95], tiebreak_cols=["doc_id"],
+    )
+    wide = pcts.groupBy("source").agg(
+        F.round(F.min(F.when(F.col("p") == 0.5, F.col("pct"))), 6).alias("p50_tokens"),
+        F.round(F.min(F.when(F.col("p") == 0.95, F.col("pct"))), 6).alias("p95_tokens"),
+    )
+    return base.join(wide, "source")
 
 
 # per-source sampling rates for corpus mixing — a config artifact in a

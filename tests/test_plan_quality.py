@@ -405,3 +405,9 @@ def test_mad_outliers_avoids_buffering_percentile(spark, sf_dir):
     # medians must come from bucket drill-down, never the buffering
     # percentile aggregate (one task holds a whole 5-key group's values)
     assert "percentile(" not in plan
+
+
+def test_zonal_and_corpus_stats_avoid_buffering_percentile(spark, sf_dir):
+    for key in ("zonal_stats", "corpus_token_stats"):
+        plan = _formatted(QUERIES[key](spark, sf_dir))
+        assert "percentile(" not in plan, key

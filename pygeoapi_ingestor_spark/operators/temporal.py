@@ -771,3 +771,56 @@ def time_weighted_avg(
             ).alias("twa"),
         )
     )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """MERGE INTO semantics as a batch operator: apply a change batch
+    (upserts + deletes) onto a keyed base snapshot — the idempotent
+    re-ingest of utils_spi.py:205-358 generalized to CDC shape.
+
+    Only the LATEST change per key (by ``order_cols``) applies; a
+    delete_op change removes the key, any other op replaces the base
+    row, keys untouched by the batch keep their base row. Two shuffles
+    (latest-change window on the key, one full-outer equi-join), both on
+    the high-cardinality key — the standard scale shape; no driver
+    round-trips.
+
+    Returns base-schema columns plus ``src`` ('base' | 'change').
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    lc = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    data_cols = [c for c in base.columns if c not in key_cols]
+    b = base.select(
+        *key_cols, F.struct(*data_cols).alias("_b")
+    )
+    c = lc.select(
+        *key_cols,
+        F.col(op_col).alias("_op"),
+        F.struct(*data_cols).alias("_c"),
+    )
+    joined = b.join(c, key_cols, "full_outer")
+    keep = joined.filter(
+        F.col("_op").isNull() | (F.col("_op") != delete_op)
+    )
+    src = F.when(F.col("_op").isNotNull(), F.lit("change")).otherwise(
+        F.lit("base")
+    )
+    picked = F.when(F.col("_op").isNotNull(), F.col("_c")).otherwise(F.col("_b"))
+    return keep.select(
+        *key_cols,
+        *[picked.getField(dc).alias(dc) for dc in data_cols],
+        src.alias("src"),
+    )

@@ -1273,3 +1273,71 @@ FROM cells GROUP BY 1
 
 
 ETL_ORACLES["morton_cells"] = _morton_oracle_sql()
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC upsert: the first half-month's latest snapshot
+    per (user, event_type) key, updated by the second half-month as a
+    change batch — low-value changes act as deletes, the rest as
+    upserts. The idempotent re-ingest shape (utils_spi.py:205-358) every
+    collection maintainer runs."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("date")
+    snap_w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        ev.filter(F.col("ts").cast("date") < cut)
+        .withColumn("_rn", F.row_number().over(snap_w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", "ts", "event_id", "value")
+    )
+    changes = ev.filter(F.col("ts").cast("date") >= cut).select(
+        "user_id", "event_type", "ts", "event_id", "value",
+        F.when(F.col("value") < 25.0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    out = temporal.apply_changes(
+        base, changes, key_cols=["user_id", "event_type"],
+        order_cols=["ts", "event_id"], op_col="op",
+    )
+    return out.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.round("value", 6).alias("value"), "src",
+    )
+
+
+ETL_QUERIES["merge_upsert"] = q_merge_upsert
+
+ETL_ORACLES["merge_upsert"] = """
+WITH base AS (
+    SELECT user_id, event_type, ts, event_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+    ) WHERE rn = 1
+), lc AS (
+    SELECT user_id, event_type, ts, event_id, value,
+           CASE WHEN value < 25.0 THEN 'D' ELSE 'U' END AS op
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+    ) WHERE rn = 1
+), joined AS (
+    SELECT coalesce(b.user_id, c.user_id) AS user_id,
+           coalesce(b.event_type, c.event_type) AS event_type,
+           b.ts AS b_ts, b.event_id AS b_eid, b.value AS b_v,
+           c.ts AS c_ts, c.event_id AS c_eid, c.value AS c_v, c.op
+    FROM base b FULL OUTER JOIN lc c
+      ON b.user_id = c.user_id AND b.event_type = c.event_type
+)
+SELECT user_id, event_type,
+       CASE WHEN op IS NOT NULL THEN c_ts ELSE b_ts END AS ts,
+       CASE WHEN op IS NOT NULL THEN c_eid ELSE b_eid END AS event_id,
+       round(CASE WHEN op IS NOT NULL THEN c_v ELSE b_v END, 6) AS value,
+       CASE WHEN op IS NOT NULL THEN 'change' ELSE 'base' END AS src
+FROM joined
+WHERE op IS NULL OR op <> 'D'
+"""

@@ -111,14 +111,21 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     group value in one task, a scale-killer on a 5-value series key."""
     from pygeoapi_ingestor_spark.functions import ranks
 
+    from pyspark import StorageLevel
+
     ev = read_events(spark, sf_dir)
     med = ranks.exact_percentiles(
         ev, series_cols=["event_type"], value_col="value",
         ps=[0.5], tiebreak_cols=["event_id"],
     ).select("event_type", F.col("pct").alias("_med"))
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+    # the second drill-down branches its input several times; without a
+    # barrier each branch re-runs the FIRST drill-down too (multiplicative
+    # recompute). The deviations projection is narrow — persist it.
+    dev = ev.select("event_type", "event_id", "value").join(
+        F.broadcast(med), "event_type"
+    ).withColumn(
         "_adev", F.abs(F.col("value") - F.col("_med"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     mad = ranks.exact_percentiles(
         dev, series_cols=["event_type"], value_col="_adev",
         ps=[0.5], tiebreak_cols=["event_id"],

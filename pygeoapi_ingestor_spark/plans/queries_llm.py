@@ -227,9 +227,15 @@ def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated percentiles of per-document token counts. Percentiles
     via the bucket drill-down — a source's documents are unbounded at
     corpus scale, so the buffering aggregate is out."""
+    from pyspark import StorageLevel
+
     from pygeoapi_ingestor_spark.functions import ranks
 
-    counted = text.token_counts(_docs(spark, sf_dir), text_col="text")
+    # the drill-down branches its input ~6 ways; the regex token count
+    # is the expensive part — materialize the narrow counted projection
+    counted = text.token_counts(_docs(spark, sf_dir), text_col="text").select(
+        "source", "doc_id", "regex_tokens"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     base = counted.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("regex_tokens").cast("bigint").alias("total_tokens"),

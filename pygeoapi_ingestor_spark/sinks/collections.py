@@ -322,3 +322,35 @@ class CollectionCatalog:
             except Exception as e:  # unreadable path -> unhealthy, not fatal
                 report.append({"id": cid, "ok": False, "error": str(e)[:200]})
         return report
+
+
+def write_zordered(
+    df,
+    path: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    bits_per_axis: int = 12,
+    n_files: int = 8,
+    extra_sort_cols: list[str] | None = None,
+) -> None:
+    """Write a point table spatially clustered by Z-order (Morton) id:
+    range-partition on the cell id (contiguous id ranges per file), sort
+    within partitions, drop the helper column. A bbox scan then touches
+    a contiguous run of files/row-groups and parquet min/max stats prune
+    the rest — the data-layout half of spatial performance at 100 TB
+    (the Morton rollup operator is the compute half).
+
+    ``repartitionByRange`` samples the id distribution, so files are
+    balanced even when points cluster geographically."""
+    from pygeoapi_ingestor_spark.operators.spatial import morton_cell
+
+    keyed = df.withColumn(
+        "_zcell", morton_cell(lon_col, lat_col, bits_per_axis)
+    )
+    (
+        keyed.repartitionByRange(n_files, "_zcell")
+        .sortWithinPartitions("_zcell", *(extra_sort_cols or []))
+        .drop("_zcell")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

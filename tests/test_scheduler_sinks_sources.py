@@ -202,3 +202,39 @@ def test_compact_collection_reduces_files(spark, sf_dir, tmp_path):
     import os
     assert not os.path.exists(path + "._compact_tmp")
     assert not os.path.exists(path + "._compact_bak")
+
+
+def test_write_zordered_clusters_files_disjointly(spark, tmp_path):
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.operators.spatial import morton_cell
+    from pygeoapi_ingestor_spark.sinks.collections import write_zordered
+
+    n = 2000
+    df = spark.range(n).select(
+        ((F.col("id") * 37 % 720) / 2.0 - 180.0).alias("lon"),
+        ((F.col("id") * 53 % 360) / 2.0 - 90.0).alias("lat"),
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path / "zorder")
+    write_zordered(df, out, n_files=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == n and set(back.columns) == {"lon", "lat", "payload"}
+
+    # per-file morton ranges must be (near-)disjoint: read each part file
+    # and check max(cell) of file i <= min(cell) of file i+1 when files
+    # are ordered by their min cell — the contiguity a bbox scan needs
+    ranges = []
+    for part in _glob.glob(out + "/part-*.parquet"):
+        pf = spark.read.parquet(part).select(
+            morton_cell("lon", "lat", 12).alias("c")
+        )
+        row = pf.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).collect()[0]
+        ranges.append((row["lo"], row["hi"]))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping z-ranges: {(lo1,hi1)} vs {(lo2,hi2)}"

@@ -39,6 +39,10 @@ def main() -> None:
         df = QUERIES[key](spark, sf_dir)
         df.count()
         timings[key] = round(time.perf_counter() - t0, 3)
+        # drop per-query persisted index tables (quantized corpus, LSH
+        # signatures, rank intermediates) so later queries aren't timed
+        # under the accumulated memory pressure of earlier ones
+        spark.catalog.clearCache()
     total = round(time.perf_counter() - t_total0, 3)
 
     # count() lets Catalyst prune computed columns (a projection-heavy
@@ -53,6 +57,7 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
         noop_timings[key] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
     noop_total = round(time.perf_counter() - t_n0, 3)
 
     # concurrent catalog throughput: submit all queries from a thread

@@ -640,3 +640,54 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def nearest_centroid_classify(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int = 64,
+):
+    """Nearest-centroid (Rocchio) classification over int8-quantized
+    vectors — the labeling-QA pass of a training-data pipeline: build
+    one centroid per label, re-classify every vector, and let the
+    confusion structure expose mislabeled or boundary documents.
+
+    Training is ONE distributed pass (per-label exact integer
+    per-dimension sums + floor means — the k-means update step without
+    the iteration); only the (n_labels x dim) centroid table reaches the
+    driver. Classification is a pure projection (generated-SQL argmin,
+    ties to the lowest label), so the whole operator costs one
+    aggregate + one scan at any corpus size. All-integer arithmetic —
+    the SQL twin reproduces it bit-for-bit.
+
+    Returns (id, label, predicted, sq_dist).
+    """
+    q = quantize_int8(
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).cast("int").alias("_label"),
+            F.col(vec_col).alias("_v"),
+        ),
+        "_v",
+    ).select("_id", "_label", F.col("q_vec").alias("_q"))
+
+    stats = q.groupBy("_label").agg(
+        F.expr("CAST(count(1) AS BIGINT) AS _n"),
+        *[F.expr(f"sum(_q[{d}]) AS _s{d}") for d in range(dim)],
+    )
+    cents = [
+        (int(r["_label"]), [int(r[f"_s{d}"]) // int(r["_n"]) for d in range(dim)])
+        for r in sorted(stats.collect(), key=lambda r: r["_label"])
+    ]
+    best = F.expr(_argmin_centroid_sql("_q", cents))
+    return (
+        q.withColumn("_best", best)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_label").alias(label_col),
+            F.col("_best.cid").alias("predicted"),
+            F.col("_best.d").alias("sq_dist"),
+        )
+    )

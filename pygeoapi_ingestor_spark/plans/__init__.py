@@ -44,6 +44,7 @@ _ALL = {
 # Tier 3 — last stamped in round 2 (cheap keys first, heavy tail last).
 # Tail  — freshly stamped in round 3 on unchanged code.
 _R4_NEW: list[str] = [
+    "centroid_classify",
     "merge_upsert",
     "dedup_ppjoin",
     "regrid_bilinear",

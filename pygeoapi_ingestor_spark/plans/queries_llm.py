@@ -1846,3 +1846,60 @@ LLM_ORACLES["dedup_ppjoin"] = _shingle_cte() + """
     JOIN sizes sb ON sb.doc = doc_b
     WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
 """
+
+
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label QA via nearest-centroid re-classification: the confusion
+    matrix of stored labels vs centroid-predicted labels over the
+    embeddings table (off-diagonal mass = mislabeled / boundary docs)."""
+    out = similarity.nearest_centroid_classify(
+        _emb(spark, sf_dir), id_col="vec_id", vec_col="embedding",
+        label_col="label", dim=64,
+    )
+    return out.groupBy(
+        F.col("label").cast("int").alias("label"),
+        F.col("predicted").cast("int").alias("predicted"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+LLM_QUERIES["centroid_classify"] = q_centroid_classify
+
+LLM_ORACLES["centroid_classify"] = """
+WITH e AS (
+    SELECT vec_id, CAST(label AS INT) AS label,
+           CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+), scaled AS (
+    SELECT vec_id, label,
+           CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                THEN list_max(list_transform(v, x -> abs(x)))
+                ELSE 1.0 END AS q_scale, v
+    FROM e
+), quant AS (
+    SELECT vec_id, label,
+           list_transform(v, x -> CAST(round(x * 127.0 / q_scale, 0) AS INTEGER)) AS q
+    FROM scaled
+), dd AS (SELECT unnest(range(0, 64)) AS d),
+sums AS (
+    SELECT label, dd.d AS d, sum(q[dd.d + 1]) AS s, count(*) AS n
+    FROM quant, dd GROUP BY 1, 2
+), cents AS (
+    SELECT label AS clabel,
+           list(CAST(floor(CAST(s AS DOUBLE) / n) AS INTEGER) ORDER BY d) AS cv
+    FROM sums GROUP BY label
+), dist AS (
+    SELECT v.vec_id, v.label, c.clabel,
+           sum(CAST((v.q[dd.d + 1] - c.cv[dd.d + 1])
+                    * (v.q[dd.d + 1] - c.cv[dd.d + 1]) AS BIGINT)) AS sq
+    FROM quant v, cents c, dd
+    GROUP BY 1, 2, 3
+), pred AS (
+    SELECT vec_id, label, clabel AS predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sq, clabel) AS rn
+        FROM dist) WHERE rn = 1
+)
+SELECT CAST(label AS INT) AS label, CAST(predicted AS INT) AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+"""

@@ -94,6 +94,80 @@ def morton_cell(
     )
 
 
+def polygon_edges_rows(polygons: dict[str, list[tuple[float, float]]]) -> list[tuple]:
+    """Flatten polygon vertex rings into edge rows ``(zone, x1, y1, x2, y2)``.
+
+    The ring closes implicitly (last vertex connects back to the first).
+    This row shape is the engine-neutral at-rest form of a basin geometry
+    table: both Spark (``createDataFrame``) and an external SQL oracle
+    (``VALUES``) embed the identical float literals, so the crossing
+    parity below is bit-identical across engines.
+    """
+    rows: list[tuple] = []
+    for zone, ring in polygons.items():
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            rows.append((zone, float(x1), float(y1), float(x2), float(y2)))
+    return rows
+
+
+def crossing_expr(lon, lat) -> Column:
+    """Ray-casting crossing indicator (1/0) for one polygon edge row
+    (``x1,y1,x2,y2`` columns) against a point — the standard even-odd
+    rule: a rightward ray from the point crosses the edge iff the edge
+    spans the point's latitude (strict ``>`` on both ends, the PNPOLY
+    convention) and the intersection lies right of the point.
+
+    Nested ``when`` keeps the division inside the spanning branch, so
+    horizontal edges (y1 == y2) never divide by zero — CASE is
+    short-circuit in Spark and ANSI SQL alike, which is what lets one
+    SQL text serve as both the plan and its oracle."""
+    x1, y1, x2, y2 = (F.col(c) for c in ("x1", "y1", "x2", "y2"))
+    xing = lon < x1 + (x2 - x1) * (lat - y1) / (y2 - y1)
+    return (
+        F.when((y1 > lat) != (y2 > lat), F.when(xing, 1).otherwise(0))
+        .otherwise(0)
+    )
+
+
+def polygon_membership(
+    points: DataFrame,
+    edges: DataFrame,
+    key_cols: list[str],
+    zone_col: str = "zone",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Point-in-polygon zone assignment via broadcast edge table +
+    ray-casting crossing parity — the spatial predicate behind the
+    reference's per-basin clipping (utils_spi.py:566-567 ``rio.clip(
+    [basin_geometry], ...)`` over ``gpd.read_file`` basins at :605),
+    re-expressed as a pure SQL aggregate.
+
+    ``points`` is the bounded station/grid-cell dimension (NEVER the
+    fact table): membership is computed once per distinct coordinate and
+    then broadcast-joined onto facts, so the raster-sized side pays one
+    broadcast hash join and no per-row geometry. The edge table is tiny
+    (sum of polygon vertex counts) and broadcast; the crossing count is
+    one map-side-combinable aggregate per (point, zone); a point is
+    inside iff its rightward ray crosses an odd number of edges
+    (even-odd rule — handles concave rings with no extra machinery).
+
+    Returns ``(key_cols..., zone)`` with one row per (point, containing
+    zone); points outside every polygon produce no row.
+    """
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    j = points.crossJoin(F.broadcast(edges))
+    return (
+        j.groupBy(*key_cols, zone_col)
+        .agg(F.sum(crossing_expr(lon, lat)).alias("_crossings"))
+        .filter(F.col("_crossings") % 2 == 1)
+        .drop("_crossings")
+    )
+
+
 def cell_aggregate(
     df: DataFrame,
     value_col: str,

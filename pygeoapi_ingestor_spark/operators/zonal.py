@@ -61,12 +61,10 @@ def zonal_stats(
         ]
     )
     out = base.join(wide, ["_zone", "_bucket_v"])
-    bucket_name = "bucket"
-    try:
-        bucket_name = bucket_col._jc.toString().split(" AS ")[-1].strip("`")
-    except Exception:
-        if isinstance(bucket_col, str):
-            bucket_name = bucket_col
+    # derive the output name of bucket_col portably (works on classic and
+    # Connect — no private _jc): the analyzed single-column projection's
+    # schema carries exactly the alias the caller gave the expression
+    bucket_name = fact.select(bucket_col).columns[0]
     return out.withColumnRenamed("_zone", zone_col).withColumnRenamed(
         "_bucket_v", bucket_name
     )

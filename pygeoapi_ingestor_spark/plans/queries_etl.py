@@ -1310,6 +1310,105 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ETL_QUERIES["merge_upsert"] = q_merge_upsert
 
+# basin polygons over the station lattice (lon -10..12.5 step 2.5,
+# lat 35..48.5 step 1.5 — the collection_healthcheck coordinate rule).
+# Vertices sit at .1-.9 offsets so no lattice point ever lands exactly on
+# an edge; rings are disjoint; east_lshape is CONCAVE (the even-odd
+# parity must handle the notch). Shared verbatim by the Spark edge table
+# and the oracle's VALUES list.
+ZONAL_POLYGONS = {
+    "west_basin": [(-10.7, 34.3), (-3.1, 34.1), (-2.7, 42.3), (-10.9, 41.9)],
+    "east_lshape": [
+        (0.3, 34.2), (12.9, 34.3), (12.8, 48.9), (6.3, 48.8), (6.2, 40.7),
+        (0.2, 40.6),
+    ],
+    "north_tri": [(-10.6, 43.1), (-0.9, 49.3), (-10.4, 49.1)],
+}
+
+
+def q_zonal_stats_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal stats with the zone membership COMPUTED from geometry —
+    point-in-polygon via broadcast edge table + ray-casting parity
+    (utils_spi.py:566-605: ``rio.clip([basin_geometry], ...)`` per basin
+    from ``gpd.read_file``), then the existing zonal drill-down.
+
+    The spatial predicate runs on the bounded station dimension
+    (distinct user_id -> lattice coords), never the fact table; facts
+    only pay the broadcast membership join inside zonal_stats."""
+    from pygeoapi_ingestor_spark.operators import spatial
+
+    ev = _events(spark, sf_dir)
+    stations = ev.select("user_id").distinct().select(
+        "user_id",
+        (F.lit(-10.0) + (F.col("user_id") % 10) * F.lit(2.5)).alias("lon"),
+        (F.lit(35.0) + F.expr("(user_id div 10) % 10") * F.lit(1.5)).alias("lat"),
+    )
+    edges = spark.createDataFrame(
+        spatial.polygon_edges_rows(ZONAL_POLYGONS),
+        "zone string, x1 double, y1 double, x2 double, y2 double",
+    )
+    memb = spatial.polygon_membership(stations, edges, key_cols=["user_id"])
+    out = zonal.zonal_stats(
+        ev,
+        memb.select("user_id", "zone"),
+        join_key="user_id",
+        zone_col="zone",
+        bucket_col=temporal.wall_trunc("week", F.col("ts")).alias("bucket"),
+        value_col="value",
+        percentiles=(0.05, 0.5, 0.95),
+    )
+    return out.select(
+        "zone",
+        "bucket",
+        F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"),
+        F.round("p05", 6).alias("p05"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+    )
+
+
+ETL_QUERIES["zonal_stats_polygon"] = q_zonal_stats_polygon
+
+
+def _zonal_polygon_oracle_sql() -> str:
+    from pygeoapi_ingestor_spark.operators import spatial
+
+    edge_values = ",\n           ".join(
+        f"('{z}', {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for z, x1, y1, x2, y2 in spatial.polygon_edges_rows(ZONAL_POLYGONS)
+    )
+    return f"""
+WITH stations AS (
+    SELECT DISTINCT user_id,
+           -10.0 + (user_id % 10) * 2.5 AS lon,
+           35.0 + ((user_id // 10) % 10) * 1.5 AS lat
+    FROM events
+), edges(zone, x1, y1, x2, y2) AS (
+    VALUES {edge_values}
+), memb AS (
+    SELECT user_id, zone
+    FROM stations s CROSS JOIN edges e
+    GROUP BY user_id, zone, lon, lat
+    HAVING sum(CASE WHEN (e.y1 > s.lat) <> (e.y2 > s.lat)
+                    THEN CASE WHEN s.lon < e.x1 + (e.x2 - e.x1)
+                                        * (s.lat - e.y1) / (e.y2 - e.y1)
+                              THEN 1 ELSE 0 END
+                    ELSE 0 END) % 2 = 1
+)
+SELECT zone, CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max,
+       round(quantile_cont(value, 0.05), 6) AS p05,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events JOIN memb USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+ETL_ORACLES["zonal_stats_polygon"] = _zonal_polygon_oracle_sql()
+
 ETL_ORACLES["merge_upsert"] = """
 WITH base AS (
     SELECT user_id, event_type, ts, event_id, value FROM (

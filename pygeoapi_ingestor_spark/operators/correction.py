@@ -76,6 +76,102 @@ def apply_curve_table(
     return joined.withColumn(out_col, adj).drop("_curve")
 
 
+def spline_transfer_sql(
+    x_sql: str,
+    t_sql: str,
+    c_sql: str,
+    k: int,
+    dmin_sql: str,
+    dmax_sql: str,
+    dialect: str = "spark",
+) -> str:
+    """De Boor evaluation of a stored degree-``k`` B-spline ``(t, c, k)``
+    with the reference's constant out-of-range adjustment, as ONE SQL
+    expression string (bias_correction_cds_process.py:336-359: ``splev``
+    inside the fitted range, ``d + dmin`` below ``t[k]``, ``d + dmax``
+    above ``t[-k]``).
+
+    The same generator emits the Spark and DuckDB dialects (only the
+    array-function names differ), so both engines evaluate the IDENTICAL
+    floating-point expression tree — corrected values hash-match to the
+    last ulp. The expression is O(2^k) terms for fixed small k (cubic:
+    ~8 leaf coefficients), independent of knot count and series count:
+    knots/coefficients stay DATA (array columns on a broadcast param
+    table), never literals, so plan size does not grow with the stored
+    parameter set.
+
+    De Boor's algorithm (the standard recurrence): with x in
+    [t[j], t[j+1]), d0_i = c[j-k+i], then for r=1..k, i=k..r:
+    d_i <- (1-a)*d_{i-1} + a*d_i with a = (x - t[i+j-k]) /
+    (t[i+1+j-r] - t[i+j-k]); S(x) = d_k. ``j`` is clamped to
+    [k, n-k-2] so every array index stays in bounds (ANSI-safe).
+    """
+    if dialect == "spark":
+        elem, size, filt = "element_at", "size", "filter"
+    elif dialect == "duckdb":
+        elem, size, filt = "list_extract", "len", "list_filter"
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown dialect {dialect!r}")
+
+    def T(off: int) -> str:
+        # knot t[j + off] (0-based) -> 1-based element access
+        return f"{elem}({t_sql}, __J__ + {off + 1})"
+
+    n = f"{size}({t_sql})"
+    jraw = f"({size}({filt}({t_sql}, e -> e <= ({x_sql}))) - 1)"
+    j_def = f"least(greatest({jraw}, {k}), {n} - {k + 2})"
+
+    # build d-terms with j as the placeholder token __J__, substituted at
+    # the end (a distinctive token so it can never collide with the
+    # caller's column names)
+    d = {
+        i: f"{elem}({c_sql}, __J__ + {i - k + 1})" for i in range(k + 1)
+    }
+    for r in range(1, k + 1):
+        for i in range(k, r - 1, -1):
+            lo = T(i - k)
+            hi = T(i + 1 - r)
+            alpha = f"((({x_sql}) - {lo}) / ({hi} - {lo}))"
+            d[i] = f"((1.0 - {alpha}) * ({d[i - 1]}) + {alpha} * ({d[i]}))"
+    deboor = d[k].replace("__J__", f"({j_def})")
+
+    tmin = f"{elem}({t_sql}, {k + 1})"          # t[k] 0-based
+    tmax = f"{elem}({t_sql}, {n} - {k - 1})"    # t[-k] 0-based = 1-based n-k+1
+    return (
+        f"CASE WHEN ({x_sql}) < {tmin} THEN ({x_sql}) + ({dmin_sql}) "
+        f"WHEN ({x_sql}) > {tmax} THEN ({x_sql}) + ({dmax_sql}) "
+        f"ELSE {deboor} END"
+    )
+
+
+def apply_spline_table(
+    fact: DataFrame,
+    params: DataFrame,
+    series_cols: list[str],
+    value_col: str,
+    out_col: str = "value_adj",
+    k: int = 3,
+) -> DataFrame:
+    """Apply stored per-series B-spline transfer functions — the
+    reference's production bias-correction evaluator
+    (bias_correction_cds_process.py:322-359: per (variable, init, lead)
+    the fitted ``tck`` is loaded and ``splev``-applied with constant
+    tail adjustment).
+
+    ``params`` columns: ``series_cols..., t array<double>,
+    c array<double>, dmin double, dmax double`` — one row per series,
+    broadcast (the parameter artifact is tiny by construction). The
+    whole correction is a single projection after one broadcast hash
+    join: zero shuffles on the fact side, and the de Boor expression
+    stays JVM-side (no UDF). Rows whose series has no stored params
+    keep NULL."""
+    joined = fact.join(F.broadcast(params), series_cols, "left")
+    expr = spline_transfer_sql(value_col, "t", "c", k, "dmin", "dmax")
+    return joined.withColumn(out_col, F.expr(expr)).drop(
+        "t", "c", "dmin", "dmax"
+    )
+
+
 def quantile_map(
     model: DataFrame,
     reference: DataFrame,

@@ -1310,6 +1310,90 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ETL_QUERIES["merge_upsert"] = q_merge_upsert
 
+def _spline_params() -> list[tuple]:
+    """Deterministic per-lead-hour cubic-spline transfer params — the
+    public stand-in for the reference's fitted ``bctf__*`` artifacts
+    (bias_correction_cds_process.py:322-344: knots t, coefficients c,
+    degree k, dmin/dmax per (variable, init, lead)). Clamped cubic over
+    [50, 450] (inside the 0..500 value range, so BOTH constant-adjust
+    tails are exercised), strictly increasing interior knots. Plain
+    Python floats: Spark's createDataFrame and the oracle's VALUES parse
+    the identical doubles."""
+    rows = []
+    for h in range(24):
+        interior = [120.0 + 3.0 * h, 250.0 + 2.0 * h, 380.0 + 1.0 * h]
+        t = [50.0] * 4 + interior + [450.0] * 4
+        c = [
+            2.0 * h,
+            60.0 + 1.0 * h,
+            130.0 + 2.0 * h,
+            210.0 + 1.0 * h,
+            300.0 + 2.0 * h,
+            390.0 + 1.0 * h,
+            480.0 + 2.0 * h,
+        ]
+        rows.append((h, t, c, -5.0 + 0.1 * h, 8.0 - 0.2 * h))
+    return rows
+
+
+SPLINE_PARAMS = _spline_params()
+
+
+def q_bias_correction_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-3 B-spline transfer evaluation over stored (t, c, k)
+    params — the reference's ``splev`` bias-correction mode with
+    constant out-of-range adjustment
+    (bias_correction_cds_process.py:336-359), via de Boor's algorithm as
+    a single broadcast-join projection (operators/correction.py)."""
+    ev = _events(spark, sf_dir)
+    model = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "value", F.hour("ts").cast("int").alias("lead_hour")
+    )
+    params = spark.createDataFrame(
+        SPLINE_PARAMS,
+        "lead_hour int, t array<double>, c array<double>, dmin double, dmax double",
+    )
+    out = correction.apply_spline_table(
+        model, params, series_cols=["lead_hour"], value_col="value", k=3
+    )
+    return out.select(
+        "event_id", "lead_hour", "value", F.round("value_adj", 6).alias("value_adj")
+    )
+
+
+ETL_QUERIES["bias_correction_spline"] = q_bias_correction_spline
+
+
+def _spline_oracle_sql() -> str:
+    rows = ",\n           ".join(
+        "({}, [{}], [{}], {!r}, {!r})".format(
+            h,
+            ", ".join(repr(x) for x in t),
+            ", ".join(repr(x) for x in c),
+            dmin,
+            dmax,
+        )
+        for h, t, c, dmin, dmax in SPLINE_PARAMS
+    )
+    expr = correction.spline_transfer_sql(
+        "value", "t", "c", 3, "dmin", "dmax", dialect="duckdb"
+    )
+    return f"""
+WITH params(lead_hour, t, c, dmin, dmax) AS (
+    VALUES {rows}
+), model AS (
+    SELECT event_id, value, CAST(hour(ts) AS INT) AS lead_hour
+    FROM events WHERE event_type = 'error'
+)
+SELECT event_id, lead_hour, value,
+       round({expr}, 6) AS value_adj
+FROM model LEFT JOIN params USING (lead_hour)
+"""
+
+
+ETL_ORACLES["bias_correction_spline"] = _spline_oracle_sql()
+
+
 # basin polygons over the station lattice (lon -10..12.5 step 2.5,
 # lat 35..48.5 step 1.5 — the collection_healthcheck coordinate rule).
 # Vertices sit at .1-.9 offsets so no lattice point ever lands exactly on

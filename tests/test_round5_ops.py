@@ -78,6 +78,90 @@ def test_polygon_membership_matches_winding(spark, concave):
     assert got == want
 
 
+# ---------------------------------------------------------------------------
+# B-spline de Boor evaluation vs independent Cox-de Boor basis recursion
+# ---------------------------------------------------------------------------
+
+
+def bspline_basis(i: int, k: int, t: list[float], x: float) -> float:
+    """Cox-de Boor basis recursion B_{i,k}(x) — a genuinely different
+    formulation from the operator's de Boor pyramid (sums of basis
+    products vs nested convex combinations), so agreement is evidence,
+    not tautology."""
+    if k == 0:
+        return 1.0 if t[i] <= x < t[i + 1] else 0.0
+    out = 0.0
+    d1 = t[i + k] - t[i]
+    if d1 > 0:
+        out += (x - t[i]) / d1 * bspline_basis(i, k - 1, t, x)
+    d2 = t[i + k + 1] - t[i + 1]
+    if d2 > 0:
+        out += (t[i + k + 1] - x) / d2 * bspline_basis(i + 1, k - 1, t, x)
+    return out
+
+
+def spline_eval_reference(
+    t: list[float], c: list[float], k: int, x: float, dmin: float, dmax: float
+) -> float:
+    tmin, tmax = t[k], t[-k]
+    if x < tmin:
+        return x + dmin
+    if x > tmax:
+        return x + dmax
+    return sum(c[i] * bspline_basis(i, k, t, x) for i in range(len(c)))
+
+
+def test_spline_transfer_matches_basis_recursion(spark):
+    from pygeoapi_ingestor_spark.operators import correction
+
+    rng = random.Random(1234)
+    params, facts, want = [], [], {}
+    for s in range(6):
+        k = 3
+        interior = sorted(rng.uniform(15.0, 85.0) for _ in range(rng.randint(2, 5)))
+        # reject degenerate (too-close) interior knots for numeric headroom
+        if any(b - a < 1.0 for a, b in zip(interior, interior[1:])):
+            interior = [20.0 + 12.0 * i for i in range(len(interior))]
+        t = [10.0] * (k + 1) + interior + [90.0] * (k + 1)
+        c = [rng.uniform(-50.0, 50.0) for _ in range(len(t) - k - 1)]
+        dmin, dmax = rng.uniform(-5, 0), rng.uniform(0, 5)
+        params.append((s, t, c, dmin, dmax))
+        for j in range(40):
+            x = rng.uniform(0.0, 100.0)  # covers both tails + in-range
+            fid = s * 1000 + j
+            facts.append((fid, s, x))
+            want[fid] = spline_eval_reference(t, c, k, x, dmin, dmax)
+
+    fact_df = spark.createDataFrame(facts, "fid int, series int, value double")
+    param_df = spark.createDataFrame(
+        params, "series int, t array<double>, c array<double>, dmin double, dmax double"
+    )
+    out = correction.apply_spline_table(
+        fact_df, param_df, series_cols=["series"], value_col="value", k=3
+    )
+    got = {r["fid"]: r["value_adj"] for r in out.collect()}
+    assert set(got) == set(want)
+    for fid, w in want.items():
+        assert got[fid] == pytest.approx(w, rel=1e-9, abs=1e-9), fid
+
+
+def test_spline_sql_dialects_agree():
+    """The two dialect emissions differ ONLY in array-function names —
+    the arithmetic text is identical, which is what guarantees
+    cross-engine ulp-identical results."""
+    from pygeoapi_ingestor_spark.operators import correction
+
+    s = correction.spline_transfer_sql("v", "t", "c", 3, "dmin", "dmax", "spark")
+    d = correction.spline_transfer_sql("v", "t", "c", 3, "dmin", "dmax", "duckdb")
+    canon = (
+        d.replace("list_extract", "element_at")
+        .replace("list_filter", "filter")
+        .replace("len(", "size(")
+    )
+    assert canon == s
+    assert "__J__" not in s
+
+
 def test_polygon_membership_concave_notch(spark):
     """The L-shape notch: a point inside the bbox but in the notch must be
     OUTSIDE (even-odd parity on a concave ring)."""

@@ -137,6 +137,107 @@ def spi_empirical(
     return ranked.withColumn(out_col, normal_ppf_expr(h)).drop("_rank", "_n")
 
 
+def spi_empirical_apply(
+    reference: DataFrame,
+    target: DataFrame,
+    series_cols: list[str],
+    value_col: str,
+    out_col: str = "spi_emp",
+) -> DataFrame:
+    """FIT-ON-REFERENCE / APPLY-TO-TARGET empirical SPI: the Gringorten
+    plotting position of each target value within the REFERENCE sample
+    only — the distribution-free twin of the reference's forecast-SPI
+    composition (ingestor_cds_spi_forecast_process.py:240-257: the
+    1980-2010 reference series is concatenated with the forecast period
+    per ensemble member and the transform's fit window is the reference
+    climate, then applied to the appended forecast months).
+
+    The reference window is fixed-length by construction (a bounded
+    number of periods per series), so the per-series sorted sample array
+    is O(window), the fit table is O(series x window), and it BROADCASTS:
+    the target side pays one broadcast hash join + a projection — no
+    shuffle, no window function, no re-fit per target row. H is computed
+    from the <=-count (clamped to [1, n]) so out-of-sample values land
+    on the nearest plotting position; H stays strictly inside (0, 1).
+    """
+    ref_agg = reference.groupBy(*series_cols).agg(
+        F.array_sort(
+            F.collect_list(F.col(value_col).cast("double"))
+        ).alias("_ref"),
+        F.count(F.lit(1)).alias("_nref"),
+    )
+    joined = target.join(F.broadcast(ref_agg), series_cols, "inner")
+    x = F.col(value_col).cast("double")
+    cnt_le = F.size(F.filter(F.col("_ref"), lambda e: e <= x))
+    r = F.least(F.greatest(cnt_le, F.lit(1)), F.col("_nref")).cast("double")
+    h = (r - 0.44) / (F.col("_nref").cast("double") + 0.12)
+    return joined.withColumn(out_col, normal_ppf_expr(h)).drop("_ref", "_nref")
+
+
+def spi_fit_apply_gamma(
+    monthly: DataFrame,
+    series_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    is_ref_col: str,
+    spi_ts: int = 1,
+) -> DataFrame:
+    """Gamma-SPI with the fit/apply split: Thom gamma params and the
+    zero probability are fit on the REFERENCE rows of each series only
+    (``is_ref_col`` boolean), then the zero-corrected CDF + normal
+    quantile is applied to the FORECAST rows — the reference's
+    fit-on-climate / apply-to-forecast composition
+    (ingestor_cds_spi_forecast_process.py:240-270, per ensemble member
+    ``r``) with utils_spi.py:428-478 as the transform.
+
+    Same scale shape as ``spi``: one ``applyInPandas`` per series whose
+    group is a bounded number of periods — the shuffle is keyed by
+    series cardinality, never raw rows. Returns FORECAST rows only:
+    (series..., bucket, monthly_value, spi).
+    """
+    import numpy as np
+
+    from pygeoapi_ingestor_spark.functions.numerics import (
+        gammainc_lower,
+        normal_ppf_as,
+        thom_gamma_fit,
+    )
+
+    schema_fields = ", ".join(
+        f"{c} {monthly.schema[c].dataType.simpleString()}" for c in series_cols
+    )
+    out_schema = (
+        f"{schema_fields}, {bucket_col} timestamp, "
+        f"monthly_value double, spi double"
+    )
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col)
+        ref = pdf.loc[pdf[is_ref_col], value_col].to_numpy(dtype=float)
+        fc = pdf.loc[~pdf[is_ref_col]]
+        vals = fc[value_col].to_numpy(dtype=float)
+        out = fc[[*series_cols, bucket_col]].copy()
+        out["monthly_value"] = vals
+        finite = ref[np.isfinite(ref)]
+        if finite.size == 0 or np.all(finite <= 0):
+            out["spi"] = 0.0
+            return out
+        shape, scale = thom_gamma_fit(finite)
+        if not np.isfinite(shape):
+            out["spi"] = np.nan
+            return out
+        q = float((finite == 0).sum()) / float(finite.size)
+        g = gammainc_lower(shape, np.clip(vals, 0.0, None) / scale)
+        h = np.clip(q + (1.0 - q) * g, 1e-12, 1.0 - 1e-12)
+        out["spi"] = normal_ppf_as(h)
+        return out
+
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(monthly.sparkSession)
+    return monthly.groupBy(*series_cols).applyInPandas(fit_group, schema=out_schema)
+
+
 def spi(
     monthly: DataFrame,
     series_cols: list[str],

@@ -1394,6 +1394,149 @@ FROM model LEFT JOIN params USING (lead_hour)
 ETL_ORACLES["bias_correction_spline"] = _spline_oracle_sql()
 
 
+# fit-on-reference / apply-to-forecast SPI composition: the forecast
+# period starts here; everything before is the reference climate window
+SPI_FORECAST_CUT = "2024-01-22"
+
+
+def _member_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, ensemble member, day) exact-decimal totals — the
+    ensemble-member axis ``r`` of the forecast dataset, derived
+    deterministically as user_id % 4."""
+    ev = _events(spark, sf_dir).withColumn(
+        "member", (F.col("user_id") % 4).cast("int")
+    )
+    return temporal.resample(
+        ev.withColumn("value", F.col("value").cast(VALUE_DEC)),
+        ts_col="ts",
+        series_cols=["event_type", "member"],
+        value_col="value",
+        freq="day",
+        aggs={"daily_total": "sum"},
+    )
+
+
+def q_spi_forecast_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's forecast-SPI composition with the hash-oracle-able
+    empirical transform: per (event_type, ensemble member) the Gringorten
+    plotting positions are FIT on the reference window (< SPI_FORECAST_CUT)
+    and APPLIED to the appended forecast days, then the member axis is
+    collapsed with ensemble stats — ingestor_cds_spi_forecast_process.py:
+    240-270 (``xr.concat([ref_dataset, poi_dataset])`` -> per-``r`` SPI ->
+    ensemble collapse in compute_zonal_stats / save_spi_coverage)."""
+    d = _member_daily(spark, sf_dir)
+    cut = F.lit(SPI_FORECAST_CUT).cast("timestamp_ntz")
+    ref = d.filter(F.col("bucket") < cut)
+    fc = d.filter(F.col("bucket") >= cut)
+    spi = indices.spi_empirical_apply(
+        ref, fc, series_cols=["event_type", "member"],
+        value_col="daily_total", out_col="spi_emp",
+    )
+    out = zonal.ensemble_stats(
+        spi, bucket_cols=["event_type", "bucket"], value_col="spi_emp",
+        percentiles=(),
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        F.round("ens_min", 6).alias("ens_min"),
+        F.round("ens_max", 6).alias("ens_max"),
+        F.round("ens_median", 6).alias("ens_median"),
+        "ens_n",
+    )
+
+
+ETL_QUERIES["spi_forecast_blend"] = q_spi_forecast_blend
+
+ETL_ORACLES["spi_forecast_blend"] = f"""
+WITH member_daily AS (
+    SELECT event_type, CAST(user_id % 4 AS INT) AS member,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           sum(CAST(value AS DECIMAL(14,2))) AS daily_total
+    FROM events GROUP BY 1, 2, 3
+), ref AS (
+    SELECT event_type, member, CAST(daily_total AS DOUBLE) AS v
+    FROM member_daily WHERE bucket < TIMESTAMP '{SPI_FORECAST_CUT}'
+), refn AS (
+    SELECT event_type, member, count(*) AS nref
+    FROM ref GROUP BY 1, 2
+), fc AS (
+    SELECT event_type, member, bucket, CAST(daily_total AS DOUBLE) AS x
+    FROM member_daily WHERE bucket >= TIMESTAMP '{SPI_FORECAST_CUT}'
+), positioned AS (
+    SELECT f.event_type, f.member, f.bucket,
+           least(greatest((SELECT count(*) FROM ref r
+                           WHERE r.event_type = f.event_type
+                             AND r.member = f.member AND r.v <= f.x), 1),
+                 n.nref) AS rnk,
+           n.nref AS n
+    FROM fc f JOIN refn n
+      ON n.event_type = f.event_type AND n.member = f.member
+), probs AS (
+    SELECT event_type, member, bucket,
+           (CAST(rnk AS DOUBLE) - 0.44) / (CAST(n AS DOUBLE) + 0.12) AS h
+    FROM positioned
+), tvals AS (
+    SELECT event_type, member, bucket, h,
+           CASE WHEN h <= 0.5 THEN h ELSE 1.0 - h END AS q
+    FROM probs
+), zvals AS (
+    SELECT event_type, member, bucket, h,
+           sqrt(ln(1.0 / (q * q))) AS t
+    FROM tvals
+), spi AS (
+    SELECT event_type, member, bucket,
+           CASE WHEN h <= 0.5 THEN -1 ELSE 1 END *
+           (t - (2.515517 + 0.802853 * t + 0.010328 * t * t)
+                / (1.0 + 1.432788 * t + 0.189269 * t * t
+                   + 0.001308 * t * t * t)) AS spi_emp
+    FROM zvals
+)
+SELECT event_type, bucket,
+       round(min(spi_emp), 6) AS ens_min,
+       round(max(spi_emp), 6) AS ens_max,
+       round(quantile_cont(spi_emp, 0.5), 6) AS ens_median,
+       CAST(count(*) AS BIGINT) AS ens_n
+FROM spi GROUP BY 1, 2
+"""
+
+
+def q_spi_forecast_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gamma leg of the forecast-SPI composition: Thom gamma + zero
+    probability fit on the reference window per (event_type, member),
+    zero-corrected CDF + normal quantile applied to the forecast days,
+    then ensemble stats (ingestor_cds_spi_forecast_process.py:240-270 +
+    utils_spi.py:428-478). Rows-only by the SURVEY §2 A7 argument (the
+    iterative special-function fit has no SQL twin); the empirical
+    composition twin ``spi_forecast_blend`` carries the value-hash gate
+    and tests/test_round5_ops.py property-tests this leg against a
+    direct numpy evaluation."""
+    d = _member_daily(spark, sf_dir)
+    cut = F.lit(SPI_FORECAST_CUT).cast("timestamp_ntz")
+    spi = indices.spi_fit_apply_gamma(
+        d.withColumn("_is_ref", F.col("bucket") < cut),
+        series_cols=["event_type", "member"],
+        bucket_col="bucket",
+        value_col="daily_total",
+        is_ref_col="_is_ref",
+    )
+    out = zonal.ensemble_stats(
+        spi, bucket_cols=["event_type", "bucket"], value_col="spi",
+        percentiles=(),
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        F.round("ens_min", 6).alias("ens_min"),
+        F.round("ens_max", 6).alias("ens_max"),
+        F.round("ens_median", 6).alias("ens_median"),
+        "ens_n",
+    )
+
+
+ETL_QUERIES["spi_forecast_gamma"] = q_spi_forecast_gamma
+
+
 # basin polygons over the station lattice (lon -10..12.5 step 2.5,
 # lat 35..48.5 step 1.5 — the collection_healthcheck coordinate rule).
 # Vertices sit at .1-.9 offsets so no lattice point ever lands exactly on

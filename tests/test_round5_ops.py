@@ -162,6 +162,82 @@ def test_spline_sql_dialects_agree():
     assert "__J__" not in s
 
 
+# ---------------------------------------------------------------------------
+# SPI fit-on-reference / apply-to-forecast
+# ---------------------------------------------------------------------------
+
+
+def test_spi_fit_apply_gamma_matches_numpy(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from pygeoapi_ingestor_spark.functions.numerics import (
+        gammainc_lower,
+        normal_ppf_as,
+        thom_gamma_fit,
+    )
+    from pygeoapi_ingestor_spark.operators import indices
+
+    rng = random.Random(55)
+    rows, expected = [], {}
+    for s in range(3):
+        ref = [round(max(0.0, rng.gauss(40 + 10 * s, 15)), 2) for _ in range(30)]
+        fc = [round(max(0.0, rng.gauss(40 + 10 * s, 20)), 2) for _ in range(8)]
+        base = dt.datetime(2024, 1, 1)
+        for i, v in enumerate(ref + fc):
+            rows.append((s, base + dt.timedelta(days=i), float(v), i < len(ref)))
+        shape, scale = thom_gamma_fit(np.array([v for v in ref if v > 0]))
+        q = sum(1 for v in ref if v == 0) / len(ref)
+        g = gammainc_lower(shape, np.clip(np.array(fc), 0.0, None) / scale)
+        h = np.clip(q + (1.0 - q) * g, 1e-12, 1.0 - 1e-12)
+        for i, z in enumerate(normal_ppf_as(h)):
+            expected[(s, base + dt.timedelta(days=len(ref) + i))] = float(z)
+
+    df = spark.createDataFrame(
+        rows, "series int, bucket timestamp, v double, is_ref boolean"
+    )
+    out = indices.spi_fit_apply_gamma(
+        df, series_cols=["series"], bucket_col="bucket", value_col="v",
+        is_ref_col="is_ref",
+    ).collect()
+    got = {(r["series"], r["bucket"]): r["spi"] for r in out}
+    assert set(got) == set(expected)
+    for key, w in expected.items():
+        assert got[key] == pytest.approx(w, rel=1e-12, abs=1e-12), key
+
+
+def test_spi_empirical_apply_plotting_positions(spark):
+    """In-sample targets land exactly on the Gringorten positions of
+    their <=-count; out-of-range targets clamp to the edge positions."""
+    from pygeoapi_ingestor_spark.operators import indices
+
+    ref_vals = [10.0, 20.0, 30.0, 40.0, 50.0]
+    ref = spark.createDataFrame([(1, v) for v in ref_vals], "s int, v double")
+    targets = [(1, 5.0), (1, 20.0), (1, 35.0), (1, 99.0)]
+    tgt = spark.createDataFrame(targets, "s int, v double")
+    out = indices.spi_empirical_apply(ref, tgt, ["s"], "v").collect()
+
+    def ppf(h):
+        q = h if h <= 0.5 else 1.0 - h
+        t = math.sqrt(math.log(1.0 / (q * q)))
+        z = t - (2.515517 + 0.802853 * t + 0.010328 * t * t) / (
+            1.0 + 1.432788 * t + 0.189269 * t * t + 0.001308 * t ** 3
+        )
+        return -z if h <= 0.5 else z
+
+    n = len(ref_vals)
+    want = {
+        5.0: ppf((1 - 0.44) / (n + 0.12)),    # below range -> clamped to rank 1
+        20.0: ppf((2 - 0.44) / (n + 0.12)),   # cnt_le = 2
+        35.0: ppf((3 - 0.44) / (n + 0.12)),   # cnt_le = 3
+        99.0: ppf((5 - 0.44) / (n + 0.12)),   # above range -> rank n
+    }
+    got = {r["v"]: r["spi_emp"] for r in out}
+    for v, w in want.items():
+        assert got[v] == pytest.approx(w, rel=1e-12), v
+
+
 def test_polygon_membership_concave_notch(spark):
     """The L-shape notch: a point inside the bbox but in the notch must be
     OUTSIDE (even-odd parity on a concave ring)."""

@@ -359,6 +359,83 @@ def _argmin_centroid_sql(vec_sql: str, cents) -> str:
     return f"array_min(array({_centroid_structs_sql(vec_sql, cents)}))"
 
 
+# Above this many centroids/codes, the generated-SQL literal inlining
+# (one struct per centroid in the expression tree) is replaced by a
+# broadcast parameter TABLE + higher-order-function argmin: the literal
+# form is fastest at catalog sizes (a single analysis pass, no join) but
+# its expression tree grows O(k x dim) — at production codebook sizes
+# (k in the thousands) codegen/analysis time explodes. The table form is
+# O(1) plan size at any k; both compute the identical exact-integer
+# arithmetic, so results are bit-equal and the oracles don't change.
+CENTROID_INLINE_MAX = 64
+
+
+def _cents_table(spark, cents) -> DataFrame:
+    return spark.createDataFrame(
+        [([(int(cid), [int(x) for x in cv]) for cid, cv in cents],)],
+        "_cents array<struct<cid:int,cvec:array<int>>>",
+    )
+
+
+def _dist_structs_col(vec_col: str) -> Column:
+    return F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            _sq_dist_int(F.col(vec_col), c.getField("cvec")).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+
+
+def with_best_centroid(
+    df: DataFrame,
+    vec_col: str,
+    cents,
+    out_col: str = "_best",
+    inline_max: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = struct(d, cid) of the nearest centroid (exact
+    integer squared distance, ties to the lowest cid).
+
+    Small centroid sets inline as literal SQL (single projection, no
+    join); past ``CENTROID_INLINE_MAX`` the centroids ride a broadcast
+    one-row parameter table and the argmin is a constant-size
+    ``array_min(transform(...))`` — the plan no longer grows with k.
+    ``inline_max`` overrides the threshold (tests force both paths)."""
+    cap = CENTROID_INLINE_MAX if inline_max is None else inline_max
+    if len(cents) <= cap:
+        return df.withColumn(out_col, F.expr(_argmin_centroid_sql(vec_col, cents)))
+    ctab = _cents_table(df.sparkSession, cents)
+    return (
+        df.crossJoin(F.broadcast(ctab))
+        .withColumn(out_col, F.array_min(_dist_structs_col(vec_col)))
+        .drop("_cents")
+    )
+
+
+def with_centroid_dists(
+    df: DataFrame,
+    vec_col: str,
+    cents,
+    out_col: str,
+    inline_max: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = array<struct(d, cid)> of distances to EVERY
+    centroid (for n_probe selection). Same inline-vs-table threshold as
+    ``with_best_centroid``."""
+    cap = CENTROID_INLINE_MAX if inline_max is None else inline_max
+    if len(cents) <= cap:
+        return df.withColumn(
+            out_col, F.expr(f"array({_centroid_structs_sql(vec_col, cents)})")
+        )
+    ctab = _cents_table(df.sparkSession, cents)
+    return (
+        df.crossJoin(F.broadcast(ctab))
+        .withColumn(out_col, _dist_structs_col(vec_col))
+        .drop("_cents")
+    )
+
+
 def kmeans_fit_int8(
     embeddings: DataFrame,
     id_col: str,
@@ -416,13 +493,12 @@ def kmeans_fit_int8(
     ]
 
     def _assign(cur):
-        # one F.expr over a generated SQL string instead of ~300 Column
-        # calls: the training loop rebuilds this expression every
-        # iteration, and per-call py4j latency (not execution) dominated
-        # the iteration wall time at small scale
-        best = F.expr(_argmin_centroid_sql("_q", cur))
+        # small k: one F.expr over a generated SQL string instead of
+        # ~300 Column calls (per-call py4j latency dominated the
+        # iteration wall at small scale); large k: broadcast centroid
+        # table (see with_best_centroid) so the plan doesn't grow with k
         return (
-            q.withColumn("_best", best)
+            with_best_centroid(q, "_q", cur)
             .select(
                 "*",
                 F.col("_best.cid").alias("cluster"),
@@ -481,10 +557,6 @@ def ivf_topk_trained(
         embeddings, id_col, vec_col, k=n_clusters, iters=iters
     )
 
-    def dist_arr(qcol: str) -> Column:
-        # single-py4j-call SQL build — see _argmin_centroid_sql
-        return F.expr(f"array({_centroid_structs_sql(qcol, cents)})")
-
     eq = quantize_int8(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
@@ -499,9 +571,12 @@ def ivf_topk_trained(
     # the index build: the quantized corpus is the at-rest artifact a
     # real IVF index stores.
     eq = eq.persist(StorageLevel.MEMORY_AND_DISK)
-    assigned = eq.withColumn(
-        "cluster", F.array_min(dist_arr("_q")).getField("cid")
-    ).select("neighbor_id", "_v", "cluster")
+    assigned = (
+        with_best_centroid(eq, "_q", cents)
+        .select(
+            "neighbor_id", "_v", F.col("_best.cid").alias("cluster")
+        )
+    )
 
     qq = quantize_int8(
         queries.select(
@@ -510,9 +585,8 @@ def ivf_topk_trained(
         "_v",
     ).select("query_id", F.col("_v").alias("_qv"), F.col("q_vec").alias("_qq"))
     probes = (
-        qq.withColumn(
-            "_p", F.explode(F.slice(F.array_sort(dist_arr("_qq")), 1, n_probe))
-        )
+        with_centroid_dists(qq, "_qq", cents, "_dists")
+        .withColumn("_p", F.explode(F.slice(F.array_sort(F.col("_dists")), 1, n_probe)))
         .select("query_id", "_qv", F.col("_p").getField("cid").alias("cluster"))
     )
 
@@ -544,6 +618,7 @@ def pq_adc_topk(
     m_subs: int = 8,
     n_codes: int = 16,
     dim: int = 64,
+    inline_max: int | None = None,
 ):
     """Product-quantization ADC search (Jegou et al., "Product
     Quantization for Nearest Neighbor Search"): split each int8-quantized
@@ -599,14 +674,6 @@ def pq_adc_topk(
         )
         return f"array_min(array({structs})).j"
 
-    # the encoded index: m_subs small codes per vector. Persisted — at
-    # rest this IS the PQ index file; recomputing it per probe would
-    # re-quantize per code (the CollapseProject-inlining trap).
-    codes = eq.select(
-        "neighbor_id",
-        *[F.expr(code_sql("_q", m)).alias(f"c{m}") for m in range(m_subs)],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
     qq = quantize_int8(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_v")
@@ -619,10 +686,70 @@ def pq_adc_topk(
             sub_dist_sql("_qq", m, cv) for cv in codebook[m]
         ) + ")"
 
-    qtab = qq.select(
-        "query_id",
-        *[F.expr(table_sql(m)).alias(f"t{m}") for m in range(m_subs)],
-    )
+    cap = CENTROID_INLINE_MAX if inline_max is None else inline_max
+    if n_codes <= cap:
+        # literal-inlined codebook: fastest at catalog sizes (single
+        # analysis pass, no join), O(n_codes x sub_dim) expression tree
+        codes = eq.select(
+            "neighbor_id",
+            *[F.expr(code_sql("_q", m)).alias(f"c{m}") for m in range(m_subs)],
+        )
+        qtab = qq.select(
+            "query_id",
+            *[F.expr(table_sql(m)).alias(f"t{m}") for m in range(m_subs)],
+        )
+    else:
+        # production codebook sizes (256 codes x 8-16 subspaces): the
+        # codebook rides a broadcast one-row parameter table; encode and
+        # ADC-table build are constant-size HOF expressions, so analysis
+        # and codegen no longer grow with n_codes. Identical exact-
+        # integer arithmetic -> identical codes/tables either path.
+        cbtab = eq.sparkSession.createDataFrame(
+            [tuple(
+                [[int(x) for x in cv] for cv in codebook[m]]
+                for m in range(m_subs)
+            )],
+            ", ".join(f"_cb{m} array<array<int>>" for m in range(m_subs)),
+        )
+
+        def int_sqdist(a: Column, b: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x.cast("long"),
+            )
+
+        def sub_slice(vec: str, m: int) -> Column:
+            return F.slice(F.col(vec), m * sub_dim + 1, sub_dim)
+
+        def code_col(m: int) -> Column:
+            def entry(cv: Column, i: Column) -> Column:
+                return F.struct(
+                    int_sqdist(sub_slice("_q", m), cv).alias("d"), i.alias("j")
+                )
+
+            return (
+                F.array_min(F.transform(F.col(f"_cb{m}"), entry))
+                .getField("j")
+                .alias(f"c{m}")
+            )
+
+        def tab_col(m: int) -> Column:
+            def dist(cv: Column) -> Column:
+                return int_sqdist(sub_slice("_qq", m), cv)
+
+            return F.transform(F.col(f"_cb{m}"), dist).alias(f"t{m}")
+
+        codes = eq.crossJoin(F.broadcast(cbtab)).select(
+            "neighbor_id", *[code_col(m) for m in range(m_subs)]
+        )
+        qtab = qq.crossJoin(F.broadcast(cbtab)).select(
+            "query_id", *[tab_col(m) for m in range(m_subs)]
+        )
+    # the encoded index: m_subs small codes per vector. Persisted — at
+    # rest this IS the PQ index file; recomputing it per probe would
+    # re-quantize per code (the CollapseProject-inlining trap).
+    codes = codes.persist(StorageLevel.MEMORY_AND_DISK)
 
     paired = codes.crossJoin(F.broadcast(qtab)).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -681,9 +808,8 @@ def nearest_centroid_classify(
         (int(r["_label"]), [int(r[f"_s{d}"]) // int(r["_n"]) for d in range(dim)])
         for r in sorted(stats.collect(), key=lambda r: r["_label"])
     ]
-    best = F.expr(_argmin_centroid_sql("_q", cents))
     return (
-        q.withColumn("_best", best)
+        with_best_centroid(q, "_q", cents)
         .select(
             F.col("_id").alias(id_col),
             F.col("_label").alias(label_col),

@@ -238,6 +238,110 @@ def test_spi_empirical_apply_plotting_positions(spark):
         assert got[v] == pytest.approx(w, rel=1e-12), v
 
 
+# ---------------------------------------------------------------------------
+# thresholded centroid/codebook tables (production-k plan growth)
+# ---------------------------------------------------------------------------
+
+
+def _random_cents(rng, k, dim):
+    return [(i, [rng.randint(-127, 127) for _ in range(dim)]) for i in range(k)]
+
+
+def test_argmin_table_path_matches_inline(spark):
+    from pygeoapi_ingestor_spark.operators import similarity
+
+    rng = random.Random(8)
+    dim, k = 16, 12
+    cents = _random_cents(rng, k, dim)
+    vecs = [(i, [rng.randint(-127, 127) for _ in range(dim)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vid int, _q array<int>")
+
+    inline = {
+        (r["vid"], r["_best"]["cid"], r["_best"]["d"])
+        for r in similarity.with_best_centroid(
+            df, "_q", cents, inline_max=k + 1
+        ).collect()
+    }
+    table = {
+        (r["vid"], r["_best"]["cid"], r["_best"]["d"])
+        for r in similarity.with_best_centroid(
+            df, "_q", cents, inline_max=0
+        ).collect()
+    }
+    assert inline == table
+
+    d_inline = similarity.with_centroid_dists(df, "_q", cents, "_d", inline_max=k + 1)
+    d_table = similarity.with_centroid_dists(df, "_q", cents, "_d", inline_max=0)
+    di = {(r["vid"], tuple((s["d"], s["cid"]) for s in r["_d"])) for r in d_inline.collect()}
+    dt = {(r["vid"], tuple((s["d"], s["cid"]) for s in r["_d"])) for r in d_table.collect()}
+    assert di == dt
+
+
+def test_pq_table_path_matches_inline(spark, sf_dir):
+    from pygeoapi_ingestor_spark.operators import similarity
+    from pygeoapi_ingestor_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings").limit(120)
+    q = e.limit(3)
+    kw = dict(
+        id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding",
+        k=4, m_subs=8, n_codes=8, dim=64,
+    )
+    inline = {tuple(r) for r in similarity.pq_adc_topk(e, q, **kw).collect()}
+    table = {
+        tuple(r)
+        for r in similarity.pq_adc_topk(e, q, inline_max=0, **kw).collect()
+    }
+    assert inline == table and len(inline) > 0
+
+
+def test_production_k_plan_analysis_fast(spark):
+    """k=1024 centroids x dim=64: the broadcast-table argmin must keep
+    plan ANALYSIS near-constant (the literal-inline form would build a
+    megabyte expression tree here). Sub-second per the round-4 verdict's
+    acceptance bar; generous wall bound for CI noise."""
+    import time
+
+    from pygeoapi_ingestor_spark.operators import similarity
+
+    rng = random.Random(99)
+    cents = _random_cents(rng, 1024, 64)
+    df = spark.createDataFrame(
+        [(i, [rng.randint(-127, 127) for _ in range(64)]) for i in range(4)],
+        "vid int, _q array<int>",
+    )
+    # warm up the createDataFrame/analysis machinery once
+    similarity.with_best_centroid(df, "_q", _random_cents(rng, 80, 64)).schema
+    t0 = time.perf_counter()
+    out = similarity.with_best_centroid(df, "_q", cents)
+    _ = out.schema  # forces full analysis
+    dt = time.perf_counter() - t0
+    assert dt < 2.0, f"analysis took {dt:.2f}s at k=1024"
+    # and it actually computes: argmin cid within range
+    rows = out.collect()
+    assert len(rows) == 4 and all(0 <= r["_best"]["cid"] < 1024 for r in rows)
+
+
+def test_pq_256_codes_runs(spark):
+    """256-code x 8-subspace PQ (production codebook shape) through the
+    table path end-to-end on a small corpus."""
+    from pygeoapi_ingestor_spark.operators import similarity
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(300)
+    ]
+    e = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    q = e.limit(2)
+    out = similarity.pq_adc_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding",
+        k=3, m_subs=8, n_codes=256, dim=64,
+    ).collect()
+    assert len(out) == 6
+
+
 def test_polygon_membership_concave_notch(spark):
     """The L-shape notch: a point inside the bbox but in the notch must be
     OUTSIDE (even-odd parity on a concave ring)."""

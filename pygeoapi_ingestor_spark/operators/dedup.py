@@ -673,6 +673,7 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int | None = 3,
     token_hash: str = "xxhash64",
+    bucket_cap: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash banding (Manku et al., WWW'07
     shape): candidates share any of the four 16-bit bands, then the full
@@ -680,7 +681,19 @@ def simhash_near_pairs(
     EXACT for ``max_hamming <= 3``: a pair differing in <= 3 bits must
     leave at least one of 4 bands untouched (pigeonhole), so every such
     pair lands in a shared bucket. ``max_hamming=None`` returns all
-    band-collision candidates (the raw LSH recall set)."""
+    band-collision candidates (the raw LSH recall set).
+
+    ``bucket_cap``: (band, chunk) buckets holding more than this many
+    docs are DROPPED before the self-join. Degenerate documents (empty /
+    near-empty after tokenization) collapse onto a handful of chunk
+    values; at corpus scale one such bucket is a B^2 hot task that AQE
+    cannot split (a single join key), and its candidate mass is
+    near-useless for dedup — every member already matched on content-
+    free bands. A pair is only lost if EVERY shared band sits in an
+    over-full bucket; real near-dup pairs keep a content-bearing band.
+    The cap is part of the operator's semantics and is mirrored by the
+    SQL oracle (same window count + filter), so results stay exactly
+    reproducible. ``None`` disables the cap."""
     sh = simhash(df, id_col, text_col, token_hash=token_hash)
     bands = F.array(
         *[
@@ -696,6 +709,13 @@ def simhash_near_pairs(
     banded = sh.select("doc", "simhash", F.explode(bands).alias("bb")).select(
         "doc", "simhash", "bb.band", "bb.chunk"
     )
+    if bucket_cap is not None:
+        # window count shuffles on (band, chunk) — the SAME key the
+        # self-join below hashes on, so the exchange is reused, not added
+        w = Window.partitionBy("band", "chunk")
+        banded = banded.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
+            F.col("_bn") <= bucket_cap
+        ).drop("_bn")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

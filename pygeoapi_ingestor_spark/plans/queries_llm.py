@@ -828,13 +828,16 @@ def _lsh_topk_oracle_sql() -> str:
     """
 
 
-def _simhash_oracle_sql() -> str:
+def _simhash_oracle_sql(bucket_cap: int = 500) -> str:
     """DuckDB twin of the md5-token SimHash near-pair pipeline. The
     64-bit token hash is rebuilt as (low 60 bits, top nibble) so no
     intermediate exceeds BIGINT range (DuckDB shifts overflow-check,
     unlike Spark's wrapping bit-ops); per-bit weighted sums, sign bits,
-    four 16-bit band buckets, pigeonhole band join, hamming <= 3 gate —
-    mirroring operators/dedup.py simhash/simhash_near_pairs."""
+    four 16-bit band buckets, pigeonhole band join with the SAME
+    over-full-bucket cap as the operator (window count per band value,
+    a band only matches when its bucket holds <= bucket_cap docs),
+    hamming <= 3 gate — mirroring operators/dedup.py
+    simhash/simhash_near_pairs."""
     lo = "(('0x' || substr(md5(w), 1, 15))::BIGINT)"
     nib = "(('0x' || substr(md5(w), 16, 1))::BIGINT)"
 
@@ -855,7 +858,12 @@ def _simhash_oracle_sql() -> str:
         + f") AS b{b}"
         for b in range(4)
     )
-    or_clause = " OR ".join(f"a.b{i} = b.b{i}" for i in range(4))
+    or_clause = " OR ".join(
+        f"(a.b{i} = b.b{i} AND a.n{i} <= {bucket_cap})" for i in range(4)
+    )
+    n_cols = ", ".join(
+        f"count(*) OVER (PARTITION BY b{i}) AS n{i}" for i in range(4)
+    )
     ham = " + ".join(
         f"bit_count(xor(a.b{i}::BIGINT, b.b{i}::BIGINT))" for i in range(4)
     )
@@ -875,8 +883,10 @@ def _simhash_oracle_sql() -> str:
         ), agg AS (
             SELECT doc, sum(cnt) AS tot, {s_cols}
             FROM tok GROUP BY doc
-        ), sig AS (
+        ), sig0 AS (
             SELECT doc, {band_exprs} FROM agg
+        ), sig AS (
+            SELECT doc, b0, b1, b2, b3, {n_cols} FROM sig0
         )
         SELECT a.doc AS doc_a, b.doc AS doc_b,
                CAST(({ham}) AS INTEGER) AS hamming

@@ -342,6 +342,68 @@ def test_pq_256_codes_runs(spark):
     assert len(out) == 6
 
 
+# ---------------------------------------------------------------------------
+# SimHash bucket cap
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_cap_no_loss_on_real_corpus(spark, sf_dir):
+    """On the test corpus no bucket exceeds the default cap, so the
+    capped output is IDENTICAL to uncapped — the hash-gate invariance
+    the verdict requires."""
+    from pygeoapi_ingestor_spark.operators import dedup
+    from pygeoapi_ingestor_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    capped = {
+        tuple(r)
+        for r in dedup.simhash_near_pairs(
+            docs, "doc_id", "text", token_hash="md5"
+        ).collect()
+    }
+    uncapped = {
+        tuple(r)
+        for r in dedup.simhash_near_pairs(
+            docs, "doc_id", "text", token_hash="md5", bucket_cap=None
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_simhash_cap_bounds_hot_bucket(spark):
+    """Synthetic degenerate corpus: 60 single-token docs (identical
+    signature -> one hot bucket per band) plus one genuine near-dup
+    pair. With a
+    cap below the hot-bucket size the degenerate candidate mass
+    disappears (bounded task input) while the real pair — whose shared
+    bands live in small buckets — survives the pigeonhole guarantee."""
+    from pygeoapi_ingestor_spark.operators import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors watch from the harbor wall at dawn"
+    )
+    rows = [(i, "aaa") for i in range(60)]  # one shared token -> one signature
+    rows += [(100, base), (101, base + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = dedup.simhash_near_pairs(
+        docs, "doc_id", "text", token_hash="md5", bucket_cap=None
+    ).collect()
+    capped = dedup.simhash_near_pairs(
+        docs, "doc_id", "text", token_hash="md5", bucket_cap=50
+    ).collect()
+
+    pairs_unc = {(r["doc_a"], r["doc_b"]) for r in uncapped}
+    pairs_cap = {(r["doc_a"], r["doc_b"]) for r in capped}
+    # the degenerate block produced ~60*59/2 identical-signature pairs
+    assert sum(1 for a, b in pairs_unc if a < 60 and b < 60) > 1500
+    # cap removes every degenerate pair but keeps the real near-dup
+    assert all(not (a < 60 and b < 60) for a, b in pairs_cap)
+    if (100, 101) in pairs_unc:
+        assert (100, 101) in pairs_cap
+
+
 def test_polygon_membership_concave_notch(spark):
     """The L-shape notch: a point inside the bbox but in the notch must be
     OUTSIDE (even-odd parity on a concave ring)."""

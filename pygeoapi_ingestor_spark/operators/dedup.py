@@ -529,7 +529,10 @@ def embedding_cosine_pairs_bucketed(
     # barrier CollapseProject can inline the n_planes interpreted
     # projection folds into the join condition / both join sides,
     # re-projecting per CANDIDATE PAIR instead of per row. The persisted
-    # (id, keys, norm) table is the LSH index artifact itself.
+    # (id, keys, norm) table is the LSH index artifact itself. CACHE
+    # CONTRACT: operators never unpersist their returned lineage — a
+    # long-lived service clears blocks between jobs (bench.py's
+    # clearCache is the model; a scheduler would do the same).
     from pyspark import StorageLevel
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)

@@ -56,16 +56,36 @@ def wall_trunc(freq: str, col) -> "F.Column":
     Round-tripping through TIMESTAMP_NTZ on both sides makes the
     truncation a pure wall-clock operation for either input flavor —
     matching DuckDB's ``date_trunc`` on naive timestamps whatever
-    timezone the driver's session happens to run in."""
+    timezone the driver's session happens to run in.
+
+    KNOWN LIMIT (round-4 advice): the round-trip still converts through
+    the session zone internally, so in a zone whose DST spring-forward
+    lands at midnight (America/Santiago, Azores) local midnight does not
+    exist on transition days and day/week buckets shift by an hour. The
+    supported contract is therefore a fixed-offset session zone:
+    ``session.get_spark`` pins ``spark.sql.session.timeZone=UTC``, and
+    tests/test_tz_independence.py exercises non-UTC zones whose
+    transitions avoid midnight. A fully zone-free form would truncate
+    via date arithmetic on the NTZ value; not done while every gate and
+    deployment profile runs pinned-UTC."""
     return F.date_trunc(freq, F.col(col).cast("timestamp_ntz") if isinstance(col, str) else col.cast("timestamp_ntz")).cast("timestamp_ntz")
 
 
 def axis_seconds(df: DataFrame, ts_col: str) -> "F.Column":
-    """Numeric ordering axis for ``ts_col``: wall-clock epoch seconds when
-    the column is a timestamp (either flavor), plain ``cast(double)`` when
-    it is already numeric (operators like interpolation accept integer
-    axes in tests and sensor-sequence data)."""
+    """Numeric ordering axis for ``ts_col``: epoch seconds when the
+    column is a timestamp, plain ``cast(double)`` when it is already
+    numeric (operators like interpolation accept integer axes in tests
+    and sensor-sequence data).
+
+    Type dispatch (round-4 advice): plain TIMESTAMP (tz-aware) takes
+    ``unix_micros`` — legal there, and TRUE epoch time, so range windows
+    and session gaps measure real elapsed seconds across DST
+    transitions. TIMESTAMP_NTZ keeps the NTZ epoch anchor
+    (``ts_seconds``), where unix_micros is an analysis error and a
+    wall-clock axis is the zone-free semantic."""
     dt = dict(df.dtypes).get(ts_col, "")
+    if dt == "timestamp":
+        return F.unix_micros(F.col(ts_col)) / F.lit(1e6)
     if dt.startswith("timestamp"):
         return ts_seconds(F.col(ts_col))
     return F.col(ts_col).cast("double")

@@ -86,6 +86,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("frequency", "f_q"),
         ("_mon_d", "m_q"),
     ):
+        prev = cur
         if metric == "_mon_d":
             cur = cur.withColumn("_mon_d", F.col("_mon").cast("double"))
         cur = ranks.bucketed_row_number(
@@ -95,6 +96,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.withColumn(out, ranks.ntile_expr("_rn", "_cnt", 4)).drop(
             "_rn", "_cnt"
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize the new pass, then free the superseded one — a
+        # long-lived service otherwise accumulates one generation of
+        # blocks per pass per invocation (round-4 advice)
+        cur.count()
+        prev.unpersist()
     return cur.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.round(F.sum("_mon").cast("double"), 2).alias("total_monetary"),

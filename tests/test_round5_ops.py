@@ -404,6 +404,32 @@ def test_simhash_cap_bounds_hot_bucket(spark):
         assert (100, 101) in pairs_cap
 
 
+# ---------------------------------------------------------------------------
+# axis_seconds TZ dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_axis_seconds_tz_uses_true_epoch(spark):
+    """TZ-typed timestamps get unix_micros (true elapsed time across DST);
+    NTZ keeps the zone-free wall-clock anchor."""
+    import datetime as dt
+
+    from pygeoapi_ingestor_spark.operators.temporal import axis_seconds
+
+    ts = dt.datetime(2024, 6, 1, 12, 0, 0)
+    df_tz = spark.createDataFrame([(ts,)], "ts timestamp")
+    df_ntz = spark.createDataFrame([(ts,)], "ts timestamp_ntz")
+    got_tz = df_tz.select(axis_seconds(df_tz, "ts").alias("s")).collect()[0]["s"]
+    got_ntz = df_ntz.select(axis_seconds(df_ntz, "ts").alias("s")).collect()[0]["s"]
+    want = ts.replace(tzinfo=dt.timezone.utc).timestamp()
+    # session zone is pinned UTC, so both flavors agree here; the TZ path
+    # additionally goes through unix_micros (plan contains no NTZ anchor)
+    assert got_tz == pytest.approx(want)
+    assert got_ntz == pytest.approx(want)
+    plan_tz = df_tz.select(axis_seconds(df_tz, "ts"))._jdf.queryExecution().analyzed().toString()
+    assert "unix_micros" in plan_tz
+
+
 def test_polygon_membership_concave_notch(spark):
     """The L-shape notch: a point inside the bbox but in the notch must be
     OUTSIDE (even-odd parity on a concave ring)."""

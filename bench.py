@@ -32,18 +32,28 @@ def main() -> None:
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # DUAL SERIES per query (round-4 verdict item 7): cold = first run
+    # after clearCache (parquet scan + any index build); warm = an
+    # immediate second run riding the blocks the cold run persisted
+    # (index tables, rank intermediates) — the steady-state service
+    # number. clearCache only BETWEEN keys, so each key's warm run sees
+    # exactly its own artifacts, never an earlier query's.
     timings: dict[str, float] = {}
+    warm_timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for key in BENCH_KEYS:
         t0 = time.perf_counter()
-        df = QUERIES[key](spark, sf_dir)
-        df.count()
+        QUERIES[key](spark, sf_dir).count()
         timings[key] = round(time.perf_counter() - t0, 3)
-        # drop per-query persisted index tables (quantized corpus, LSH
-        # signatures, rank intermediates) so later queries aren't timed
-        # under the accumulated memory pressure of earlier ones
+        t1 = time.perf_counter()
+        QUERIES[key](spark, sf_dir).count()
+        warm_timings[key] = round(time.perf_counter() - t1, 3)
+        # drop per-query persisted index tables so later queries aren't
+        # timed under the accumulated memory pressure of earlier ones
         spark.catalog.clearCache()
-    total = round(time.perf_counter() - t_total0, 3)
+    total = round(sum(timings.values()), 3)
+    warm_total = round(sum(warm_timings.values()), 3)
+    cold_warm_wall = round(time.perf_counter() - t_total0, 3)
 
     # count() lets Catalyst prune computed columns (a projection-heavy
     # query times as a bare scan); the noop sink forces FULL evaluation
@@ -75,6 +85,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm_timings,
+        "warm_total": warm_total,
+        "cold_warm_wall": cold_warm_wall,
         "queries_noop": noop_timings,
         "noop_total": noop_total,
         "concurrent_wall": concurrent_total,
@@ -96,6 +109,7 @@ def main() -> None:
         "unit": "sec",
         "queries": line_queries,
         "n_queries": len(timings),
+        "warm_total": warm_total,
         "noop_total": noop_total,
         "concurrent_wall": concurrent_total,
         "full": "BENCH_FULL.json",

@@ -430,6 +430,95 @@ def test_axis_seconds_tz_uses_true_epoch(spark):
     assert "unix_micros" in plan_tz
 
 
+# ---------------------------------------------------------------------------
+# items API over a Z-ordered collection: pushdown + min/max pruning
+# ---------------------------------------------------------------------------
+
+
+def test_items_bbox_over_zordered_collection(spark, sf_dir, tmp_path):
+    """Close the loop the two components test individually: a bbox items
+    query over a write_zordered collection (a) answers correctly, (b)
+    pushes the lon/lat predicates into the parquet scan, and (c) the
+    Z-order layout makes per-file min/max stats SELECTIVE — only a
+    minority of files intersect a tight bbox, which is exactly what the
+    scan's row-group pruning keys on."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.api import ProcessAPI
+    from pygeoapi_ingestor_spark.operators.spatial import bbox_filter
+    from pygeoapi_ingestor_spark.sinks.collections import write_zordered
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    pts = read_events(spark, sf_dir).select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        ((F.col("event_id") % 720) / F.lit(2.0) - F.lit(180.0)).alias("lon"),
+        (((F.col("event_id") * 7) % 360) / F.lit(2.0) - F.lit(90.0)).alias("lat"),
+    )
+    path = str(tmp_path / "zcoll")
+    write_zordered(pts, path, n_files=8)
+
+    bbox = (-60.0, -30.0, -30.0, 10.0)  # W, S, E, N — a tight window
+    api = ProcessAPI(default_sf_dir=sf_dir)
+    page = api.items(
+        spark, path, bbox=bbox, sort_col="event_id", limit=50, count_matched=True
+    )
+    in_box = [
+        r
+        for r in page["features"]
+        if bbox[0] <= r["lon"] <= bbox[2] and bbox[1] <= r["lat"] <= bbox[3]
+    ]
+    assert len(in_box) == page["numberReturned"] > 0
+    want_matched = pts.filter(
+        (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+    ).count()
+    assert page["numberMatched"] == want_matched
+
+    # (b) predicates reach the scan
+    df = bbox_filter(spark.read.parquet(path), *bbox)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(lon,-60.0)" in plan
+    assert "LessThanOrEqual(lat,10.0)" in plan
+
+    # (c) layout selectivity: per-file lon/lat envelopes from parquet
+    # footers — the same stats the reader prunes row groups with
+    import glob
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 6
+    hit = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        lo_lon = hi_lon = lo_lat = hi_lat = None
+        for rg in range(meta.num_row_groups):
+            row = meta.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None:
+                    continue
+                if name == "lon":
+                    lo_lon = st.min if lo_lon is None else min(lo_lon, st.min)
+                    hi_lon = st.max if hi_lon is None else max(hi_lon, st.max)
+                if name == "lat":
+                    lo_lat = st.min if lo_lat is None else min(lo_lat, st.min)
+                    hi_lat = st.max if hi_lat is None else max(hi_lat, st.max)
+        if (
+            lo_lon is not None
+            and not (hi_lon < bbox[0] or lo_lon > bbox[2] or hi_lat < bbox[1] or lo_lat > bbox[3])
+        ):
+            hit += 1
+    assert hit < len(files), "Z-order layout should let min/max stats skip files"
+
+
 def test_polygon_membership_concave_notch(spark):
     """The L-shape notch: a point inside the bbox but in the notch must be
     OUTSIDE (even-odd parity on a concave ring)."""

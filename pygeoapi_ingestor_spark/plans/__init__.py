@@ -32,74 +32,39 @@ _ALL = {
     **BEHAVIOR_QUERIES,
 }
 
-# Round-4 front-load: the driver's correctness gate stamps the first ~50
+# Round-5 front-load: the driver's correctness gate stamps the first ~50
 # entries in dict order, so rank keys by how stale their evidence is.
 # Tier 0 — brand new this round (no CORRECTNESS row ever).
-# Tier 1 — operator code changed this round (the TIMESTAMP_NTZ fix in
-#          temporal.py touched TWA / as-of / sessionize / interp), so
-#          their old rows no longer cover the shipped plans; two of them
-#          (time_weighted_avg, asof_join_forward) were the round-3
-#          analysis-error failures and need a green stamp most of all.
-# Tier 2 — last stamped in round 1.
-# Tier 3 — last stamped in round 2 (cheap keys first, heavy tail last).
-# Tail  — freshly stamped in round 3 on unchanged code.
-_R4_NEW: list[str] = [
-    "centroid_classify",
-    "merge_upsert",
-    "dedup_ppjoin",
-    "regrid_bilinear",
-    "morton_cells",
-    "winnow_fingerprints",
-    "sim_search_pq_adc",
-    "dedup_against_reference",
-    "tfidf_top_terms",
-    "char_entropy",
-    "bigram_merges",
-    "ann_recall_eval",
-    "retention_cohorts",
-    "rfm_segments",
-    "mad_outliers",
-    "session_stats",
-    "streak_lengths",
-    "gap_fill_calendar",
-    "hist2d_value_hour",
+# Tier 1 — operator code changed this round: the SimHash bucket cap
+#          (dedup_simhash), the thresholded centroid/codebook tables
+#          (PQ / k-means / IVF-trained / centroid-classify), the zonal
+#          bucket-name fix (zonal_stats), the rfm unpersist loop; plus
+#          corpus_token_stats, whose round-4 plan rewrite never received
+#          a driver stamp (round-4 advice).
+# Tier 2 — the 30 keys whose newest stamp is still round 2 (code
+#          unchanged, but two rounds of shared-helper refactors argue
+#          for a re-stamp; round-4 verdict item 4).
+# Tier 3 — round-3-stamped keys touched indirectly (axis_seconds users,
+#          LSH family) — refresh with the spare window slots.
+# Tail  — freshly stamped in round 3/4 on unchanged code.
+_R5_NEW: list[str] = [
+    "zonal_stats_polygon",
+    "bias_correction_spline",
+    "spi_forecast_blend",
+    "spi_forecast_gamma",
 ]
 
-_FRONT = _R4_NEW + [
-    # tier 1: round-4 NTZ fix touched these plans
-    "time_weighted_avg",
-    "asof_join_forward",
-    "sessionize_gap",
-    "linear_interp_gaps",
-    # tier 2: latest evidence is round 1
-    "approx_distinct_users",
-    "cube_orders",
-    "dedup_exact",
-    "dedup_latest_snapshot",
-    "dedup_ngram_jaccard",
-    "json_extract_props",
-    "pivot_daily_by_type",
-    "precip_deficit_cumsum",
-    "q22_idle_customers",
-    "regrid_snap_agg",
-    "rollup_revenue",
-    "set_ops_customers",
-    "spi_gamma",
-    "spi_gamma_ts3",
-    "unit_convert_derive",
-    # tier 3: latest evidence is round 2 — cheap single-table keys first
-    "select_time_range",
-    "resample_daily_sum",
-    "resample_weekly_max",
-    "resample_weekly_max_sun",
-    "resample_monthly_scaled",
-    "rolling_sum_7d",
-    "rolling_sum_7d_range",
-    "climatology_hourly",
-    "anomaly_vs_climatology",
+_FRONT = _R5_NEW + [
+    # tier 1: code changed this round
+    "dedup_simhash",
+    "sim_search_pq_adc",
+    "kmeans_clusters_int8",
+    "centroid_classify",
+    "sim_search_ivf_trained",
     "zonal_stats",
-    "ensemble_stats",
-    "bias_correction_qmap",
+    "rfm_segments",
+    "corpus_token_stats",
+    # tier 2: newest stamp is round 2
     "rating_curve_interp",
     "threshold_categorize",
     "threshold_per_station",
@@ -112,7 +77,6 @@ _FRONT = _R4_NEW + [
     "token_count",
     "doc_fingerprint",
     "quality_filter",
-    "corpus_token_stats",
     "q7_volume_shipping",
     "q8_market_share",
     "q13_order_distribution",
@@ -131,22 +95,23 @@ _FRONT = _R4_NEW + [
     "sim_search_cosine_topk",
     "sim_search_ivf",
     "dedup_embedding_cosine",
-]
-
-# freshly stamped in round 3 on code unchanged since — safe at the back
-_TAIL = [
+    # tier 3: round-3 stamps, refreshed with the spare slots
+    "asof_join_events",
+    "fuzzy_match_names",
+    "spi_empirical",
+    "ewma_smooth",
+    "skew_join_salted",
     "chunk_documents",
     "top_ngrams",
     "dedup_incremental_lsh",
+]
+
+# stamped round 3/4 on code unchanged since — safe at the back
+_TAIL = [
     "funnel_conversion",
-    "fuzzy_match_names",
     "value_percentiles",
     "unpivot_daily",
-    "ewma_smooth",
-    "kmeans_clusters_int8",
     "dedup_spans",
-    "sim_search_ivf_trained",
-    "skew_join_salted",
     "grouping_sets_mixed",
     "interval_overlap_join",
     "percent_rank_bucketed",
@@ -163,12 +128,9 @@ _TAIL = [
     "sim_search_int8",
     "sim_search_lsh",
     "ntile_quartiles",
-    "spi_empirical",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_lsh_verified",
     "dedup_components",
-    "asof_join_events",
     "corr_value_props",
     "profile_events",
     "extreme_values",
@@ -183,6 +145,52 @@ _TAIL = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive",
+    "time_weighted_avg",
+    "asof_join_forward",
+    "sessionize_gap",
+    "linear_interp_gaps",
+    "merge_upsert",
+    "dedup_ppjoin",
+    "regrid_bilinear",
+    "morton_cells",
+    "winnow_fingerprints",
+    "dedup_against_reference",
+    "tfidf_top_terms",
+    "char_entropy",
+    "bigram_merges",
+    "ann_recall_eval",
+    "retention_cohorts",
+    "mad_outliers",
+    "session_stats",
+    "streak_lengths",
+    "gap_fill_calendar",
+    "hist2d_value_hour",
+    "approx_distinct_users",
+    "cube_orders",
+    "dedup_exact",
+    "dedup_latest_snapshot",
+    "dedup_ngram_jaccard",
+    "json_extract_props",
+    "pivot_daily_by_type",
+    "precip_deficit_cumsum",
+    "q22_idle_customers",
+    "regrid_snap_agg",
+    "rollup_revenue",
+    "set_ops_customers",
+    "spi_gamma",
+    "spi_gamma_ts3",
+    "unit_convert_derive",
+    "select_time_range",
+    "resample_daily_sum",
+    "resample_weekly_max",
+    "resample_weekly_max_sun",
+    "resample_monthly_scaled",
+    "rolling_sum_7d",
+    "rolling_sum_7d_range",
+    "climatology_hourly",
+    "anomaly_vs_climatology",
+    "ensemble_stats",
+    "bias_correction_qmap",
 ]
 
 _order = list(_FRONT)

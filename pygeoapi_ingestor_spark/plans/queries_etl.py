@@ -1667,3 +1667,179 @@ SELECT user_id, event_type,
 FROM joined
 WHERE op IS NULL OR op <> 'D'
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (continuation): trend / autocorrelation diagnostics.
+#
+# The reference's drought products are consumed as trend statements
+# ("SPI declining over the period") — utils_spi.py's monthly series are
+# exactly what gets regressed downstream. Both operators below reduce the
+# fact table once to the per-(series, day) exact-decimal totals (_daily)
+# and then work on integer sums only: daily totals have exactly 2
+# decimals, so yi = 100 * daily_total is a BIGINT and every moment
+# (Σx, Σy, Σxy, Σx², Σy²) is computed in exact integer/decimal
+# arithmetic — order-independent in both engines; floats appear only in
+# the final slope/correlation division. Day index x is anchored at
+# 2024-01-01 (the dataset epoch) so no extra min() pass is needed.
+# ---------------------------------------------------------------------------
+
+# Spark: datediff(end, start); DuckDB: date_diff('day', start, end)
+_X_DAY_SPARK = "datediff(CAST(bucket AS DATE), DATE '2024-01-01')"
+_X_DAY_DUCK = "date_diff('day', DATE '2024-01-01', CAST(bucket AS DATE))"
+
+
+def _daily_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily(spark, sf_dir)
+    return d.select(
+        "event_type",
+        F.expr(_X_DAY_SPARK).cast("bigint").alias("x"),
+        (F.col("daily_total") * 100).cast("bigint").alias("yi"),
+    )
+
+
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend (slope / intercept / r²) of the daily totals
+    — the climate-trend regression run on every SPI/deficit series.
+
+    Single shuffle to (event_type); all five moments are exact integer
+    sums (yi² routed through DECIMAL(19,0)² so the 38-digit product is
+    legal at any SF), so the hash oracle closes bit-for-bit. Scale: the
+    moment aggregation is map-side combinable; the per-series state is
+    five numbers regardless of row count.
+    """
+    base = _daily_xy(spark, sf_dir)
+    y19 = F.col("yi").cast("decimal(19,0)")
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("yi").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("yi")).cast("bigint").alias("sxy"),
+        F.sum(y19 * y19).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (
+        F.col("n").cast("decimal(38,0)") * F.col("syy")
+        - F.col("sy").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+    ).cast("double")
+    slope100 = num / den_x
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(slope100 / 100.0, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope100 * F.col("sx")) / F.col("n") / 100.0,
+            4,
+        ).alias("intercept"),
+        F.round(num * num / (den_x * den_y), 6).alias("r2"),
+    )
+
+
+ETL_QUERIES["trend_ols"] = q_trend_ols
+
+ETL_ORACLES["trend_ols"] = _DAILY_CTE + f"""
+, base AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x,
+           CAST(daily_total * 100 AS BIGINT) AS yi
+    FROM daily
+), agg AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(yi) AS BIGINT) AS sy, CAST(sum(x * yi) AS BIGINT) AS sxy,
+           sum(CAST(yi AS HUGEINT) * yi) AS syy
+    FROM base GROUP BY 1
+)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n / 100.0, 4)
+           AS intercept,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(CAST(n AS HUGEINT) * syy
+                       - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6) AS r2
+FROM agg
+"""
+
+
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation of the daily totals at lags 1..3 —
+    the persistence diagnostic behind drought-index timescale choice
+    (how many periods a wet/dry anomaly carries).
+
+    Pairs come from one equi-join of the tiny daily table to itself on
+    (series, x + k) after exploding k in {1,2,3}; every moment over the
+    overlap window is an exact integer sum (pairwise Pearson r with
+    different margins per lag), floats only in the final r. Scale: the
+    join keys on (event_type, day) — cardinality = series × days, not
+    fact rows.
+    """
+    base = _daily_xy(spark, sf_dir)
+    a = base.select(
+        "event_type", "x", "yi",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+    )
+    b = base.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("x").alias("xb"),
+        F.col("yi").alias("yb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("event_type_b"))
+        & (F.col("xb") == F.col("x") + F.col("k")),
+    )
+    a19 = F.col("yi").cast("decimal(19,0)")
+    b19 = F.col("yb").cast("decimal(19,0)")
+    agg = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("yi").cast("bigint").alias("sa"),
+        F.sum("yb").cast("bigint").alias("sb"),
+        F.sum(a19 * a19).cast("decimal(38,0)").alias("saa"),
+        F.sum(b19 * b19).cast("decimal(38,0)").alias("sbb"),
+        F.sum(a19 * b19).cast("decimal(38,0)").alias("sab"),
+    )
+    m38 = F.col("m").cast("decimal(38,0)")
+    cov = (m38 * F.col("sab") - F.col("sa").cast("decimal(19,0)") * F.col("sb").cast("decimal(19,0)")).cast("double")
+    va = (m38 * F.col("saa") - F.col("sa").cast("decimal(19,0)") * F.col("sa").cast("decimal(19,0)")).cast("double")
+    vb = (m38 * F.col("sbb") - F.col("sb").cast("decimal(19,0)") * F.col("sb").cast("decimal(19,0)")).cast("double")
+    return agg.select(
+        "event_type",
+        F.col("k").cast("int").alias("k"),
+        "m",
+        F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 6).alias("acf"),
+    )
+
+
+ETL_QUERIES["acf_lags"] = q_acf_lags
+
+ETL_ORACLES["acf_lags"] = _DAILY_CTE + f"""
+, base AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x,
+           CAST(daily_total * 100 AS BIGINT) AS yi
+    FROM daily
+), pairs AS (
+    SELECT a.event_type, k.k, a.yi AS ya, b.yi AS yb
+    FROM base a
+    JOIN (VALUES (1), (2), (3)) k(k) ON TRUE
+    JOIN base b ON b.event_type = a.event_type AND b.x = a.x + k.k
+), agg AS (
+    SELECT event_type, k, CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(ya) AS BIGINT) AS sa, CAST(sum(yb) AS BIGINT) AS sb,
+           sum(CAST(ya AS HUGEINT) * ya) AS saa,
+           sum(CAST(yb AS HUGEINT) * yb) AS sbb,
+           sum(CAST(ya AS HUGEINT) * yb) AS sab
+    FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(k AS INT) AS k, m,
+       round(CAST(CAST(m AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+             / (sqrt(CAST(CAST(m AS HUGEINT) * saa
+                          - CAST(sa AS HUGEINT) * sa AS DOUBLE))
+                * sqrt(CAST(CAST(m AS HUGEINT) * sbb
+                            - CAST(sb AS HUGEINT) * sb AS DOUBLE))), 6) AS acf
+FROM agg
+"""

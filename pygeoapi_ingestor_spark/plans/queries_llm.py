@@ -1913,3 +1913,214 @@ SELECT CAST(label AS INT) AS label, CAST(predicted AS INT) AS predicted,
        CAST(count(*) AS BIGINT) AS n
 FROM pred GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (continuation): corpus curation completions — deterministic
+# train/val/test splitting, graded contamination scoring, and a bigram
+# LM quality score (the CCNet-style perplexity proxy).
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN, SPLIT_VAL = 0.8, 0.9
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split with per-(source, split)
+    accounting — the reproducible 80/10/10 partition every training run
+    needs. The draw is the same content-stable md5 uniform used by
+    corpus_mix_sample (no rand(), re-runs and engines agree), so a
+    document's split NEVER changes as the corpus grows — the property
+    that keeps eval sets uncontaminated across corpus versions.
+    Pure projection + one small aggregation; no join, no skew.
+    """
+    docs = _docs(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0)
+    )
+    split = (
+        F.when(u < SPLIT_TRAIN, "train").when(u < SPLIT_VAL, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("chars_total"),
+        )
+    )
+
+
+LLM_QUERIES["stratified_split"] = q_stratified_split
+
+LLM_ORACLES["stratified_split"] = f"""
+WITH d AS (
+    SELECT source, n_chars,
+           CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) / 4294967296.0 AS u
+    FROM documents
+)
+SELECT source,
+       CASE WHEN u < {SPLIT_TRAIN} THEN 'train'
+            WHEN u < {SPLIT_VAL} THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_total
+FROM d GROUP BY 1, 2
+"""
+
+
+def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark contamination: for every training document, the
+    fraction of its distinct 8-grams that appear anywhere in the
+    held-out set (doc_id % 97 == 0) — the scored generalization of
+    decontaminate_ngram's binary drop, used to set an overlap threshold
+    instead of dropping on any single shared phrase.
+
+    Shingle left-semi-scored join: cost is bounded by shared-shingle
+    pairs (the eval shingle set broadcasts when small, shuffles on the
+    gram key otherwise); documents with fewer than 8 words have no
+    8-grams and are reported with n_grams = 0 via the doc left join.
+    """
+    docs = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % 97 == 0
+    sh = dedup.shingles(docs, id_col="doc_id", text_col="text", n=DECON_NGRAM)
+    eval_sh = sh.join(
+        docs.filter(is_eval).select(F.col("doc_id").alias("doc")), "doc", "left_semi"
+    ).select("shingle").distinct()
+    scored = (
+        sh.join(eval_sh.withColumn("hit_flag", F.lit(1)), "shingle", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("hit_flag") == 1, 1).otherwise(0)).cast("bigint").alias("n_hit"),
+        )
+    )
+    train = docs.filter(~is_eval).select("doc_id", "source")
+    return (
+        train.join(scored.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.greatest(F.col("n_grams").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+LLM_QUERIES["contamination_score"] = q_contamination_score
+
+LLM_ORACLES["contamination_score"] = _shingle_cte(n=DECON_NGRAM) + """
+, eval_sh AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc % 97 = 0
+), scored AS (
+    SELECT sh.doc, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+    FROM sh LEFT JOIN eval_sh e ON sh.shingle = e.shingle
+    GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(s.n_hit, 0)
+             / greatest(CAST(coalesce(s.n_grams, 0) AS DOUBLE), 1.0), 6)
+           AS contamination
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score (the CCNet/KenLM-style
+    perplexity proxy): train add-one-smoothed bigram probabilities on
+    the corpus itself, then score every document by its mean bigram log
+    probability — low scores flag gibberish, high scores flag boilerplate.
+
+    All counts are exact integers; ln appears once per distinct
+    (doc, bigram) and is count-weighted into the per-doc mean (the
+    char_entropy summation shape). The count join keys on the bigram —
+    Zipf-skewed by construction ("of the"), which AQE's skew-join split
+    handles since it is a plain equi-join; per-doc state is two numbers.
+    """
+    docs = _docs(spark, sf_dir)
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col("doc_id").alias("doc"), F.posexplode(words).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    bg = (
+        tok.select("doc", "w1", F.lead("w1").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    doc_bg = bg.groupBy("doc", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    corpus_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("m").cast("bigint").alias("cb"))
+    prefix = corpus_bg.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("c1"))
+    vocab = tok.select("w1").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    term = F.log((F.col("cb") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double"))
+    return (
+        doc_bg.join(corpus_bg, ["w1", "w2"])
+        .join(prefix, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("m").cast("double") * term) / F.sum("m"), 6
+            ).alias("avg_logp"),
+        )
+        .select(F.col("doc").alias("doc_id"), "n_bigrams", "avg_logp")
+    )
+
+
+LLM_QUERIES["bigram_lm_score"] = q_bigram_lm_score
+
+LLM_ORACLES["bigram_lm_score"] = r"""
+WITH words_t AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                   '\s+'),
+               w -> w <> '') AS words
+    FROM documents
+), bg AS (
+    SELECT doc_id AS doc,
+           unnest(list_transform(range(1, len(words)),
+                                 i -> words[i] || ' ' || words[i + 1])) AS pair
+    FROM words_t WHERE len(words) >= 2
+), doc_bg AS (
+    SELECT doc, pair, CAST(count(*) AS BIGINT) AS m FROM bg GROUP BY 1, 2
+), corpus_bg AS (
+    SELECT pair, CAST(sum(m) AS BIGINT) AS cb FROM doc_bg GROUP BY 1
+), prefix AS (
+    SELECT split_part(pair, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS c1
+    FROM corpus_bg GROUP BY 1
+), vocab AS (
+    SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+    FROM (SELECT unnest(words) AS w FROM words_t)
+)
+SELECT doc_bg.doc AS doc_id,
+       CAST(sum(m) AS BIGINT) AS n_bigrams,
+       round(sum(CAST(m AS DOUBLE)
+                 * ln(CAST(cb + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)))
+             / sum(m), 6) AS avg_logp
+FROM doc_bg
+JOIN corpus_bg USING (pair)
+JOIN prefix ON split_part(doc_bg.pair, ' ', 1) = prefix.w1
+CROSS JOIN vocab
+GROUP BY 1
+"""

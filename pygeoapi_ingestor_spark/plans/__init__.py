@@ -52,6 +52,14 @@ _R5_NEW: list[str] = [
     "bias_correction_spline",
     "spi_forecast_blend",
     "spi_forecast_gamma",
+    # round-5 continuation batch (no CORRECTNESS row ever)
+    "trend_ols",
+    "acf_lags",
+    "nearest_site_join",
+    "winsorize_values",
+    "stratified_split",
+    "contamination_score",
+    "bigram_lm_score",
 ]
 
 _FRONT = _R5_NEW + [

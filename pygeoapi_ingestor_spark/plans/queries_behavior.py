@@ -398,3 +398,104 @@ FROM events
 GROUP BY 1, 2
 """,
 }
+
+
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series winsorized mean: clamp values at the exact
+    interpolated p05/p95 (the robust-mean treatment applied before any
+    sensor aggregate that a single stuck gauge would poison; pandas'
+    ``scipy.stats.mstats.winsorize`` analog).
+
+    Bounds come from functions/ranks.exact_percentiles (bucket
+    drill-down — no per-group buffering, no single-task series sort) and
+    broadcast back onto the fact table. The winsorized sum splits into
+    an exact-DECIMAL mid-range sum plus n_lo*lo + n_hi*hi evaluated once
+    per series in double — every term order-independent, so the hash
+    gate closes despite the clamped values being interpolated doubles.
+    """
+    from pygeoapi_ingestor_spark.functions import ranks
+
+    ev = read_events(spark, sf_dir)
+    pcts = ranks.exact_percentiles(
+        ev, series_cols=["event_type"], value_col="value",
+        ps=[0.05, 0.95], tiebreak_cols=["event_id"],
+    )
+    bounds = pcts.groupBy("event_type").agg(
+        F.min(F.when(F.col("p") == 0.05, F.col("pct"))).alias("lo"),
+        F.min(F.when(F.col("p") == 0.95, F.col("pct"))).alias("hi"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    is_lo = F.col("value") < F.col("lo")
+    is_hi = F.col("value") > F.col("hi")
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(is_lo.cast("bigint")).cast("bigint").alias("n_lo"),
+        F.sum(is_hi.cast("bigint")).cast("bigint").alias("n_hi"),
+        F.sum(
+            F.when(~is_lo & ~is_hi, F.col("value").cast("decimal(14,2)"))
+        ).alias("mid_sum"),
+        F.first("lo").alias("lo_b"),
+        F.first("hi").alias("hi_b"),
+    )
+    return agg.select(
+        "event_type", "n", "n_lo", "n_hi",
+        F.round("lo_b", 6).alias("lo"),
+        F.round("hi_b", 6).alias("hi"),
+        F.round(
+            (
+                F.coalesce(F.col("mid_sum").cast("double"), F.lit(0.0))
+                + F.col("n_lo") * F.col("lo_b")
+                + F.col("n_hi") * F.col("hi_b")
+            )
+            / F.col("n"),
+            6,
+        ).alias("winsor_mean"),
+    )
+
+
+BEHAVIOR_QUERIES["winsorize_values"] = q_winsorize_values
+
+BEHAVIOR_ORACLES["winsorize_values"] = """
+WITH v AS (SELECT event_type, value, event_id FROM events),
+     n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM v GROUP BY event_type),
+     ps AS (SELECT CAST(p AS DOUBLE) AS p
+            FROM (VALUES (0.05), (0.95)) t(p)),
+     pos AS (SELECT event_type, n, p,
+                    CAST(floor((n - 1) * p) AS BIGINT) AS lo,
+                    CAST(ceil((n - 1) * p) AS BIGINT) AS hi,
+                    (n - 1) * p - floor((n - 1) * p) AS frac
+             FROM n CROSS JOIN ps),
+     r AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) - 1 AS idx
+           FROM v),
+     j AS (SELECT pos.event_type, pos.p, pos.frac,
+                  min(CASE WHEN r.idx = pos.lo THEN r.value END) AS vlo,
+                  min(CASE WHEN r.idx = pos.hi THEN r.value END) AS vhi
+           FROM pos JOIN r
+             ON r.event_type = pos.event_type
+            AND (r.idx = pos.lo OR r.idx = pos.hi)
+           GROUP BY 1, 2, 3),
+     bounds AS (SELECT event_type,
+                       min(CASE WHEN p = 0.05
+                                THEN vlo + (vhi - vlo) * frac END) AS lo_b,
+                       min(CASE WHEN p = 0.95
+                                THEN vlo + (vhi - vlo) * frac END) AS hi_b
+                FROM j GROUP BY 1),
+     agg AS (SELECT v.event_type, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN value < lo_b THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_lo,
+                    CAST(sum(CASE WHEN value > hi_b THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_hi,
+                    sum(CASE WHEN value >= lo_b AND value <= hi_b
+                             THEN CAST(value AS DECIMAL(14,2)) END) AS mid_sum,
+                    min(lo_b) AS lo_b, min(hi_b) AS hi_b
+             FROM v JOIN bounds USING (event_type)
+             GROUP BY 1)
+SELECT event_type, n, n_lo, n_hi,
+       round(lo_b, 6) AS lo, round(hi_b, 6) AS hi,
+       round((coalesce(CAST(mid_sum AS DOUBLE), 0.0)
+              + n_lo * lo_b + n_hi * hi_b) / n, 6) AS winsor_mean
+FROM agg
+"""

@@ -1843,3 +1843,97 @@ SELECT event_type, CAST(k AS INT) AS k, m,
                             - CAST(sb AS HUGEINT) * sb AS DOUBLE))), 6) AS acf
 FROM agg
 """
+
+
+N_SITES = 40
+
+
+def q_nearest_site_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-site (station) assignment: every event point joins to its
+    closest of N_SITES monitoring sites, then per-site stats — the
+    grid-point -> station extraction step of the reference's pipelines
+    (utils_spi.py sel(method='nearest') / station time-series pulls).
+
+    Both point and site coordinates live on the shared 1/16-degree
+    lattice, so the squared planar distance is EXACT double arithmetic
+    (differences are k/16, squares k²/256 with k² < 2^25 — no rounding
+    anywhere), making the argmin deterministic; ties break on site_id.
+    Plan: broadcast the bounded site dim, explode points x sites (40x,
+    map-side combinable min per point — no shuffle of the blowup), then
+    one shuffle on site_id for the per-site rollup. At production site
+    counts the Morton-cell neighborhood prune (operators/spatial) caps
+    the fanout instead of the full cross product.
+    """
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") % 5760) / F.lit(16.0) - F.lit(180.0)).alias("lon"),
+        ((F.col("user_id") % 2880) / F.lit(16.0) - F.lit(90.0)).alias("lat"),
+        F.col("value").cast(VALUE_DEC).alias("value"),
+    )
+    sites = spark.range(N_SITES).select(
+        F.col("id").cast("int").alias("site_id"),
+        ((F.col("id") * 997 % 5760) / F.lit(16.0) - F.lit(180.0)).alias("site_lon"),
+        ((F.col("id") * 601 % 2880) / F.lit(16.0) - F.lit(90.0)).alias("site_lat"),
+    )
+    d2 = (
+        (F.col("lon") - F.col("site_lon")) * (F.col("lon") - F.col("site_lon"))
+        + (F.col("lat") - F.col("site_lat")) * (F.col("lat") - F.col("site_lat"))
+    )
+    assigned = (
+        pts.crossJoin(F.broadcast(sites))
+        .groupBy("event_id")
+        .agg(
+            F.min(F.struct(d2.alias("d2"), F.col("site_id"))).alias("best"),
+            F.first("value").alias("value"),
+        )
+        .select("event_id", F.col("best.site_id").alias("site_id"), "value")
+    )
+    return (
+        assigned.groupBy("site_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.sum("value").cast("double"), 2).alias("value_total"),
+        )
+        .join(F.broadcast(sites), "site_id")
+        .select(
+            "site_id",
+            F.round("site_lon", 6).alias("site_lon"),
+            F.round("site_lat", 6).alias("site_lat"),
+            "n_points", "value_total",
+        )
+    )
+
+
+ETL_QUERIES["nearest_site_join"] = q_nearest_site_join
+
+ETL_ORACLES["nearest_site_join"] = f"""
+WITH pts AS (
+    SELECT event_id,
+           (event_id % 5760) / 16.0 - 180.0 AS lon,
+           (user_id % 2880) / 16.0 - 90.0 AS lat,
+           CAST(value AS DECIMAL(14,2)) AS value
+    FROM events
+), sites AS (
+    SELECT CAST(s AS INT) AS site_id,
+           (s * 997 % 5760) / 16.0 - 180.0 AS site_lon,
+           (s * 601 % 2880) / 16.0 - 90.0 AS site_lat
+    FROM (SELECT unnest(range(0, {N_SITES})) AS s)
+), ranked AS (
+    SELECT event_id, site_id, value,
+           row_number() OVER (
+               PARTITION BY event_id
+               ORDER BY (lon - site_lon) * (lon - site_lon)
+                        + (lat - site_lat) * (lat - site_lat),
+                        site_id) AS rn
+    FROM pts CROSS JOIN sites
+), assigned AS (
+    SELECT event_id, site_id, value FROM ranked WHERE rn = 1
+)
+SELECT a.site_id, round(s.site_lon, 6) AS site_lon,
+       round(s.site_lat, 6) AS site_lat,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(CAST(sum(a.value) AS DOUBLE), 2) AS value_total
+FROM assigned a JOIN sites s ON a.site_id = s.site_id
+GROUP BY 1, 2, 3
+"""

@@ -411,3 +411,39 @@ def test_zonal_and_corpus_stats_avoid_buffering_percentile(spark, sf_dir):
     for key in ("zonal_stats", "corpus_token_stats"):
         plan = _formatted(QUERIES[key](spark, sf_dir))
         assert "percentile(" not in plan, key
+
+
+def test_trend_and_acf_stay_equi_join_only(spark, sf_dir):
+    plan = _simple(QUERIES["trend_ols"](spark, sf_dir))
+    assert "Join" not in plan  # two chained aggregates, nothing else
+    plan = _simple(QUERIES["acf_lags"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the lag pairing is a plain equi-join on (series, day+k)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_site_broadcasts_the_site_dim(spark, sf_dir):
+    plan = _simple(QUERIES["nearest_site_join"](spark, sf_dir))
+    # the 40-site cross product must ride a broadcast, never a
+    # shuffle-side cartesian of the fact table
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_winsorize_bounds_broadcast_no_buffering_percentile(spark, sf_dir):
+    df = QUERIES["winsorize_values"](spark, sf_dir)
+    plan = _simple(df)
+    assert "percentile(" not in plan  # drill-down, not the buffering agg
+    assert "BroadcastHashJoin" in plan  # bounds join back onto the facts
+
+
+def test_stratified_split_is_pure_projection_plus_agg(spark, sf_dir):
+    plan = _simple(QUERIES["stratified_split"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_corpus_scores_no_cartesian(spark, sf_dir):
+    for key in ("contamination_score", "bigram_lm_score"):
+        plan = _simple(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key

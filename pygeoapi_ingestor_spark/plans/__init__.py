@@ -60,6 +60,8 @@ _R5_NEW: list[str] = [
     "stratified_split",
     "contamination_score",
     "bigram_lm_score",
+    "semdedup_clusters",
+    "source_mix_weights",
 ]
 
 _FRONT = _R5_NEW + [

@@ -2124,3 +2124,160 @@ JOIN prefix ON split_part(doc_bg.pair, ' ', 1) = prefix.w1
 CROSS JOIN vocab
 GROUP BY 1
 """
+
+
+SEMDEDUP_K = 16  # clusters (deterministic lowest-id "centroids")
+SEMDEDUP_TAU = 0.4  # cosine cut (synthetic-embedding near-dup range)
+MIX_ALPHA = 0.7  # temperature exponent for source re-weighting
+
+
+def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup: cluster the
+    embedding space, then drop, within each cluster only, every vector
+    that has a lower-id neighbor above the cosine cut. Clustering turns
+    the quadratic all-pairs cosine into per-cluster pairs — the exact
+    scale trick the paper uses (k clusters ⇒ ~n²/k comparisons, and the
+    per-cluster join shuffles on the cluster key).
+
+    Assignment mirrors ivf_topk's deterministic build (lowest-id vectors
+    as centroids, argmin as a pure projection — no shuffle); the oracle
+    replays centroid choice, assignment, and the drop rule relationally.
+    """
+    e = _emb(spark, sf_dir)
+    cent_rows = (
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(SEMDEDUP_K).collect()
+    )
+    cents_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("cid"),
+                F.lit([float(x) for x in r["embedding"]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+    scored = F.transform(
+        cents_arr,
+        lambda c: F.struct(
+            similarity._sq_dist(F.col("embedding"), c.getField("cvec")).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    assigned = e.select(
+        "vec_id", "embedding", F.array_min(scored).getField("cid").alias("cluster")
+    )
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("u"), F.col("embedding").alias("uvec")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("v"), F.col("embedding").alias("vvec")
+    )
+    cos = similarity._dot(F.col("uvec"), F.col("vvec")) / (
+        similarity._norm(F.col("uvec")) * similarity._norm(F.col("vvec"))
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("u") < F.col("v"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .select("v")
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumnRenamed("v", "vec_id").withColumn("_d", F.lit(1)),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("_d").isNull().alias("kept"),
+        )
+    )
+
+
+LLM_QUERIES["semdedup_clusters"] = q_semdedup_clusters
+
+LLM_ORACLES["semdedup_clusters"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {SEMDEDUP_K}),
+assign AS (
+    SELECT vec_id, v, cid AS cluster FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, c.cv) ASC, c.cid ASC) AS rn
+        FROM e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id AS v
+    FROM assign a JOIN assign b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= {SEMDEDUP_TAU}
+)
+SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+       d.v IS NULL AS kept
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.v
+"""
+
+
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source re-weighting (the multinomial
+    p_s^α mix of multilingual/multi-source training runs): per-source
+    token shares raised to α, reported relative to the heaviest source.
+
+    The relative normalization (w_s / max w) deliberately replaces the
+    usual Σw denominator: max over identical float sets is
+    order-independent in every engine, while a float Σ across sources
+    is summation-order territory — same hash-gate reasoning as the
+    exact-decimal money sums. Two tiny aggregations; the token count
+    per doc is the whitespace tokenizer shared with corpus_token_stats.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per_source = (
+        docs.select("source", toks.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("t").cast("bigint").alias("tokens"),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("tokens").cast("bigint").alias("total")
+    )
+    w = F.pow(F.col("tokens").cast("double") / F.col("total"), MIX_ALPHA)
+    weighted = per_source.crossJoin(F.broadcast(totals)).withColumn("w", w)
+    wmax = weighted.agg(F.max("w").alias("wmax"))
+    return (
+        weighted.crossJoin(F.broadcast(wmax))
+        .select(
+            "source", "n_docs", "tokens",
+            F.round(F.col("tokens").cast("double") / F.col("total"), 6).alias("frac"),
+            F.round(F.col("w") / F.col("wmax"), 6).alias("rel_weight"),
+        )
+    )
+
+
+LLM_QUERIES["source_mix_weights"] = q_source_mix_weights
+
+LLM_ORACLES["source_mix_weights"] = rf"""
+WITH per_source AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS tokens
+    FROM documents GROUP BY 1
+), tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per_source),
+weighted AS (
+    SELECT source, n_docs, tokens,
+           CAST(tokens AS DOUBLE) / total AS frac,
+           pow(CAST(tokens AS DOUBLE) / total, {MIX_ALPHA}) AS w
+    FROM per_source CROSS JOIN tot
+), mx AS (SELECT max(w) AS wmax FROM weighted)
+SELECT source, n_docs, tokens, round(frac, 6) AS frac,
+       round(w / wmax, 6) AS rel_weight
+FROM weighted CROSS JOIN mx
+"""

@@ -447,3 +447,11 @@ def test_corpus_scores_no_cartesian(spark, sf_dir):
     for key in ("contamination_score", "bigram_lm_score"):
         plan = _simple(QUERIES[key](spark, sf_dir))
         assert "CartesianProduct" not in plan, key
+
+
+def test_semdedup_pairs_join_on_cluster_only(spark, sf_dir):
+    plan = _simple(QUERIES["semdedup_clusters"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # assignment is a projection: exactly the pair-join + drop-join
+    # shuffles, no extra exchange from the argmin
+    assert "BroadcastNestedLoopJoin" not in plan

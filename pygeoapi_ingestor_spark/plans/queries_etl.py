@@ -1852,7 +1852,8 @@ def q_nearest_site_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-site (station) assignment: every event point joins to its
     closest of N_SITES monitoring sites, then per-site stats — the
     grid-point -> station extraction step of the reference's pipelines
-    (utils_spi.py sel(method='nearest') / station time-series pulls).
+    (ingestor_cds_process.py:808-809 ``ds.sel(..., method="nearest")``,
+    ingestor_knmi_evapo_fc.py:209 nearest-interp onto the target grid).
 
     Both point and site coordinates live on the shared 1/16-degree
     lattice, so the squared planar distance is EXACT double arithmetic

@@ -38,10 +38,24 @@ def main() -> None:
     # (index tables, rank intermediates) — the steady-state service
     # number. clearCache only BETWEEN keys, so each key's warm run sees
     # exactly its own artifacts, never an earlier query's.
+    # Spark's ContextCleaner frees broadcast/shuffle state on DRIVER GC,
+    # and spark.cleaner.periodicGC.interval defaults to 30 min — longer
+    # than this whole run. Over ~400 actions the un-collected state
+    # piles up and random queries pay 2-3x in GC/eviction stalls
+    # (observed as warm-slower-than-cold inversions). Nudge a driver GC
+    # every few keys; a long-lived ingestor service needs the same
+    # (or a lower periodicGC interval) for steady-state latency.
+    def _periodic_gc(i: int, every: int = 10) -> None:
+        if i % every == every - 1:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass  # Spark Connect: no JVM handle; cleaner still runs
+
     timings: dict[str, float] = {}
     warm_timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
-    for key in BENCH_KEYS:
+    for i, key in enumerate(BENCH_KEYS):
         t0 = time.perf_counter()
         QUERIES[key](spark, sf_dir).count()
         timings[key] = round(time.perf_counter() - t0, 3)
@@ -51,6 +65,7 @@ def main() -> None:
         # drop per-query persisted index tables so later queries aren't
         # timed under the accumulated memory pressure of earlier ones
         spark.catalog.clearCache()
+        _periodic_gc(i)
     total = round(sum(timings.values()), 3)
     warm_total = round(sum(warm_timings.values()), 3)
     cold_warm_wall = round(time.perf_counter() - t_total0, 3)
@@ -63,11 +78,12 @@ def main() -> None:
     # the full-evaluation numbers.
     noop_timings: dict[str, float] = {}
     t_n0 = time.perf_counter()
-    for key in BENCH_KEYS:
+    for i, key in enumerate(BENCH_KEYS):
         t0 = time.perf_counter()
         QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
         noop_timings[key] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
+        _periodic_gc(i)
     noop_total = round(time.perf_counter() - t_n0, 3)
 
     # concurrent catalog throughput: submit all queries from a thread

@@ -719,6 +719,15 @@ def simhash_near_pairs(
         banded = banded.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
             F.col("_bn") <= bucket_cap
         ).drop("_bn")
+    # materialize the (doc, band, chunk) table before the self-join:
+    # each join side otherwise recomputes the whole signature build
+    # (tokenize + lane-packed aggregate) plus the cap window — measured
+    # 2x wall on the banded corpus. The persisted table IS the SimHash
+    # index artifact; same CACHE CONTRACT as the LSH signature base
+    # (callers / schedulers clear blocks between jobs).
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

@@ -163,3 +163,39 @@ def test_bigram_lm_score_orders_fluency(spark):
         df.write.mode("overwrite").parquet(f"{td}/documents.parquet")
         out = {r["doc_id"]: r["avg_logp"] for r in QUERIES["bigram_lm_score"](spark, td).collect()}
     assert out[0] > out[100]
+
+
+def test_semdedup_matches_brute_force(spark, sf_dir):
+    """Replay SemDeDup in numpy: same centroid choice (16 lowest ids),
+    same argmin tie-break, same drop rule — the cluster-bounded Spark
+    plan must reproduce the quadratic reference computation exactly."""
+    from pygeoapi_ingestor_spark.plans.queries_llm import SEMDEDUP_K, SEMDEDUP_TAU
+
+    out = {r["vec_id"]: (r["cluster"], r["kept"])
+           for r in QUERIES["semdedup_clusters"](spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    vecs = np.stack(emb["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    ids = emb["vec_id"].to_numpy()
+    cents = vecs[:SEMDEDUP_K]
+    cids = ids[:SEMDEDUP_K]
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = cids[d2.argmin(axis=1)]  # ties -> lowest index = lowest cid
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    dropped, boundary = set(), set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and assign[i] == assign[j]:
+                if cos[i, j] >= SEMDEDUP_TAU:
+                    dropped.add(int(ids[j]))
+                # numpy's BLAS dot and Spark's sequential fold may land
+                # on opposite sides of the cut within float noise —
+                # don't assert the kept flag for those
+                if abs(cos[i, j] - SEMDEDUP_TAU) < 1e-9:
+                    boundary.add(int(ids[j]))
+    for i, vid in enumerate(ids):
+        cl, kept = out[int(vid)]
+        assert cl == assign[i], vid
+        if int(vid) not in boundary:
+            assert kept == (int(vid) not in dropped), vid

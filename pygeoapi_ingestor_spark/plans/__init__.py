@@ -62,6 +62,7 @@ _R5_NEW: list[str] = [
     "bigram_lm_score",
     "semdedup_clusters",
     "source_mix_weights",
+    "changepoint_cusum",
 ]
 
 _FRONT = _R5_NEW + [

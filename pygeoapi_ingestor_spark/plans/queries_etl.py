@@ -1938,3 +1938,85 @@ SELECT a.site_id, round(s.site_lon, 6) AS site_lon,
 FROM assigned a JOIN sites s ON a.site_id = s.site_id
 GROUP BY 1, 2, 3
 """
+
+
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series CUSUM changepoint screen on the daily totals: the
+    maximum cumulative deviation from the series mean and the day it
+    peaks — the classic regime-shift detector run on drought/discharge
+    series (the decision step downstream of precip_deficit_cumsum's
+    running deficits).
+
+    Exactness: S_t = Σ_{i<=t}(y_i - ȳ) is held as n·100·S_t =
+    n·cumsum(yi) - t·Σyi — pure BIGINT (the window cumsum is an integer
+    sum, order-fixed by the day ordering), so argmax/tie-break are
+    deterministic and the float appears only in the reported magnitude.
+    One shuffle to (series); the window walks each series' ~30 daily
+    rows, never raw events.
+    """
+    from pyspark.sql import Window
+
+    base = _daily_xy(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("x")
+    tot = Window.partitionBy("event_type")
+    scored = base.select(
+        "event_type",
+        "x",
+        F.sum("yi").over(w).alias("cum"),
+        F.sum("yi").over(tot).alias("sy"),
+        F.count(F.lit(1)).over(tot).alias("n"),
+        F.row_number().over(w).alias("t"),
+    ).select(
+        "event_type", "x", "n",
+        (F.col("n") * F.col("cum") - F.col("t") * F.col("sy")).alias("ns"),
+    )
+    best = scored.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("ns")).alias("a"),
+                (-F.col("x")).alias("negx"),
+                F.col("ns").alias("ns"),
+                F.col("x").alias("x"),
+                F.col("n").alias("n"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.n").cast("bigint").alias("n"),
+        F.col("b.x").cast("bigint").alias("t_star"),
+        F.round(
+            F.col("b.ns").cast("double")
+            / (F.col("b.n").cast("double") * 100.0),
+            6,
+        ).alias("cusum_peak"),
+    )
+
+
+ETL_QUERIES["changepoint_cusum"] = q_changepoint_cusum
+
+ETL_ORACLES["changepoint_cusum"] = _DAILY_CTE + f"""
+, base AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x,
+           CAST(daily_total * 100 AS BIGINT) AS yi
+    FROM daily
+), scored AS (
+    SELECT event_type, x,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+             * sum(yi) OVER (PARTITION BY event_type ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - row_number() OVER (PARTITION BY event_type ORDER BY x)
+             * sum(yi) OVER (PARTITION BY event_type) AS ns
+    FROM base
+), ranked AS (
+    SELECT event_type, n, x, ns,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY abs(ns) DESC, x ASC) AS rn
+    FROM scored
+)
+SELECT event_type, n, CAST(x AS BIGINT) AS t_star,
+       round(CAST(ns AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
+           AS cusum_peak
+FROM ranked WHERE rn = 1
+"""

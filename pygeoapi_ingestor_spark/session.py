@@ -41,7 +41,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # broadcast/shuffle state is freed on driver GC; the 30-min
+        # default periodicGC outlives a whole catalog pass (or a
+        # scheduler tick), letting dead state pile up — observed as
+        # random 2-3x latency outliers. 2 min keeps a long-lived
+        # ingestor service at steady-state latency.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -455,3 +455,8 @@ def test_semdedup_pairs_join_on_cluster_only(spark, sf_dir):
     # assignment is a projection: exactly the pair-join + drop-join
     # shuffles, no extra exchange from the argmin
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_changepoint_no_join_single_series_shuffle(spark, sf_dir):
+    plan = _simple(QUERIES["changepoint_cusum"](spark, sf_dir))
+    assert "Join" not in plan

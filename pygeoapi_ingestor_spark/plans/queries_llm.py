@@ -2062,9 +2062,15 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.select("doc", "w1", F.lead("w1").over(w).alias("w2"))
         .filter(F.col("w2").isNotNull())
     )
+    from pyspark import StorageLevel
+
+    # the per-(doc, bigram) counts feed three branches (corpus counts,
+    # prefix counts, and the final score join) — materialize once
+    # instead of recomputing the tokenize + lead window per branch.
+    # Same cache contract as the other index artifacts.
     doc_bg = bg.groupBy("doc", "w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("m")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     corpus_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("m").cast("bigint").alias("cb"))
     prefix = corpus_bg.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("c1"))
     vocab = tok.select("w1").distinct().agg(

@@ -63,6 +63,7 @@ _R5_NEW: list[str] = [
     "semdedup_clusters",
     "source_mix_weights",
     "changepoint_cusum",
+    "ts_similarity_topk",
 ]
 
 _FRONT = _R5_NEW + [

@@ -2020,3 +2020,106 @@ SELECT event_type, n, CAST(x AS BIGINT) AS t_star,
            AS cusum_peak
 FROM ranked WHERE rn = 1
 """
+
+
+TSS_QUERY_SERIES, TSS_QUERY_WEEK, TSS_TOPK = "click", 1, 5
+
+
+def q_ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the EDBT'19 streaming-similarity
+    shape): find the TSS_TOPK week-windows whose daily profile is most
+    Pearson-correlated with a query window — "which station-weeks look
+    like this flood week" over the ingested collections.
+
+    Windows are (series, week-of-dataset) daily vectors; the query
+    window broadcasts and pairs align on day-of-week, so similarity is
+    one broadcast equi-join + a tiny per-window aggregate over exact
+    integer moments (the acf_lags arithmetic — floats only in the final
+    r). Top-k via TakeOrdered, never a global sort. At 100 TB the same
+    plan searches billions of windows: the broadcast side stays one
+    window and the moment state is five integers per candidate.
+    """
+    base = _daily_xy(spark, sf_dir).select(
+        "event_type",
+        (F.col("x") / 7).cast("bigint").alias("wk"),
+        (F.col("x") % 7).cast("bigint").alias("dow"),
+        "yi",
+    )
+    qwin = base.filter(
+        (F.col("event_type") == TSS_QUERY_SERIES) & (F.col("wk") == TSS_QUERY_WEEK)
+    ).select(F.col("dow").alias("dow"), F.col("yi").alias("qy"))
+    pairs = base.join(F.broadcast(qwin), "dow").filter(
+        ~((F.col("event_type") == TSS_QUERY_SERIES) & (F.col("wk") == TSS_QUERY_WEEK))
+    )
+    a19 = F.col("yi").cast("decimal(19,0)")
+    q19 = F.col("qy").cast("decimal(19,0)")
+    agg = pairs.groupBy("event_type", "wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("yi").cast("bigint").alias("sa"),
+        F.sum("qy").cast("bigint").alias("sb"),
+        F.sum(a19 * a19).cast("decimal(38,0)").alias("saa"),
+        F.sum(q19 * q19).cast("decimal(38,0)").alias("sbb"),
+        F.sum(a19 * q19).cast("decimal(38,0)").alias("sab"),
+    ).filter(F.col("m") >= 3)
+    m38 = F.col("m").cast("decimal(38,0)")
+    cov = (m38 * F.col("sab") - F.col("sa").cast("decimal(19,0)") * F.col("sb").cast("decimal(19,0)")).cast("double")
+    va = (m38 * F.col("saa") - F.col("sa").cast("decimal(19,0)") * F.col("sa").cast("decimal(19,0)")).cast("double")
+    vb = (m38 * F.col("sbb") - F.col("sb").cast("decimal(19,0)") * F.col("sb").cast("decimal(19,0)")).cast("double")
+    # zero-variance windows have no defined correlation; gate BEFORE the
+    # division so neither engine manufactures NaN/Inf
+    scored = (
+        agg.withColumn("_va", va)
+        .withColumn("_vb", vb)
+        .filter((F.col("_va") > 0) & (F.col("_vb") > 0))
+        .select(
+            "event_type",
+            "wk",
+            "m",
+            F.round(cov / (F.sqrt(F.col("_va")) * F.sqrt(F.col("_vb"))), 6).alias("sim"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("sim").desc(), "event_type", "wk")
+        .limit(TSS_TOPK)
+    )
+
+
+ETL_QUERIES["ts_similarity_topk"] = q_ts_similarity_topk
+
+ETL_ORACLES["ts_similarity_topk"] = _DAILY_CTE + f"""
+, base AS (
+    SELECT event_type,
+           CAST({_X_DAY_DUCK} AS BIGINT) // 7 AS wk,
+           CAST({_X_DAY_DUCK} AS BIGINT) % 7 AS dow,
+           CAST(daily_total * 100 AS BIGINT) AS yi
+    FROM daily
+), qwin AS (
+    SELECT dow, yi AS qy FROM base
+    WHERE event_type = '{TSS_QUERY_SERIES}' AND wk = {TSS_QUERY_WEEK}
+), pairs AS (
+    SELECT b.event_type, b.wk, b.yi, q.qy
+    FROM base b JOIN qwin q ON b.dow = q.dow
+    WHERE NOT (b.event_type = '{TSS_QUERY_SERIES}' AND b.wk = {TSS_QUERY_WEEK})
+), agg AS (
+    SELECT event_type, wk, CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(yi) AS BIGINT) AS sa, CAST(sum(qy) AS BIGINT) AS sb,
+           sum(CAST(yi AS HUGEINT) * yi) AS saa,
+           sum(CAST(qy AS HUGEINT) * qy) AS sbb,
+           sum(CAST(yi AS HUGEINT) * qy) AS sab
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= 3
+), gated AS (
+    SELECT event_type, wk, m,
+           CAST(CAST(m AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE) AS cov,
+           CAST(CAST(m AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa AS DOUBLE) AS va,
+           CAST(CAST(m AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE) AS vb
+    FROM agg
+), scored AS (
+    SELECT event_type, wk, m,
+           round(cov / (sqrt(va) * sqrt(vb)), 6) AS sim
+    FROM gated WHERE va > 0 AND vb > 0
+)
+SELECT event_type, wk, m, sim FROM scored
+ORDER BY sim DESC, event_type, wk
+LIMIT {TSS_TOPK}
+"""

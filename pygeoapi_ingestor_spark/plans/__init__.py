@@ -64,6 +64,8 @@ _R5_NEW: list[str] = [
     "source_mix_weights",
     "changepoint_cusum",
     "ts_similarity_topk",
+    "ensemble_crps",
+    "brier_exceedance",
 ]
 
 _FRONT = _R5_NEW + [

@@ -2123,3 +2123,186 @@ SELECT event_type, wk, m, sim FROM scored
 ORDER BY sim DESC, event_type, wk
 LIMIT {TSS_TOPK}
 """
+
+
+def _member_daily_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, bucket, user_id, x): per-member daily totals as
+    exact DECIMAL — the ensemble axis of ensemble_stats, kept integral
+    so verification scores below stay order-independent."""
+    ev = _events(spark, sf_dir)
+    return temporal.resample(
+        ev.withColumn("value", F.col("value").cast(VALUE_DEC)),
+        ts_col="ts", series_cols=["event_type", "user_id"],
+        value_col="value", freq="day", aggs={"x": "sum"},
+    )
+
+
+def q_ensemble_crps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRPS ensemble-forecast verification (the acceptance metric of the
+    reference's CDS seasonal-forecast products): per (series, day),
+    score the ensemble against a held-out analysis member (the lowest
+    user_id). CRPS = mean|x_i - y| - (1/2m²)·ΣΣ|x_i - x_j|.
+
+    The O(m²) pair term collapses to the sorted-rank identity
+    Σ_{i<j}(x_(j)-x_(i)) = Σ_i (2i-m-1)·x_(i) — O(m log m) within each
+    bucket's bounded member set, and every sum is exact DECIMAL times an
+    integer coefficient (tie-invariant), so the gate closes bit-for-bit;
+    floats appear only in the two final divisions.
+    """
+    from pyspark.sql import Window
+
+    md = _member_daily_dec(spark, sf_dir)
+    w_obs = Window.partitionBy("event_type", "bucket").orderBy("user_id")
+    marked = md.withColumn("_rn", F.row_number().over(w_obs))
+    obs = marked.filter(F.col("_rn") == 1).select(
+        "event_type", "bucket", F.col("x").alias("y")
+    )
+    ens = marked.filter(F.col("_rn") > 1).drop("_rn")
+    w_v = Window.partitionBy("event_type", "bucket").orderBy("x", "user_id")
+    cnt = Window.partitionBy("event_type", "bucket")
+    scored = (
+        ens.join(F.broadcast(obs), ["event_type", "bucket"])
+        .withColumn("_rv", F.row_number().over(w_v))
+        .withColumn("_m", F.count(F.lit(1)).over(cnt))
+    )
+    agg = scored.groupBy("event_type", "bucket").agg(
+        F.first("_m").cast("bigint").alias("m"),
+        F.sum(F.abs(F.col("x") - F.col("y"))).alias("t1"),
+        F.sum(
+            (F.lit(2) * F.col("_rv") - F.col("_m") - F.lit(1)) * F.col("x")
+        ).alias("t2"),
+    ).filter(F.col("m") >= 2)
+    return agg.select(
+        "event_type", "bucket", "m",
+        F.round(
+            F.col("t1").cast("double") / F.col("m")
+            - F.col("t2").cast("double") / (F.col("m") * F.col("m")),
+            4,
+        ).alias("crps"),
+    )
+
+
+ETL_QUERIES["ensemble_crps"] = q_ensemble_crps
+
+ETL_ORACLES["ensemble_crps"] = """
+WITH md AS (
+    SELECT event_type, user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           sum(CAST(value AS DECIMAL(14,2))) AS x
+    FROM events GROUP BY 1, 2, 3
+), marked AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                 ORDER BY user_id) AS rn
+    FROM md
+), obs AS (
+    SELECT event_type, bucket, x AS y FROM marked WHERE rn = 1
+), ens AS (
+    SELECT m.event_type, m.bucket, m.user_id, m.x, o.y,
+           row_number() OVER (PARTITION BY m.event_type, m.bucket
+                              ORDER BY m.x, m.user_id) AS rv,
+           count(*) OVER (PARTITION BY m.event_type, m.bucket) AS mm
+    FROM marked m JOIN obs o
+      ON m.event_type = o.event_type AND m.bucket = o.bucket
+    WHERE m.rn > 1
+), agg AS (
+    SELECT event_type, bucket, CAST(min(mm) AS BIGINT) AS m,
+           sum(abs(x - y)) AS t1,
+           sum((2 * rv - mm - 1) * x) AS t2
+    FROM ens GROUP BY 1, 2
+    HAVING min(mm) >= 2
+)
+SELECT event_type, bucket, m,
+       round(CAST(t1 AS DOUBLE) / m - CAST(t2 AS DOUBLE) / (m * m), 4)
+           AS crps
+FROM agg
+"""
+
+
+def q_brier_exceedance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the ensemble's probability-of-exceedance forecast
+    (danger-level verification: "P(daily total > climatological mean)"),
+    per (series, day) against the held-out analysis member. p and o are
+    exact rationals (counts over exact-decimal comparisons), so the
+    (p - o)² is the same double in both engines; no cross-bucket float
+    sum exists.
+    """
+    from pyspark.sql import Window
+
+    md = _member_daily_dec(spark, sf_dir)
+    thr = md.groupBy("event_type").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("thr")
+    )
+    w_obs = Window.partitionBy("event_type", "bucket").orderBy("user_id")
+    marked = md.withColumn("_rn", F.row_number().over(w_obs))
+    obs = marked.filter(F.col("_rn") == 1).select(
+        "event_type", "bucket", F.col("x").alias("y")
+    )
+    ens = marked.filter(F.col("_rn") > 1)
+    agg = (
+        ens.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum((F.col("x").cast("double") > F.col("thr")).cast("bigint"))
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    out = (
+        agg.join(F.broadcast(obs), ["event_type", "bucket"])
+        .join(F.broadcast(thr), "event_type")
+        .select(
+            "event_type", "bucket", "m", "k",
+            (F.col("y").cast("double") > F.col("thr")).cast("int").alias("o"),
+            F.round(
+                (
+                    F.col("k").cast("double") / F.col("m")
+                    - (F.col("y").cast("double") > F.col("thr")).cast("int")
+                )
+                * (
+                    F.col("k").cast("double") / F.col("m")
+                    - (F.col("y").cast("double") > F.col("thr")).cast("int")
+                ),
+                6,
+            ).alias("brier"),
+        )
+    )
+    return out
+
+
+ETL_QUERIES["brier_exceedance"] = q_brier_exceedance
+
+ETL_ORACLES["brier_exceedance"] = """
+WITH md AS (
+    SELECT event_type, user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           sum(CAST(value AS DECIMAL(14,2))) AS x
+    FROM events GROUP BY 1, 2, 3
+), thr AS (
+    SELECT event_type, CAST(sum(x) AS DOUBLE) / count(*) AS thr
+    FROM md GROUP BY 1
+), marked AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                 ORDER BY user_id) AS rn
+    FROM md
+), obs AS (
+    SELECT event_type, bucket, x AS y FROM marked WHERE rn = 1
+), agg AS (
+    SELECT m.event_type, m.bucket,
+           CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(CASE WHEN CAST(m.x AS DOUBLE) > t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS k
+    FROM marked m JOIN thr t ON m.event_type = t.event_type
+    WHERE m.rn > 1
+    GROUP BY 1, 2
+)
+SELECT a.event_type, a.bucket, a.m, a.k,
+       CAST(CAST(o.y AS DOUBLE) > t.thr AS INT) AS o,
+       round((CAST(a.k AS DOUBLE) / a.m
+              - CAST(CAST(o.y AS DOUBLE) > t.thr AS INT))
+             * (CAST(a.k AS DOUBLE) / a.m
+                - CAST(CAST(o.y AS DOUBLE) > t.thr AS INT)), 6) AS brier
+FROM agg a
+JOIN obs o ON a.event_type = o.event_type AND a.bucket = o.bucket
+JOIN thr t ON a.event_type = t.event_type
+"""

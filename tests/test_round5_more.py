@@ -199,3 +199,42 @@ def test_semdedup_matches_brute_force(spark, sf_dir):
         assert cl == assign[i], vid
         if int(vid) not in boundary:
             assert kept == (int(vid) not in dropped), vid
+
+
+def test_ensemble_crps_matches_quadratic_reference(spark, sf_dir):
+    """The sorted-rank CRPS must equal the textbook O(m²) formula."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    out = {(r["event_type"], r["bucket"]): r
+           for r in QUERIES["ensemble_crps"](spark, sf_dir).collect()}
+    ev = read_events(spark, sf_dir).select("event_type", "ts", "user_id", "value").toPandas()
+    ev["bucket"] = ev["ts"].dt.floor("D")
+    md = ev.groupby(["event_type", "bucket", "user_id"], as_index=False)["value"].sum()
+    md["value"] = md["value"].round(2)
+    checked = 0
+    for (et, bk), grp in md.groupby(["event_type", "bucket"]):
+        grp = grp.sort_values("user_id")
+        y = grp["value"].iloc[0]
+        xs = grp["value"].iloc[1:].to_numpy(dtype=float)
+        m = len(xs)
+        if m < 2:
+            assert (et, bk) not in out
+            continue
+        t1 = np.abs(xs - y).mean()
+        t2 = np.abs(xs[:, None] - xs[None, :]).sum() / (2 * m * m)
+        got = out[(et, bk)]
+        assert got["m"] == m
+        assert got["crps"] == pytest.approx(t1 - t2, abs=1e-3)
+        checked += 1
+    assert checked > 0
+
+
+def test_brier_exceedance_bounds_and_calibration(spark, sf_dir):
+    rows = QUERIES["brier_exceedance"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["k"] <= r["m"]
+        assert r["o"] in (0, 1)
+        assert 0.0 <= r["brier"] <= 1.0
+        p = r["k"] / r["m"]
+        assert r["brier"] == pytest.approx((p - r["o"]) ** 2, abs=1e-5)

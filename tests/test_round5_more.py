@@ -238,3 +238,31 @@ def test_brier_exceedance_bounds_and_calibration(spark, sf_dir):
         assert 0.0 <= r["brier"] <= 1.0
         p = r["k"] / r["m"]
         assert r["brier"] == pytest.approx((p - r["o"]) ** 2, abs=1e-5)
+
+
+def test_versioned_collection_lifecycle(spark, tmp_path):
+    from pygeoapi_ingestor_spark.sinks import versioned
+
+    root = str(tmp_path / "coll")
+    d1 = spark.range(10).withColumnRenamed("id", "v")
+    d2 = spark.range(20).withColumnRenamed("id", "v")
+    assert versioned.write_version(d1, root) == 1
+    assert versioned.write_version(d2, root) == 2
+    # current reads v2, time travel reads v1
+    assert versioned.read_version(spark, root).count() == 20
+    assert versioned.read_version(spark, root, version=1).count() == 10
+    # rollback is a pure pointer flip
+    versioned.rollback(spark, root, 1)
+    assert versioned.read_version(spark, root).count() == 10
+    # new writes continue from the top version, not the pointer
+    assert versioned.write_version(d2, root) == 3
+    assert versioned.read_version(spark, root).count() == 20
+    # prune keeps the newest N and never the current target
+    versioned.rollback(spark, root, 2)
+    pruned = versioned.prune_versions(spark, root, keep=1)
+    assert 1 in pruned and 2 not in pruned
+    assert versioned.read_version(spark, root).count() == 20
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        versioned.read_version(spark, root, version=1)

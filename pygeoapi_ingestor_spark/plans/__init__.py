@@ -66,6 +66,8 @@ _R5_NEW: list[str] = [
     "ts_similarity_topk",
     "ensemble_crps",
     "brier_exceedance",
+    "rank_histogram",
+    "reliability_bins",
 ]
 
 _FRONT = _R5_NEW + [

@@ -2306,3 +2306,171 @@ FROM agg a
 JOIN obs o ON a.event_type = o.event_type AND a.bucket = o.bucket
 JOIN thr t ON a.event_type = t.event_type
 """
+
+
+def q_rank_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble rank (Talagrand) histogram: where the held-out analysis
+    member ranks within each day's sorted ensemble, aggregated per
+    series — THE dispersion diagnostic of ensemble systems (U-shape =
+    under-dispersive, dome = over-dispersive). Pure counting: the rank
+    is #members strictly below y plus a deterministic half-count of
+    ties, all on exact DECIMAL comparisons — no floats anywhere, so the
+    gate is exact by construction. One member-bucket shuffle + one tiny
+    histogram aggregate.
+    """
+    from pyspark.sql import Window
+
+    md = _member_daily_dec(spark, sf_dir)
+    w_obs = Window.partitionBy("event_type", "bucket").orderBy("user_id")
+    marked = md.withColumn("_rn", F.row_number().over(w_obs))
+    obs = marked.filter(F.col("_rn") == 1).select(
+        "event_type", "bucket", F.col("x").alias("y")
+    )
+    ens = marked.filter(F.col("_rn") > 1)
+    ranked = (
+        ens.join(F.broadcast(obs), ["event_type", "bucket"])
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum((F.col("x") < F.col("y")).cast("bigint")).cast("bigint").alias("below"),
+            F.sum((F.col("x") == F.col("y")).cast("bigint")).cast("bigint").alias("ties"),
+        )
+        .filter(F.col("m") >= 4)
+    )
+    # normalized rank bin in 0..4 (quintiles of m+1 slots); ties split
+    # deterministically by flooring the half-count
+    rank = F.col("below") + F.floor(F.col("ties") / 2)
+    bin_ = F.least(
+        F.lit(4), F.floor(rank * 5 / (F.col("m") + 1)).cast("int")
+    )
+    return (
+        ranked.select("event_type", bin_.alias("rank_bin"))
+        .groupBy("event_type", "rank_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    )
+
+
+ETL_QUERIES["rank_histogram"] = q_rank_histogram
+
+ETL_ORACLES["rank_histogram"] = """
+WITH md AS (
+    SELECT event_type, user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           sum(CAST(value AS DECIMAL(14,2))) AS x
+    FROM events GROUP BY 1, 2, 3
+), marked AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                 ORDER BY user_id) AS rn
+    FROM md
+), obs AS (
+    SELECT event_type, bucket, x AS y FROM marked WHERE rn = 1
+), ranked AS (
+    SELECT m.event_type, m.bucket,
+           CAST(count(*) AS BIGINT) AS mm,
+           CAST(sum(CASE WHEN m.x < o.y THEN 1 ELSE 0 END) AS BIGINT) AS below,
+           CAST(sum(CASE WHEN m.x = o.y THEN 1 ELSE 0 END) AS BIGINT) AS ties
+    FROM marked m JOIN obs o
+      ON m.event_type = o.event_type AND m.bucket = o.bucket
+    WHERE m.rn > 1
+    GROUP BY 1, 2
+    HAVING count(*) >= 4
+)
+SELECT event_type,
+       CAST(least(4, (below + ties // 2) * 5 // (mm + 1)) AS INT) AS rank_bin,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM ranked GROUP BY 1, 2
+"""
+
+
+def q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) diagram for the exceedance forecast:
+    bin the ensemble's P(exceed) into deciles, report observed exceed
+    frequency per bin — a calibrated system sits on the diagonal.
+    Completes the verification trio (CRPS, Brier, reliability). The bin
+    index is integer arithmetic on exact counts (k·10 // (m+1)); the
+    only floats are the two reported per-bin means of rationals.
+    """
+    from pyspark.sql import Window
+
+    md = _member_daily_dec(spark, sf_dir)
+    thr = md.groupBy("event_type").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("thr")
+    )
+    w_obs = Window.partitionBy("event_type", "bucket").orderBy("user_id")
+    marked = md.withColumn("_rn", F.row_number().over(w_obs))
+    obs = marked.filter(F.col("_rn") == 1).select(
+        "event_type", "bucket", F.col("x").alias("y")
+    )
+    per_day = (
+        marked.filter(F.col("_rn") > 1)
+        .join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum((F.col("x").cast("double") > F.col("thr")).cast("bigint"))
+            .cast("bigint")
+            .alias("k"),
+        )
+        .join(F.broadcast(obs), ["event_type", "bucket"])
+        .join(F.broadcast(thr), "event_type")
+        .select(
+            "event_type",
+            F.least(F.lit(9), (F.col("k") * 10 / (F.col("m") + 1)).cast("bigint"))
+            .cast("int")
+            .alias("p_bin"),
+            "m",
+            "k",
+            (F.col("y").cast("double") > F.col("thr")).cast("bigint").alias("o"),
+        )
+    )
+    return per_day.groupBy("event_type", "p_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("o").cast("bigint").alias("n_exceed"),
+        F.round(F.sum("o") / F.count(F.lit(1)), 6).alias("obs_freq"),
+        F.round(
+            F.sum(F.col("k").cast("double") / F.col("m")) / F.count(F.lit(1)), 6
+        ).alias("mean_p"),
+    )
+
+
+ETL_QUERIES["reliability_bins"] = q_reliability_bins
+
+ETL_ORACLES["reliability_bins"] = """
+WITH md AS (
+    SELECT event_type, user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           sum(CAST(value AS DECIMAL(14,2))) AS x
+    FROM events GROUP BY 1, 2, 3
+), thr AS (
+    SELECT event_type, CAST(sum(x) AS DOUBLE) / count(*) AS thr
+    FROM md GROUP BY 1
+), marked AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                 ORDER BY user_id) AS rn
+    FROM md
+), obs AS (
+    SELECT event_type, bucket, x AS y FROM marked WHERE rn = 1
+), per_day AS (
+    SELECT m.event_type, m.bucket,
+           CAST(count(*) AS BIGINT) AS mm,
+           CAST(sum(CASE WHEN CAST(m.x AS DOUBLE) > t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS k
+    FROM marked m JOIN thr t ON m.event_type = t.event_type
+    WHERE m.rn > 1
+    GROUP BY 1, 2
+), labeled AS (
+    SELECT p.event_type,
+           CAST(least(9, p.k * 10 // (p.mm + 1)) AS INT) AS p_bin,
+           p.mm, p.k,
+           CAST(CAST(o.y AS DOUBLE) > t.thr AS BIGINT) AS o
+    FROM per_day p
+    JOIN obs o ON p.event_type = o.event_type AND p.bucket = o.bucket
+    JOIN thr t ON p.event_type = t.event_type
+)
+SELECT event_type, p_bin,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(o) AS BIGINT) AS n_exceed,
+       round(CAST(sum(o) AS DOUBLE) / count(*), 6) AS obs_freq,
+       round(sum(CAST(k AS DOUBLE) / mm) / count(*), 6) AS mean_p
+FROM labeled GROUP BY 1, 2
+"""

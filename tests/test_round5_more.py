@@ -266,3 +266,55 @@ def test_versioned_collection_lifecycle(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         versioned.read_version(spark, root, version=1)
+
+
+def test_changepoint_cusum_matches_numpy(spark, sf_dir):
+    out = {r["event_type"]: r for r in QUERIES["changepoint_cusum"](spark, sf_dir).collect()}
+    daily = _daily_pd(spark, sf_dir)
+    anchor = pd.Timestamp("2024-01-01")
+    for et, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day")
+        x = (grp["day"] - anchor).dt.days.to_numpy()
+        y = grp["value"].to_numpy(dtype=float)
+        s = np.cumsum(y - y.mean())
+        i = int(np.abs(s).argmax())  # first index on ties = min x, same rule
+        got = out[et]
+        assert got["n"] == len(y)
+        assert got["t_star"] == x[i]
+        assert got["cusum_peak"] == pytest.approx(s[i], abs=1e-2)
+
+
+def test_ts_similarity_matches_numpy(spark, sf_dir):
+    from pygeoapi_ingestor_spark.plans.queries_etl import (
+        TSS_QUERY_SERIES,
+        TSS_QUERY_WEEK,
+        TSS_TOPK,
+    )
+
+    rows = QUERIES["ts_similarity_topk"](spark, sf_dir).collect()
+    assert len(rows) <= TSS_TOPK
+    daily = _daily_pd(spark, sf_dir)
+    anchor = pd.Timestamp("2024-01-01")
+    daily["x"] = (daily["day"] - anchor).dt.days
+    daily["wk"] = daily["x"] // 7
+    daily["dow"] = daily["x"] % 7
+    qwin = daily[(daily["event_type"] == TSS_QUERY_SERIES) & (daily["wk"] == TSS_QUERY_WEEK)]
+    q = dict(zip(qwin["dow"], qwin["value"]))
+    scored = []
+    for (et, wk), grp in daily.groupby(["event_type", "wk"]):
+        if et == TSS_QUERY_SERIES and wk == TSS_QUERY_WEEK:
+            continue
+        shared = grp[grp["dow"].isin(q)]
+        if len(shared) < 3:
+            continue
+        a = shared["value"].to_numpy(dtype=float)
+        b = np.array([q[d] for d in shared["dow"]])
+        if a.std() == 0 or b.std() == 0:
+            continue
+        scored.append((et, int(wk), len(shared), float(np.corrcoef(a, b)[0, 1])))
+    scored.sort(key=lambda t: (-t[3], t[0], t[1]))
+    expect = scored[:TSS_TOPK]
+    got = [(r["event_type"], r["wk"], r["m"], r["sim"]) for r in rows]
+    assert [(e[0], e[1], e[2]) for e in expect] == [(g[0], g[1], g[2]) for g in got]
+    for e, g in zip(expect, got):
+        assert g[3] == pytest.approx(e[3], abs=1e-5)

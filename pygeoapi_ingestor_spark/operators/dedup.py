@@ -417,18 +417,33 @@ def connected_components(
 
     Returns (node, component) with component = min node id reachable.
     """
+    def _free_ckpt(df: DataFrame) -> None:
+        """Release the storage behind a SUPERSEDED localCheckpoint()ed
+        DataFrame. catalog.clearCache() does not cover RDD-level
+        checkpoint blocks, so without this every invocation leaks one
+        generation of blocks for the session lifetime (observed: one
+        surviving MapPartitionsRDD per run, immune to clearCache). The
+        handle comes from the checkpoint's own LogicalRDD, so only THIS
+        DataFrame's blocks are touched — safe under concurrent queries.
+        No-op where the JVM handle is unavailable (Spark Connect)."""
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     edges = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
+    prev_gen = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    labels = prev_gen
     for _ in range(max_iter):
         neigh = (
             edges.join(
@@ -452,15 +467,25 @@ def connected_components(
         )
         changed = stepped.filter(F.col("comp") != F.col("_prev")).limit(1).count()
         labels = stepped.select("node", "comp")
+        # stepped is materialized (eager checkpoint + the count above):
+        # the previous generation's blocks are now unreachable via any
+        # returned lineage — free them instead of leaking per iteration
+        _free_ckpt(prev_gen)
+        prev_gen = stepped
         if changed == 0:
             break
     else:
         # exhausted max_iter without a fixpoint: labels would be silently
         # wrong for any component whose min-label path exceeds max_iter hops
+        _free_ckpt(prev_gen)
+        _free_ckpt(edges)
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "
             "iterations; raise max_iter (component diameter exceeds it)"
         )
+    # the returned labels read only the FINAL checkpoint; the edge table
+    # is no longer reachable from it
+    _free_ckpt(edges)
     return labels
 
 

@@ -318,3 +318,26 @@ def test_ts_similarity_matches_numpy(spark, sf_dir):
     assert [(e[0], e[1], e[2]) for e in expect] == [(g[0], g[1], g[2]) for g in got]
     for e, g in zip(expect, got):
         assert g[3] == pytest.approx(e[3], abs=1e-5)
+
+
+def test_connected_components_storage_is_bounded(spark):
+    """Superseded localCheckpoint generations must be freed: repeated
+    invocations may not accumulate RDD blocks (catalog.clearCache cannot
+    reach them, so an unbounded ingestor service would leak)."""
+    from pygeoapi_ingestor_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6)],
+        "doc_a bigint, doc_b bigint",
+    )
+
+    def n_blocks():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    counts = []
+    for _ in range(3):
+        dedup.connected_components(pairs).count()
+        counts.append(n_blocks())
+    # one live generation per invocation may linger until GC; growth
+    # beyond that means superseded generations leaked again
+    assert counts[-1] <= counts[0] + 2, counts

@@ -68,6 +68,9 @@ _R5_NEW: list[str] = [
     "brier_exceedance",
     "rank_histogram",
     "reliability_bins",
+    "user_path_transitions",
+    "psi_drift_daily",
+    "embedding_qa_stats",
 ]
 
 _FRONT = _R5_NEW + [

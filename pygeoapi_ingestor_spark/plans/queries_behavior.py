@@ -499,3 +499,144 @@ SELECT event_type, n, n_lo, n_hi,
               + n_lo * lo_b + n_hi * hi_b) / n, 6) AS winsor_mean
 FROM agg
 """
+
+
+def q_user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence (view -> click -> purchase journeys): counts and row
+    probabilities for every (from, to) pair of consecutive events.
+    One shuffle on user_id for the lead window (high-cardinality key,
+    skew-free), then a tiny matrix aggregate; probabilities are exact
+    integer ratios.
+    """
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            F.round(F.col("n") / F.col("row_total"), 6).alias("prob"),
+        )
+    )
+
+
+BEHAVIOR_QUERIES["user_path_transitions"] = q_user_path_transitions
+
+BEHAVIOR_ORACLES["user_path_transitions"] = """
+WITH pairs AS (
+    SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+), counts AS (
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+    FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+), totals AS (
+    SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+    FROM counts GROUP BY 1
+)
+SELECT c.from_type, c.to_type, c.n,
+       round(CAST(c.n AS DOUBLE) / t.row_total, 6) AS prob
+FROM counts c JOIN totals t ON c.from_type = t.from_type
+"""
+
+
+PSI_BIN_W, PSI_BINS = 50.0, 10
+
+
+def q_psi_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per day vs the whole-period baseline —
+    the standard data-drift monitor a production scoring/training
+    pipeline runs on every incoming batch (PSI > 0.1 = investigate,
+    > 0.25 = shifted). Value distribution in 10 fixed 50-wide bins,
+    Laplace-smoothed so empty bins stay defined; two tiny aggregates
+    over exact counts, ln only in the final 10-term fold per day.
+    """
+    ev = read_events(spark, sf_dir)
+    bin_ = F.least(
+        F.lit(PSI_BINS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value") / PSI_BIN_W)),
+    ).cast("int")
+    daily = (
+        ev.select(temporal.wall_trunc("day", F.col("ts")).alias("day"), bin_.alias("bin"))
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    base = daily.groupBy("bin").agg(F.sum("c").cast("bigint").alias("cb"))
+    day_tot = daily.groupBy("day").agg(F.sum("c").cast("bigint").alias("nd"))
+    base_tot = base.agg(F.sum("cb").cast("bigint").alias("nb"))
+    # complete (day x bin) grid so empty bins contribute their smoothed
+    # mass; build it from the distinct days x the 10 literal bins
+    bins = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    grid = day_tot.crossJoin(F.broadcast(bins))
+    j = (
+        grid.join(daily, ["day", "bin"], "left")
+        .join(F.broadcast(base), "bin")
+        .crossJoin(F.broadcast(base_tot))
+        .select(
+            "day",
+            "bin",
+            ((F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+             / (F.col("nd") + PSI_BINS).cast("double")).alias("p"),
+            ((F.col("cb") + 1).cast("double")
+             / (F.col("nb") + PSI_BINS).cast("double")).alias("q"),
+        )
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+            ).alias("psi")
+        )
+        .select("day", "psi", (F.col("psi") > 0.1).alias("drifted"))
+    )
+
+
+BEHAVIOR_QUERIES["psi_drift_daily"] = q_psi_drift_daily
+
+BEHAVIOR_ORACLES["psi_drift_daily"] = f"""
+WITH binned AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(least({PSI_BINS - 1},
+                      greatest(0, floor(value / {PSI_BIN_W!r}))) AS INT) AS bin
+    FROM events
+), daily AS (
+    SELECT day, bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY 1, 2
+), base AS (
+    SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM daily GROUP BY 1
+), day_tot AS (
+    SELECT day, CAST(sum(c) AS BIGINT) AS nd FROM daily GROUP BY 1
+), base_tot AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM base),
+grid AS (
+    SELECT d.day, d.nd, b.bin
+    FROM day_tot d CROSS JOIN (SELECT unnest(range({PSI_BINS})) AS bin) b
+), j AS (
+    SELECT g.day, g.bin,
+           (coalesce(dl.c, 0) + 1) / CAST(g.nd + {PSI_BINS} AS DOUBLE) AS p,
+           (ba.cb + 1) / CAST(bt.nb + {PSI_BINS} AS DOUBLE) AS q
+    FROM grid g
+    LEFT JOIN daily dl ON g.day = dl.day AND g.bin = dl.bin
+    JOIN base ba ON g.bin = ba.bin
+    CROSS JOIN base_tot bt
+)
+SELECT day, round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum((p - q) * ln(p / q)), 6) > 0.1 AS drifted
+FROM j GROUP BY 1
+"""

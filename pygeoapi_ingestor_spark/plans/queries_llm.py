@@ -2287,3 +2287,63 @@ SELECT source, n_docs, tokens, round(frac, 6) AS frac,
        round(w / wmax, 6) AS rel_weight
 FROM weighted CROSS JOIN mx
 """
+
+
+EMB_DIM_EXPECTED = 64
+
+
+def q_embedding_qa_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA gate (run before any index build): per label,
+    vector counts, wrong-dimension rows, zero/near-zero vectors, and the
+    norm distribution (mean/min/max). A broken embedder ships as NaNs,
+    zeros, or truncated vectors — this is the acceptance check.
+
+    Determinism: each vector's norm is rounded to 6dp FIRST and summed
+    as DECIMAL(18,6), so the per-label mean is an exact sum of exact
+    terms (order-independent in both engines) — the same trick as the
+    exact money sums, applied to a derived float. Pure projection + one
+    aggregate; no joins, no shuffle beyond the label rollup.
+    """
+    e = _emb(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    base = e.select(
+        F.col("label").cast("int").alias("label"),
+        F.size("embedding").alias("dim"),
+        F.round(norm, 6).cast("decimal(18,6)").alias("nrm"),
+    )
+    return base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum((F.col("dim") != EMB_DIM_EXPECTED).cast("bigint"))
+        .cast("bigint")
+        .alias("n_bad_dim"),
+        F.sum((F.col("nrm") < 1e-6).cast("bigint")).cast("bigint").alias("n_zero"),
+        F.round(
+            F.sum("nrm").cast("double") / F.count(F.lit(1)), 6
+        ).alias("norm_mean"),
+        F.round(F.min("nrm").cast("double"), 6).alias("norm_min"),
+        F.round(F.max("nrm").cast("double"), 6).alias("norm_max"),
+    )
+
+
+LLM_QUERIES["embedding_qa_stats"] = q_embedding_qa_stats
+
+LLM_ORACLES["embedding_qa_stats"] = f"""
+WITH e AS (
+    SELECT CAST(label AS INT) AS label,
+           len(embedding) AS dim,
+           CAST(round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))), 6)
+                AS DECIMAL(18,6)) AS nrm
+    FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN dim <> {EMB_DIM_EXPECTED} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bad_dim,
+       CAST(sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       round(CAST(sum(nrm) AS DOUBLE) / count(*), 6) AS norm_mean,
+       round(CAST(min(nrm) AS DOUBLE), 6) AS norm_min,
+       round(CAST(max(nrm) AS DOUBLE), 6) AS norm_max
+FROM e GROUP BY 1
+"""

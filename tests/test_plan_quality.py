@@ -460,3 +460,18 @@ def test_semdedup_pairs_join_on_cluster_only(spark, sf_dir):
 def test_changepoint_no_join_single_series_shuffle(spark, sf_dir):
     plan = _simple(QUERIES["changepoint_cusum"](spark, sf_dir))
     assert "Join" not in plan
+
+
+def test_verification_and_monitoring_plans_stay_bounded(spark, sf_dir):
+    # verification family: member-bucket windows + broadcast obs/thr
+    # joins; monitoring family: grid via broadcast bins. None may fall
+    # back to a cartesian or a shuffle-side nested loop over facts.
+    for key in (
+        "ensemble_crps", "brier_exceedance", "rank_histogram",
+        "reliability_bins", "user_path_transitions", "psi_drift_daily",
+        "embedding_qa_stats",
+    ):
+        plan = _simple(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+    # the QA gate is projection + one aggregate: no join at all
+    assert "Join" not in _simple(QUERIES["embedding_qa_stats"](spark, sf_dir))

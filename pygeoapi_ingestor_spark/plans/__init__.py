@@ -71,6 +71,8 @@ _R5_NEW: list[str] = [
     "user_path_transitions",
     "psi_drift_daily",
     "embedding_qa_stats",
+    "seasonal_decompose_dow",
+    "lift_cooccurrence",
 ]
 
 _FRONT = _R5_NEW + [

@@ -640,3 +640,84 @@ SELECT day, round(sum((p - q) * ln(p / q)), 6) AS psi,
        round(sum((p - q) * ln(p / q)), 6) > 0.1 AS drifted
 FROM j GROUP BY 1
 """
+
+
+def q_lift_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types co-occurring in the same
+    (user, day) basket: support(a,b) and lift = N·n(ab)/(n(a)·n(b)) for
+    every unordered type pair — the association screen behind
+    "users who X also Y". Baskets are distinct (user, day, type) rows;
+    the pair join shuffles on the basket key (high-cardinality, bounded
+    by |types| per basket); lift is an exact integer ratio.
+    """
+    ev = read_events(spark, sf_dir)
+    baskets = ev.select(
+        "user_id",
+        temporal.wall_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).distinct()
+    n_baskets = baskets.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1")
+    )
+    a = baskets.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_a"), F.col("n1").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_b"), F.col("n1").alias("nb_"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "type_a", "type_b", "n_ab",
+            F.round(F.col("n_ab") / F.col("nb"), 6).alias("support"),
+            F.round(
+                (F.col("nb") * F.col("n_ab"))
+                / (F.col("na") * F.col("nb_")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+BEHAVIOR_QUERIES["lift_cooccurrence"] = q_lift_cooccurrence
+
+BEHAVIOR_ORACLES["lift_cooccurrence"] = """
+WITH baskets AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type
+    FROM events
+), nb AS (
+    SELECT CAST(count(*) AS BIGINT) AS nb
+    FROM (SELECT DISTINCT user_id, day FROM baskets)
+), singles AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n1
+    FROM baskets GROUP BY 1
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_ab
+    FROM baskets a JOIN baskets b
+      ON a.user_id = b.user_id AND a.day = b.day
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       round(CAST(p.n_ab AS DOUBLE) / nb.nb, 6) AS support,
+       round(CAST(nb.nb * p.n_ab AS DOUBLE) / (sa.n1 * sb.n1), 6) AS lift
+FROM pairs p
+JOIN singles sa ON p.type_a = sa.event_type
+JOIN singles sb ON p.type_b = sb.event_type
+CROSS JOIN nb
+"""

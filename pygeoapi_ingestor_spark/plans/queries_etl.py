@@ -2474,3 +2474,61 @@ SELECT event_type, p_bin,
        round(sum(CAST(k AS DOUBLE) / mm) / count(*), 6) AS mean_p
 FROM labeled GROUP BY 1, 2
 """
+
+
+def q_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality decomposition of the daily series: per
+    (series, day-of-week), the seasonal mean and the residual spread
+    after removing it — the additive decomposition step (xarray
+    ``groupby('time.dayofweek') - mean`` shape) behind the reference's
+    climatology/anomaly chain, at weekly period. All moments are exact
+    integer sums over yi = 100·daily_total: seasonal mean = sy/n, and
+    the residual variance per dow collapses to (n·syy − sy²)/n² — no
+    float accumulates anywhere, division only in the reported columns.
+    """
+    base = _daily_xy(spark, sf_dir)
+    y19 = F.col("yi").cast("decimal(19,0)")
+    agg = base.groupBy(
+        "event_type", (F.col("x") % 7).cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yi").cast("bigint").alias("sy"),
+        F.sum(y19 * y19).cast("decimal(38,0)").alias("syy"),
+    )
+    n38 = F.col("n").cast("decimal(38,0)")
+    var_num = (
+        n38 * F.col("syy")
+        - F.col("sy").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+    ).cast("double")
+    return agg.select(
+        "event_type", "dow", "n",
+        F.round(F.col("sy").cast("double") / F.col("n") / 100.0, 4).alias(
+            "seasonal_mean"
+        ),
+        F.round(
+            F.sqrt(var_num / (F.col("n") * F.col("n")).cast("double")) / 100.0, 4
+        ).alias("residual_std"),
+    )
+
+
+ETL_QUERIES["seasonal_decompose_dow"] = q_seasonal_decompose_dow
+
+ETL_ORACLES["seasonal_decompose_dow"] = _DAILY_CTE + f"""
+, base AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x,
+           CAST(daily_total * 100 AS BIGINT) AS yi
+    FROM daily
+), agg AS (
+    SELECT event_type, CAST(x % 7 AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(yi) AS BIGINT) AS sy,
+           sum(CAST(yi AS HUGEINT) * yi) AS syy
+    FROM base GROUP BY 1, 2
+)
+SELECT event_type, dow, n,
+       round(CAST(sy AS DOUBLE) / n / 100.0, 4) AS seasonal_mean,
+       round(sqrt(CAST(CAST(n AS HUGEINT) * syy
+                       - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                  / CAST(n * n AS DOUBLE)) / 100.0, 4) AS residual_std
+FROM agg
+"""

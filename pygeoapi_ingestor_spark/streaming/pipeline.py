@@ -271,3 +271,67 @@ def document_quality_stream(
     scrubbed = text.scrub(gated, text_col="text", patterns=scrub_patterns)
     keep = [c for c in scrubbed.columns if c not in ("text",)]
     return scrubbed.select(*keep)
+
+
+def psi_baseline(df: DataFrame, value_col: str = "value", bins: int = 10,
+                 bin_width: float = 50.0) -> dict[int, int]:
+    """Bin counts of the reference window — the static baseline a
+    drift monitor compares every incoming window against. Computed once
+    batch-side (one tiny aggregate), then carried into the stream as
+    literals."""
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor(F.col(value_col) / bin_width)),
+    ).cast("int")
+    rows = df.groupBy(b.alias("bin")).count().collect()
+    counts = {int(r["bin"]): int(r["count"]) for r in rows}
+    return {i: counts.get(i, 0) for i in range(bins)}
+
+
+def drift_monitor_stream(
+    stream: DataFrame,
+    baseline: dict[int, int],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "10 minutes",
+    watermark: str = "2 minutes",
+    bin_width: float = 50.0,
+    alert_threshold: float = 0.1,
+) -> DataFrame:
+    """Continuous PSI drift monitoring: per event-time window, the
+    Population Stability Index of the incoming value distribution vs the
+    static baseline (psi_drift_daily's batch semantics as a stream).
+
+    Structured-Streaming shape: ONE windowed aggregation computes every
+    bin count as a conditional sum (no second agg — PSI folds over the
+    bin columns in a plain projection, so append mode + watermark
+    eviction work unchanged). State per window is ``bins`` counters.
+    """
+    bins = len(baseline)
+    nb = sum(baseline.values())
+    bcol = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor(F.col(value_col) / bin_width)),
+    ).cast("int")
+    aggs = [
+        F.sum((F.col("_bin") == b).cast("long")).alias(f"_c{b}")
+        for b in range(bins)
+    ] + [F.count(F.lit(1)).alias("_n")]
+    agg = (
+        stream.withColumn("_bin", bcol)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(*aggs)
+    )
+    psi = None
+    for b in range(bins):
+        p = (F.col(f"_c{b}") + 1).cast("double") / (F.col("_n") + bins)
+        q = F.lit(float(baseline[b] + 1)) / F.lit(float(nb + bins))
+        term = (p - q) * F.log(p / q)
+        psi = term if psi is None else psi + term
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(psi, 6).alias("psi"),
+        (psi > alert_threshold).alias("drifted"),
+    )

@@ -176,3 +176,53 @@ def test_correlate_streams_matches_batch(spark, sf_dir, tmp_path):
     assert got_pairs <= batch_pairs
     assert len(got_pairs) > 0
     assert len(got_pairs) >= int(0.5 * len(batch_pairs))
+
+
+def test_drift_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming PSI per closed window equals the identical batch
+    computation (append mode withholds windows inside the watermark)."""
+    src = str(tmp_path / "drift_src")
+    out = str(tmp_path / "drift_out")
+    ckpt = str(tmp_path / "drift_ckpt")
+    ev = _stage_events_json(spark, sf_dir, src)
+
+    baseline = pipeline.psi_baseline(ev)
+    stream = pipeline.read_event_stream(spark, src, fmt="json")
+    result = pipeline.drift_monitor_stream(
+        stream, baseline, window="6 hours", watermark="1 hour"
+    )
+    pipeline.run_to_sink(result, out, ckpt)
+    got = {
+        r["window_start"]: (r["n"], r["psi"], r["drifted"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "no closed windows emitted"
+
+    # batch twin: same bins, same smoothing, same windowing
+    bins, nb = len(baseline), sum(baseline.values())
+    bcol = F.least(F.lit(bins - 1), F.greatest(F.lit(0), F.floor(F.col("value") / 50.0))).cast("int")
+    agg = (
+        ev.withColumn("_bin", bcol)
+        .groupBy(F.window("ts", "6 hours").alias("win"))
+        .agg(*( [F.sum((F.col("_bin") == b).cast("long")).alias(f"_c{b}") for b in range(bins)]
+               + [F.count(F.lit(1)).alias("_n")] ))
+    )
+    psi = None
+    for b in range(bins):
+        p = (F.col(f"_c{b}") + 1).cast("double") / (F.col("_n") + bins)
+        q = F.lit(float(baseline[b] + 1)) / F.lit(float(nb + bins))
+        term = (p - q) * F.log(p / q)
+        psi = term if psi is None else psi + term
+    batch = {
+        r["ws"]: (r["n"], r["psi"])
+        for r in agg.select(
+            F.col("win.start").alias("ws"),
+            F.col("_n").cast("bigint").alias("n"),
+            F.round(psi, 6).alias("psi"),
+        ).collect()
+    }
+    for ws, (n, p, drifted) in got.items():
+        bn, bp = batch[ws]
+        assert n == bn, ws
+        assert p == bp, ws
+        assert drifted == (p > 0.1) or abs(p - 0.1) < 1e-9

@@ -73,6 +73,7 @@ _R5_NEW: list[str] = [
     "embedding_qa_stats",
     "seasonal_decompose_dow",
     "lift_cooccurrence",
+    "cell_pyramid",
 ]
 
 _FRONT = _R5_NEW + [

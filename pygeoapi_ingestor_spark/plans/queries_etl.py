@@ -2532,3 +2532,75 @@ SELECT event_type, dow, n,
                   / CAST(n * n AS DOUBLE)) / 100.0, 4) AS residual_std
 FROM agg
 """
+
+
+def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution (zoom-pyramid) spatial rollup: per-cell stats at
+    8/6/4 bits-per-axis simultaneously — the tile-pyramid build behind
+    any map service over the ingested collections. Morton ids make the
+    pyramid FREE: a parent cell id is the child id right-shifted by
+    2·Δbits (dropping one bit per axis), so every level derives from
+    ONE quantization pass and the whole pyramid is a single shuffle on
+    (level, cell). Exact DECIMAL cell sums as in morton_cells.
+    """
+    from pygeoapi_ingestor_spark.operators import spatial
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        ((F.col("event_id") % 5760) / F.lit(16.0) - F.lit(180.0)).alias("lon"),
+        ((F.col("user_id") % 2880) / F.lit(16.0) - F.lit(90.0)).alias("lat"),
+        F.col("value"),
+    )
+    base = pts.withColumn(
+        "cell8", spatial.morton_cell("lon", "lat", bits_per_axis=8)
+    )
+    leveled = base.select(
+        "value",
+        "cell8",
+        F.explode(F.expr("array(8, 6, 4)")).alias("level"),
+    ).withColumn("cell_id", F.expr("shiftright(cell8, (8 - level) * 2)"))
+    return leveled.groupBy(
+        F.col("level").cast("int").alias("level"), "cell_id"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast(VALUE_DEC)).cast("double"), 2
+        ).alias("cell_total"),
+    )
+
+
+ETL_QUERIES["cell_pyramid"] = q_cell_pyramid
+
+
+def _pyramid_oracle_sql(bits: int = 8) -> str:
+    scale = (1 << bits) - 1
+    ix = " + ".join(f"(((x >> {i}) & 1) << {2 * i})" for i in range(bits))
+    iy = " + ".join(f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(bits))
+    return f"""
+WITH pts AS (
+    SELECT (event_id % 5760) / 16.0 - 180.0 AS lon,
+           (user_id % 2880) / 16.0 - 90.0 AS lat,
+           value
+    FROM events
+), q AS (
+    SELECT CAST(round((greatest(-180.0, least(180.0, lon)) + 180.0)
+                      / 360.0 * {scale}, 0) AS BIGINT) AS x,
+           CAST(round((greatest(-90.0, least(90.0, lat)) + 90.0)
+                      / 180.0 * {scale}, 0) AS BIGINT) AS y,
+           value
+    FROM pts
+), cells AS (
+    SELECT ({ix}) + ({iy}) AS cell8, value FROM q
+), leveled AS (
+    SELECT CAST(l.level AS INT) AS level,
+           CAST(cell8 >> ((8 - l.level) * 2) AS BIGINT) AS cell_id,
+           value
+    FROM cells CROSS JOIN (VALUES (8), (6), (4)) l(level)
+)
+SELECT level, cell_id, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 2) AS cell_total
+FROM leveled GROUP BY 1, 2
+"""
+
+
+ETL_ORACLES["cell_pyramid"] = _pyramid_oracle_sql()

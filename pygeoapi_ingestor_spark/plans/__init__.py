@@ -74,6 +74,16 @@ _R5_NEW: list[str] = [
     "seasonal_decompose_dow",
     "lift_cooccurrence",
     "cell_pyramid",
+    # round-5 continuation-2 batch (no CORRECTNESS row ever)
+    "focal_stats_grid",
+    "theilsen_trend",
+    "ccf_lags",
+    "idw_interp",
+    "audience_overlap",
+    "dup_rate_per_source",
+    "ngram_novelty",
+    "dedup_containment",
+    "embedding_rp_reduce",
 ]
 
 _FRONT = _R5_NEW + [

@@ -721,3 +721,73 @@ JOIN singles sa ON p.type_a = sa.event_type
 JOIN singles sb ON p.type_b = sb.event_type
 CROSS JOIN nb
 """
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: distinct-user
+    Jaccard for every type pair — the "do purchasers also view" segment
+    overlap matrix (the same measure the corpus dedup family computes
+    over shingle sets, here over user sets).
+
+    Exact set algebra, never a cross join of users: ONE distinct pass
+    over (type, user), a self-equi-join keyed on user_id (bounded by
+    per-user type combinations — at most |types|² rows per user), then
+    integer-only Jaccard from |A∩B| and broadcast per-type totals. All
+    counts BIGINT; the ratio is the single float, rounded.
+    """
+    ev = read_events(spark, sf_dir)
+    tu = ev.select("event_type", "user_id").distinct()
+    totals = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    pairs = (
+        tu.alias("a")
+        .join(tu.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+BEHAVIOR_QUERIES["audience_overlap"] = q_audience_overlap
+
+BEHAVIOR_ORACLES["audience_overlap"] = """
+WITH tu AS (
+    SELECT DISTINCT event_type, user_id FROM events
+), totals AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM tu GROUP BY 1
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM tu a JOIN tu b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, ta.n_users AS n_a, tb.n_users AS n_b, p.n_both,
+       round(p.n_both / CAST(ta.n_users + tb.n_users - p.n_both AS DOUBLE), 6)
+           AS jaccard
+FROM pairs p
+JOIN totals ta ON p.type_a = ta.event_type
+JOIN totals tb ON p.type_b = tb.event_type
+"""

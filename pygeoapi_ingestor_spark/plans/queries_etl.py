@@ -2604,3 +2604,450 @@ FROM leveled GROUP BY 1, 2
 
 
 ETL_ORACLES["cell_pyramid"] = _pyramid_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (continuation 2): neighborhood/focal raster stats, robust
+# (Theil-Sen) trend, cross-correlation, and IDW interpolation — the
+# remaining members of the reference's spatial-interp / trend-diagnostic
+# families (regrid/interp: bias_correction_cds_process.py:272,295 and
+# ingestor_knmi_evapo_fc.py:209; trend consumption of the SPI series:
+# utils_spi.py monthly products).
+# ---------------------------------------------------------------------------
+
+FOCAL_NX, FOCAL_NY = 24, 16
+
+
+def q_focal_stats_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (3x3 neighborhood) statistics over the snapped grid — the
+    raster smoothing/neighborhood pass (xarray ``rolling`` over both
+    spatial dims) every gridded product applies before publication.
+
+    Spark-native shape: ONE pass snaps events to (ix, iy) cells with
+    exact DECIMAL sums; the focal step then operates on the CELL table
+    (bounded by grid size, never row count): each cell explodes to its
+    9 neighbor positions and re-groups, so the shuffle is 9x|cells| tiny
+    rows. The focal mean pools neighbor (sum, n) pairs — exact decimal /
+    bigint arithmetic, float only in the final division — rather than
+    averaging per-cell means, which would be order-dependent float
+    addition. Edge cells aggregate only their existing neighbors; the
+    join back to the base cell table keeps focal rows only for real
+    cells (no halo rows).
+    """
+    ev = _events(spark, sf_dir)
+    cells = (
+        ev.groupBy(
+            (F.col("event_id") % FOCAL_NX).cast("int").alias("ix"),
+            (F.col("user_id") % FOCAL_NY).cast("int").alias("iy"),
+        )
+        .agg(
+            F.sum(F.col("value").cast(VALUE_DEC)).alias("cell_total"),
+            F.count(F.lit(1)).cast("bigint").alias("cell_n"),
+            F.max("value").alias("cell_max"),
+        )
+    )
+    neigh = cells.select(
+        "ix", "iy", "cell_total", "cell_n", "cell_max",
+        F.explode(F.expr(
+            "array(-1, 0, 1)"
+        )).alias("dx"),
+    ).select(
+        "*", F.explode(F.expr("array(-1, 0, 1)")).alias("dy")
+    ).select(
+        (F.col("ix") + F.col("dx")).alias("fx"),
+        (F.col("iy") + F.col("dy")).alias("fy"),
+        "cell_total", "cell_n", "cell_max",
+    )
+    focal = neigh.groupBy("fx", "fy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        F.sum("cell_total").alias("f_total"),
+        F.sum("cell_n").cast("bigint").alias("f_n"),
+        F.max("cell_max").alias("f_max"),
+    )
+    base = cells.select(F.col("ix").alias("fx"), F.col("iy").alias("fy"))
+    return focal.join(base, ["fx", "fy"]).select(
+        F.col("fx").cast("int").alias("ix"),
+        F.col("fy").cast("int").alias("iy"),
+        "n_neighbors",
+        F.col("f_n").alias("n_points"),
+        F.round(F.col("f_total").cast("double") / F.col("f_n"), 6).alias("focal_mean"),
+        F.round("f_max", 6).alias("focal_max"),
+    )
+
+
+ETL_QUERIES["focal_stats_grid"] = q_focal_stats_grid
+
+ETL_ORACLES["focal_stats_grid"] = f"""
+WITH cells AS (
+    SELECT CAST(event_id % {FOCAL_NX} AS INT) AS ix,
+           CAST(user_id % {FOCAL_NY} AS INT) AS iy,
+           sum(CAST(value AS DECIMAL(14,2))) AS cell_total,
+           CAST(count(*) AS BIGINT) AS cell_n,
+           max(value) AS cell_max
+    FROM events GROUP BY 1, 2
+), neigh AS (
+    SELECT ix + dx.d AS fx, iy + dy.d AS fy, cell_total, cell_n, cell_max
+    FROM cells
+    CROSS JOIN (VALUES (-1), (0), (1)) dx(d)
+    CROSS JOIN (VALUES (-1), (0), (1)) dy(d)
+), focal AS (
+    SELECT fx, fy, CAST(count(*) AS BIGINT) AS n_neighbors,
+           sum(cell_total) AS f_total, CAST(sum(cell_n) AS BIGINT) AS f_n,
+           max(cell_max) AS f_max
+    FROM neigh GROUP BY 1, 2
+)
+SELECT CAST(f.fx AS INT) AS ix, CAST(f.fy AS INT) AS iy, n_neighbors,
+       f_n AS n_points,
+       round(CAST(f_total AS DOUBLE) / f_n, 6) AS focal_mean,
+       round(f_max, 6) AS focal_max
+FROM focal f JOIN cells c ON f.fx = c.ix AND f.fy = c.iy
+"""
+
+
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series Theil-Sen robust trend: slope = median of all pairwise
+    slopes, intercept = median residual at that slope — the
+    outlier-robust twin of trend_ols that climate services prefer for
+    sparse/spiky station series (a single flood day cannot flip it).
+
+    Pairs come from ONE self-join of the tiny per-(series, day) table
+    (bounded by series x days², never fact rows). Each pairwise slope is
+    a single IEEE division of exact integers — deterministic and
+    identical in both engines — and the median is taken positionally
+    (row_number + middle-two average), NOT via an engine median()
+    aggregate whose interpolation conventions differ. The residual
+    median reuses the same positional mechanic over the ~30 daily rows
+    per series. Scale: the pair blowup is quadratic in DAYS (a year =
+    66k pairs/series), while series parallelism is unbounded.
+    """
+    from pyspark.sql import Window
+
+    base = _daily_xy(spark, sf_dir)
+    a = base.select("event_type", F.col("x").alias("xa"), F.col("yi").alias("ya"))
+    b = base.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"),
+        F.col("yi").alias("yb"),
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("xb") > F.col("xa"))
+    ).select(
+        "event_type",
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("xb") - F.col("xa")).cast("double")
+            / F.lit(100.0)
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("m"),
+    )
+    # median positions: lo = floor((m+1)/2), hi = floor(m/2)+1 — one row
+    # when m is odd, the two middles when m is even (their average is the
+    # textbook even-count median)
+    med_slope = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("m") / 2) + 1)
+        )
+        .groupBy("event_type")
+        .agg(
+            (F.sum("slope") / F.count(F.lit(1))).alias("slope"),
+            F.first("m").alias("n_pairs"),
+        )
+    )
+    resid = base.join(F.broadcast(med_slope), "event_type").select(
+        "event_type",
+        "slope",
+        "n_pairs",
+        (F.col("yi").cast("double") / 100.0 - F.col("slope") * F.col("x")).alias("r"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("r")
+    rranked = resid.select(
+        "event_type", "slope", "n_pairs", "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return (
+        rranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.first("n").cast("bigint").alias("n_days"),
+            F.first("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(F.first("slope"), 6).alias("slope"),
+            F.round(F.sum("r") / F.count(F.lit(1)), 4).alias("intercept"),
+        )
+    )
+
+
+ETL_QUERIES["theilsen_trend"] = q_theilsen_trend
+
+ETL_ORACLES["theilsen_trend"] = _DAILY_CTE + f"""
+, base AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x,
+           CAST(daily_total * 100 AS BIGINT) AS yi
+    FROM daily
+), pairs AS (
+    SELECT a.event_type,
+           CAST(b.yi - a.yi AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) / 100.0 AS slope
+    FROM base a JOIN base b
+      ON b.event_type = a.event_type AND b.x > a.x
+), ranked AS (
+    SELECT event_type, slope,
+           row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS m
+    FROM pairs
+), med AS (
+    SELECT event_type, sum(slope) / count(*) AS slope, min(m) AS n_pairs
+    FROM ranked
+    WHERE rn = CAST(floor((m + 1) / 2.0) AS BIGINT)
+       OR rn = CAST(floor(m / 2.0) AS BIGINT) + 1
+    GROUP BY 1
+), resid AS (
+    SELECT b.event_type, med.slope, med.n_pairs,
+           CAST(b.yi AS DOUBLE) / 100.0 - med.slope * b.x AS r
+    FROM base b JOIN med ON b.event_type = med.event_type
+), rranked AS (
+    SELECT event_type, slope, n_pairs, r,
+           row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM resid
+)
+SELECT event_type, CAST(min(n) AS BIGINT) AS n_days,
+       CAST(min(n_pairs) AS BIGINT) AS n_pairs,
+       round(min(slope), 6) AS slope,
+       round(sum(r) / count(*), 4) AS intercept
+FROM rranked
+WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+   OR rn = CAST(floor(n / 2.0) AS BIGINT) + 1
+GROUP BY 1
+"""
+
+
+CCF_REF_SERIES = "view"
+
+
+def q_ccf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of every series against the CCF_REF_SERIES
+    daily series at lags 0..3 — the driver-response diagnostic
+    (precip -> discharge lag structure) downstream of the reference's
+    ingested station series.
+
+    Same exact-moment arithmetic as acf_lags, but the lagged partner is
+    the broadcast reference series: response series rows at day x join
+    reference rows at day x - k. All five moments are exact integer
+    sums over the per-lag overlap; the float appears only in the final
+    Pearson division. One shuffle builds the daily table; the lag join
+    keys on (day) against a broadcast ~30-row dim.
+    """
+    base = _daily_xy(spark, sf_dir)
+    ref = base.filter(F.col("event_type") == CCF_REF_SERIES).select(
+        F.col("x").alias("xr"), F.col("yi").alias("yr")
+    )
+    resp = base.filter(F.col("event_type") != CCF_REF_SERIES).select(
+        "event_type", "x", "yi",
+        F.explode(F.expr("array(0, 1, 2, 3)")).alias("k"),
+    )
+    pairs = resp.join(
+        F.broadcast(ref), F.col("xr") == F.col("x") - F.col("k")
+    )
+    a19 = F.col("yi").cast("decimal(19,0)")
+    r19 = F.col("yr").cast("decimal(19,0)")
+    agg = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("yi").cast("bigint").alias("sa"),
+        F.sum("yr").cast("bigint").alias("sb"),
+        F.sum(a19 * a19).cast("decimal(38,0)").alias("saa"),
+        F.sum(r19 * r19).cast("decimal(38,0)").alias("sbb"),
+        F.sum(a19 * r19).cast("decimal(38,0)").alias("sab"),
+    )
+    m38 = F.col("m").cast("decimal(38,0)")
+    cov = (m38 * F.col("sab") - F.col("sa").cast("decimal(19,0)") * F.col("sb").cast("decimal(19,0)")).cast("double")
+    va = (m38 * F.col("saa") - F.col("sa").cast("decimal(19,0)") * F.col("sa").cast("decimal(19,0)")).cast("double")
+    vb = (m38 * F.col("sbb") - F.col("sb").cast("decimal(19,0)") * F.col("sb").cast("decimal(19,0)")).cast("double")
+    return agg.select(
+        "event_type",
+        F.col("k").cast("int").alias("k"),
+        "m",
+        F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 6).alias("ccf"),
+    )
+
+
+ETL_QUERIES["ccf_lags"] = q_ccf_lags
+
+ETL_ORACLES["ccf_lags"] = _DAILY_CTE + f"""
+, base AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x,
+           CAST(daily_total * 100 AS BIGINT) AS yi
+    FROM daily
+), ref AS (
+    SELECT x AS xr, yi AS yr FROM base WHERE event_type = '{CCF_REF_SERIES}'
+), pairs AS (
+    SELECT a.event_type, k.k, a.yi AS ya, r.yr
+    FROM base a
+    JOIN (VALUES (0), (1), (2), (3)) k(k) ON TRUE
+    JOIN ref r ON r.xr = a.x - k.k
+    WHERE a.event_type <> '{CCF_REF_SERIES}'
+), agg AS (
+    SELECT event_type, k, CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(ya) AS BIGINT) AS sa, CAST(sum(yr) AS BIGINT) AS sb,
+           sum(CAST(ya AS HUGEINT) * ya) AS saa,
+           sum(CAST(yr AS HUGEINT) * yr) AS sbb,
+           sum(CAST(ya AS HUGEINT) * yr) AS sab
+    FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(k AS INT) AS k, m,
+       round(CAST(CAST(m AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+             / (sqrt(CAST(CAST(m AS HUGEINT) * saa
+                          - CAST(sa AS HUGEINT) * sa AS DOUBLE))
+                * sqrt(CAST(CAST(m AS HUGEINT) * sbb
+                            - CAST(sb AS HUGEINT) * sb AS DOUBLE))), 6) AS ccf
+FROM agg
+"""
+
+
+def q_idw_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted (Shepard p=2) interpolation of the
+    gridded daily field at scattered target points — the third member of
+    the reference's interpolation family next to bilinear
+    (bias_correction_cds_process.py:272,295) and nearest
+    (ingestor_cds_process.py:808-809): the estimator used when the
+    source field is scattered stations rather than a regular grid.
+
+    The neighborhood is the 5x5 cell window around each target (radius-2
+    circle filter on exact squared distances), generated by exploding 25
+    candidate offsets and EQUI-joining to the grid on (day, cell) — at
+    scale the join stays hash-partitioned on cell keys, never a range
+    scan. Determinism across engines: every distance is IEEE arithmetic
+    on identical expressions; each weight term is rounded to a fixed
+    scale and summed as DECIMAL, so the accumulation is
+    order-independent (the same convention as embedding_qa_stats). A
+    zero-distance target takes its cell's value exactly (the coincident
+    cell is unique per day).
+    """
+    ev = _events(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    grid = (
+        ev.filter(day < F.lit("2024-01-03").cast("date"))
+        .groupBy(
+            day.alias("day"),
+            (F.col("user_id") % 10).cast("double").alias("glat"),
+            (F.col("event_id") % 10).cast("double").alias("glon"),
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("gval")
+        )
+    )
+    targets = (
+        ev.filter((F.col("event_id") < 200) & (day < F.lit("2024-01-03").cast("date")))
+        .select(
+            "event_id",
+            day.alias("day"),
+            ((F.col("user_id") % 93) / F.lit(10.0)).alias("lat"),
+            ((F.col("event_id") % 87) / F.lit(10.0)).alias("lon"),
+        )
+    )
+    cand = targets.select(
+        "event_id", "day", "lat", "lon",
+        F.explode(F.expr("array(-2, -1, 0, 1, 2)")).alias("dy"),
+    ).select(
+        "*", F.explode(F.expr("array(-2, -1, 0, 1, 2)")).alias("dx")
+    ).select(
+        "event_id", "day", "lat", "lon",
+        (F.floor("lat") + F.col("dy")).cast("double").alias("glat"),
+        (F.floor("lon") + F.col("dx")).cast("double").alias("glon"),
+    )
+    d2 = (
+        (F.col("lat") - F.col("glat")) * (F.col("lat") - F.col("glat"))
+        + (F.col("lon") - F.col("glon")) * (F.col("lon") - F.col("glon"))
+    )
+    joined = cand.join(grid, ["day", "glat", "glon"]).withColumn("d2", d2).filter(
+        F.col("d2") <= 4.0
+    )
+    agg = joined.groupBy("event_id", "day", "lat", "lon").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max(F.when(F.col("d2") == 0.0, F.col("gval"))).alias("exact_val"),
+        F.sum(
+            F.when(
+                F.col("d2") > 0.0,
+                F.round(F.col("gval") / F.col("d2"), 6).cast("decimal(24,6)"),
+            )
+        ).alias("num"),
+        F.sum(
+            F.when(
+                F.col("d2") > 0.0,
+                F.round(F.lit(1.0) / F.col("d2"), 9).cast("decimal(20,9)"),
+            )
+        ).alias("den"),
+    )
+    return agg.select(
+        "event_id", "day",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        "n_cells",
+        F.round(
+            F.coalesce(
+                F.col("exact_val"),
+                F.col("num").cast("double") / F.col("den").cast("double"),
+            ),
+            6,
+        ).alias("idw_value"),
+    )
+
+
+ETL_QUERIES["idw_interp"] = q_idw_interp
+
+ETL_ORACLES["idw_interp"] = """
+WITH grid AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(user_id % 10 AS DOUBLE) AS glat,
+           CAST(event_id % 10 AS DOUBLE) AS glon,
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS gval
+    FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-03'
+    GROUP BY 1, 2, 3
+), targets AS (
+    SELECT event_id, CAST(ts AS DATE) AS day,
+           (user_id % 93) / 10.0 AS lat,
+           (event_id % 87) / 10.0 AS lon
+    FROM events
+    WHERE event_id < 200 AND CAST(ts AS DATE) < DATE '2024-01-03'
+), cand AS (
+    SELECT event_id, day, lat, lon,
+           CAST(floor(lat) + dy.d AS DOUBLE) AS glat,
+           CAST(floor(lon) + dx.d AS DOUBLE) AS glon
+    FROM targets
+    CROSS JOIN (VALUES (-2), (-1), (0), (1), (2)) dy(d)
+    CROSS JOIN (VALUES (-2), (-1), (0), (1), (2)) dx(d)
+), joined AS (
+    SELECT c.event_id, c.day, c.lat, c.lon, g.gval,
+           (c.lat - c.glat) * (c.lat - c.glat)
+           + (c.lon - c.glon) * (c.lon - c.glon) AS d2
+    FROM cand c
+    JOIN grid g ON g.day = c.day AND g.glat = c.glat AND g.glon = c.glon
+    WHERE (c.lat - c.glat) * (c.lat - c.glat)
+          + (c.lon - c.glon) * (c.lon - c.glon) <= 4.0
+), agg AS (
+    SELECT event_id, day, lat, lon,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           max(CASE WHEN d2 = 0.0 THEN gval END) AS exact_val,
+           sum(CASE WHEN d2 > 0.0
+                    THEN CAST(round(gval / d2, 6) AS DECIMAL(24,6)) END) AS num,
+           sum(CASE WHEN d2 > 0.0
+                    THEN CAST(round(1.0 / d2, 9) AS DECIMAL(20,9)) END) AS den
+    FROM joined GROUP BY 1, 2, 3, 4
+)
+SELECT event_id, day, round(lat, 6) AS lat, round(lon, 6) AS lon, n_cells,
+       round(coalesce(exact_val, CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 6)
+           AS idw_value
+FROM agg
+"""

@@ -2347,3 +2347,353 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
        round(CAST(max(nrm) AS DOUBLE), 6) AS norm_max
 FROM e GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (continuation 2): corpus-health rollups (duplication rate,
+# n-gram novelty), containment dedup, and random-projection reduction.
+# ---------------------------------------------------------------------------
+
+
+def q_dup_rate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication health rollup: how much of each source is
+    exact-duplicate text, and how much of it duplicates ACROSS sources —
+    the dashboard number a corpus owner watches after every crawl
+    (dup-rate spikes mean a broken feed; cross-source dups mean mirror
+    sites).
+
+    One fingerprint shuffle (group sizes + distinct-source counts per
+    fingerprint), broadcast back onto the per-doc table, one rollup on
+    source. Fingerprints shuffle, never text; all counts exact BIGINT.
+    """
+    docs = text.fingerprint(_docs(spark, sf_dir), text_col="text")
+    fp_stats = docs.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fp_n"),
+        F.countDistinct("source").cast("bigint").alias("fp_sources"),
+    )
+    joined = docs.select("doc_id", "source", "fingerprint").join(
+        fp_stats, "fingerprint"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("fp_n") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup"),
+        F.sum(F.when(F.col("fp_sources") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cross_source"),
+        F.round(
+            F.sum(F.when(F.col("fp_n") > 1, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+LLM_QUERIES["dup_rate_per_source"] = q_dup_rate_per_source
+
+LLM_ORACLES["dup_rate_per_source"] = """
+WITH fp AS (
+    SELECT doc_id, source,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+    FROM documents
+), fps AS (
+    SELECT fingerprint, CAST(count(*) AS BIGINT) AS fp_n,
+           CAST(count(DISTINCT source) AS BIGINT) AS fp_sources
+    FROM fp GROUP BY 1
+)
+SELECT f.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s.fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN s.fp_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cross_source,
+       round(sum(CASE WHEN s.fp_n > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM fp f JOIN fps s ON f.fingerprint = s.fingerprint
+GROUP BY 1
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    8-grams whose FIRST corpus occurrence (min doc_id, the ingest-order
+    stand-in) is the doc itself — the running "is this crawl adding
+    anything new" curve; novelty collapsing toward 0 is the signal to
+    stop crawling a source.
+
+    Two bounded shuffles: grams -> min-doc attribution (keyed on the
+    gram hash — uniform, skew-free), then join back and re-group per
+    doc. Counts exact; docs with <8 words carry n_grams = 0.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs, id_col="doc_id", text_col="text", n=DECON_NGRAM)
+    first = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
+    scored = (
+        sh.join(first, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(scored.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0))
+                / F.greatest(F.col("n_grams").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+LLM_QUERIES["ngram_novelty"] = q_ngram_novelty
+
+LLM_ORACLES["ngram_novelty"] = _shingle_cte(n=DECON_NGRAM) + """
+, first AS (
+    SELECT shingle, min(doc) AS first_doc FROM sh GROUP BY 1
+), scored AS (
+    SELECT sh.doc, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+    FROM sh JOIN first f ON sh.shingle = f.shingle
+    GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.n_novel, 0) AS BIGINT) AS n_novel,
+       round(coalesce(s.n_novel, 0)
+             / greatest(CAST(coalesce(s.n_grams, 0) AS DOUBLE), 1.0), 6)
+           AS novelty
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc
+"""
+
+
+CONTAIN_SNIPPET_WORDS = 20
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: find documents whose ENTIRE (normalized) word
+    sequence appears contiguously inside a longer document — quoted
+    reposts, snippet pages, syndication stubs. Exact-dup and
+    near-dup passes both miss this shape (Jaccard of a 20-word snippet
+    vs its 500-word source is ~0.04).
+
+    Corpus = documents plus a derived snippet per (doc_id % 7 == 0) doc
+    (its first CONTAIN_SNIPPET_WORDS words, id offset +100000) so the
+    containment relation is non-trivially populated in both engines.
+    Candidate generation is LOSSLESS pruning, not all-pairs: if A is
+    contained in B then EVERY 8-gram of A — in particular its globally
+    rarest one — is also in B, so candidates come from equi-joining each
+    contained-candidate's rarest gram (min document frequency, gram text
+    tie-break) against the full gram table, longer docs only. The exact
+    gate then checks ' '||words(B)||' ' contains ' '||words(A)||' ' on
+    the normalized strings. Grams shuffle; full text moves only for
+    verify pairs. Docs under 8 words have no gram and exit the screen.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")),
+            r"\s+",
+        ),
+        lambda w: w != "",
+    )
+    base = docs.select("doc_id", words.alias("ws"))
+    snippets = base.filter(
+        (F.col("doc_id") % 7 == 0) & (F.size("ws") >= CONTAIN_SNIPPET_WORDS)
+    ).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.slice("ws", 1, CONTAIN_SNIPPET_WORDS).alias("ws"),
+    )
+    corpus = base.unionByName(snippets).select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.concat_ws(" ", F.col("ws")).alias("norm"),
+    )
+    sh = dedup.shingles(
+        corpus.withColumnRenamed("norm", "text"), id_col="doc_id", text_col="text",
+        n=DECON_NGRAM,
+    )
+    df_counts = sh.groupBy("shingle").agg(
+        F.countDistinct("doc").cast("bigint").alias("df")
+    )
+    with_df = sh.join(df_counts, "shingle")
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    rarest = (
+        with_df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("doc").alias("a_id"), "shingle")
+    )
+    cand = rarest.join(
+        sh.select(F.col("doc").alias("b_id"), "shingle"), "shingle"
+    ).filter(F.col("a_id") != F.col("b_id")).select("a_id", "b_id").distinct()
+    a = corpus.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("n_words").alias("a_words"),
+        F.col("norm").alias("a_norm"),
+    )
+    b = corpus.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("n_words").alias("b_words"),
+        F.col("norm").alias("b_norm"),
+    )
+    verified = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .filter(F.col("b_words") > F.col("a_words"))
+        .filter(
+            F.instr(
+                F.concat(F.lit(" "), F.col("b_norm"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("a_norm"), F.lit(" ")),
+            )
+            > 0
+        )
+    )
+    return verified.select(
+        F.col("a_id").alias("contained_id"),
+        F.col("b_id").alias("container_id"),
+        F.col("a_words").alias("contained_words"),
+        F.col("b_words").alias("container_words"),
+    )
+
+
+LLM_QUERIES["dedup_containment"] = q_dedup_containment
+
+# the oracle is the brute-force twin (all length-ordered pairs, exact
+# contains gate) — the same oracle relationship dedup_ppjoin uses: the
+# Spark side must find EXACTLY the pairs the unpruned quadratic scan finds
+LLM_ORACLES["dedup_containment"] = rf"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                   '\s+'),
+               w -> w <> '') AS ws
+    FROM documents
+), snippets AS (
+    SELECT doc_id + 100000 AS doc_id, ws[1:{CONTAIN_SNIPPET_WORDS}] AS ws
+    FROM base
+    WHERE doc_id % 7 = 0 AND len(ws) >= {CONTAIN_SNIPPET_WORDS}
+), corpus AS (
+    SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+           array_to_string(ws, ' ') AS norm
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM snippets)
+)
+SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+       a.n_words AS contained_words, b.n_words AS container_words
+FROM corpus a JOIN corpus b
+  ON b.n_words > a.n_words
+WHERE a.n_words >= 8
+  AND position(' ' || a.norm || ' ' IN ' ' || b.norm || ' ') > 0
+"""
+
+
+EMB_DIM = 64
+RP_PLANES = 8
+
+
+def q_embedding_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection (Achlioptas sign-matrix) dimensionality
+    reduction of the embedding table to RP_PLANES components, plus the
+    Johnson-Lindenstrauss norm-preservation QA ratio — the cheap
+    front-end that shrinks a 64-d corpus to 8-d for coarse clustering
+    and visualization.
+
+    Exactness across engines: vectors are first int8-quantized
+    (deterministic rounding), the +/-1 plane matrix is the engine-neutral
+    md5 draw, and each projection is an INTEGER dot product — exact in any
+    summation order, so the hash gate closes without float-order tricks.
+    Pure projection: no shuffle, no UDF; the one aggregate below is the
+    per-source QA rollup of the JL ratio.
+    """
+    e = similarity.quantize_int8(_emb(spark, sf_dir), vec_col="embedding")
+    weights = similarity.md5_plane_weights(EMB_DIM, RP_PLANES, seed=11)
+    proj_cols = []
+    for p in range(RP_PLANES):
+        w_arr = F.lit([int(x) for x in weights[p]])
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("q_vec"), w_arr, lambda x, wgt: (x * wgt).cast("bigint")
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        proj_cols.append(proj.alias(f"p{p}"))
+    q2 = F.aggregate(
+        F.transform(F.col("q_vec"), lambda x: (x * x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    projected = e.select(
+        "vec_id", F.round("q_scale", 6).alias("q_scale"), *proj_cols, q2.alias("q2")
+    )
+    p2 = None
+    for p in range(RP_PLANES):
+        term = F.col(f"p{p}") * F.col(f"p{p}")
+        p2 = term if p2 is None else p2 + term
+    return projected.select(
+        "vec_id",
+        "q_scale",
+        *[F.col(f"p{p}") for p in range(RP_PLANES)],
+        F.when(
+            F.col("q2") > 0,
+            F.round(
+                p2.cast("double") / (F.lit(float(RP_PLANES)) * F.col("q2")), 6
+            ),
+        ).alias("jl_ratio"),
+    )
+
+
+LLM_QUERIES["embedding_rp_reduce"] = q_embedding_rp_reduce
+
+
+def _rp_reduce_oracle_sql() -> str:
+    from pygeoapi_ingestor_spark.operators.similarity import md5_plane_weights
+
+    weights = md5_plane_weights(EMB_DIM, RP_PLANES, seed=11)
+
+    def proj(p: int) -> str:
+        terms = " + ".join(
+            f"q[{d + 1}]*({int(weights[p][d])})" for d in range(EMB_DIM)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    proj_sql = ", ".join(f"{proj(p)} AS p{p}" for p in range(RP_PLANES))
+    p2 = " + ".join(f"p{p}*p{p}" for p in range(RP_PLANES))
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scaled AS (
+    SELECT vec_id,
+           CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                THEN list_max(list_transform(v, x -> abs(x)))
+                ELSE 1.0 END AS q_scale,
+           v
+    FROM e
+), quant AS (
+    SELECT vec_id, q_scale,
+           list_transform(v, x -> CAST(round(x * 127.0 / q_scale, 0) AS INTEGER)) AS q
+    FROM scaled
+), projected AS (
+    SELECT vec_id, round(q_scale, 6) AS q_scale, {proj_sql},
+           CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS q2
+    FROM quant
+)
+SELECT vec_id, q_scale, {", ".join(f"p{p}" for p in range(RP_PLANES))},
+       CASE WHEN q2 > 0
+            THEN round(CAST({p2} AS DOUBLE) / ({RP_PLANES}.0 * q2), 6)
+       END AS jl_ratio
+FROM projected
+"""
+
+
+LLM_ORACLES["embedding_rp_reduce"] = _rp_reduce_oracle_sql()

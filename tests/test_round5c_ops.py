@@ -1,0 +1,259 @@
+"""Independent-reference checks for the round-5 continuation-2 operators
+(focal grid stats, Theil-Sen trend, cross-correlation, IDW interpolation,
+audience overlap, corpus dup-rate / novelty / containment, random
+projection).
+
+The DuckDB hash gate (test_queries_oracle) proves Spark == oracle SQL;
+these tests prove both equal a THIRD formulation (numpy / pandas / brute
+force), so a shared misconception between the twin implementations can't
+slip through.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pygeoapi_ingestor_spark.plans import QUERIES
+
+
+def _events_pd(spark, sf_dir) -> pd.DataFrame:
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    return read_events(spark, sf_dir).toPandas()
+
+
+def _daily_pd(spark, sf_dir) -> pd.DataFrame:
+    ev = _events_pd(spark, sf_dir)[["event_type", "ts", "value"]]
+    ev["day"] = ev["ts"].dt.floor("D")
+    d = ev.groupby(["event_type", "day"], as_index=False)["value"].sum()
+    d["value"] = d["value"].round(2)
+    return d
+
+
+def test_focal_stats_matches_pandas(spark, sf_dir):
+    out = {
+        (r["ix"], r["iy"]): r
+        for r in QUERIES["focal_stats_grid"](spark, sf_dir).collect()
+    }
+    ev = _events_pd(spark, sf_dir)
+    ev["ix"] = (ev["event_id"] % 24).astype(int)
+    ev["iy"] = (ev["user_id"] % 16).astype(int)
+    cells = ev.groupby(["ix", "iy"]).agg(
+        total=("value", "sum"), n=("value", "size"), mx=("value", "max")
+    )
+    assert set(out) == set(cells.index)
+    for (ix, iy), row in out.items():
+        tot = n = 0
+        mx = -np.inf
+        k = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                key = (ix + dx, iy + dy)
+                if key in cells.index:
+                    c = cells.loc[key]
+                    tot += c["total"]
+                    n += c["n"]
+                    mx = max(mx, c["mx"])
+                    k += 1
+        assert row["n_neighbors"] == k
+        assert row["n_points"] == n
+        assert row["focal_mean"] == pytest.approx(tot / n, abs=1e-4)
+        assert row["focal_max"] == pytest.approx(mx, abs=1e-6)
+
+
+def test_theilsen_matches_numpy_median_of_slopes(spark, sf_dir):
+    out = {
+        r["event_type"]: r for r in QUERIES["theilsen_trend"](spark, sf_dir).collect()
+    }
+    daily = _daily_pd(spark, sf_dir)
+    anchor = pd.Timestamp("2024-01-01")
+    for et, grp in daily.groupby("event_type"):
+        x = (grp["day"] - anchor).dt.days.to_numpy(dtype=float)
+        y = grp["value"].to_numpy(dtype=float)
+        slopes = [
+            (y[j] - y[i]) / (x[j] - x[i])
+            for i in range(len(x))
+            for j in range(len(x))
+            if x[j] > x[i]
+        ]
+        slope = float(np.median(slopes))
+        intercept = float(np.median(y - slope * x))
+        got = out[et]
+        assert got["n_pairs"] == len(slopes)
+        assert got["n_days"] == len(x)
+        assert got["slope"] == pytest.approx(slope, abs=1e-5)
+        assert got["intercept"] == pytest.approx(intercept, abs=1e-3)
+
+
+def test_ccf_matches_numpy_corrcoef(spark, sf_dir):
+    out = {
+        (r["event_type"], r["k"]): r["ccf"]
+        for r in QUERIES["ccf_lags"](spark, sf_dir).collect()
+    }
+    daily = _daily_pd(spark, sf_dir)
+    anchor = pd.Timestamp("2024-01-01")
+    daily["x"] = (daily["day"] - anchor).dt.days
+    ref = daily[daily["event_type"] == "view"].set_index("x")["value"]
+    for (et, k), got in out.items():
+        resp = daily[daily["event_type"] == et].set_index("x")["value"]
+        xs = [x for x in resp.index if (x - k) in ref.index]
+        a = np.array([resp[x] for x in xs])
+        b = np.array([ref[x - k] for x in xs])
+        assert got == pytest.approx(np.corrcoef(a, b)[0, 1], abs=1e-5)
+
+
+def test_idw_matches_numpy_weighted_mean(spark, sf_dir):
+    rows = QUERIES["idw_interp"](spark, sf_dir).collect()
+    assert rows
+    ev = _events_pd(spark, sf_dir)
+    ev["day"] = ev["ts"].dt.floor("D").dt.date
+    ev = ev[ev["day"] < pd.Timestamp("2024-01-03").date()]
+    grid = (
+        ev.assign(glat=(ev["user_id"] % 10).astype(float),
+                  glon=(ev["event_id"] % 10).astype(float),
+                  v=ev["value"].round(2))
+        .groupby(["day", "glat", "glon"])["v"]
+        .mean()
+    )
+    checked = 0
+    for r in rows[:150]:
+        sub = grid.loc[r["day"]]
+        num = den = 0.0
+        exact = None
+        n_cells = 0
+        for (glat, glon), gval in sub.items():
+            d2 = (r["lat"] - glat) ** 2 + (r["lon"] - glon) ** 2
+            if d2 <= 4.0:
+                n_cells += 1
+                if d2 == 0.0:
+                    exact = gval
+                else:
+                    num += gval / d2
+                    den += 1.0 / d2
+        assert r["n_cells"] == n_cells
+        expected = exact if exact is not None else num / den
+        assert r["idw_value"] == pytest.approx(expected, abs=1e-4)
+        checked += 1
+    assert checked > 50
+
+
+def test_audience_overlap_matches_pandas_sets(spark, sf_dir):
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in QUERIES["audience_overlap"](spark, sf_dir).collect()
+    }
+    ev = _events_pd(spark, sf_dir)
+    sets = {t: set(g["user_id"]) for t, g in ev.groupby("event_type")}
+    types = sorted(sets)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            inter = len(sets[ta] & sets[tb])
+            got = out[(ta, tb)]
+            assert got["n_a"] == len(sets[ta])
+            assert got["n_b"] == len(sets[tb])
+            assert got["n_both"] == inter
+            assert got["jaccard"] == pytest.approx(
+                inter / len(sets[ta] | sets[tb]), abs=1e-6
+            )
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in re.sub(r"[^A-Za-z0-9\s]", " ", text.lower()).split() if w]
+
+
+def _grams(ws: list[str], n: int = 8) -> set[str]:
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+def _docs_pd(spark, sf_dir) -> pd.DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+
+
+def test_ngram_novelty_matches_python(spark, sf_dir):
+    out = {r["doc_id"]: r for r in QUERIES["ngram_novelty"](spark, sf_dir).collect()}
+    docs = _docs_pd(spark, sf_dir)
+    grams = {d.doc_id: _grams(_words(d.text)) for d in docs.itertuples()}
+    first = {}
+    for did in sorted(grams):
+        for g in grams[did]:
+            first.setdefault(g, did)
+    for did, gs in grams.items():
+        got = out[did]
+        assert got["n_grams"] == len(gs)
+        novel = sum(1 for g in gs if first[g] == did)
+        assert got["n_novel"] == novel
+        if gs:
+            assert got["novelty"] == pytest.approx(novel / len(gs), abs=1e-6)
+
+
+def test_containment_pruning_is_lossless_vs_bruteforce(spark, sf_dir):
+    got = {
+        (r["contained_id"], r["container_id"])
+        for r in QUERIES["dedup_containment"](spark, sf_dir).collect()
+    }
+    docs = _docs_pd(spark, sf_dir)
+    corpus = {d.doc_id: _words(d.text) for d in docs.itertuples()}
+    for d in docs.itertuples():
+        ws = _words(d.text)
+        if len(ws) >= 20:
+            if d.doc_id % 7 == 0:
+                corpus[d.doc_id + 100000] = ws[:20]
+    norm = {k: " " + " ".join(v) + " " for k, v in corpus.items()}
+    expected = {
+        (a, b)
+        for a in corpus
+        for b in corpus
+        if len(corpus[b]) > len(corpus[a]) >= 8 and norm[a] in norm[b]
+    }
+    assert got == expected
+    assert expected  # the snippet construction must populate the relation
+
+
+def test_rp_reduce_matches_numpy_integer_dots(spark, sf_dir):
+    from pygeoapi_ingestor_spark.operators.similarity import md5_plane_weights
+
+    rows = QUERIES["embedding_rp_reduce"](spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    emb = emb.set_index("vec_id")
+    w = np.array(md5_plane_weights(64, 8, seed=11))
+    for r in rows[:100]:
+        v = np.asarray(emb.loc[r["vec_id"], "embedding"], dtype=np.float64)
+        mx = np.abs(v).max()
+        scale = mx if mx > 0 else 1.0
+        # numpy rounds half-to-even while Spark/DuckDB round HALF_UP;
+        # replicate HALF_UP explicitly
+        q = np.floor(np.abs(v) * 127.0 / scale + 0.5) * np.sign(v)
+        q = q.astype(np.int64)
+        proj = w.astype(np.int64) @ q
+        for p in range(8):
+            assert r[f"p{p}"] == proj[p]
+        q2 = int((q * q).sum())
+        if q2 > 0:
+            assert r["jl_ratio"] == pytest.approx(
+                float((proj * proj).sum()) / (8.0 * q2), abs=1e-5
+            )
+
+
+def test_dup_rate_consistent_with_exact_dedup(spark, sf_dir):
+    out = QUERIES["dup_rate_per_source"](spark, sf_dir).collect()
+    docs = _docs_pd(spark, sf_dir)
+    docs["fp"] = [
+        re.sub(r"[^a-z0-9]", "", t.lower()) for t in docs["text"]
+    ]
+    sizes = docs.groupby("fp")["doc_id"].transform("size")
+    nsrc = docs.groupby("fp")["source"].transform("nunique")
+    docs["dup"] = sizes > 1
+    docs["cross"] = nsrc > 1
+    exp = docs.groupby("source").agg(
+        n_docs=("doc_id", "size"), n_dup=("dup", "sum"), n_cross=("cross", "sum")
+    )
+    for r in out:
+        e = exp.loc[r["source"]]
+        assert r["n_docs"] == e["n_docs"]
+        assert r["n_dup"] == e["n_dup"]
+        assert r["n_cross_source"] == e["n_cross"]
+        assert r["dup_rate"] == pytest.approx(e["n_dup"] / e["n_docs"], abs=1e-6)

@@ -84,6 +84,9 @@ _R5_NEW: list[str] = [
     "ngram_novelty",
     "dedup_containment",
     "embedding_rp_reduce",
+    "climate_cdd",
+    "return_levels_empirical",
+    "feature_hash_vectors",
 ]
 
 _FRONT = _R5_NEW + [

@@ -3051,3 +3051,152 @@ SELECT event_id, day, round(lat, 6) AS lat, round(lon, 6) AS lon, n_cells,
            AS idw_value
 FROM agg
 """
+
+
+def q_climate_cdd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-dry-days (CDD) climate indices per series: dry-day
+    count, dry-spell count, and the longest dry spell — the ETCCDI
+    drought indicator computed downstream of every ingested precip
+    series (the run-length view of precip_deficit_cumsum's deficits).
+
+    A day is "dry" when its total falls below 0.8x the series mean; the
+    comparison is EXACT — cross-multiplied decimals
+    (10·daily_total·n < 8·series_total), no float threshold. Spells are
+    gaps-and-islands on the day index (x - row_number over dry days), so
+    calendar gaps break runs correctly. Two window passes over the tiny
+    per-(series, day) table, shuffle keyed on series.
+    """
+    from pyspark.sql import Window
+
+    d = _daily(spark, sf_dir).select(
+        "event_type",
+        F.expr(_X_DAY_SPARK).cast("bigint").alias("x"),
+        "daily_total",
+    )
+    ws = Window.partitionBy("event_type")
+    flagged = d.select(
+        "event_type", "x",
+        (
+            F.col("daily_total") * 10 * F.count(F.lit(1)).over(ws)
+            < F.sum("daily_total").over(ws) * 8
+        ).alias("dry"),
+        F.count(F.lit(1)).over(ws).alias("n_days"),
+    )
+    dry = flagged.filter("dry")
+    wd = Window.partitionBy("event_type").orderBy("x")
+    runs = dry.withColumn("grp", F.col("x") - F.row_number().over(wd)).groupBy(
+        "event_type", "grp"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
+    spells = runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spells"),
+        F.max("run_len").cast("bigint").alias("max_spell_days"),
+        F.sum("run_len").cast("bigint").alias("n_dry_days"),
+    )
+    totals = flagged.groupBy("event_type").agg(
+        F.first("n_days").cast("bigint").alias("n_days")
+    )
+    return totals.join(spells, "event_type", "left").select(
+        "event_type",
+        "n_days",
+        F.coalesce("n_dry_days", F.lit(0)).cast("bigint").alias("n_dry_days"),
+        F.coalesce("n_spells", F.lit(0)).cast("bigint").alias("n_spells"),
+        F.coalesce("max_spell_days", F.lit(0)).cast("bigint").alias("max_spell_days"),
+    )
+
+
+ETL_QUERIES["climate_cdd"] = q_climate_cdd
+
+ETL_ORACLES["climate_cdd"] = _DAILY_CTE + f"""
+, d AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x, daily_total
+    FROM daily
+), flagged AS (
+    SELECT event_type, x,
+           daily_total * 10 * count(*) OVER (PARTITION BY event_type)
+             < sum(daily_total) OVER (PARTITION BY event_type) * 8 AS dry,
+           count(*) OVER (PARTITION BY event_type) AS n_days
+    FROM d
+), runs AS (
+    SELECT event_type,
+           x - row_number() OVER (PARTITION BY event_type ORDER BY x) AS grp
+    FROM flagged WHERE dry
+), spells AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS run_len
+    FROM runs GROUP BY event_type, grp
+), agg AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_spells,
+           CAST(max(run_len) AS BIGINT) AS max_spell_days,
+           CAST(sum(run_len) AS BIGINT) AS n_dry_days
+    FROM spells GROUP BY 1
+), totals AS (
+    SELECT event_type, CAST(min(n_days) AS BIGINT) AS n_days FROM flagged GROUP BY 1
+)
+SELECT t.event_type, t.n_days,
+       CAST(coalesce(a.n_dry_days, 0) AS BIGINT) AS n_dry_days,
+       CAST(coalesce(a.n_spells, 0) AS BIGINT) AS n_spells,
+       CAST(coalesce(a.max_spell_days, 0) AS BIGINT) AS max_spell_days
+FROM totals t LEFT JOIN agg a ON t.event_type = a.event_type
+"""
+
+
+RETURN_LEVEL_TOPK = 5
+
+
+def q_return_levels_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical return levels per series: the top-k daily totals with
+    their Weibull plotting-position return periods T = (n+1)/rank — the
+    flood-frequency table (utils_spi.py's extreme tails consumed as
+    "1-in-N-day event" statements) without a fitted distribution.
+
+    One shuffle to (series); ranking walks the ~30-row daily table per
+    series, ties broken on the day for determinism. Counts and levels
+    exact; the return period is the single rounded float. At scale the
+    per-series sort is bounded by days, and series parallelize.
+    """
+    from pyspark.sql import Window
+
+    d = _daily(spark, sf_dir).select(
+        "event_type",
+        F.expr(_X_DAY_SPARK).cast("bigint").alias("x"),
+        "daily_total",
+    )
+    ws = Window.partitionBy("event_type")
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.col("daily_total").desc(), F.col("x").asc()
+    )
+    ranked = d.select(
+        "event_type", "x", "daily_total",
+        F.row_number().over(wrank).alias("rank"),
+        F.count(F.lit(1)).over(ws).alias("n_days"),
+    ).filter(F.col("rank") <= RETURN_LEVEL_TOPK)
+    return ranked.select(
+        "event_type",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("x").alias("day_index"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(F.col("daily_total").cast("double"), 2).alias("level"),
+        F.round(
+            (F.col("n_days") + 1).cast("double") / F.col("rank"), 4
+        ).alias("return_period_days"),
+    )
+
+
+ETL_QUERIES["return_levels_empirical"] = q_return_levels_empirical
+
+ETL_ORACLES["return_levels_empirical"] = _DAILY_CTE + f"""
+, d AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x, daily_total
+    FROM daily
+), ranked AS (
+    SELECT event_type, x, daily_total,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY daily_total DESC, x ASC) AS rank,
+           count(*) OVER (PARTITION BY event_type) AS n_days
+    FROM d
+)
+SELECT event_type, CAST(rank AS INT) AS rank, x AS day_index,
+       CAST(n_days AS BIGINT) AS n_days,
+       round(CAST(daily_total AS DOUBLE), 2) AS level,
+       round(CAST(n_days + 1 AS DOUBLE) / rank, 4) AS return_period_days
+FROM ranked WHERE rank <= {RETURN_LEVEL_TOPK}
+"""

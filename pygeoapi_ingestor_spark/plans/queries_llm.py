@@ -2697,3 +2697,104 @@ FROM projected
 
 
 LLM_ORACLES["embedding_rp_reduce"] = _rp_reduce_oracle_sql()
+
+
+FH_DIM = 16
+
+
+def q_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) document vectors: every token
+    occurrence hashes to one of FH_DIM buckets with a +/-1 sign, giving
+    a fixed-width sparse vector per document without any vocabulary
+    build — the no-training embedding used for cheap clustering and as
+    the classifier input of a quality-gate bootstrap.
+
+    Engine-neutral hashing: bucket = first-8-hex of md5(token) mod
+    FH_DIM, sign = 9th hex nibble's low bit — both reproducible in any
+    SQL dialect. Exact integer bucket sums; the sparse vector is
+    digested in bucket order so the hash gate covers every component.
+    One shuffle on (doc, bucket) (map-side combinable), one re-group
+    per doc; tokens shuffle as integers, never text.
+    """
+    docs = _docs(spark, sf_dir)
+    words = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")),
+            r"\s+",
+        ),
+        lambda w: w != "",
+    )
+    tok = docs.select(F.col("doc_id"), F.explode(words).alias("w"))
+    h8 = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("w")), 9, 1), 16, 10).cast("int") % 2 == 1,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    comps = (
+        tok.select("doc_id", (h8 % FH_DIM).cast("int").alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    vec = comps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nnz"),
+        F.sum(F.col("val") * F.col("val")).cast("bigint").alias("l2sq"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(":", F.col("bucket").cast("string"), F.col("val"))
+                    )
+                ),
+            )
+        ).alias("vec_digest"),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(vec, "doc_id", "left")
+        .select(
+            "doc_id", "source",
+            F.coalesce("nnz", F.lit(0)).cast("bigint").alias("nnz"),
+            F.coalesce("l2sq", F.lit(0)).cast("bigint").alias("l2sq"),
+            F.coalesce("vec_digest", F.lit("")).alias("vec_digest"),
+        )
+    )
+
+
+LLM_QUERIES["feature_hash_vectors"] = q_feature_hash_vectors
+
+# the digest concatenates "bucket:val" in LEXICOGRAPHIC bucket-string
+# order (sort_array over strings) — mirrored with ORDER BY the string
+LLM_ORACLES["feature_hash_vectors"] = rf"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                   '\s+'),
+               w -> w <> '')) AS w
+    FROM documents
+), hashed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % {FH_DIM} AS INT) AS bucket,
+           CASE WHEN ('0x' || substr(md5(w), 9, 1))::INT % 2 = 1
+                THEN 1 ELSE -1 END AS s
+    FROM tok
+), comps AS (
+    SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS val
+    FROM hashed GROUP BY 1, 2
+    HAVING sum(s) <> 0
+), vec AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+           CAST(sum(val * val) AS BIGINT) AS l2sq,
+           md5(string_agg(bucket || ':' || val, ','
+                          ORDER BY bucket || ':' || val)) AS vec_digest
+    FROM comps GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(v.nnz, 0) AS BIGINT) AS nnz,
+       CAST(coalesce(v.l2sq, 0) AS BIGINT) AS l2sq,
+       coalesce(v.vec_digest, '') AS vec_digest
+FROM documents d LEFT JOIN vec v ON d.doc_id = v.doc_id
+"""

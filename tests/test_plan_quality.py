@@ -475,3 +475,71 @@ def test_verification_and_monitoring_plans_stay_bounded(spark, sf_dir):
         assert "CartesianProduct" not in plan, key
     # the QA gate is projection + one aggregate: no join at all
     assert "Join" not in _simple(QUERIES["embedding_qa_stats"](spark, sf_dir))
+
+
+def test_focal_stats_no_cartesian_two_exchanges(spark, sf_dir):
+    # cell snap (one exchange) + focal re-group (one exchange on the
+    # tiny cell table); the join back to base cells must hash/broadcast,
+    # never nested-loop
+    plan = _simple(QUERIES["focal_stats_grid"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_theilsen_pair_join_is_equi_on_series(spark, sf_dir):
+    # the pair blowup must come from an equi-join keyed on the series
+    # column (quadratic in DAYS only), not a cartesian over rows
+    plan = _simple(QUERIES["theilsen_trend"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ccf_reference_series_broadcasts(spark, sf_dir):
+    plan = _simple(QUERIES["ccf_lags"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_idw_candidates_equi_join_on_day_cell(spark, sf_dir):
+    # the 5x5 window explode joins grid cells by key — a range/theta
+    # join here would scan the whole grid per target at scale
+    plan = _simple(QUERIES["idw_interp"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audience_overlap_totals_broadcast(spark, sf_dir):
+    plan = _simple(QUERIES["audience_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_candidates_from_gram_join_only(spark, sf_dir):
+    # candidate pairs must come from the rarest-gram equi-join; the
+    # exact contains gate runs on join OUTPUT, never an all-pairs scan
+    plan = _simple(QUERIES["dedup_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rp_reduce_is_pure_projection(spark, sf_dir):
+    # dimensionality reduction is a per-row map: no exchange anywhere
+    plan = _simple(QUERIES["embedding_rp_reduce"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_cdd_and_return_levels_single_series_shuffle(spark, sf_dir):
+    for key in ("climate_cdd", "return_levels_empirical"):
+        plan = _simple(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_feature_hash_shuffles_integers_not_text(spark, sf_dir):
+    # the (doc, bucket) aggregation must be partial (map-side combine)
+    # and the exchange carries hashed integers, never the token strings
+    plan = _formatted(QUERIES["feature_hash_vectors"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert not any(" w#" in ln for ln in exchanges)

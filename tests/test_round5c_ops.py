@@ -257,3 +257,62 @@ def test_dup_rate_consistent_with_exact_dedup(spark, sf_dir):
         assert r["n_dup"] == e["n_dup"]
         assert r["n_cross_source"] == e["n_cross"]
         assert r["dup_rate"] == pytest.approx(e["n_dup"] / e["n_docs"], abs=1e-6)
+
+
+def test_climate_cdd_matches_python_runs(spark, sf_dir):
+    out = {r["event_type"]: r for r in QUERIES["climate_cdd"](spark, sf_dir).collect()}
+    daily = _daily_pd(spark, sf_dir)
+    for et, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day")
+        y = grp["value"].to_numpy()
+        mean = y.sum() / len(y)
+        dry = y < 0.8 * mean
+        runs, cur = [], 0
+        for flag in dry:
+            if flag:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        got = out[et]
+        assert got["n_days"] == len(y)
+        assert got["n_dry_days"] == int(dry.sum())
+        assert got["n_spells"] == len(runs)
+        assert got["max_spell_days"] == (max(runs) if runs else 0)
+
+
+def test_return_levels_match_numpy_order_stats(spark, sf_dir):
+    rows = QUERIES["return_levels_empirical"](spark, sf_dir).collect()
+    daily = _daily_pd(spark, sf_dir)
+    for et, grp in daily.groupby("event_type"):
+        y = np.sort(grp["value"].to_numpy())[::-1]
+        n = len(y)
+        for r in [x for x in rows if x["event_type"] == et]:
+            assert r["n_days"] == n
+            assert r["level"] == pytest.approx(y[r["rank"] - 1], abs=1e-6)
+            assert r["return_period_days"] == pytest.approx(
+                (n + 1) / r["rank"], abs=1e-3
+            )
+
+
+def test_feature_hash_matches_python_hashing(spark, sf_dir):
+    import hashlib
+
+    rows = {r["doc_id"]: r for r in QUERIES["feature_hash_vectors"](spark, sf_dir).collect()}
+    docs = _docs_pd(spark, sf_dir)
+    for d in docs.itertuples():
+        vec = {}
+        for w in _words(d.text):
+            h = hashlib.md5(w.encode()).hexdigest()
+            bucket = int(h[:8], 16) % 16
+            s = 1 if int(h[8], 16) % 2 == 1 else -1
+            vec[bucket] = vec.get(bucket, 0) + s
+        vec = {b: v for b, v in vec.items() if v != 0}
+        got = rows[d.doc_id]
+        assert got["nnz"] == len(vec)
+        assert got["l2sq"] == sum(v * v for v in vec.values())
+        parts = sorted(f"{b}:{v}" for b, v in vec.items())
+        digest = hashlib.md5(",".join(parts).encode()).hexdigest() if parts else ""
+        assert got["vec_digest"] == digest

@@ -354,3 +354,86 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_chunk_grid(
+    df,
+    path: str,
+    ts_col: str,
+    lon_col: str,
+    lat_col: str,
+    chunk_days: int = 7,
+    bits_per_axis: int = 4,
+) -> dict:
+    """Chunk-grid collection layout: the parquet re-expression of the
+    reference's ZARR publication (utils_spi.py writes every product as
+    chunked zarr to S3). Data lands partitioned by (time_chunk,
+    cell_chunk) — a fixed time-window x Morton-cell grid — with a JSON
+    manifest recording the chunk geometry and per-chunk row counts, so
+    a reader (or the items API) can address any space-time chunk
+    directly, exactly like a zarr chunk key.
+
+    One shuffle on the chunk key; the manifest aggregates the same pass.
+    Readers prune by partition directory (PartitionFilters), paying for
+    only the chunks a bbox/time slice touches.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.operators import spatial
+    from pygeoapi_ingestor_spark.operators.temporal import wall_trunc
+
+    day_anchor = "2024-01-01"
+    tchunk = (
+        F.datediff(F.col(ts_col).cast("date"), F.lit(day_anchor).cast("date"))
+        / chunk_days
+    )
+    chunked = df.withColumn(
+        "time_chunk", F.floor(tchunk).cast("int")
+    ).withColumn(
+        "cell_chunk",
+        spatial.morton_cell(lon_col, lat_col, bits_per_axis=bits_per_axis),
+    )
+    (
+        chunked.repartition("time_chunk", "cell_chunk")
+        .write.mode("overwrite")
+        .partitionBy("time_chunk", "cell_chunk")
+        .parquet(path)
+    )
+    written = df.sparkSession.read.parquet(path)
+    counts = (
+        written.groupBy("time_chunk", "cell_chunk").count().collect()
+    )
+    manifest = {
+        "layout": "chunk_grid",
+        "chunk_days": chunk_days,
+        "bits_per_axis": bits_per_axis,
+        "anchor": day_anchor,
+        "n_chunks": len(counts),
+        "chunks": {
+            f"{r['time_chunk']}.{r['cell_chunk']}": r["count"]
+            for r in sorted(counts, key=lambda r: (r["time_chunk"], r["cell_chunk"]))
+        },
+    }
+    jvm = df.sparkSession._jvm
+    mpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_chunk_manifest.json")
+    fs = mpath.getFileSystem(df.sparkSession._jsc.hadoopConfiguration())
+    out = fs.create(mpath, True)
+    out.write(bytearray(_json.dumps(manifest, indent=1).encode()))
+    out.close()
+    return manifest
+
+
+def read_chunk(spark, path: str, time_chunk: int, cell_chunk: int):
+    """Address one space-time chunk of a chunk-grid collection; the
+    partition filters prune the scan to that chunk's directory."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("time_chunk") == time_chunk)
+            & (F.col("cell_chunk") == cell_chunk)
+        )
+    )

@@ -238,3 +238,43 @@ def test_write_zordered_clusters_files_disjointly(spark, tmp_path):
     assert len(ranges) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping z-ranges: {(lo1,hi1)} vs {(lo2,hi2)}"
+
+
+def test_chunk_grid_layout_manifest_and_pruning(spark, sf_dir, tmp_path):
+    import json
+
+    from pygeoapi_ingestor_spark.sinks.collections import (
+        read_chunk,
+        write_chunk_grid,
+    )
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "ts", "value",
+        ((F.col("event_id") % 5760) / F.lit(16.0) - F.lit(180.0)).alias("lon"),
+        ((F.col("user_id") % 2880) / F.lit(16.0) - F.lit(90.0)).alias("lat"),
+    )
+    out = str(tmp_path / "chunked")
+    manifest = write_chunk_grid(
+        ev, out, ts_col="ts", lon_col="lon", lat_col="lat",
+        chunk_days=7, bits_per_axis=2,
+    )
+    # manifest counts must cover every row exactly once
+    assert sum(manifest["chunks"].values()) == ev.count()
+    on_disk = json.load(open(f"{out}/_chunk_manifest.json"))
+    assert on_disk["chunks"] == {k: v for k, v in manifest["chunks"].items()}
+    # directory layout is partitioned by the chunk key
+    import os
+
+    tdirs = [d for d in os.listdir(out) if d.startswith("time_chunk=")]
+    assert tdirs
+    # chunk addressing prunes the scan to one partition directory
+    key = next(iter(manifest["chunks"]))
+    tc, cc = (int(x) for x in key.split("."))
+    one = read_chunk(spark, out, tc, cc)
+    assert one.count() == manifest["chunks"][key]
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # every row in the chunk belongs there (round-trip the chunk math)
+    row = one.select(F.min("time_chunk"), F.max("time_chunk")).first()
+    assert row[0] == tc and row[1] == tc

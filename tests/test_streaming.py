@@ -226,3 +226,94 @@ def test_drift_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
         assert n == bn, ws
         assert p == bp, ws
         assert drifted == (p > 0.1) or abs(p - 0.1) < 1e-9
+
+
+def test_cdc_upsert_stream_matches_sequential_batch_merge(spark, sf_dir, tmp_path):
+    """Three change batches streamed with maxFilesPerTrigger=1 must leave
+    the same snapshot as folding apply_changes over them in order."""
+    from pygeoapi_ingestor_spark.operators.temporal import apply_changes
+
+    ev = read_events(spark, sf_dir).limit(600)
+    # change feed: latest event per (user, type) in each third, delete
+    # when value < 25 (the merge_upsert convention)
+    changes = ev.select(
+        "user_id", "event_type", "ts", "event_id", "value",
+        F.when(F.col("value") < 25.0, "D").otherwise("U").alias("op"),
+        (F.col("event_id") % 3).alias("part"),
+    )
+    src = str(tmp_path / "cdc_src")
+    for i in range(3):
+        changes.filter(F.col("part") == i).drop("part").coalesce(1).write.mode(
+            "append"
+        ).json(src)
+    snapshot = str(tmp_path / "cdc_snapshot")
+    stream = (
+        spark.readStream.schema(changes.drop("part").schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    pipeline.cdc_upsert_stream(
+        stream,
+        snapshot_path=snapshot,
+        checkpoint=str(tmp_path / "cdc_ckpt"),
+        key_cols=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+    )
+    got = {
+        (r["user_id"], r["event_type"]): (r["event_id"], round(r["value"], 4))
+        for r in spark.read.parquet(snapshot).collect()
+    }
+    # sequential-batch expectation: fold in file order. The stream's
+    # batches partition the feed by file, so replay each file as one
+    # apply_changes pass; json roundtrip keeps ts ordering (isoformat).
+    expected_base = changes.drop("part").drop("op").filter(F.lit(False))
+    files = sorted(
+        f for f in os.listdir(src) if f.endswith(".json")
+    )
+    base = expected_base
+    for f in files:
+        batch = spark.read.schema(changes.drop("part").schema).json(
+            os.path.join(src, f)
+        )
+        base = apply_changes(
+            base, batch, ["user_id", "event_type"], ["ts", "event_id"]
+        ).drop("src")
+    exp = {
+        (r["user_id"], r["event_type"]): (r["event_id"], round(r["value"], 4))
+        for r in base.collect()
+    }
+    assert got == exp
+    assert got  # non-trivial snapshot
+
+
+def test_cdc_upsert_stream_is_idempotent_on_restart(spark, sf_dir, tmp_path):
+    """Re-running the stream over the same source with the same
+    checkpoint must not change the snapshot (no new batches)."""
+    ev = read_events(spark, sf_dir).limit(100)
+    changes = ev.select(
+        "user_id", "event_type", "ts", "event_id", "value",
+        F.lit("U").alias("op"),
+    )
+    src = str(tmp_path / "cdc2_src")
+    changes.coalesce(1).write.mode("overwrite").json(src)
+    snapshot = str(tmp_path / "cdc2_snapshot")
+    ckpt = str(tmp_path / "cdc2_ckpt")
+
+    def run():
+        stream = spark.readStream.schema(changes.schema).json(src)
+        pipeline.cdc_upsert_stream(
+            stream, snapshot_path=snapshot, checkpoint=ckpt,
+            key_cols=["user_id", "event_type"], order_cols=["ts", "event_id"],
+        )
+
+    run()
+    first = sorted(
+        (r["user_id"], r["event_type"], r["event_id"])
+        for r in spark.read.parquet(snapshot).collect()
+    )
+    run()  # same checkpoint: zero new batches
+    second = sorted(
+        (r["user_id"], r["event_type"], r["event_id"])
+        for r in spark.read.parquet(snapshot).collect()
+    )
+    assert first == second

@@ -87,6 +87,9 @@ _R5_NEW: list[str] = [
     "climate_cdd",
     "return_levels_empirical",
     "feature_hash_vectors",
+    "threshold_crossings",
+    "qc_flags_station",
+    "minhash_accuracy_eval",
 ]
 
 _FRONT = _R5_NEW + [

@@ -3200,3 +3200,156 @@ SELECT event_type, CAST(rank AS INT) AS rank, x AS day_index,
        round(CAST(n_days + 1 AS DOUBLE) / rank, 4) AS return_period_days
 FROM ranked WHERE rank <= {RETURN_LEVEL_TOPK}
 """
+
+
+ALARM_HIGH, ALARM_LOW = 175.0, 150.0
+
+
+def q_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Danger-level alerting with HYSTERESIS per series: an alarm raises
+    when the value reaches ALARM_HIGH and clears only when it falls to
+    ALARM_LOW — the latched form of ll_nl_danger_levels.py's class
+    assignment (the batch twin of streaming/stateful.py's EWMA alert
+    latch), so oscillation between the two bounds never re-fires.
+
+    Spark-native shape: the latch state only changes on BOUNDARY rows
+    (value >= high or value <= low), so the state machine collapses to
+    lag() transitions over the boundary subset — no recursion, no UDF,
+    one shuffle on the series key; the window walks each series'
+    boundary rows ordered by (ts, event_id).
+    """
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    b = ev.filter(
+        (F.col("value") >= ALARM_HIGH) | (F.col("value") <= ALARM_LOW)
+    ).select(
+        "event_type", "ts", "event_id",
+        F.when(F.col("value") >= ALARM_HIGH, F.lit(1)).otherwise(F.lit(0)).alias("flag"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = b.withColumn("prev", F.lag("flag").over(w))
+    enters = F.when(
+        (F.col("flag") == 1) & (F.col("prev").isNull() | (F.col("prev") == 0)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    exits = F.when((F.col("flag") == 0) & (F.col("prev") == 1), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return t.groupBy("event_type").agg(
+        F.sum(enters).cast("bigint").alias("n_alarms"),
+        F.sum(exits).cast("bigint").alias("n_clears"),
+        F.min(F.when(enters == 1, F.col("ts"))).alias("first_alarm_ts"),
+        F.max(F.struct("ts", "event_id", "flag")).getField("flag").cast("int").alias("last_state"),
+    )
+
+
+ETL_QUERIES["threshold_crossings"] = q_threshold_crossings
+
+ETL_ORACLES["threshold_crossings"] = f"""
+WITH b AS (
+    SELECT event_type, ts, event_id,
+           CASE WHEN value >= {ALARM_HIGH} THEN 1 ELSE 0 END AS flag
+    FROM events
+    WHERE value >= {ALARM_HIGH} OR value <= {ALARM_LOW}
+), t AS (
+    SELECT event_type, ts, event_id, flag,
+           lag(flag) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn_last
+    FROM b
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN flag = 1 AND (prev IS NULL OR prev = 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       CAST(sum(CASE WHEN flag = 0 AND prev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clears,
+       min(CASE WHEN flag = 1 AND (prev IS NULL OR prev = 0) THEN ts END)
+           AS first_alarm_ts,
+       CAST(max(CASE WHEN rn_last = 1 THEN flag END) AS INT) AS last_state
+FROM t GROUP BY 1
+"""
+
+
+QC_SPIKE, QC_RANGE_HI, QC_RANGE_LO = 250.0, 300.0, 0.1
+
+
+def q_qc_flags_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Station-data quality control per (series, day): spike flags
+    (first difference beyond QC_SPIKE), flatline flags (three identical
+    consecutive readings), and range violations — the QC screen a
+    production ingest runs on every station feed before publication
+    (the reference ingests SMHI/KNMI/ARPAE station series raw;
+    this is the standard meteorological QC layered on that intake).
+
+    One shuffle on the series key; lag windows walk each series once,
+    then a per-(series, day) rollup. Values are 2-decimal DECIMAL so
+    every comparison (diff magnitude, equality) is exact — no float
+    tolerance ambiguity between engines.
+    """
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts", "event_id", F.col("value").cast(VALUE_DEC).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = (
+        ev.withColumn("prev", F.lag("v").over(w))
+        .withColumn("prev2", F.lag("v", 2).over(w))
+    )
+    spike = F.when(
+        F.col("prev").isNotNull()
+        & (F.abs(F.col("v") - F.col("prev")) > QC_SPIKE),
+        1,
+    ).otherwise(0)
+    flat = F.when(
+        (F.col("v") == F.col("prev")) & (F.col("prev") == F.col("prev2")), 1
+    ).otherwise(0)
+    rng = F.when(
+        (F.col("v") > QC_RANGE_HI) | (F.col("v") < QC_RANGE_LO), 1
+    ).otherwise(0)
+    day = temporal.wall_trunc("day", F.col("ts")).alias("day")
+    flagged = t.select(
+        "event_type", day, spike.alias("spike"), flat.alias("flat"), rng.alias("rng")
+    )
+    return flagged.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("spike").cast("bigint").alias("n_spikes"),
+        F.sum("flat").cast("bigint").alias("n_flatline"),
+        F.sum("rng").cast("bigint").alias("n_range"),
+        F.round(
+            (F.sum("spike") + F.sum("flat") + F.sum("rng"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("flag_rate"),
+    )
+
+
+ETL_QUERIES["qc_flags_station"] = q_qc_flags_station
+
+ETL_ORACLES["qc_flags_station"] = f"""
+WITH t AS (
+    SELECT event_type, ts,
+           CAST(value AS DECIMAL(14,2)) AS v,
+           lag(CAST(value AS DECIMAL(14,2))) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS prev,
+           lag(CAST(value AS DECIMAL(14,2)), 2) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS prev2
+    FROM events
+), flagged AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CASE WHEN prev IS NOT NULL AND abs(v - prev) > {QC_SPIKE}
+                THEN 1 ELSE 0 END AS spike,
+           CASE WHEN v = prev AND prev = prev2 THEN 1 ELSE 0 END AS flat,
+           CASE WHEN v > {QC_RANGE_HI} OR v < {QC_RANGE_LO}
+                THEN 1 ELSE 0 END AS rng
+    FROM t
+)
+SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(spike) AS BIGINT) AS n_spikes,
+       CAST(sum(flat) AS BIGINT) AS n_flatline,
+       CAST(sum(rng) AS BIGINT) AS n_range,
+       round((sum(spike) + sum(flat) + sum(rng)) / CAST(count(*) AS DOUBLE), 6)
+           AS flag_rate
+FROM flagged GROUP BY 1, 2
+"""

@@ -2798,3 +2798,91 @@ SELECT d.doc_id, d.source,
        coalesce(v.vec_digest, '') AS vec_digest
 FROM documents d LEFT JOIN vec v ON d.doc_id = v.doc_id
 """
+
+
+def q_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator acceptance: for every LSH candidate pair, the
+    signature-estimated Jaccard next to the EXACT shingle Jaccard and
+    the absolute error — the dedup-index counterpart of ann_recall_eval
+    (before trusting the banding config on a new corpus, measure how
+    far the 32-hash estimate strays on real pairs).
+
+    Exact side touches candidate pairs only (the lsh_verified join
+    shape, threshold-free); every count is integer, the two ratios and
+    the error are the only floats. Oracle: the candidate-oracle SQL as
+    a subquery joined to the shingle-intersection CTEs.
+    """
+    cand = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        n=3, num_hashes=32, bands=8, shingle_hash="md5",
+    )
+    sh = dedup.shingles(_docs(spark, sf_dir), id_col="doc_id", text_col="text", n=3)
+    sizes = sh.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("shingle").alias("_sha"))
+    sh_b = sh.select(F.col("doc").alias("_docb"), F.col("shingle").alias("_shb"))
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (F.col("doc_b") == F.col("_docb")) & (F.col("_sha") == F.col("_shb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    exact = (
+        F.col("n_common")
+        / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double")
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)).cast("bigint"))
+        .select(
+            "doc_a", "doc_b", "n_common", "size_a", "size_b",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+        )
+    )
+
+
+LLM_QUERIES["minhash_accuracy_eval"] = q_minhash_accuracy_eval
+
+
+def _minhash_accuracy_oracle_sql() -> str:
+    cand = _minhash_lsh_oracle_sql()
+    return _shingle_cte() + f"""
+, sizes AS (
+    SELECT doc, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1
+), inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+), cand AS (
+    SELECT * FROM ({cand}) c
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+       sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+       round(c.est_jaccard, 6) AS est_jaccard,
+       round(coalesce(i.n_common, 0)
+             / CAST(sa.n_shingles + sb.n_shingles - coalesce(i.n_common, 0)
+                    AS DOUBLE), 6) AS jaccard,
+       round(abs(c.est_jaccard
+                 - coalesce(i.n_common, 0)
+                   / CAST(sa.n_shingles + sb.n_shingles - coalesce(i.n_common, 0)
+                          AS DOUBLE)), 6) AS abs_err
+FROM cand c
+LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc
+JOIN sizes sb ON c.doc_b = sb.doc
+"""
+
+
+LLM_ORACLES["minhash_accuracy_eval"] = _minhash_accuracy_oracle_sql()

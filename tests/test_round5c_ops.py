@@ -316,3 +316,78 @@ def test_feature_hash_matches_python_hashing(spark, sf_dir):
         parts = sorted(f"{b}:{v}" for b, v in vec.items())
         digest = hashlib.md5(",".join(parts).encode()).hexdigest() if parts else ""
         assert got["vec_digest"] == digest
+
+
+def test_threshold_crossings_matches_python_latch(spark, sf_dir):
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["threshold_crossings"](spark, sf_dir).collect()
+    }
+    ev = _events_pd(spark, sf_dir).sort_values(["ts", "event_id"])
+    for et, grp in ev.groupby("event_type"):
+        state, n_alarms, n_clears, first_ts = 0, 0, 0, None
+        last_state = None
+        for r in grp.itertuples():
+            if r.value >= 175.0:
+                if state == 0:
+                    n_alarms += 1
+                    if first_ts is None:
+                        first_ts = r.ts
+                state = 1
+                last_state = 1
+            elif r.value <= 150.0:
+                if state == 1:
+                    n_clears += 1
+                state = 0
+                last_state = 0
+            # between the bounds: latch holds (no transition) — the
+            # hysteresis property this operator exists for
+        got = out[et]
+        assert got["n_alarms"] == n_alarms
+        assert got["n_clears"] == n_clears
+        assert got["first_alarm_ts"] == first_ts
+        assert got["last_state"] == last_state
+
+
+def test_qc_flags_match_python(spark, sf_dir):
+    out = {
+        (r["event_type"], r["day"].date()): r
+        for r in QUERIES["qc_flags_station"](spark, sf_dir).collect()
+    }
+    ev = _events_pd(spark, sf_dir).sort_values(["ts", "event_id"])
+    for et, grp in ev.groupby("event_type"):
+        vals = grp["value"].round(2).to_list()
+        days = grp["ts"].dt.date.to_list()
+        per_day = {}
+        for i, (v, d) in enumerate(zip(vals, days)):
+            rec = per_day.setdefault(d, [0, 0, 0, 0])
+            rec[0] += 1
+            if i >= 1 and abs(v - vals[i - 1]) > 250.0:
+                rec[1] += 1
+            if i >= 2 and v == vals[i - 1] == vals[i - 2]:
+                rec[2] += 1
+            if v > 300.0 or v < 0.1:
+                rec[3] += 1
+        for d, (n, sp, fl, rg) in per_day.items():
+            got = out[(et, d)]
+            assert got["n_obs"] == n
+            assert got["n_spikes"] == sp
+            assert got["n_flatline"] == fl
+            assert got["n_range"] == rg
+
+
+def test_minhash_estimate_error_is_bounded(spark, sf_dir):
+    rows = QUERIES["minhash_accuracy_eval"](spark, sf_dir).collect()
+    assert rows  # the corpus has near-dup candidates
+    for r in rows:
+        # exact jaccard recomputable from the integer counts
+        exact = r["n_common"] / (r["size_a"] + r["size_b"] - r["n_common"])
+        assert r["jaccard"] == pytest.approx(exact, abs=1e-6)
+        assert r["abs_err"] == pytest.approx(abs(r["est_jaccard"] - exact), abs=1e-6)
+        # 32-hash MinHash: std error ~ sqrt(j(1-j)/32) <= 0.09; allow 4 sigma
+        assert r["abs_err"] <= 0.36
+    # the corpus' real near-dups sit at high jaccard: estimator must
+    # agree closely there (this is the acceptance criterion)
+    high = [r for r in rows if r["jaccard"] >= 0.9]
+    assert high
+    assert max(r["abs_err"] for r in high) <= 0.2

@@ -90,6 +90,8 @@ _R5_NEW: list[str] = [
     "threshold_crossings",
     "qc_flags_station",
     "minhash_accuracy_eval",
+    "area_weighted_mean",
+    "lang_id_confusion",
 ]
 
 _FRONT = _R5_NEW + [

@@ -3353,3 +3353,77 @@ SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_obs,
            AS flag_rate
 FROM flagged GROUP BY 1, 2
 """
+
+
+# 36-row latitude-band weight table, cos(lat) computed ONCE in Python so
+# both engines embed the SAME literals — no cross-engine libm trust
+# needed (cos is not required to be correctly rounded; sqrt is)
+import math as _math
+
+AW_LAT_BANDS = [
+    (li, round((li - 17.5) * 5.0, 1), round(_math.cos(_math.radians((li - 17.5) * 5.0)), 9))
+    for li in range(36)
+]
+
+
+def q_area_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted (cos-latitude) daily spatial mean — the correct
+    global/zonal mean over a lat/lon grid, where a 1-degree cell near
+    the pole covers far less area than one at the equator (xarray's
+    ``weighted(cos(lat)).mean()`` idiom; the reference's basin means at
+    utils_spi.py:576-590 are small-extent so it skips the weighting —
+    at continental extents that shortcut biases the mean poleward).
+
+    The 36-band weight table is Python-computed literals broadcast to
+    both engines; weighted sums are DECIMAL x DECIMAL exact products,
+    so accumulation order cannot flip a bit. One shuffle to (day);
+    weights join via broadcast.
+    """
+    ev = _events(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [(li, lat, w) for li, lat, w in AW_LAT_BANDS], "li int, lat double, w string"
+    ).select("li", "lat", F.col("w").cast("decimal(10,9)").alias("w"))
+    pts = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        (F.col("user_id") % 36).cast("int").alias("li"),
+        F.col("value").cast(VALUE_DEC).alias("v"),
+    )
+    j = pts.join(F.broadcast(bands), "li")
+    return j.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(
+            F.sum(F.col("w") * F.col("v")).cast("double")
+            / F.sum("w").cast("double"),
+            6,
+        ).alias("aw_mean"),
+        F.round(
+            F.sum("v").cast("double") / F.count(F.lit(1)), 6
+        ).alias("plain_mean"),
+    )
+
+
+ETL_QUERIES["area_weighted_mean"] = q_area_weighted_mean
+
+
+def _aw_oracle_sql() -> str:
+    rows = ", ".join(f"({li}, {lat}, {w:.9f})" for li, lat, w in AW_LAT_BANDS)
+    return f"""
+WITH bands(li, lat, w) AS (
+    SELECT li, lat, CAST(w AS DECIMAL(10,9))
+    FROM (VALUES {rows}) t(li, lat, w)
+), pts AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(user_id % 36 AS INT) AS li,
+           CAST(value AS DECIMAL(14,2)) AS v
+    FROM events
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_obs,
+       round(CAST(sum(b.w * p.v) AS DOUBLE) / CAST(sum(b.w) AS DOUBLE), 6)
+           AS aw_mean,
+       round(CAST(sum(p.v) AS DOUBLE) / count(*), 6) AS plain_mean
+FROM pts p JOIN bands b ON p.li = b.li
+GROUP BY 1
+"""
+
+
+ETL_ORACLES["area_weighted_mean"] = _aw_oracle_sql()

@@ -2886,3 +2886,57 @@ JOIN sizes sb ON c.doc_b = sb.doc
 
 
 LLM_ORACLES["minhash_accuracy_eval"] = _minhash_accuracy_oracle_sql()
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID acceptance gate: confusion matrix of the heuristic
+    predictor against the labeled ``lang`` column, with per-actual-lang
+    recall — the QA step before trusting lang_id_heuristic to route a
+    multilingual corpus (the langid twin of centroid_classify's
+    label-QA confusion matrix).
+
+    One projection (the stopword hit counts) + one tiny groupBy on the
+    (actual, predicted) pair; recall derives from a broadcast per-lang
+    total. All counts exact; recall is the one rounded float.
+    """
+    pred = text.lang_id(_docs(spark, sf_dir), text_col="text")
+    matrix = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_actual")
+    )
+    return matrix.join(F.broadcast(totals), "lang").select(
+        "lang", "lang_pred", "n", "n_actual",
+        F.round(F.col("n") / F.col("n_actual").cast("double"), 6).alias("share"),
+    )
+
+
+LLM_QUERIES["lang_id_confusion"] = q_lang_id_confusion
+
+LLM_ORACLES["lang_id_confusion"] = r"""
+WITH hits AS (
+    SELECT doc_id, lang,
+           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it)\b')) AS h_en,
+           len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|zu)\b')) AS h_de,
+           len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est|une|que)\b')) AS h_fr,
+           len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|una|que|para)\b')) AS h_es
+    FROM documents
+), pred AS (
+    SELECT doc_id, lang,
+           CASE WHEN h_en = best AND best > 0 THEN 'en'
+                WHEN h_de = best AND best > 0 THEN 'de'
+                WHEN h_fr = best AND best > 0 THEN 'fr'
+                WHEN h_es = best AND best > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es) AS best FROM hits)
+), matrix AS (
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+), totals AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_actual FROM pred GROUP BY 1
+)
+SELECT m.lang, m.lang_pred, m.n, t.n_actual,
+       round(m.n / CAST(t.n_actual AS DOUBLE), 6) AS share
+FROM matrix m JOIN totals t ON m.lang = t.lang
+"""

@@ -437,3 +437,108 @@ def read_chunk(spark, path: str, time_chunk: int, cell_chunk: int):
             & (F.col("cell_chunk") == cell_chunk)
         )
     )
+
+
+def merge_into_partitioned(
+    changes,
+    snapshot_path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    n_buckets: int = 16,
+) -> dict:
+    """Fact-scale MERGE INTO: the snapshot lives partitioned by a
+    deterministic key-hash bucket, and a change batch rewrites ONLY the
+    buckets it touches — the partition-pruned form of
+    operators.temporal.apply_changes (and the scale path
+    cdc_upsert_stream's docstring promises: at 100 TB you cannot
+    rewrite the whole snapshot per batch).
+
+    Bucket = pmod(hash(keys), n_buckets) — Spark's hash() is a fixed-
+    seed Murmur3, stable across sessions, so the same key always lands
+    in the same partition directory. The merge reads the touched
+    buckets via partition pruning, applies MERGE semantics, and
+    replaces exactly those directories with dynamic partition
+    overwrite; untouched buckets' files are never opened or rewritten.
+
+    Returns {touched_buckets, total_buckets, rows_written}.
+    """
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.operators.temporal import apply_changes
+
+    spark = changes.sparkSession
+    bucket = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast(
+        "int"
+    )
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(snapshot_path)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    if not fs.exists(hadoop_path):
+        init = changes.filter(F.col(op_col) != delete_op)
+        w = [F.col(c).desc() for c in order_cols]
+        from pyspark.sql import Window
+
+        latest = (
+            init.withColumn(
+                "_rn",
+                F.row_number().over(Window.partitionBy(*key_cols).orderBy(*w)),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", op_col)
+        )
+        out = latest.withColumn("bucket", bucket)
+        out.write.mode("overwrite").partitionBy("bucket").parquet(snapshot_path)
+        n = spark.read.parquet(snapshot_path).count()
+        return {
+            "touched_buckets": sorted(
+                r["bucket"] for r in out.select("bucket").distinct().collect()
+            ),
+            "total_buckets": n_buckets,
+            "rows_written": n,
+        }
+
+    touched = sorted(
+        r["b"] for r in changes.select(bucket.alias("b")).distinct().collect()
+    )
+    base = (
+        spark.read.parquet(snapshot_path)
+        .filter(F.col("bucket").isin(touched))
+        .drop("bucket")
+    )
+    merged = apply_changes(
+        base, changes, key_cols, order_cols, op_col=op_col, delete_op=delete_op
+    ).drop("src")
+    # the merged plan READS the same files the overwrite will replace:
+    # materialize it eagerly (lineage cut) BEFORE touching the snapshot,
+    # or any post-write action replays the read over deleted files
+    out = merged.withColumn("bucket", bucket).localCheckpoint(eager=True)
+    n_rows = out.count()
+    surviving = {r["bucket"] for r in out.select("bucket").distinct().collect()}
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("bucket").parquet(snapshot_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        # release the checkpoint blocks (clearCache does not reach
+        # RDD-level checkpoint storage — the connected_components fix)
+        try:
+            out._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+    # dynamic overwrite only replaces partitions PRESENT in the output:
+    # a bucket whose every key was deleted would keep its stale
+    # directory — drop those explicitly
+    for b in touched:
+        if b not in surviving:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/bucket={b}"), True
+            )
+    return {
+        "touched_buckets": touched,
+        "total_buckets": n_buckets,
+        "rows_written": n_rows,
+    }

@@ -391,3 +391,40 @@ def test_minhash_estimate_error_is_bounded(spark, sf_dir):
     high = [r for r in rows if r["jaccard"] >= 0.9]
     assert high
     assert max(r["abs_err"] for r in high) <= 0.2
+
+
+def test_area_weighted_mean_matches_numpy(spark, sf_dir):
+    import math
+
+    out = {r["day"]: r for r in QUERIES["area_weighted_mean"](spark, sf_dir).collect()}
+    ev = _events_pd(spark, sf_dir)
+    ev["day"] = ev["ts"].dt.date
+    ev["li"] = (ev["user_id"] % 36).astype(int)
+    ev["w"] = [round(math.cos(math.radians((li - 17.5) * 5.0)), 9) for li in ev["li"]]
+    ev["v"] = ev["value"].round(2)
+    for day, grp in ev.groupby("day"):
+        got = out[day]
+        assert got["n_obs"] == len(grp)
+        assert got["aw_mean"] == pytest.approx(
+            (grp["w"] * grp["v"]).sum() / grp["w"].sum(), abs=1e-4
+        )
+        assert got["plain_mean"] == pytest.approx(grp["v"].mean(), abs=1e-4)
+        # the weighting must actually change the answer somewhere
+    assert any(
+        abs(r["aw_mean"] - r["plain_mean"]) > 1e-6 for r in out.values()
+    )
+
+
+def test_lang_id_confusion_diagonal_dominates(spark, sf_dir):
+    rows = QUERIES["lang_id_confusion"](spark, sf_dir).collect()
+    by_actual = {}
+    for r in rows:
+        by_actual.setdefault(r["lang"], []).append(r)
+    for lang, cells in by_actual.items():
+        assert sum(c["n"] for c in cells) == cells[0]["n_actual"]
+        assert abs(sum(c["share"] for c in cells) - 1.0) < 1e-3
+    # the synthetic corpus text is English-shaped whatever its label, so
+    # the only diagonal with signal is en — the matrix's JOB here is to
+    # surface exactly this label/content mismatch
+    en = {c["lang_pred"]: c for c in by_actual["en"]}
+    assert en["en"]["share"] >= 0.5

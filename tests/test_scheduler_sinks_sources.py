@@ -278,3 +278,110 @@ def test_chunk_grid_layout_manifest_and_pruning(spark, sf_dir, tmp_path):
     # every row in the chunk belongs there (round-trip the chunk math)
     row = one.select(F.min("time_chunk"), F.max("time_chunk")).first()
     assert row[0] == tc and row[1] == tc
+
+
+def test_merge_into_partitioned_rewrites_only_touched_buckets(spark, sf_dir, tmp_path):
+    import os
+
+    from pygeoapi_ingestor_spark.operators.temporal import apply_changes
+    from pygeoapi_ingestor_spark.sinks.collections import merge_into_partitioned
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).limit(500)
+    base_feed = ev.select(
+        "user_id", "event_type", "ts", "event_id", "value", F.lit("U").alias("op")
+    )
+    snap = str(tmp_path / "merge_snap")
+    info = merge_into_partitioned(
+        base_feed, snap, ["user_id", "event_type"], ["ts", "event_id"], n_buckets=8
+    )
+    assert info["rows_written"] > 0
+
+    # record per-bucket file listings before the incremental merge
+    def listing(b):
+        d = f"{snap}/bucket={b}"
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ) if os.path.isdir(d) else []
+
+    before = {b: listing(b) for b in range(8)}
+
+    # a small change batch: updates + deletes for THREE users' keys — at
+    # 8 buckets these hash into a strict subset, making pruning visible
+    three_users = [r["user_id"] for r in base_feed.select("user_id").distinct().limit(3).collect()]
+    changes = (
+        base_feed.filter(F.col("user_id").isin(three_users))
+        .withColumn("value", F.col("value") + 1000.0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn(
+            "op", F.when(F.col("user_id") % 5 == 0, "D").otherwise("U")
+        )
+    )
+    info2 = merge_into_partitioned(
+        changes, snap, ["user_id", "event_type"], ["ts", "event_id"], n_buckets=8
+    )
+    touched = set(info2["touched_buckets"])
+    assert touched and touched != set(range(8))  # genuinely partial
+
+    after = {b: listing(b) for b in range(8)}
+    for b in range(8):
+        if b not in touched:
+            assert after[b] == before[b], f"untouched bucket {b} was rewritten"
+
+    # parity with the unpartitioned MERGE over the same inputs
+    base_latest = spark.read.parquet(snap).drop("bucket")
+    expected = apply_changes(
+        merge_base := _rebuild_base(spark, base_feed),
+        changes,
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+    ).drop("src")
+    got = sorted(
+        (r["user_id"], r["event_type"], r["event_id"], round(r["value"], 3))
+        for r in base_latest.collect()
+    )
+    exp = sorted(
+        (r["user_id"], r["event_type"], r["event_id"], round(r["value"], 3))
+        for r in expected.collect()
+    )
+    assert got == exp
+
+
+def _rebuild_base(spark, base_feed):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        base_feed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "op")
+    )
+
+
+def test_merge_into_partitioned_drops_fully_deleted_bucket(spark, sf_dir, tmp_path):
+    import os
+
+    from pygeoapi_ingestor_spark.sinks.collections import merge_into_partitioned
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).limit(50)
+    feed = ev.select(
+        "user_id", "event_type", "ts", "event_id", "value", F.lit("U").alias("op")
+    )
+    snap = str(tmp_path / "merge_snap2")
+    merge_into_partitioned(
+        feed, snap, ["user_id", "event_type"], ["ts", "event_id"], n_buckets=4
+    )
+    # delete EVERYTHING: every touched bucket must disappear
+    deletes = feed.withColumn("op", F.lit("D")).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    merge_into_partitioned(
+        deletes, snap, ["user_id", "event_type"], ["ts", "event_id"], n_buckets=4
+    )
+    remaining = [d for d in os.listdir(snap) if d.startswith("bucket=")]
+    assert remaining == []

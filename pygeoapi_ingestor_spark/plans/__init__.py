@@ -92,6 +92,7 @@ _R5_NEW: list[str] = [
     "minhash_accuracy_eval",
     "area_weighted_mean",
     "lang_id_confusion",
+    "user_concentration",
 ]
 
 _FRONT = _R5_NEW + [

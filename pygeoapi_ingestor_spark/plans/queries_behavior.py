@@ -791,3 +791,76 @@ FROM pairs p
 JOIN totals ta ON p.type_a = ta.event_type
 JOIN totals tb ON p.type_b = tb.event_type
 """
+
+
+def q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration per event type: the Gini coefficient of
+    per-user event counts plus the top-decile share — "do 10% of the
+    users generate 90% of the traffic" (and for a training corpus, "do
+    ten domains dominate the source"), the inequality gate on any
+    intake distribution.
+
+    Gini folds to the sorted-rank identity Σ(2·rn − n − 1)·x₍rn₎ /
+    (n·Σx) — the ensemble_crps trick — so it needs ONE distributed
+    ranking (functions/ranks bucketed row_number: no single-partition
+    sort) and exact BIGINT sums; tie permutations cannot change the sum
+    because tied values contribute identically. Two shuffles total
+    (user-key count, then the bucketed rank).
+    """
+    from pygeoapi_ingestor_spark.functions import ranks
+
+    ev = read_events(spark, sf_dir)
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ranked = ranks.bucketed_row_number(
+        counts, ["event_type"], "cnt", ["user_id"], out_col="rn", count_col="n"
+    )
+    top_cut = F.col("n") - F.floor((F.col("n") + 9) / 10)  # n - ceil(n/10)
+    agg = ranked.groupBy("event_type").agg(
+        F.first("n").cast("bigint").alias("n_users"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.sum(
+            (F.lit(2) * F.col("rn") - F.col("n") - 1) * F.col("cnt")
+        ).cast("bigint").alias("gini_num"),
+        F.sum(F.when(F.col("rn") > top_cut, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("top_decile_events"),
+    )
+    return agg.select(
+        "event_type", "n_users", "n_events",
+        F.round(
+            F.col("gini_num") / (F.col("n_users") * F.col("n_events")).cast("double"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("top_decile_events") / F.col("n_events").cast("double"), 6
+        ).alias("top_decile_share"),
+    )
+
+
+BEHAVIOR_QUERIES["user_concentration"] = q_user_concentration
+
+BEHAVIOR_ORACLES["user_concentration"] = """
+WITH counts AS (
+    SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT event_type, cnt,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cnt, user_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM counts
+), agg AS (
+    SELECT event_type, CAST(min(n) AS BIGINT) AS n_users,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           CAST(sum((2 * rn - n - 1) * cnt) AS BIGINT) AS gini_num,
+           CAST(sum(CASE WHEN rn > n - CAST(floor((n + 9) / 10.0) AS BIGINT)
+                         THEN cnt ELSE 0 END) AS BIGINT) AS top_decile_events
+    FROM ranked GROUP BY 1
+)
+SELECT event_type, n_users, n_events,
+       round(gini_num / CAST(n_users * n_events AS DOUBLE), 6) AS gini,
+       round(top_decile_events / CAST(n_events AS DOUBLE), 6) AS top_decile_share
+FROM agg
+"""

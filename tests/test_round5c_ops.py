@@ -428,3 +428,22 @@ def test_lang_id_confusion_diagonal_dominates(spark, sf_dir):
     # surface exactly this label/content mismatch
     en = {c["lang_pred"]: c for c in by_actual["en"]}
     assert en["en"]["share"] >= 0.5
+
+
+def test_user_concentration_matches_numpy_gini(spark, sf_dir):
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["user_concentration"](spark, sf_dir).collect()
+    }
+    ev = _events_pd(spark, sf_dir)
+    for et, grp in ev.groupby("event_type"):
+        x = np.sort(grp.groupby("user_id").size().to_numpy())
+        n = len(x)
+        gini = float(((2 * np.arange(1, n + 1) - n - 1) * x).sum()) / (n * x.sum())
+        top = int(np.ceil(n / 10))
+        share = x[n - top:].sum() / x.sum()
+        got = out[et]
+        assert got["n_users"] == n
+        assert got["n_events"] == x.sum()
+        assert got["gini"] == pytest.approx(gini, abs=1e-5)
+        assert got["top_decile_share"] == pytest.approx(share, abs=1e-5)

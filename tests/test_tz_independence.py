@@ -28,6 +28,11 @@ TZ_SENSITIVE = [
     "retention_cohorts",
     "distinct_users_daily",
     "asof_join_forward",
+    # round-5 continuation: day-bucketed / ts-ordered additions
+    "climate_cdd",
+    "qc_flags_station",
+    "area_weighted_mean",
+    "threshold_crossings",
 ]
 
 

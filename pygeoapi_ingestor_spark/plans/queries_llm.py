@@ -2518,10 +2518,15 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ws").cast("bigint").alias("n_words"),
         F.concat_ws(" ", F.col("ws")).alias("norm"),
     )
+    # the gram table feeds THREE consumers (df counts, the rarest-gram
+    # window, and the candidate join's b-side); persist it as an index
+    # artifact or Catalyst rebuilds the tokenize+window chain per use
+    # (same cache contract as the LSH signature/PPJoin token tables —
+    # bench/scheduler clearCache frees it between jobs)
     sh = dedup.shingles(
         corpus.withColumnRenamed("norm", "text"), id_col="doc_id", text_col="text",
         n=DECON_NGRAM,
-    )
+    ).persist()
     df_counts = sh.groupBy("shingle").agg(
         F.countDistinct("doc").cast("bigint").alias("df")
     )

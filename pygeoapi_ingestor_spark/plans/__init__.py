@@ -93,6 +93,7 @@ _R5_NEW: list[str] = [
     "area_weighted_mean",
     "lang_id_confusion",
     "user_concentration",
+    "token_js_divergence",
 ]
 
 _FRONT = _R5_NEW + [

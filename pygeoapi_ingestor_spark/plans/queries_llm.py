@@ -2945,3 +2945,89 @@ SELECT m.lang, m.lang_pred, m.n, t.n_actual,
        round(m.n / CAST(t.n_actual AS DOUBLE), 6) AS share
 FROM matrix m JOIN totals t ON m.lang = t.lang
 """
+
+
+def q_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the token distributions of two
+    corpus halves (doc_id parity stands in for crawl A vs crawl B) —
+    the distribution-shift monitor for text intake, the token-level twin
+    of psi_drift_daily's numeric PSI.
+
+    Add-one smoothing over the shared vocabulary keeps both
+    distributions strictly positive; counts are exact integers and each
+    token's JS term is rounded then DECIMAL-summed so the reduction is
+    order-independent (ln's last-ulp is the only cross-engine freedom,
+    buried 9 digits below the rounding scale). One shuffle on the token
+    key (Zipf head handled by AQE skew split), single-row output.
+    """
+    docs = _docs(spark, sf_dir)
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+    tok = docs.select((F.col("doc_id") % 2).alias("half"), F.explode(words).alias("w"))
+    counts = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("cb"),
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v")).cast("double")
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v")).cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(q / m)
+    )
+    return j.agg(
+        F.first("v").alias("vocab"),
+        F.first("na").alias("tokens_a"),
+        F.first("nb").alias("tokens_b"),
+        F.round(
+            F.sum(F.round(term, 12).cast("decimal(24,12)")).cast("double"), 6
+        ).alias("js_divergence"),
+    )
+
+
+LLM_QUERIES["token_js_divergence"] = q_token_js_divergence
+
+LLM_ORACLES["token_js_divergence"] = r"""
+WITH tok AS (
+    SELECT doc_id % 2 AS half,
+           unnest(list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                   '\s+'),
+               w -> w <> '')) AS w
+    FROM documents
+), counts AS (
+    SELECT w,
+           CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+    FROM tok GROUP BY 1
+), totals AS (
+    SELECT CAST(count(*) AS BIGINT) AS v,
+           CAST(sum(ca) AS BIGINT) AS na,
+           CAST(sum(cb) AS BIGINT) AS nb
+    FROM counts
+), terms AS (
+    SELECT t.v, t.na, t.nb,
+           CAST(round(
+               0.5 * ((ca + 1) / CAST(na + v AS DOUBLE))
+                   * ln(((ca + 1) / CAST(na + v AS DOUBLE))
+                        / (((ca + 1) / CAST(na + v AS DOUBLE)
+                            + (cb + 1) / CAST(nb + v AS DOUBLE)) / 2.0))
+             + 0.5 * ((cb + 1) / CAST(nb + v AS DOUBLE))
+                   * ln(((cb + 1) / CAST(nb + v AS DOUBLE))
+                        / (((ca + 1) / CAST(na + v AS DOUBLE)
+                            + (cb + 1) / CAST(nb + v AS DOUBLE)) / 2.0)),
+               12) AS DECIMAL(24,12)) AS term
+    FROM counts c CROSS JOIN totals t
+)
+SELECT min(v) AS vocab, min(na) AS tokens_a, min(nb) AS tokens_b,
+       round(CAST(sum(term) AS DOUBLE), 6) AS js_divergence
+FROM terms
+"""

@@ -447,3 +447,26 @@ def test_user_concentration_matches_numpy_gini(spark, sf_dir):
         assert got["n_events"] == x.sum()
         assert got["gini"] == pytest.approx(gini, abs=1e-5)
         assert got["top_decile_share"] == pytest.approx(share, abs=1e-5)
+
+
+def test_token_js_divergence_matches_numpy(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    row = QUERIES["token_js_divergence"](spark, sf_dir).collect()[0]
+    docs = _docs_pd(spark, sf_dir)
+    ca, cb = Counter(), Counter()
+    for d in docs.itertuples():
+        (ca if d.doc_id % 2 == 0 else cb).update(_words(d.text))
+    vocab = set(ca) | set(cb)
+    v, na, nb = len(vocab), sum(ca.values()), sum(cb.values())
+    js = 0.0
+    for w in vocab:
+        p = (ca[w] + 1) / (na + v)
+        q = (cb[w] + 1) / (nb + v)
+        m = (p + q) / 2
+        js += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+    assert row["vocab"] == v
+    assert row["tokens_a"] == na and row["tokens_b"] == nb
+    assert row["js_divergence"] == pytest.approx(js, abs=1e-5)
+    assert 0.0 <= row["js_divergence"] <= math.log(2.0)

@@ -119,3 +119,25 @@ def run_process(spark, registry: dict, job: ScheduledProcess):
     """Execute one scheduled process and return its result DataFrame."""
     fn = registry[job.process]
     return fn(spark, **job.inputs)
+
+
+def finalize_job(spark) -> None:
+    """Release per-job engine state after a scheduled process finishes —
+    the SERVICE-PATH half of the repo's cache contract.
+
+    Operators deliberately persist index artifacts (LSH signatures,
+    PPJoin token tables, quantized vectors, gram tables) and leave them
+    cached so a job's own downstream actions reuse them; nothing
+    unpersists them because the operator cannot know when its caller is
+    done. bench.py clears between keys; a long-lived scheduler MUST do
+    the same between jobs or MEMORY_AND_DISK blocks accumulate for the
+    session lifetime. Also nudges a driver GC: Spark's ContextCleaner
+    frees broadcast/shuffle state on driver GC, and the default
+    periodicGC interval outlives many scheduler ticks (the session
+    factory lowers it, but an externally-built session may not).
+    """
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass

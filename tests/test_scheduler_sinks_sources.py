@@ -385,3 +385,15 @@ def test_merge_into_partitioned_drops_fully_deleted_bucket(spark, sf_dir, tmp_pa
     )
     remaining = [d for d in os.listdir(snap) if d.startswith("bucket=")]
     assert remaining == []
+
+
+def test_finalize_job_releases_persisted_artifacts(spark, sf_dir):
+    from pygeoapi_ingestor_spark.plans import QUERIES
+    from pygeoapi_ingestor_spark.streaming.scheduler import finalize_job
+
+    # a job whose operator persists an index artifact
+    QUERIES["dedup_containment"](spark, sf_dir).count()
+    jsc = spark.sparkContext._jsc.sc()
+    assert not jsc.getRDDStorageInfo() == ()  # artifact cached
+    finalize_job(spark)
+    assert jsc.getRDDStorageInfo() == () or len(jsc.getRDDStorageInfo()) == 0

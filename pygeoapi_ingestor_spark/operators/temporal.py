@@ -512,8 +512,10 @@ def asof_join(
     instead of using a (CURRENT ROW .. UNBOUNDED FOLLOWING) frame with
     ``first()``, which Spark evaluates quadratically per partition.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     lkey = [F.col(k).alias(f"_k{i}") for i, k in enumerate(left_keys)]
     rkey = [F.col(k).alias(f"_k{i}") for i, k in enumerate(right_keys)]
     key_names = [f"_k{i}" for i in range(len(left_keys))]
@@ -539,13 +541,39 @@ def asof_join(
     # (greatest value wins). Forward = the same carry over descending
     # time: the last right row seen before a left row in DESC order is
     # the one with the smallest right_on still >= left_on.
-    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
-    w = (
-        Window.partitionBy(*key_names)
-        .orderBy(t_order, F.col("_side").asc(), F.col("_r").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = unioned.withColumn("_rlast", F.last("_r", ignorenulls=True).over(w))
+    def _carry(df: DataFrame, t_order) -> Column:
+        w = (
+            Window.partitionBy(*key_names)
+            .orderBy(t_order, F.col("_side").asc(), F.col("_r").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return F.last("_r", ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        # merge_asof direction='nearest': both carries share ONE key
+        # partitioning (one exchange, two sorts); the closer match wins,
+        # exact-tie prefers the backward row (documented convention)
+        matched = unioned.withColumn(
+            "_rb", _carry(unioned, F.col("_t").asc())
+        ).withColumn("_rf", _carry(unioned, F.col("_t").desc()))
+        if rt_type.startswith("timestamp"):
+            gb = F.abs(micros_between(F.col("_rb._rt"), F.col("_t")))
+            gf = F.abs(micros_between(F.col("_rf._rt"), F.col("_t")))
+        else:
+            gb = F.abs(F.col("_t").cast("double") - F.col("_rb._rt").cast("double"))
+            gf = F.abs(F.col("_t").cast("double") - F.col("_rf._rt").cast("double"))
+        pick = (
+            F.when(F.col("_rf").isNull(), F.col("_rb"))
+            .when(F.col("_rb").isNull(), F.col("_rf"))
+            .when(gb <= gf, F.col("_rb"))
+            .otherwise(F.col("_rf"))
+        )
+        matched = matched.withColumn("_rlast", pick).drop("_rb", "_rf")
+    else:
+        t_order = (
+            F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+        )
+        matched = unioned.withColumn("_rlast", _carry(unioned, t_order))
     if tolerance_seconds is not None:
         if rt_type.startswith("timestamp"):
             gap = F.abs(

@@ -94,6 +94,8 @@ _R5_NEW: list[str] = [
     "lang_id_confusion",
     "user_concentration",
     "token_js_divergence",
+    "asof_join_nearest",
+    "rolling_active_users",
 ]
 
 _FRONT = _R5_NEW + [

@@ -864,3 +864,65 @@ SELECT event_type, n_users, n_events,
        round(top_decile_events / CAST(n_events AS DOUBLE), 6) AS top_decile_share
 FROM agg
 """
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) next to daily actives (DAU) per
+    day, plus the stickiness ratio DAU/WAU — the engagement panel every
+    production event stream reports.
+
+    COUNT(DISTINCT) over a sliding window can't reuse adjacent windows
+    (distinct doesn't subtract), so the Spark-native shape is: distinct
+    (day, user) once, explode each activity day to the 7 window-ending
+    days it serves, and count distinct users per target day — shuffles
+    bounded by days x users, never raw events. Target days clip to the
+    observed calendar via the DAU join.
+    """
+    ev = read_events(spark, sf_dir)
+    du = ev.select(
+        temporal.wall_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    wau = (
+        du.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            "day",
+        )
+        .select(
+            "user_id", F.timestamp_add("DAY", F.col("off"), F.col("day")).alias("wday")
+        )
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .select(
+            "day", "dau", "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
+        )
+    )
+
+
+BEHAVIOR_QUERIES["rolling_active_users"] = q_rolling_active_users
+
+BEHAVIOR_ORACLES["rolling_active_users"] = """
+WITH du AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+    FROM events
+), dau AS (
+    SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM du GROUP BY 1
+), wau AS (
+    SELECT day + to_days(off.o) AS wday,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM du
+    CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6)) off(o)
+    GROUP BY 1
+)
+SELECT d.day, d.dau, w.wau,
+       round(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.wday
+"""

@@ -3427,3 +3427,73 @@ GROUP BY 1
 
 
 ETL_ORACLES["area_weighted_mean"] = _aw_oracle_sql()
+
+
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of with tolerance (merge_asof direction='nearest'):
+    each purchase matched to the CLOSEST click of the same user within
+    30 minutes, whichever side of the purchase it falls on — completes
+    the backward/forward/nearest family (observation matched to the
+    nearest forecast step, either direction).
+
+    One key shuffle feeding BOTH carries (one exchange, two in-partition
+    sorts); exact-tie prefers the backward row (documented convention,
+    mirrored in the oracle's ranking).
+    """
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    out = temporal.asof_join(
+        purchases,
+        clicks,
+        left_on="ts",
+        right_on="click_ts",
+        left_keys=["user_id"],
+        right_keys=["c_user"],
+        right_value_cols=["click_ts", "click_value"],
+        direction="nearest",
+        tolerance_seconds=1800,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", "click_ts",
+        F.round("click_value", 6).alias("click_value"),
+    )
+
+
+ETL_QUERIES["asof_join_nearest"] = q_asof_join_nearest
+
+# candidate ranking mirrors the carry semantics exactly: closest first,
+# backward preferred on distance ties, then (click_ts, click_value)
+# descending — the greatest-struct-wins convention for duplicate right
+# timestamps
+ETL_ORACLES["asof_join_nearest"] = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+), clicks AS (
+    SELECT user_id AS c_user, ts AS click_ts, value AS click_value
+    FROM events WHERE event_type = 'click'
+), cand AS (
+    SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value,
+           abs(date_diff('microsecond', c.click_ts, p.ts)) AS gap,
+           CASE WHEN c.click_ts <= p.ts THEN 0 ELSE 1 END AS is_fwd,
+           row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(date_diff('microsecond', c.click_ts, p.ts)),
+                        CASE WHEN c.click_ts <= p.ts THEN 0 ELSE 1 END,
+                        c.click_ts DESC, c.click_value DESC
+           ) AS rn
+    FROM purchases p JOIN clicks c ON p.user_id = c.c_user
+    WHERE abs(date_diff('microsecond', c.click_ts, p.ts)) <= 1800 * 1000000
+)
+SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts,
+       round(c.click_value, 6) AS click_value
+FROM purchases p
+LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c ON p.event_id = c.event_id
+"""

@@ -470,3 +470,48 @@ def test_token_js_divergence_matches_numpy(spark, sf_dir):
     assert row["tokens_a"] == na and row["tokens_b"] == nb
     assert row["js_divergence"] == pytest.approx(js, abs=1e-5)
     assert 0.0 <= row["js_divergence"] <= math.log(2.0)
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark, sf_dir):
+    out = {r["event_id"]: r for r in QUERIES["asof_join_nearest"](spark, sf_dir).collect()}
+    ev = _events_pd(spark, sf_dir)
+    purchases = ev[ev.event_type == "purchase"].sort_values("ts")
+    clicks = ev[ev.event_type == "click"].sort_values("ts")
+    merged = pd.merge_asof(
+        purchases[["event_id", "user_id", "ts"]],
+        clicks[["user_id", "ts", "value"]].rename(
+            columns={"ts": "click_ts", "value": "click_value"}
+        ),
+        left_on="ts", right_on="click_ts", by="user_id",
+        direction="nearest", tolerance=pd.Timedelta(minutes=30),
+    )
+    n_matched = 0
+    for r in merged.itertuples():
+        got = out[r.event_id]
+        if pd.isna(r.click_ts):
+            assert got["click_ts"] is None
+        else:
+            # distances must agree; the matched row may differ only on
+            # exact-distance ties (pandas' tie rule is unspecified)
+            assert got["click_ts"] is not None
+            d_pd = abs((r.click_ts - r.ts).total_seconds())
+            d_us = abs((got["click_ts"] - got["ts"]).total_seconds())
+            assert d_us == pytest.approx(d_pd, abs=1e-6)
+            n_matched += 1
+    assert n_matched > 0
+
+
+def test_rolling_active_users_matches_pandas(spark, sf_dir):
+    out = {r["day"].date(): r for r in QUERIES["rolling_active_users"](spark, sf_dir).collect()}
+    ev = _events_pd(spark, sf_dir)
+    ev["day"] = ev["ts"].dt.date
+    du = ev[["day", "user_id"]].drop_duplicates()
+    days = sorted(du["day"].unique())
+    for d in days:
+        window = du[(du["day"] <= d) & (du["day"] > d - pd.Timedelta(days=7))]
+        dau = du[du["day"] == d]["user_id"].nunique()
+        wau = window["user_id"].nunique()
+        got = out[d]
+        assert got["dau"] == dau
+        assert got["wau"] == wau
+        assert got["stickiness"] == pytest.approx(dau / wau, abs=1e-6)

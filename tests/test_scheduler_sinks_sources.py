@@ -397,3 +397,69 @@ def test_finalize_job_releases_persisted_artifacts(spark, sf_dir):
     assert not jsc.getRDDStorageInfo() == ()  # artifact cached
     finalize_job(spark)
     assert jsc.getRDDStorageInfo() == () or len(jsc.getRDDStorageInfo()) == 0
+
+
+def test_incremental_rollup_matches_full_recompute(spark, sf_dir, tmp_path):
+    from pygeoapi_ingestor_spark.sinks.incremental import (
+        read_rollup,
+        update_rollup,
+    )
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    state = str(tmp_path / "rollup_state")
+    # three ingest ticks, split by event_id thirds
+    for i in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == i)
+        update_rollup(batch, state, ["event_type"], "value", "user_id")
+
+    got = {r["event_type"]: r for r in read_rollup(spark, state).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,2)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.countDistinct("user_id").alias("u"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, e in exact.items():
+        g = got[et]
+        # monoid columns are EXACT regardless of batch split
+        assert g["n"] == e["n"]
+        assert float(g["value_sum"]) == float(e["s"])
+        assert g["value_min"] == e["mn"] and g["value_max"] == e["mx"]
+        assert g["value_mean"] == float(e["s"]) / e["n"]
+        # the sketch column is approximate but error-bounded (lgK=12
+        # -> ~2.6% RSE; allow 5 sigma at small cardinalities)
+        assert abs(g["approx_users"] - e["u"]) <= max(5, 0.13 * e["u"])
+
+
+def test_incremental_rollup_is_order_insensitive(spark, sf_dir, tmp_path):
+    from pygeoapi_ingestor_spark.sinks.incremental import (
+        read_rollup,
+        update_rollup,
+    )
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).limit(600)
+    a, b = str(tmp_path / "s_ab"), str(tmp_path / "s_ba")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    update_rollup(first, a, ["event_type"], "value", "user_id")
+    update_rollup(second, a, ["event_type"], "value", "user_id")
+    update_rollup(second, b, ["event_type"], "value", "user_id")
+    update_rollup(first, b, ["event_type"], "value", "user_id")
+    ra = sorted(
+        (r["event_type"], r["n"], float(r["value_sum"]), r["approx_users"])
+        for r in read_rollup(spark, a).collect()
+    )
+    rb = sorted(
+        (r["event_type"], r["n"], float(r["value_sum"]), r["approx_users"])
+        for r in read_rollup(spark, b).collect()
+    )
+    assert ra == rb

@@ -99,7 +99,10 @@ _R5_NEW: list[str] = [
 ]
 
 _FRONT = _R5_NEW + [
-    # tier 1: code changed this round
+    # tier 1: code changed this round (asof_join refactored for the
+    # nearest direction -> its existing consumers re-stamp first)
+    "asof_join_events",
+    "asof_join_forward",
     "dedup_simhash",
     "sim_search_pq_adc",
     "kmeans_clusters_int8",
@@ -140,7 +143,6 @@ _FRONT = _R5_NEW + [
     "sim_search_ivf",
     "dedup_embedding_cosine",
     # tier 3: round-3 stamps, refreshed with the spare slots
-    "asof_join_events",
     "fuzzy_match_names",
     "spi_empirical",
     "ewma_smooth",
@@ -190,7 +192,6 @@ _TAIL = [
     "q18_large_orders",
     "q19_disjunctive",
     "time_weighted_avg",
-    "asof_join_forward",
     "sessionize_gap",
     "linear_interp_gaps",
     "merge_upsert",

@@ -236,10 +236,14 @@ def test_cdc_upsert_stream_matches_sequential_batch_merge(spark, sf_dir, tmp_pat
     ev = read_events(spark, sf_dir).limit(600)
     # change feed: latest event per (user, type) in each third, delete
     # when value < 25 (the merge_upsert convention)
+    # each KEY's changes live in exactly one file (part = user_id % 3),
+    # so the fold result is independent of the order the stream lists
+    # the files in (mod-time vs name order — the first version of this
+    # test raced on that)
     changes = ev.select(
         "user_id", "event_type", "ts", "event_id", "value",
         F.when(F.col("value") < 25.0, "D").otherwise("U").alias("op"),
-        (F.col("event_id") % 3).alias("part"),
+        (F.col("user_id") % 3).alias("part"),
     )
     src = str(tmp_path / "cdc_src")
     for i in range(3):

@@ -96,6 +96,7 @@ _R5_NEW: list[str] = [
     "token_js_divergence",
     "asof_join_nearest",
     "rolling_active_users",
+    "bm25_topk",
 ]
 
 _FRONT = _R5_NEW + [

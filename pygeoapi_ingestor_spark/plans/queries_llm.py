@@ -3031,3 +3031,100 @@ SELECT min(v) AS vocab, min(na) AS tokens_a, min(nb) AS tokens_b,
        round(CAST(sum(term) AS DOUBLE), 6) AS js_divergence
 FROM terms
 """
+
+
+BM25_TERMS = ("data", "model", "system", "time")
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 15
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed term query — the
+    lexical search scoring every corpus tool needs (dedup triage,
+    eval-set mining, "find documents about X" curation).
+
+    Everything before the score is exact integers: per-doc term
+    frequencies (only query terms survive the filter, so the shuffle
+    carries |docs| x |query| rows at most), document frequencies, and
+    token lengths; N and avgdl ride a broadcast 1-row aggregate. The
+    Robertson idf and tf saturation are identical IEEE expressions in
+    both engines; top-k is TakeOrdered on (score desc, doc_id) — never
+    a global sort.
+    """
+    docs = _docs(spark, sf_dir)
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+    tok = docs.select("doc_id", words.alias("ws")).select(
+        "doc_id", F.size("ws").cast("bigint").alias("dl"), F.explode("ws").alias("w")
+    )
+    hits = tok.filter(F.col("w").isin(*BM25_TERMS))
+    tf = hits.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    totals = docs.select("doc_id", words.alias("ws")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("ws")).cast("bigint").alias("total_len"),
+    )
+    j = tf.join(F.broadcast(df_t), "w").crossJoin(F.broadcast(totals))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    sat = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    )
+    scored = j.select("doc_id", (idf * sat).alias("term_score"))
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+    )
+    return (
+        agg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+        .select("doc_id", "n_terms_hit", F.round("score", 6).alias("score"))
+    )
+
+
+LLM_QUERIES["bm25_topk"] = q_bm25_topk
+
+LLM_ORACLES["bm25_topk"] = rf"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                   '\s+'),
+               w -> w <> '') AS ws
+    FROM documents
+), tok AS (
+    SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS w FROM base
+), tf AS (
+    SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf, min(dl) AS dl
+    FROM tok WHERE w IN {BM25_TERMS!r}
+    GROUP BY 1, 2
+), df_t AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), totals AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(ws)) AS BIGINT) AS total_len
+    FROM base
+), scored AS (
+    SELECT tf.doc_id,
+           ln((t.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1))
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                + {BM25_B} * tf.dl / (CAST(t.total_len AS DOUBLE) / t.n_docs)))
+               AS term_score
+    FROM tf JOIN df_t d ON tf.w = d.w CROSS JOIN totals t
+), agg AS (
+    SELECT doc_id, sum(term_score) AS score,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM scored GROUP BY 1
+)
+SELECT doc_id, n_terms_hit, round(score, 6) AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""

@@ -515,3 +515,35 @@ def test_rolling_active_users_matches_pandas(spark, sf_dir):
         assert got["dau"] == dau
         assert got["wau"] == wau
         assert got["stickiness"] == pytest.approx(dau / wau, abs=1e-6)
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    rows = QUERIES["bm25_topk"](spark, sf_dir).collect()
+    assert rows
+    docs = _docs_pd(spark, sf_dir)
+    terms = ("data", "model", "system", "time")
+    k1, b = 1.2, 0.75
+    toks = {d.doc_id: _words(d.text) for d in docs.itertuples()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = Counter()
+    for did, ws in toks.items():
+        for t in set(ws) & set(terms):
+            df[t] += 1
+    scores = {}
+    for did, ws in toks.items():
+        c = Counter(w for w in ws if w in terms)
+        s = 0.0
+        for t, tf in c.items():
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if c:
+            scores[did] = (s, len(c))
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:15]
+    assert [r["doc_id"] for r in rows] == [d for d, _ in expected]
+    for r, (_, (s, hits)) in zip(rows, expected):
+        assert r["score"] == pytest.approx(s, abs=1e-4)
+        assert r["n_terms_hit"] == hits

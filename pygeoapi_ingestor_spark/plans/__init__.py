@@ -97,6 +97,7 @@ _R5_NEW: list[str] = [
     "asof_join_nearest",
     "rolling_active_users",
     "bm25_topk",
+    "rrf_fusion",
 ]
 
 _FRONT = _R5_NEW + [

@@ -3128,3 +3128,187 @@ WITH base AS (
 SELECT doc_id, n_terms_hit, round(score, 6) AS score
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
 """
+
+
+RRF_K, RRF_LIST, RRF_OUT = 60, 20, 10
+
+
+def _rp_proj_cols():
+    """The 8 integer RP projections as Spark columns (shared by
+    embedding_rp_reduce and the fusion retriever)."""
+    weights = similarity.md5_plane_weights(EMB_DIM, RP_PLANES, seed=11)
+    cols = []
+    for p in range(RP_PLANES):
+        w_arr = F.lit([int(x) for x in weights[p]])
+        cols.append(
+            F.aggregate(
+                F.zip_with(F.col("q_vec"), w_arr, lambda x, w: (x * w).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias(f"p{p}")
+        )
+    return cols
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers over the same query set:
+    the exact-cosine ranking and the 8-d random-projection (compressed)
+    ranking, fused as Σ 1/(RRF_K + rank) — the standard hybrid-search
+    combiner (in production the second list is typically the BM25
+    lexical ranking; here both retrievers are self-contained over the
+    embeddings table so the whole fusion stays value-hash oracled).
+
+    Ranks come from per-query row_number windows over deterministic
+    scores (exact integer dots for the compressed side); the fusion is
+    a full outer join of two top-RRF_LIST lists — cost bounded by
+    queries x list length, independent of corpus size once the
+    retrievers have pruned.
+    """
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    cos = similarity.cosine_topk(
+        e, e.filter(F.col("vec_id") < N_QUERY_VECS),
+        id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=RRF_LIST,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("r1"))
+
+    proj = similarity.quantize_int8(e, vec_col="embedding").select(
+        "vec_id", *_rp_proj_cols()
+    )
+    pa = proj.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.array(*[f"p{p}" for p in range(RP_PLANES)]).alias("pv"),
+    )
+    pq = proj.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.array(*[f"p{p}" for p in range(RP_PLANES)]).alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("pv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        pa.crossJoin(F.broadcast(pq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_d", dot)
+        .withColumn("_na", n2("pv"))
+        .withColumn("_nb", n2("qv"))
+        .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .withColumn(
+            "sim8",
+            F.col("_d").cast("double")
+            / (F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim8").desc(), F.col("neighbor_id").asc()
+    )
+    rp_rank = scored.withColumn("r2", F.row_number().over(w)).filter(
+        F.col("r2") <= RRF_LIST
+    ).select("query_id", "neighbor_id", "r2")
+
+    fused = cos.join(rp_rank, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id", "neighbor_id",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r1")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r2")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= RRF_OUT)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("rrf", 6).alias("rrf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+LLM_QUERIES["rrf_fusion"] = q_rrf_fusion
+
+
+def _rrf_oracle_sql() -> str:
+    weights = similarity.md5_plane_weights(EMB_DIM, RP_PLANES, seed=11)
+
+    def proj(p: int) -> str:
+        terms = " + ".join(f"q[{d + 1}]*({int(weights[p][d])})" for d in range(EMB_DIM))
+        return f"CAST({terms} AS BIGINT) AS p{p}"
+
+    proj_sql = ", ".join(proj(p) for p in range(RP_PLANES))
+    dot = " + ".join(f"a.p{p} * b.p{p}" for p in range(RP_PLANES))
+    na = " + ".join(f"a.p{p} * a.p{p}" for p in range(RP_PLANES))
+    nb = " + ".join(f"b.p{p} * b.p{p}" for p in range(RP_PLANES))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cosq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}),
+cos_scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+               AS cosine
+    FROM e CROSS JOIN cosq q WHERE e.vec_id <> q.query_id
+),
+cos_rank AS (
+    SELECT query_id, neighbor_id, rnk AS r1 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        FROM cos_scored
+    ) WHERE rnk <= {RRF_LIST}
+),
+scaled AS (
+    SELECT vec_id,
+           CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                THEN list_max(list_transform(v, x -> abs(x))) ELSE 1.0 END AS s,
+           v
+    FROM e
+),
+quant AS (
+    SELECT vec_id,
+           list_transform(v, x -> CAST(round(x * 127.0 / s, 0) AS INTEGER)) AS q
+    FROM scaled
+),
+proj AS (SELECT vec_id, {proj_sql} FROM quant),
+rp_scored AS (
+    SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+           CAST({dot} AS DOUBLE)
+           / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))) AS sim8
+    FROM proj a CROSS JOIN proj b
+    WHERE b.vec_id < {N_QUERY_VECS} AND a.vec_id <> b.vec_id
+      AND ({na}) > 0 AND ({nb}) > 0
+),
+rp_rank AS (
+    SELECT query_id, neighbor_id, rnk AS r2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim8 DESC, neighbor_id ASC) AS rnk
+        FROM rp_scored
+    ) WHERE rnk <= {RRF_LIST}
+),
+fused AS (
+    SELECT coalesce(c.query_id, r.query_id) AS query_id,
+           coalesce(c.neighbor_id, r.neighbor_id) AS neighbor_id,
+           coalesce(1.0 / ({RRF_K} + c.r1), 0.0)
+           + coalesce(1.0 / ({RRF_K} + r.r2), 0.0) AS rrf
+    FROM cos_rank c FULL OUTER JOIN rp_rank r
+      ON c.query_id = r.query_id AND c.neighbor_id = r.neighbor_id
+)
+SELECT query_id, neighbor_id, round(rrf, 6) AS rrf, CAST(rnk AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf DESC, neighbor_id ASC) AS rnk
+    FROM fused
+) WHERE rnk <= {RRF_OUT}
+"""
+
+
+LLM_ORACLES["rrf_fusion"] = _rrf_oracle_sql()

@@ -542,3 +542,36 @@ def merge_into_partitioned(
         "total_buckets": n_buckets,
         "rows_written": n_rows,
     }
+
+
+def schema_diff(spark, collection_path: str, batch_df) -> dict:
+    """Schema-drift gate for incremental ingest: diff an incoming batch
+    against a stored collection's schema BEFORE appending — the check
+    the reference performs implicitly by re-opening the stored dataset
+    (evolving upstream feeds silently add/drop/retype fields; at scale
+    an appended type change poisons every later scan).
+
+    Pure metadata: the stored schema comes from parquet footers (no data
+    read), the batch schema from its analyzed plan. Returns
+    {added, removed, changed, ok} where `changed` maps column ->
+    (stored_type, batch_type); `ok` is True when the batch is
+    append-safe (no removals, no type changes — additions are safe
+    with mergeSchema).
+    """
+    stored = {f.name: f.dataType.simpleString()
+              for f in spark.read.parquet(collection_path).schema.fields}
+    batch = {f.name: f.dataType.simpleString()
+             for f in batch_df.schema.fields}
+    added = sorted(set(batch) - set(stored))
+    removed = sorted(set(stored) - set(batch))
+    changed = {
+        c: (stored[c], batch[c])
+        for c in sorted(set(stored) & set(batch))
+        if stored[c] != batch[c]
+    }
+    return {
+        "added": added,
+        "removed": removed,
+        "changed": changed,
+        "ok": not removed and not changed,
+    }

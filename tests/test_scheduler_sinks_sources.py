@@ -463,3 +463,30 @@ def test_incremental_rollup_is_order_insensitive(spark, sf_dir, tmp_path):
         for r in read_rollup(spark, b).collect()
     )
     assert ra == rb
+
+
+def test_schema_diff_flags_drift(spark, sf_dir, tmp_path):
+    from pygeoapi_ingestor_spark.sinks.collections import schema_diff
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    path = str(tmp_path / "drift_base")
+    ev.limit(100).write.parquet(path)
+
+    same = schema_diff(spark, path, ev)
+    assert same["ok"] and not same["added"] and not same["removed"]
+
+    drifted = (
+        ev.withColumn("value", F.col("value").cast("string"))  # retype
+        .drop("props")                                          # removal
+        .withColumn("new_field", F.lit(1))                      # addition
+    )
+    d = schema_diff(spark, path, drifted)
+    assert not d["ok"]
+    assert d["added"] == ["new_field"]
+    assert d["removed"] == ["props"]
+    assert d["changed"] == {"value": ("double", "string")}
+
+    # additions alone are append-safe
+    add_only = ev.withColumn("extra", F.lit(0.0))
+    assert schema_diff(spark, path, add_only)["ok"]

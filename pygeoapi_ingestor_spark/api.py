@@ -181,3 +181,99 @@ class ProcessAPI:
             "status": "failed",
             "message": f"unknown process {process_id!r}",
         }
+
+
+class JobManager:
+    """Async job execution for ProcessAPI — the OGC-processes async mode
+    (pygeoapi's ``Prefer: respond-async``: POST returns a job id, the
+    client polls /jobs/{id}). The reference runs its processes this way
+    under the scheduler; here jobs run on a thread pool sharing the
+    SparkSession (Spark sessions are thread-safe; each job's actions
+    get their own job group so a cancel targets only that job's stages).
+
+    States follow OGC: accepted -> running -> successful | failed |
+    dismissed. ``dismiss`` cancels the Spark job group mid-flight.
+    """
+
+    def __init__(self, api: ProcessAPI, max_workers: int = 4):
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.api = api
+        self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        self._jobs: dict[str, dict[str, Any]] = {}
+        self._lock = threading.Lock()
+        self._n = 0
+
+    def submit(
+        self, spark: SparkSession, process_id: str,
+        inputs: dict[str, Any] | None = None,
+    ) -> str:
+        with self._lock:
+            self._n += 1
+            job_id = f"job-{self._n:06d}"
+            self._jobs[job_id] = {"id": job_id, "process": process_id,
+                                  "status": "accepted", "result": None}
+
+        def _run():
+            with self._lock:
+                if self._jobs[job_id]["status"] == "dismissed":
+                    return
+                self._jobs[job_id]["status"] = "running"
+            try:
+                spark.sparkContext.setJobGroup(job_id, f"api job {job_id}",
+                                               interruptOnCancel=True)
+                try:
+                    res = self.api.execute(spark, process_id, inputs)
+                finally:
+                    # Spark 4 dropped SparkContext.clearJobGroup; reset
+                    # the thread-local property directly
+                    spark.sparkContext.setLocalProperty(
+                        "spark.jobGroup.id", None
+                    )
+            except BaseException as e:  # noqa: BLE001 — a crashed worker
+                # must surface as a failed job, never a silent 'running'
+                res = {"id": process_id, "status": "failed",
+                       "message": repr(e)[:500]}
+            with self._lock:
+                if self._jobs[job_id]["status"] == "dismissed":
+                    return
+                self._jobs[job_id]["status"] = res.get("status", "failed")
+                self._jobs[job_id]["result"] = res
+
+        self._pool.submit(_run)
+        return job_id
+
+    def status(self, job_id: str) -> dict[str, Any]:
+        with self._lock:
+            job = self._jobs.get(job_id)
+            if job is None:
+                return {"id": job_id, "status": "not-found"}
+            return {"id": job_id, "process": job["process"],
+                    "status": job["status"]}
+
+    def result(self, job_id: str) -> dict[str, Any] | None:
+        with self._lock:
+            job = self._jobs.get(job_id)
+            return None if job is None else job["result"]
+
+    def dismiss(self, spark: SparkSession, job_id: str) -> dict[str, Any]:
+        with self._lock:
+            job = self._jobs.get(job_id)
+            if job is None:
+                return {"id": job_id, "status": "not-found"}
+            job["status"] = "dismissed"
+        spark.sparkContext.cancelJobGroup(job_id)
+        return {"id": job_id, "status": "dismissed"}
+
+    def wait(self, job_id: str, timeout_s: float = 60.0) -> dict[str, Any]:
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        while _time.monotonic() < deadline:
+            st = self.status(job_id)
+            if st["status"] in ("successful", "failed", "dismissed",
+                               "not-found"):
+                return st
+            _time.sleep(0.05)
+        return self.status(job_id)

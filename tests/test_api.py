@@ -82,3 +82,32 @@ def test_items_paging_filters_pushdown(spark, sf_dir, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "IsNotNull(event_type)" in plan or "EqualTo(event_type" in plan
+
+
+def test_async_jobs_lifecycle(spark, sf_dir):
+    from pygeoapi_ingestor_spark.api import JobManager, ProcessAPI
+
+    api = ProcessAPI(default_sf_dir=sf_dir)
+    jm = JobManager(api, max_workers=2)
+
+    # two concurrent jobs over the shared session
+    j1 = jm.submit(spark, "q6_forecast_revenue")
+    j2 = jm.submit(spark, "resample_daily_sum", {"limit": 5})
+    assert jm.status(j1)["status"] in ("accepted", "running")
+    s1, s2 = jm.wait(j1), jm.wait(j2)
+    assert s1["status"] == "successful" and s2["status"] == "successful"
+    r2 = jm.result(j2)
+    assert r2["value"]["n_rows_sampled"] == 5
+
+    # failure is a terminal state with the error captured, not a raise
+    j3 = jm.submit(spark, "no_such_process")
+    assert jm.wait(j3)["status"] == "failed"
+    assert "unknown process" in jm.result(j3)["message"]
+
+    # unknown job id and dismissal semantics
+    assert jm.status("job-999999")["status"] == "not-found"
+    j4 = jm.submit(spark, "q1_pricing_summary")
+    jm.dismiss(spark, j4)
+    st = jm.wait(j4)
+    assert st["status"] == "dismissed"
+    assert jm.result(j4) is None

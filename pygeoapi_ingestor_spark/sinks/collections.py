@@ -575,3 +575,98 @@ def schema_diff(spark, collection_path: str, batch_df) -> dict:
         "changed": changed,
         "ok": not removed and not changed,
     }
+
+
+def _morton_py(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def chunk_keys_for_bbox(
+    bbox: tuple[float, float, float, float],
+    t0: str,
+    t1: str,
+    chunk_days: int,
+    bits_per_axis: int,
+    anchor: str = "2024-01-01",
+) -> tuple[list[int], list[int]]:
+    """The (time_chunk, cell_chunk) key sets a space-time slice touches —
+    the zarr chunk-index computation, driver-side and O(cells in bbox)
+    at the CHUNK resolution (bits_per_axis is small by design: chunks
+    are coarse; fine-grained pruning happens inside each chunk via
+    parquet min/max)."""
+    import datetime as _dt
+    import math as _math
+
+    scale = (1 << bits_per_axis) - 1
+    w, s, e, n = bbox
+
+    def q(v, lo, span):
+        return min(scale, max(0, int(round((min(max(v, lo), lo + span) - lo) / span * scale))))
+
+    x0, x1 = q(w, -180.0, 360.0), q(e, -180.0, 360.0)
+    y0, y1 = q(s, -90.0, 180.0), q(n, -90.0, 180.0)
+    cells = sorted(
+        {
+            _morton_py(x, y, bits_per_axis)
+            for x in range(x0, x1 + 1)
+            for y in range(y0, y1 + 1)
+        }
+    )
+    a = _dt.date.fromisoformat(anchor)
+    d0 = (_dt.date.fromisoformat(t0) - a).days
+    d1 = (_dt.date.fromisoformat(t1) - a).days
+    tc0, tc1 = _math.floor(d0 / chunk_days), _math.floor(d1 / chunk_days)
+    return list(range(tc0, tc1 + 1)), cells
+
+
+def read_chunks_bbox(
+    spark,
+    path: str,
+    bbox: tuple[float, float, float, float],
+    t0: str,
+    t1: str,
+):
+    """Space-time slice of a chunk-grid collection: prunes on BOTH
+    partition dimensions (time_chunk IN ..., cell_chunk IN ...) so the
+    scan opens only the chunk directories the slice touches, then
+    applies the exact bbox/time filter inside them. Reads the chunk
+    geometry from the collection's manifest."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    jvm = spark._jvm
+    mpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_chunk_manifest.json")
+    fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(mpath)
+    try:
+        # py4j cannot fill a Python bytearray through read(byte[]);
+        # route the copy through commons-io (ships with Hadoop)
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+        manifest = _json.loads(text)
+    finally:
+        stream.close()
+    tchunks, cells = chunk_keys_for_bbox(
+        bbox, t0, t1, manifest["chunk_days"], manifest["bits_per_axis"],
+        manifest["anchor"],
+    )
+    w, s, e, n = bbox
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("time_chunk").isin(tchunks))
+        .filter(F.col("cell_chunk").isin(cells))
+        .filter(
+            (F.col("lon") >= w) & (F.col("lon") <= e)
+            & (F.col("lat") >= s) & (F.col("lat") <= n)
+        )
+        .filter(
+            (F.col("ts") >= F.lit(t0).cast("timestamp"))
+            & (F.col("ts") < F.lit(t1).cast("timestamp"))
+        )
+    )

@@ -490,3 +490,42 @@ def test_schema_diff_flags_drift(spark, sf_dir, tmp_path):
     # additions alone are append-safe
     add_only = ev.withColumn("extra", F.lit(0.0))
     assert schema_diff(spark, path, add_only)["ok"]
+
+
+def test_chunk_grid_bbox_slice_prunes_and_matches_bruteforce(spark, sf_dir, tmp_path):
+    from pygeoapi_ingestor_spark.sinks.collections import (
+        read_chunks_bbox,
+        write_chunk_grid,
+    )
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "ts", "value",
+        ((F.col("event_id") % 5760) / F.lit(16.0) - F.lit(180.0)).alias("lon"),
+        ((F.col("user_id") % 2880) / F.lit(16.0) - F.lit(90.0)).alias("lat"),
+    )
+    out = str(tmp_path / "chunked2")
+    write_chunk_grid(
+        ev, out, ts_col="ts", lon_col="lon", lat_col="lat",
+        chunk_days=7, bits_per_axis=2,
+    )
+    # sf0.001 event/user ids only span part of the globe — pick a bbox
+    # inside the materialized coordinate range
+    bbox, t0, t1 = (-170.0, -90.0, -130.0, -89.0), "2024-01-05", "2024-01-20"
+    sliced = read_chunks_bbox(spark, out, bbox, t0, t1)
+    got = sorted(r["event_id"] for r in sliced.collect())
+    exp = sorted(
+        r["event_id"]
+        for r in ev.filter(
+            (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+            & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+            & (F.col("ts") >= F.lit(t0).cast("timestamp"))
+            & (F.col("ts") < F.lit(t1).cast("timestamp"))
+        ).collect()
+    )
+    assert got == exp and got
+    # both partition dimensions must appear in the scan's pruning
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "time_chunk" in plan.split("PartitionFilters")[1][:400]
+    assert "cell_chunk" in plan.split("PartitionFilters")[1][:400]

@@ -543,3 +543,18 @@ def test_feature_hash_shuffles_integers_not_text(spark, sf_dir):
     assert "CartesianProduct" not in plan
     exchanges = [ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln]
     assert not any(" w#" in ln for ln in exchanges)
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    plan = _simple(QUERIES["bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_fusion_broadcasts_query_side(spark, sf_dir):
+    # the compressed-retriever scan pairs the corpus against a BROADCAST
+    # 5-row query set; a cartesian or shuffled nested loop here would
+    # scale with corpus x corpus
+    plan = _simple(QUERIES["rrf_fusion"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan

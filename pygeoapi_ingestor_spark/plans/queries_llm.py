@@ -3173,9 +3173,13 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id_col="vec_id", query_vec_col="embedding", k=RRF_LIST,
     ).select("query_id", "neighbor_id", F.col("rank").alias("r1"))
 
+    # the projection table branches into corpus and query sides;
+    # interpreted HOFs get no common-subexpression elimination, so
+    # persist the tiny (vec_id, p0..p7) table or the 8 fold projections
+    # recompute per consumer (the round-4 index-artifact lesson)
     proj = similarity.quantize_int8(e, vec_col="embedding").select(
         "vec_id", *_rp_proj_cols()
-    )
+    ).persist()
     pa = proj.select(
         F.col("vec_id").alias("neighbor_id"),
         F.array(*[f"p{p}" for p in range(RP_PLANES)]).alias("pv"),

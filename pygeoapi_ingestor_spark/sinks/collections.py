@@ -670,3 +670,40 @@ def read_chunks_bbox(
             & (F.col("ts") < F.lit(t1).cast("timestamp"))
         )
     )
+
+
+def apply_retention(
+    spark,
+    path: str,
+    partition_col: str,
+    keep_since: str,
+    dry_run: bool = False,
+) -> dict:
+    """TTL retention for a partitioned collection: drop every
+    ``{partition_col}=...`` directory whose partition value sorts below
+    ``keep_since`` — the data-lifecycle half of idempotent ingest (the
+    reference re-publishes rolling windows; at 100 TB the old windows
+    must actually leave the store, and partition-directory deletion is
+    the only O(expired) way to do it — no rewrite, no scan).
+
+    Values compare as ISO strings (date partitions sort correctly).
+    ``dry_run`` lists what would go. Returns {kept, dropped, dry_run}.
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"{partition_col}="
+    kept, dropped = [], []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
+        if value < keep_since:
+            dropped.append(value)
+            if not dry_run:
+                fs.delete(st.getPath(), True)
+        else:
+            kept.append(value)
+    return {"kept": sorted(kept), "dropped": sorted(dropped),
+            "dry_run": dry_run}

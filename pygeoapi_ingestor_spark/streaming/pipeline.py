@@ -402,3 +402,47 @@ def cdc_upsert_stream(
     )
     q.awaitTermination()
     return q
+
+
+def trending_topk_stream(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+    k: int = 3,
+):
+    """Continuous trending-items feed: per event-time window, the top-k
+    event types by count — the "what is spiking right now" panel over
+    the live intake (the streaming twin of docs_top_per_source's
+    bucketed per-group top-k).
+
+    Structured Streaming cannot rank inside an aggregation, so the
+    windowed counts stream in UPDATE mode and the rank applies
+    per-sink-batch in foreachBatch — counts stay incremental state, the
+    rank only ever touches one batch's updated windows. Returns the
+    counts DataFrame ready for ``rank_batch``-driven sinks.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def rank_topk_batch(batch_df: DataFrame, k: int = 3) -> DataFrame:
+    """The per-batch ranking half of trending_topk_stream: top-k types
+    per window with deterministic ties (count desc, type asc)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        batch_df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -529,3 +529,37 @@ def test_chunk_grid_bbox_slice_prunes_and_matches_bruteforce(spark, sf_dir, tmp_
     assert "PartitionFilters" in plan
     assert "time_chunk" in plan.split("PartitionFilters")[1][:400]
     assert "cell_chunk" in plan.split("PartitionFilters")[1][:400]
+
+
+def test_apply_retention_drops_expired_partitions(spark, sf_dir, tmp_path):
+    import os
+
+    from pygeoapi_ingestor_spark.sinks.collections import apply_retention
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "retained")
+    ev.write.partitionBy("day").parquet(path)
+    all_days = sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("day=")
+    )
+    cutoff = all_days[len(all_days) // 2]
+
+    preview = apply_retention(spark, path, "day", cutoff, dry_run=True)
+    assert preview["dry_run"] and preview["dropped"] == [
+        d for d in all_days if d < cutoff
+    ]
+    # dry run deleted nothing
+    assert sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("day=")
+    ) == all_days
+
+    res = apply_retention(spark, path, "day", cutoff)
+    assert res["dropped"] == preview["dropped"]
+    remaining = sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("day=")
+    )
+    assert remaining == [d for d in all_days if d >= cutoff]
+    # the collection still reads cleanly and holds exactly the kept days
+    back = spark.read.parquet(path)
+    assert sorted(str(r["day"]) for r in back.select("day").distinct().collect()) == remaining

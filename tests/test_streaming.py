@@ -321,3 +321,49 @@ def test_cdc_upsert_stream_is_idempotent_on_restart(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(snapshot).collect()
     )
     assert first == second
+
+
+def test_trending_topk_stream_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "trend_src")
+    ev = _stage_events_json(spark, sf_dir, src)
+    stream = pipeline.read_event_stream(spark, src, fmt="json")
+    counts = pipeline.trending_topk_stream(stream, window="6 hours",
+                                           watermark="1 hour")
+    got_batches = []
+
+    def sink(batch_df, batch_id):
+        got_batches.append(pipeline.rank_topk_batch(batch_df, k=3).collect())
+
+    q = (
+        counts.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "trend_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # final state: take the LAST ranking per window across batches
+    final = {}
+    for batch in got_batches:
+        per_window = {}
+        for r in batch:
+            per_window.setdefault(r["window_start"], []).append(r)
+        final.update(per_window)
+    # batch twin
+    exp_counts = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    exp = {}
+    for r in pipeline.rank_topk_batch(
+        exp_counts.withColumn("window_end", F.col("window_start")), k=3
+    ).collect():
+        exp.setdefault(r["window_start"], []).append(r)
+    assert set(final) == set(exp)
+    for wstart, rows in exp.items():
+        got_rows = sorted(
+            ((r["event_type"], r["n"], r["rank"]) for r in final[wstart])
+        )
+        exp_rows = sorted(((r["event_type"], r["n"], r["rank"]) for r in rows))
+        assert got_rows == exp_rows, wstart

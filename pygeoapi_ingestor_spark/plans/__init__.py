@@ -240,6 +240,12 @@ _TAIL = [
     "bias_correction_qmap",
 ]
 
+# Keys in neither list land HERE — directly after _FRONT. The round-5
+# window (~50 entries) is already exactly filled, so the late-round-5
+# additions (heat_wave_events, vocab_coverage_curve) deliberately sit at
+# position 51+: locally oracle-verified now (pytest suite +
+# tools/driver_sim at sf0.001/0.01), first in line for the ROUND-6
+# stamp window.
 _order = list(_FRONT)
 _order += [k for k in _ALL if k not in _FRONT and k not in _TAIL]
 _order += [k for k in _TAIL if k in _ALL]

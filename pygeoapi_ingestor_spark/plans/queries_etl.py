@@ -3497,3 +3497,87 @@ SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts,
 FROM purchases p
 LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c ON p.event_id = c.event_id
 """
+
+
+def q_heat_wave_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-spell (WSDI-family) events per series: runs of >= 3
+    consecutive days whose total exceeds 1.25x the series mean — the
+    high-tail sibling of climate_cdd (which counts dry days below
+    0.8x), reported as event counts plus the longest event's length and
+    start day. Same exactness scheme: the hot threshold is a
+    cross-multiplied decimal comparison (4·daily_total·n > 5·Σ), runs
+    are gaps-and-islands on the day index, and the longest-event pick
+    breaks ties on the earliest start.
+    """
+    from pyspark.sql import Window
+
+    d = _daily(spark, sf_dir).select(
+        "event_type",
+        F.expr(_X_DAY_SPARK).cast("bigint").alias("x"),
+        "daily_total",
+    )
+    ws = Window.partitionBy("event_type")
+    hot = d.select(
+        "event_type", "x",
+        (
+            F.col("daily_total") * 4 * F.count(F.lit(1)).over(ws)
+            > F.sum("daily_total").over(ws) * 5
+        ).alias("hot"),
+    ).filter("hot")
+    wd = Window.partitionBy("event_type").orderBy("x")
+    runs = (
+        hot.withColumn("grp", F.col("x") - F.row_number().over(wd))
+        .groupBy("event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+            F.min("x").cast("bigint").alias("start_x"),
+        )
+        .filter(F.col("run_len") >= 3)
+    )
+    runs = runs.withColumn(
+        "mx_len", F.max("run_len").over(Window.partitionBy("event_type"))
+    )
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("run_len").cast("bigint").alias("n_event_days"),
+        F.max("run_len").cast("bigint").alias("max_event_days"),
+        F.min(
+            F.when(F.col("run_len") == F.col("mx_len"), F.col("start_x"))
+        ).cast("bigint").alias("longest_start_day"),
+    )
+
+
+ETL_QUERIES["heat_wave_events"] = q_heat_wave_events
+
+ETL_ORACLES["heat_wave_events"] = _DAILY_CTE + f"""
+, d AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x, daily_total
+    FROM daily
+), hot AS (
+    SELECT event_type, x FROM (
+        SELECT event_type, x,
+               daily_total * 4 * count(*) OVER (PARTITION BY event_type)
+                 > sum(daily_total) OVER (PARTITION BY event_type) * 5 AS hot
+        FROM d
+    ) WHERE hot
+), runs AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS run_len,
+           CAST(min(x) AS BIGINT) AS start_x
+    FROM (
+        SELECT event_type, x,
+               x - row_number() OVER (PARTITION BY event_type ORDER BY x) AS grp
+        FROM hot
+    ) GROUP BY event_type, grp
+    HAVING count(*) >= 3
+), mx AS (
+    SELECT event_type, max(run_len) AS mx_len FROM runs GROUP BY 1
+)
+SELECT r.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(r.run_len) AS BIGINT) AS n_event_days,
+       CAST(max(r.run_len) AS BIGINT) AS max_event_days,
+       CAST(min(CASE WHEN r.run_len = m.mx_len THEN r.start_x END) AS BIGINT)
+           AS longest_start_day
+FROM runs r JOIN mx m ON r.event_type = m.event_type
+GROUP BY 1
+"""

@@ -3316,3 +3316,89 @@ FROM (
 
 
 LLM_ORACLES["rrf_fusion"] = _rrf_oracle_sql()
+
+
+VOCAB_CUTS = (100, 1000)
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all token occurrences
+    covered by the top-V word types, for each V in VOCAB_CUTS — the
+    sizing diagnostic behind tokenizer/vocab decisions (how big must V
+    be before OOV rate is acceptable), and a Zipf-sanity check on any
+    new corpus.
+
+    Counts are exact; the global frequency ranking runs through the
+    bucketed distributed row_number (functions/ranks) over a constant
+    group key — at vocabulary scale (millions of types) a plain
+    window's single-partition sort is exactly the collapse that
+    machinery exists to avoid. Ranks order by (-count, word), so ties
+    are deterministic.
+    """
+    from pygeoapi_ingestor_spark.functions import ranks
+
+    docs = _docs(spark, sf_dir)
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+    counts = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("_g", F.lit(0))
+        .withColumn("neg", -F.col("cnt"))
+    )
+    ranked = ranks.bucketed_row_number(
+        counts, ["_g"], "neg", ["w"], out_col="rn", count_col="n_types"
+    )
+    cuts = ranked.select(
+        "cnt", "rn", "n_types",
+        F.explode(F.array(*[F.lit(v) for v in VOCAB_CUTS])).alias("v"),
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    agg = cuts.groupBy("v").agg(
+        F.first("n_types").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("rn") <= F.col("v"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("covered"),
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        F.col("v").cast("int").alias("v"),
+        "n_types",
+        "covered",
+        "total",
+        F.round(F.col("covered") / F.col("total").cast("double"), 6).alias("coverage"),
+    )
+
+
+LLM_QUERIES["vocab_coverage_curve"] = q_vocab_coverage_curve
+
+LLM_ORACLES["vocab_coverage_curve"] = rf"""
+WITH tok AS (
+    SELECT unnest(list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                   '\s+'),
+               w -> w <> '')) AS w
+    FROM documents
+), counts AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+), ranked AS (
+    SELECT cnt,
+           row_number() OVER (ORDER BY cnt DESC, w ASC) AS rn,
+           count(*) OVER () AS n_types
+    FROM counts
+), total AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts
+)
+SELECT CAST(v.v AS INT) AS v,
+       CAST(min(n_types) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN rn <= v.v THEN cnt ELSE 0 END) AS BIGINT) AS covered,
+       min(t.total) AS total,
+       round(sum(CASE WHEN rn <= v.v THEN cnt ELSE 0 END)
+             / CAST(min(t.total) AS DOUBLE), 6) AS coverage
+FROM ranked CROSS JOIN (VALUES {", ".join(f"({v})" for v in VOCAB_CUTS)}) v(v)
+CROSS JOIN total t
+GROUP BY v.v
+"""

@@ -547,3 +547,58 @@ def test_bm25_matches_python_reference(spark, sf_dir):
     for r, (_, (s, hits)) in zip(rows, expected):
         assert r["score"] == pytest.approx(s, abs=1e-4)
         assert r["n_terms_hit"] == hits
+
+
+def test_heat_wave_events_match_python_runs(spark, sf_dir):
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["heat_wave_events"](spark, sf_dir).collect()
+    }
+    daily = _daily_pd(spark, sf_dir)
+    anchor = pd.Timestamp("2024-01-01")
+    for et, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day")
+        y = grp["value"].to_numpy()
+        x = (grp["day"] - anchor).dt.days.to_numpy()
+        hot = y > 1.25 * (y.sum() / len(y))
+        runs, cur, start = [], 0, None
+        for xi, flag in zip(x, hot):
+            if flag:
+                if cur == 0:
+                    start = xi
+                cur += 1
+            elif cur:
+                runs.append((cur, start))
+                cur = 0
+        if cur:
+            runs.append((cur, start))
+        events = [r for r in runs if r[0] >= 3]
+        if not events:
+            assert et not in out
+            continue
+        got = out[et]
+        assert got["n_events"] == len(events)
+        assert got["n_event_days"] == sum(r[0] for r in events)
+        mx = max(r[0] for r in events)
+        assert got["max_event_days"] == mx
+        assert got["longest_start_day"] == min(s for l, s in events if l == mx)
+
+
+def test_vocab_coverage_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    out = {r["v"]: r for r in QUERIES["vocab_coverage_curve"](spark, sf_dir).collect()}
+    docs = _docs_pd(spark, sf_dir)
+    c = Counter()
+    for d in docs.itertuples():
+        c.update(_words(d.text))
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    for v in (100, 1000):
+        covered = sum(cnt for _, cnt in ordered[:v])
+        got = out[v]
+        assert got["n_types"] == len(c)
+        assert got["total"] == total
+        assert got["covered"] == covered
+        assert got["coverage"] == pytest.approx(covered / total, abs=1e-6)
+    assert out[1000]["coverage"] >= out[100]["coverage"]

@@ -240,12 +240,12 @@ _TAIL = [
     "bias_correction_qmap",
 ]
 
-# Keys in neither list land HERE — directly after _FRONT. The round-5
-# window (~50 entries) is already exactly filled, so the late-round-5
-# additions (heat_wave_events, vocab_coverage_curve) deliberately sit at
-# position 51+: locally oracle-verified now (pytest suite +
-# tools/driver_sim at sf0.001/0.01), first in line for the ROUND-6
-# stamp window.
+# Keys in neither list land HERE — after the whole _FRONT block, i.e.
+# outside the ~50-entry round-5 stamp window (which _R5_NEW + the two
+# as-of re-stamps fill exactly). The late-round-5 additions
+# (heat_wave_events, vocab_coverage_curve) are locally oracle-verified
+# (pytest suite + tools/driver_sim at sf0.001/0.01) and should be
+# FRONT-LOADED by the round-6 reordering.
 _order = list(_FRONT)
 _order += [k for k in _ALL if k not in _FRONT and k not in _TAIL]
 _order += [k for k in _TAIL if k in _ALL]

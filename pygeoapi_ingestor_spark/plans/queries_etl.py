@@ -3581,3 +3581,175 @@ SELECT r.event_type,
 FROM runs r JOIN mx m ON r.event_type = m.event_type
 GROUP BY 1
 """
+
+
+DMC_REF_SERIES = "view"
+
+
+def q_double_mass_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-mass curve per series vs the reference series: cumulative
+    total against cumulative reference total by day — the classic
+    hydrological homogeneity screen (a slope break means a gauge moved
+    or its exposure changed; rer_river_discharge_arpae_process.py's
+    stage records are exactly what this QC protects).
+
+    Exact DECIMAL cumulative sums on both axes (window order fixed by
+    the day index), ratio as the single rounded float. One shuffle to
+    the series key; the reference cumulative joins via broadcast of the
+    tiny per-day reference table.
+    """
+    from pyspark.sql import Window
+
+    d = _daily(spark, sf_dir).select(
+        "event_type",
+        F.expr(_X_DAY_SPARK).cast("bigint").alias("x"),
+        "daily_total",
+    )
+    ref = d.filter(F.col("event_type") == DMC_REF_SERIES).select(
+        "x", F.col("daily_total").alias("ref_total")
+    )
+    wr = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    ref_cum = ref.select(
+        "x", F.sum("ref_total").over(wr).alias("cum_ref")
+    )
+    w = Window.partitionBy("event_type").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = d.filter(F.col("event_type") != DMC_REF_SERIES).select(
+        "event_type", "x", F.sum("daily_total").over(w).alias("cum_series")
+    )
+    return cum.join(F.broadcast(ref_cum), "x").select(
+        "event_type",
+        F.col("x").alias("day_index"),
+        F.round(F.col("cum_series").cast("double"), 2).alias("cum_series"),
+        F.round(F.col("cum_ref").cast("double"), 2).alias("cum_ref"),
+        F.round(
+            F.col("cum_series").cast("double") / F.col("cum_ref").cast("double"),
+            6,
+        ).alias("mass_ratio"),
+    )
+
+
+ETL_QUERIES["double_mass_curve"] = q_double_mass_curve
+
+ETL_ORACLES["double_mass_curve"] = _DAILY_CTE + f"""
+, d AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x, daily_total
+    FROM daily
+), ref_cum AS (
+    SELECT x, sum(daily_total) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref
+    FROM d WHERE event_type = '{DMC_REF_SERIES}'
+), cum AS (
+    SELECT event_type, x,
+           sum(daily_total) OVER (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_series
+    FROM d WHERE event_type <> '{DMC_REF_SERIES}'
+)
+SELECT c.event_type, c.x AS day_index,
+       round(CAST(c.cum_series AS DOUBLE), 2) AS cum_series,
+       round(CAST(r.cum_ref AS DOUBLE), 2) AS cum_ref,
+       round(CAST(c.cum_series AS DOUBLE) / CAST(r.cum_ref AS DOUBLE), 6)
+           AS mass_ratio
+FROM cum c JOIN ref_cum r ON c.x = r.x
+"""
+
+
+def q_kge_nse_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kling-Gupta and Nash-Sutcliffe efficiency of every series as a
+    'simulation' against the reference 'observation' series — THE two
+    verification numbers a hydrological service reports for its
+    discharge models (the deterministic siblings of the ensemble CRPS /
+    Brier family).
+
+    All moments (Σs, Σo, Σs², Σo², Σso, Σ(s−o)²) are exact integer sums
+    over the aligned daily pairs (yi = 100x totals as in trend_ols);
+    floats appear only in the final r / alpha / beta / KGE / NSE
+    divisions. One equi-join on the day against the broadcast
+    observation table, one shuffle to the series key.
+    """
+    base = _daily_xy(spark, sf_dir)
+    obs = base.filter(F.col("event_type") == DMC_REF_SERIES).select(
+        "x", F.col("yi").alias("oi")
+    )
+    pairs = base.filter(F.col("event_type") != DMC_REF_SERIES).join(
+        F.broadcast(obs), "x"
+    )
+    s19 = F.col("yi").cast("decimal(19,0)")
+    o19 = F.col("oi").cast("decimal(19,0)")
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yi").cast("bigint").alias("ss"),
+        F.sum("oi").cast("bigint").alias("so"),
+        F.sum(s19 * s19).cast("decimal(38,0)").alias("sss"),
+        F.sum(o19 * o19).cast("decimal(38,0)").alias("soo"),
+        F.sum(s19 * o19).cast("decimal(38,0)").alias("sso"),
+        F.sum((s19 - o19) * (s19 - o19)).cast("decimal(38,0)").alias("sse"),
+    )
+    n38 = F.col("n").cast("decimal(38,0)")
+    cov = (n38 * F.col("sso") - F.col("ss").cast("decimal(19,0)") * F.col("so").cast("decimal(19,0)")).cast("double")
+    vs = (n38 * F.col("sss") - F.col("ss").cast("decimal(19,0)") * F.col("ss").cast("decimal(19,0)")).cast("double")
+    vo = (n38 * F.col("soo") - F.col("so").cast("decimal(19,0)") * F.col("so").cast("decimal(19,0)")).cast("double")
+    r = cov / (F.sqrt(vs) * F.sqrt(vo))
+    alpha = F.sqrt(vs) / F.sqrt(vo)
+    beta = F.col("ss").cast("double") / F.col("so").cast("double")
+    kge = 1.0 - F.sqrt(
+        (r - 1.0) * (r - 1.0)
+        + (alpha - 1.0) * (alpha - 1.0)
+        + (beta - 1.0) * (beta - 1.0)
+    )
+    # NSE = 1 - Σ(s-o)² / Σ(o-ō)²; the denominator is vo/n
+    nse = 1.0 - F.col("sse").cast("double") / (vo / F.col("n").cast("double"))
+    return agg.select(
+        "event_type", "n",
+        F.round(r, 6).alias("r"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(beta, 6).alias("beta"),
+        F.round(kge, 6).alias("kge"),
+        F.round(nse, 6).alias("nse"),
+    )
+
+
+ETL_QUERIES["kge_nse_scores"] = q_kge_nse_scores
+
+ETL_ORACLES["kge_nse_scores"] = _DAILY_CTE + f"""
+, base AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x,
+           CAST(daily_total * 100 AS BIGINT) AS yi
+    FROM daily
+), obs AS (
+    SELECT x, yi AS oi FROM base WHERE event_type = '{DMC_REF_SERIES}'
+), agg AS (
+    SELECT b.event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(b.yi) AS BIGINT) AS ss, CAST(sum(o.oi) AS BIGINT) AS so,
+           sum(CAST(b.yi AS HUGEINT) * b.yi) AS sss,
+           sum(CAST(o.oi AS HUGEINT) * o.oi) AS soo,
+           sum(CAST(b.yi AS HUGEINT) * o.oi) AS sso,
+           sum(CAST(b.yi - o.oi AS HUGEINT) * (b.yi - o.oi)) AS sse
+    FROM base b JOIN obs o ON b.x = o.x
+    WHERE b.event_type <> '{DMC_REF_SERIES}'
+    GROUP BY 1
+)
+, scores AS (
+    SELECT event_type, n,
+           CAST(CAST(n AS HUGEINT) * sso - CAST(ss AS HUGEINT) * so AS DOUBLE)
+           / (sqrt(CAST(CAST(n AS HUGEINT) * sss - CAST(ss AS HUGEINT) * ss AS DOUBLE))
+              * sqrt(CAST(CAST(n AS HUGEINT) * soo - CAST(so AS HUGEINT) * so AS DOUBLE)))
+               AS r,
+           sqrt(CAST(CAST(n AS HUGEINT) * sss - CAST(ss AS HUGEINT) * ss AS DOUBLE))
+           / sqrt(CAST(CAST(n AS HUGEINT) * soo - CAST(so AS HUGEINT) * so AS DOUBLE))
+               AS alpha,
+           CAST(ss AS DOUBLE) / so AS beta,
+           1.0 - CAST(sse AS DOUBLE)
+             / (CAST(CAST(n AS HUGEINT) * soo - CAST(so AS HUGEINT) * so AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS nse
+    FROM agg
+)
+SELECT event_type, n,
+       round(r, 6) AS r, round(alpha, 6) AS alpha, round(beta, 6) AS beta,
+       round(1.0 - sqrt((r - 1.0) * (r - 1.0)
+                        + (alpha - 1.0) * (alpha - 1.0)
+                        + (beta - 1.0) * (beta - 1.0)), 6) AS kge,
+       round(nse, 6) AS nse
+FROM scores
+"""

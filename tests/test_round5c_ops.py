@@ -602,3 +602,45 @@ def test_vocab_coverage_matches_python(spark, sf_dir):
         assert got["covered"] == covered
         assert got["coverage"] == pytest.approx(covered / total, abs=1e-6)
     assert out[1000]["coverage"] >= out[100]["coverage"]
+
+
+def test_double_mass_ratio_matches_pandas_cumsums(spark, sf_dir):
+    rows = QUERIES["double_mass_curve"](spark, sf_dir).collect()
+    daily = _daily_pd(spark, sf_dir)
+    anchor = pd.Timestamp("2024-01-01")
+    daily["x"] = (daily["day"] - anchor).dt.days
+    ref = daily[daily.event_type == "view"].sort_values("x")
+    ref_cum = ref.set_index("x")["value"].cumsum()
+    for et, grp in daily[daily.event_type != "view"].groupby("event_type"):
+        grp = grp.sort_values("x")
+        cum = grp.set_index("x")["value"].cumsum()
+        for r in (r for r in rows if r["event_type"] == et):
+            x = r["day_index"]
+            assert r["cum_series"] == pytest.approx(cum[x], abs=1e-2)
+            assert r["cum_ref"] == pytest.approx(ref_cum[x], abs=1e-2)
+            assert r["mass_ratio"] == pytest.approx(cum[x] / ref_cum[x], abs=1e-4)
+
+
+def test_kge_nse_match_numpy(spark, sf_dir):
+    out = {r["event_type"]: r for r in QUERIES["kge_nse_scores"](spark, sf_dir).collect()}
+    daily = _daily_pd(spark, sf_dir)
+    anchor = pd.Timestamp("2024-01-01")
+    daily["x"] = (daily["day"] - anchor).dt.days
+    obs = daily[daily.event_type == "view"].set_index("x")["value"]
+    for et, grp in daily[daily.event_type != "view"].groupby("event_type"):
+        sim = grp.set_index("x")["value"]
+        xs = sorted(set(sim.index) & set(obs.index))
+        s = np.array([sim[x] for x in xs])
+        o = np.array([obs[x] for x in xs])
+        r = np.corrcoef(s, o)[0, 1]
+        alpha = s.std() / o.std()  # population std both sides
+        beta = s.sum() / o.sum()
+        kge = 1 - np.sqrt((r - 1) ** 2 + (alpha - 1) ** 2 + (beta - 1) ** 2)
+        nse = 1 - ((s - o) ** 2).sum() / ((o - o.mean()) ** 2).sum()
+        got = out[et]
+        assert got["n"] == len(xs)
+        assert got["r"] == pytest.approx(r, abs=1e-4)
+        assert got["alpha"] == pytest.approx(alpha, abs=1e-4)
+        assert got["beta"] == pytest.approx(beta, abs=1e-4)
+        assert got["kge"] == pytest.approx(kge, abs=1e-4)
+        assert got["nse"] == pytest.approx(nse, abs=1e-4)

@@ -3402,3 +3402,116 @@ FROM ranked CROSS JOIN (VALUES {", ".join(f"({v})" for v in VOCAB_CUTS)}) v(v)
 CROSS JOIN total t
 GROUP BY v.v
 """
+
+
+TRIPLET_ANCHORS = 25
+
+
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining over the labeled embedding
+    table: for each anchor, the HARDEST NEGATIVE (most-similar vector
+    with a different label) and the EASIEST POSITIVE (least-similar
+    vector sharing the label), plus the triplet margin — the batch
+    miner that feeds metric-learning / embedding-finetune pipelines,
+    and a labeling-QA signal (negative margins = label noise).
+
+    Anchors broadcast (bounded sample); per-anchor extremes are single
+    max/min STRUCT aggregates over the label-filtered similarity pass
+    (map-side combinable — no per-anchor sort, no rank window). Cosines
+    are the deterministic left-fold dot products, ids break ties inside
+    the struct ordering.
+    """
+    e = _emb(spark, sf_dir)
+    anchors = e.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("label").alias("a_label"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("label").alias("c_label"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_vec"), F.col("c_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .withColumn("cosine", dot / (norm("c_vec") * norm("a_vec")))
+    )
+    agg = scored.groupBy("anchor_id", "a_label").agg(
+        F.max(
+            F.when(
+                F.col("c_label") != F.col("a_label"),
+                F.struct(F.col("cosine"), (-F.col("cand_id")).alias("nid")),
+            )
+        ).alias("hn"),
+        F.min(
+            F.when(
+                F.col("c_label") == F.col("a_label"),
+                F.struct(F.col("cosine"), F.col("cand_id").alias("pid")),
+            )
+        ).alias("ep"),
+    )
+    return agg.select(
+        "anchor_id",
+        F.col("a_label").alias("label"),
+        (-F.col("hn.nid")).cast("bigint").alias("hardest_neg_id"),
+        F.round("hn.cosine", 6).alias("hardest_neg_cos"),
+        F.col("ep.pid").cast("bigint").alias("easiest_pos_id"),
+        F.round("ep.cosine", 6).alias("easiest_pos_cos"),
+        F.round(F.col("ep.cosine") - F.col("hn.cosine"), 6).alias("margin"),
+    )
+
+
+LLM_QUERIES["triplet_mining"] = q_triplet_mining
+
+# extremes mirror the struct orderings exactly: hardest negative =
+# lexicographically max (cosine, -id) over different-label candidates
+# (greatest cosine, smallest id on ties); easiest positive = min
+# (cosine, id) over same-label candidates
+LLM_ORACLES["triplet_mining"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+anchors AS (
+    SELECT vec_id AS anchor_id, v AS a_vec, label AS a_label
+    FROM e WHERE vec_id < {TRIPLET_ANCHORS}
+), scored AS (
+    SELECT a.anchor_id, a.a_label, c.vec_id AS cand_id, c.label AS c_label,
+           list_dot_product(c.v, a.a_vec)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(a.a_vec, a.a_vec))) AS cosine
+    FROM e c CROSS JOIN anchors a
+    WHERE c.vec_id <> a.anchor_id
+), hn AS (
+    SELECT anchor_id, cand_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY cosine DESC, cand_id ASC) AS rn
+        FROM scored WHERE c_label <> a_label
+    ) WHERE rn = 1
+), ep AS (
+    SELECT anchor_id, cand_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY cosine ASC, cand_id ASC) AS rn
+        FROM scored WHERE c_label = a_label
+    ) WHERE rn = 1
+)
+SELECT a.anchor_id, a.a_label AS label,
+       CAST(h.cand_id AS BIGINT) AS hardest_neg_id,
+       round(h.cosine, 6) AS hardest_neg_cos,
+       CAST(p.cand_id AS BIGINT) AS easiest_pos_id,
+       round(p.cosine, 6) AS easiest_pos_cos,
+       round(p.cosine - h.cosine, 6) AS margin
+FROM (SELECT DISTINCT anchor_id, a_label FROM scored) a
+JOIN hn h ON a.anchor_id = h.anchor_id
+JOIN ep p ON a.anchor_id = p.anchor_id
+"""

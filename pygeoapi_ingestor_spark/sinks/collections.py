@@ -707,3 +707,37 @@ def apply_retention(
             kept.append(value)
     return {"kept": sorted(kept), "dropped": sorted(dropped),
             "dry_run": dry_run}
+
+
+def missing_partitions(
+    spark, path: str, partition_col: str, start: str, end: str
+) -> list[str]:
+    """Backfill planner: the date partitions a collection is MISSING in
+    [start, end] — the skip-if-exists check behind the reference's
+    idempotent scheduled ingest (utils_spi.py:205-358 decides per tick
+    whether a slice already landed), inverted into a work list a
+    scheduler can fan out.
+
+    Pure directory listing (no data read); values compare as ISO dates.
+    """
+    import datetime as _dt
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"{partition_col}="
+    have = set()
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith(prefix):
+                have.add(name[len(prefix):])
+    d0 = _dt.date.fromisoformat(start)
+    d1 = _dt.date.fromisoformat(end)
+    out = []
+    d = d0
+    while d <= d1:
+        if d.isoformat() not in have:
+            out.append(d.isoformat())
+        d += _dt.timedelta(days=1)
+    return out

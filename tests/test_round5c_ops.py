@@ -644,3 +644,31 @@ def test_kge_nse_match_numpy(spark, sf_dir):
         assert got["beta"] == pytest.approx(beta, abs=1e-4)
         assert got["kge"] == pytest.approx(kge, abs=1e-4)
         assert got["nse"] == pytest.approx(nse, abs=1e-4)
+
+
+def test_triplet_mining_matches_numpy(spark, sf_dir):
+    out = {r["anchor_id"]: r for r in QUERIES["triplet_mining"](spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    V = {r.vec_id: (np.asarray(r.embedding, dtype=np.float64), r.label)
+         for r in emb.itertuples()}
+    for aid in range(25):
+        av, al = V[aid]
+        best_neg, best_pos = None, None
+        for cid, (cv, cl) in V.items():
+            if cid == aid:
+                continue
+            cos = float(cv @ av / (np.linalg.norm(cv) * np.linalg.norm(av)))
+            if cl != al:
+                k = (cos, -cid)
+                if best_neg is None or k > best_neg[0]:
+                    best_neg = (k, cid, cos)
+            else:
+                k = (cos, cid)
+                if best_pos is None or k < best_pos[0]:
+                    best_pos = (k, cid, cos)
+        got = out[aid]
+        assert got["hardest_neg_id"] == best_neg[1]
+        assert got["hardest_neg_cos"] == pytest.approx(best_neg[2], abs=1e-5)
+        assert got["easiest_pos_id"] == best_pos[1]
+        assert got["easiest_pos_cos"] == pytest.approx(best_pos[2], abs=1e-5)
+        assert got["margin"] == pytest.approx(best_pos[2] - best_neg[2], abs=1e-5)

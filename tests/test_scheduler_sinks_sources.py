@@ -563,3 +563,20 @@ def test_apply_retention_drops_expired_partitions(spark, sf_dir, tmp_path):
     # the collection still reads cleanly and holds exactly the kept days
     back = spark.read.parquet(path)
     assert sorted(str(r["day"]) for r in back.select("day").distinct().collect()) == remaining
+
+
+def test_missing_partitions_backfill_plan(spark, sf_dir, tmp_path):
+    from pygeoapi_ingestor_spark.sinks.collections import missing_partitions
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "backfill")
+    # land only the first 10 days
+    ev.filter(F.col("day") < "2024-01-11").write.partitionBy("day").parquet(path)
+    missing = missing_partitions(spark, path, "day", "2024-01-01", "2024-01-15")
+    assert missing == [f"2024-01-{d:02d}" for d in range(11, 16)]
+    # a nonexistent collection needs the whole range
+    assert len(
+        missing_partitions(spark, str(tmp_path / "nope"), "day",
+                           "2024-01-01", "2024-01-03")
+    ) == 3

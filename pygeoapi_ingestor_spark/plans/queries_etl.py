@@ -3753,3 +3753,112 @@ SELECT event_type, n,
        round(nse, 6) AS nse
 FROM scores
 """
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend significance test per series — the
+    distribution-free S statistic with tie-corrected variance and the
+    normalized Z score, the standard companion to theilsen_trend in
+    every climate trend statement ("significant at p<0.05").
+
+    S = Σ sign(y_j − y_i) over day-ordered pairs is a pure integer sum
+    from the same bounded pair join as Theil-Sen (quadratic in DAYS,
+    series parallelism unbounded); the tie correction aggregates value
+    multiplicities exactly. Floats enter only at Z's division; the
+    verdict thresholds at |Z| > 1.96.
+    """
+    base = _daily_xy(spark, sf_dir)
+    a = base.select("event_type", F.col("x").alias("xa"), F.col("yi").alias("ya"))
+    b = base.select(
+        F.col("event_type").alias("et_b"),
+        F.col("x").alias("xb"),
+        F.col("yi").alias("yb"),
+    )
+    s_tab = (
+        a.join(b, (F.col("event_type") == F.col("et_b")) & (F.col("xb") > F.col("xa")))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum((F.col("yb") - F.col("ya")).cast("double")).cast("bigint"))
+            .cast("bigint")
+            .alias("s_stat"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    ties = (
+        base.groupBy("event_type", "yi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie_term"),
+            F.sum("t").cast("bigint").alias("n"),
+        )
+    )
+    j = s_tab.join(ties, "event_type")
+    var_s = (
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+        ).cast("double")
+        / 18.0
+    )
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        "n",
+        "s_stat",
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+ETL_QUERIES["mann_kendall"] = q_mann_kendall
+
+ETL_ORACLES["mann_kendall"] = _DAILY_CTE + f"""
+, base AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x,
+           CAST(daily_total * 100 AS BIGINT) AS yi
+    FROM daily
+), s_tab AS (
+    SELECT a.event_type,
+           CAST(sum(CAST(sign(CAST(b.yi - a.yi AS DOUBLE)) AS BIGINT)) AS BIGINT)
+               AS s_stat
+    FROM base a JOIN base b
+      ON b.event_type = a.event_type AND b.x > a.x
+    GROUP BY 1
+), ties AS (
+    SELECT event_type,
+           CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+           CAST(sum(t) AS BIGINT) AS n
+    FROM (
+        SELECT event_type, yi, CAST(count(*) AS BIGINT) AS t
+        FROM base GROUP BY 1, 2
+    ) GROUP BY 1
+), j AS (
+    SELECT s.event_type, s.s_stat, t.n,
+           CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term AS DOUBLE) / 18.0
+               AS var_s
+    FROM s_tab s JOIN ties t ON s.event_type = t.event_type
+)
+SELECT event_type, n, s_stat, round(var_s, 4) AS var_s,
+       round(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z,
+       CASE WHEN CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+                      ELSE 0.0 END > 1.96 THEN 'increasing'
+            WHEN CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+                      ELSE 0.0 END < -1.96 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM j
+"""

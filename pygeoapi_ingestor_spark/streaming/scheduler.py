@@ -141,3 +141,51 @@ def finalize_job(spark) -> None:
         spark.sparkContext._jvm.System.gc()
     except Exception:
         pass
+
+
+def backfill(
+    spark,
+    registry: dict,
+    process: str,
+    collection_path: str,
+    partition_col: str,
+    start: str,
+    end: str,
+    inputs_for_day=None,
+) -> dict:
+    """Close the idempotent-ingest loop: plan the missing partitions
+    (sinks.missing_partitions), run the registered process once per
+    missing day, and append each day's slice into the collection — the
+    catch-up pass a scheduler runs after downtime (the reference's
+    skip-if-exists ticks, driven as one work list).
+
+    ``inputs_for_day(day) -> dict`` builds the per-day process inputs
+    (default: {"day": day}). Per-day failures are recorded, not raised —
+    one bad slice must not abort the rest of the catch-up. Returns
+    {planned, landed, failed}.
+    """
+    from pygeoapi_ingestor_spark.sinks.collections import missing_partitions
+
+    plan = missing_partitions(spark, collection_path, partition_col, start, end)
+    landed, failed = [], {}
+    for day in plan:
+        try:
+            df = run_process(
+                spark, registry,
+                ScheduledProcess(
+                    name=f"backfill-{day}", process=process,
+                    frequency="on-demand",
+                    inputs=(inputs_for_day(day) if inputs_for_day
+                            else {"day": day}),
+                ),
+            )
+            (
+                df.write.mode("append")
+                .partitionBy(partition_col)
+                .parquet(collection_path)
+            )
+            landed.append(day)
+        except Exception as e:  # noqa: BLE001
+            failed[day] = str(e)[:200]
+        finalize_job(spark)
+    return {"planned": plan, "landed": landed, "failed": failed}

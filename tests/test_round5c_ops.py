@@ -672,3 +672,30 @@ def test_triplet_mining_matches_numpy(spark, sf_dir):
         assert got["easiest_pos_id"] == best_pos[1]
         assert got["easiest_pos_cos"] == pytest.approx(best_pos[2], abs=1e-5)
         assert got["margin"] == pytest.approx(best_pos[2] - best_neg[2], abs=1e-5)
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    out = {r["event_type"]: r for r in QUERIES["mann_kendall"](spark, sf_dir).collect()}
+    daily = _daily_pd(spark, sf_dir)
+    for et, grp in daily.groupby("event_type"):
+        y = (grp.sort_values("day")["value"] * 100).round().astype(int).to_list()
+        n = len(y)
+        s = sum(
+            (y[j] > y[i]) - (y[j] < y[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        ties = Counter(y)
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        z = (s - 1) / var_s ** 0.5 if s > 0 else ((s + 1) / var_s ** 0.5 if s < 0 else 0.0)
+        got = out[et]
+        assert got["n"] == n
+        assert got["s_stat"] == s
+        assert got["var_s"] == pytest.approx(var_s, abs=1e-3)
+        assert got["z"] == pytest.approx(z, abs=1e-5)
+        assert got["trend"] == (
+            "increasing" if z > 1.96 else "decreasing" if z < -1.96 else "none"
+        )

@@ -580,3 +580,33 @@ def test_missing_partitions_backfill_plan(spark, sf_dir, tmp_path):
         missing_partitions(spark, str(tmp_path / "nope"), "day",
                            "2024-01-01", "2024-01-03")
     ) == 3
+
+
+def test_backfill_lands_missing_days_idempotently(spark, sf_dir, tmp_path):
+    from pygeoapi_ingestor_spark.sinks.collections import missing_partitions
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "bf")
+    ev.filter(F.col("day") < "2024-01-04").write.partitionBy("day").parquet(path)
+
+    registry = {
+        "daily_slice": lambda spark_, day: ev.filter(F.col("day") == day)
+    }
+    res = scheduler.backfill(
+        spark, registry, "daily_slice", path, "day", "2024-01-01", "2024-01-06"
+    )
+    assert res["planned"] == ["2024-01-04", "2024-01-05", "2024-01-06"]
+    assert res["landed"] == res["planned"] and not res["failed"]
+    # collection now complete over the range...
+    assert missing_partitions(spark, path, "day", "2024-01-01", "2024-01-06") == []
+    # ...with exactly the source's rows per backfilled day (no dupes)
+    for day in res["landed"]:
+        got = spark.read.parquet(path).filter(F.col("day") == day).count()
+        exp = ev.filter(F.col("day") == day).count()
+        assert got == exp
+    # a second pass plans nothing — the idempotency contract
+    res2 = scheduler.backfill(
+        spark, registry, "daily_slice", path, "day", "2024-01-01", "2024-01-06"
+    )
+    assert res2["planned"] == [] and res2["landed"] == []

@@ -3862,3 +3862,80 @@ SELECT event_type, n, s_stat, round(var_s, 4) AS var_s,
             ELSE 'none' END AS trend
 FROM j
 """
+
+
+GUMBEL_TS = (10, 50, 100)
+
+
+def q_gumbel_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV1) return levels per series by method of moments on
+    daily totals: beta = s·√6/π, mu = x̄ − γ·beta, level(T) = mu −
+    beta·ln(−ln(1−1/T)) for T in GUMBEL_TS — the fitted-distribution
+    counterpart of return_levels_empirical (plotting positions only
+    reach T ≈ n; design values at T=100 need the fit; the reference's
+    flood products quote exactly these).
+
+    Mean and variance come from the exact integer moments (the
+    trend_ols arithmetic); the Gumbel constants are literal doubles, so
+    every float expression is engine-identical. One shuffle to the
+    series key, then a 3-row explode per series for the T grid.
+    """
+    base = _daily_xy(spark, sf_dir)
+    y19 = F.col("yi").cast("decimal(19,0)")
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yi").cast("bigint").alias("sy"),
+        F.sum(y19 * y19).cast("decimal(38,0)").alias("syy"),
+    )
+    n38 = F.col("n").cast("decimal(38,0)")
+    var_num = (
+        n38 * F.col("syy")
+        - F.col("sy").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+    ).cast("double")
+    # population variance of yi/100: var_num / n² / 100²
+    std = F.sqrt(var_num) / F.col("n").cast("double") / 100.0
+    mean = F.col("sy").cast("double") / F.col("n") / 100.0
+    beta = std * 0.7796968012336293  # sqrt(6)/pi
+    mu = mean - 0.5772156649015329 * beta  # Euler-Mascheroni
+    t_rows = agg.select(
+        "event_type", "n", mean.alias("_mean"), beta.alias("_beta"), mu.alias("_mu"),
+        F.explode(F.array(*[F.lit(t) for t in GUMBEL_TS])).alias("t"),
+    )
+    level = F.col("_mu") - F.col("_beta") * F.log(-F.log(1.0 - 1.0 / F.col("t")))
+    return t_rows.select(
+        "event_type",
+        "n",
+        F.col("t").cast("int").alias("t"),
+        F.round("_mean", 4).alias("mean_daily"),
+        F.round("_beta", 6).alias("beta"),
+        F.round("_mu", 4).alias("mu"),
+        F.round(level, 4).alias("return_level"),
+    )
+
+
+ETL_QUERIES["gumbel_return_levels"] = q_gumbel_return_levels
+
+ETL_ORACLES["gumbel_return_levels"] = _DAILY_CTE + f"""
+, base AS (
+    SELECT event_type, CAST(daily_total * 100 AS BIGINT) AS yi FROM daily
+), agg AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(yi) AS BIGINT) AS sy,
+           sum(CAST(yi AS HUGEINT) * yi) AS syy
+    FROM base GROUP BY 1
+), fitted AS (
+    SELECT event_type, n,
+           CAST(sy AS DOUBLE) / n / 100.0 AS m,
+           sqrt(CAST(CAST(n AS HUGEINT) * syy
+                     - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+             / CAST(n AS DOUBLE) / 100.0 * 0.7796968012336293 AS beta
+    FROM agg
+)
+SELECT f.event_type, f.n, CAST(t.t AS INT) AS t,
+       round(f.m, 4) AS mean_daily,
+       round(f.beta, 6) AS beta,
+       round(f.m - 0.5772156649015329 * f.beta, 4) AS mu,
+       round(f.m - 0.5772156649015329 * f.beta
+             - f.beta * ln(-ln(1.0 - 1.0 / t.t)), 4) AS return_level
+FROM fitted f CROSS JOIN (VALUES {", ".join(f"({t})" for t in GUMBEL_TS)}) t(t)
+"""

@@ -3515,3 +3515,92 @@ FROM (SELECT DISTINCT anchor_id, a_label FROM scored) a
 JOIN hn h ON a.anchor_id = h.anchor_id
 JOIN ep p ON a.anchor_id = p.anchor_id
 """
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the one-row-per-source summary a corpus
+    release ships (docs, token totals/means, English share by the
+    heuristic langid, exact-dup rate) — the stats block of a HF-style
+    dataset card, assembled in ONE pass per signal family and joined on
+    the tiny source key.
+
+    Each input signal reuses the audited operator arithmetic (token
+    counts, lang_id argmax, fingerprint groups); counts exact, the
+    three ratios are the only floats.
+    """
+    docs = _docs(spark, sf_dir)
+    counted = text.token_counts(docs, text_col="text")
+    pred = text.lang_id(docs, text_col="text")
+    fp = text.fingerprint(docs, text_col="text")
+    fp_sizes = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fp_n")
+    )
+    base = counted.select("doc_id", "source", "ws_tokens").join(
+        pred.select("doc_id", "lang_pred"), "doc_id"
+    ).join(
+        fp.select("doc_id", "fingerprint").join(fp_sizes, "fingerprint"),
+        "doc_id",
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("ws_tokens").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_tokens"),
+        F.round(
+            F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("en_share"),
+        F.round(
+            F.sum(F.when(F.col("fp_n") > 1, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+LLM_QUERIES["dataset_card"] = q_dataset_card
+
+LLM_ORACLES["dataset_card"] = r"""
+WITH counted AS (
+    SELECT doc_id, source,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens
+    FROM documents WHERE length(trim(text)) > 0
+    UNION ALL
+    SELECT doc_id, source, 0 FROM documents WHERE length(trim(text)) = 0
+), hits AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it)\b')) AS h_en,
+           len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|zu)\b')) AS h_de,
+           len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est|une|que)\b')) AS h_fr,
+           len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|una|que|para)\b')) AS h_es
+    FROM documents
+), pred AS (
+    SELECT doc_id,
+           CASE WHEN h_en = best AND best > 0 THEN 'en'
+                WHEN h_de = best AND best > 0 THEN 'de'
+                WHEN h_fr = best AND best > 0 THEN 'fr'
+                WHEN h_es = best AND best > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es) AS best FROM hits)
+), fp AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+    FROM documents
+), fps AS (
+    SELECT fingerprint, CAST(count(*) AS BIGINT) AS fp_n FROM fp GROUP BY 1
+)
+SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c.ws_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(c.ws_tokens) AS DOUBLE) / count(*), 4) AS mean_tokens,
+       round(sum(CASE WHEN p.lang_pred = 'en' THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS en_share,
+       round(sum(CASE WHEN s.fp_n > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM counted c
+JOIN pred p ON c.doc_id = p.doc_id
+JOIN fp f ON c.doc_id = f.doc_id
+JOIN fps s ON f.fingerprint = s.fingerprint
+GROUP BY 1
+"""

@@ -699,3 +699,45 @@ def test_mann_kendall_matches_python(spark, sf_dir):
         assert got["trend"] == (
             "increasing" if z > 1.96 else "decreasing" if z < -1.96 else "none"
         )
+
+
+def test_gumbel_levels_match_numpy_mom(spark, sf_dir):
+    import math
+
+    rows = QUERIES["gumbel_return_levels"](spark, sf_dir).collect()
+    daily = _daily_pd(spark, sf_dir)
+    for et, grp in daily.groupby("event_type"):
+        y = grp["value"].to_numpy(dtype=float)
+        mean, std = y.mean(), y.std()  # population std
+        beta = std * math.sqrt(6) / math.pi
+        mu = mean - 0.5772156649015329 * beta
+        for r in (r for r in rows if r["event_type"] == et):
+            lvl = mu - beta * math.log(-math.log(1 - 1 / r["t"]))
+            assert r["mean_daily"] == pytest.approx(mean, abs=1e-3)
+            assert r["beta"] == pytest.approx(beta, abs=1e-3)
+            assert r["return_level"] == pytest.approx(lvl, abs=1e-2)
+        # monotone in T
+        levels = [r["return_level"] for r in sorted(
+            (r for r in rows if r["event_type"] == et), key=lambda r: r["t"]
+        )]
+        assert levels == sorted(levels)
+
+
+def test_dataset_card_matches_python(spark, sf_dir):
+    import re as _re
+
+    out = {r["source"]: r for r in QUERIES["dataset_card"](spark, sf_dir).collect()}
+    docs = _docs_pd(spark, sf_dir)
+    docs["fp"] = [_re.sub(r"[^a-z0-9]", "", t.lower()) for t in docs["text"]]
+    sizes = docs.groupby("fp")["doc_id"].transform("size")
+    docs["dup"] = sizes > 1
+    docs["tok"] = [len(t.split()) for t in docs["text"]]
+    en_words = ("the", "and", "is", "of", "to", "in", "that", "it")
+    for src, grp in docs.groupby("source"):
+        got = out[src]
+        assert got["n_docs"] == len(grp)
+        assert got["total_tokens"] == grp["tok"].sum()
+        assert got["dup_rate"] == pytest.approx(grp["dup"].mean(), abs=1e-6)
+        # en_share sanity: at least the docs whose top stopword family is
+        # English count; exact parity is pinned by the oracle gate
+        assert 0.0 <= got["en_share"] <= 1.0

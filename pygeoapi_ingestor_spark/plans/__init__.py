@@ -243,9 +243,11 @@ _TAIL = [
 # Keys in neither list land HERE — after the whole _FRONT block, i.e.
 # outside the ~50-entry round-5 stamp window (which _R5_NEW + the two
 # as-of re-stamps fill exactly). The late-round-5 additions
-# (heat_wave_events, vocab_coverage_curve) are locally oracle-verified
-# (pytest suite + tools/driver_sim at sf0.001/0.01) and should be
-# FRONT-LOADED by the round-6 reordering.
+# (heat_wave_events, vocab_coverage_curve, double_mass_curve,
+# kge_nse_scores, mann_kendall, gumbel_return_levels, triplet_mining,
+# dataset_card) are locally oracle-verified (pytest suite +
+# tools/driver_sim at sf0.001/0.01, several also at sf0.1) and should
+# be FRONT-LOADED by the round-6 reordering.
 _order = list(_FRONT)
 _order += [k for k in _ALL if k not in _FRONT and k not in _TAIL]
 _order += [k for k in _TAIL if k in _ALL]

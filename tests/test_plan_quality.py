@@ -558,3 +558,21 @@ def test_rrf_fusion_broadcasts_query_side(spark, sf_dir):
     plan = _simple(QUERIES["rrf_fusion"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+def test_r6_candidate_plans_stay_bounded(spark, sf_dir):
+    # the late-round-5 additions: no cartesian anywhere; the pair-based
+    # trend tests must come from equi-joins keyed on the series
+    for key in (
+        "heat_wave_events", "vocab_coverage_curve", "double_mass_curve",
+        "kge_nse_scores", "mann_kendall", "gumbel_return_levels",
+        "dataset_card",
+    ):
+        plan = _simple(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+
+
+def test_triplet_mining_broadcasts_anchors(spark, sf_dir):
+    plan = _simple(QUERIES["triplet_mining"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan

@@ -405,3 +405,31 @@ def test_chunked_ewma_matches_pandas(spark, data, alpha):
     assert set(got) == set(want)
     for rid in want:
         assert abs(got[rid] - want[rid]) < 1e-9, (rid, got[rid], want[rid])
+
+
+def test_bloom_prescreen_no_false_negatives_and_bounded_fp(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.operators.dedup import bloom_prescreen
+    from pygeoapi_ingestor_spark.operators.text import fingerprint
+
+    docs = fingerprint(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), text_col="text"
+    ).select("doc_id", "fingerprint")
+    reference = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs
+    screened = bloom_prescreen(
+        batch, reference, "fingerprint", "fingerprint",
+        expected_items=1000, fpp=0.05,
+    )
+    ref_fps = {r["fingerprint"] for r in reference.collect()}
+    rows = screened.collect()
+    true_members = [r for r in rows if r["fingerprint"] in ref_fps]
+    non_members = [r for r in rows if r["fingerprint"] not in ref_fps]
+    # Bloom guarantee: every true member survives the screen
+    assert all(r["_might_match"] for r in true_members)
+    # false-positive rate on non-members stays near the configured fpp
+    fp = sum(1 for r in non_members if r["_might_match"])
+    assert fp / max(1, len(non_members)) <= 0.15
+    # and the screen is actually selective
+    assert fp < len(non_members)

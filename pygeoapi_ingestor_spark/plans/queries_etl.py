@@ -3939,3 +3939,175 @@ SELECT f.event_type, f.n, CAST(t.t AS INT) AS t,
              - f.beta * ln(-ln(1.0 - 1.0 / t.t)), 4) AS return_level
 FROM fitted f CROSS JOIN (VALUES {", ".join(f"({t})" for t in GUMBEL_TS)}) t(t)
 """
+
+
+def q_disaggregate_daily_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-preserving temporal disaggregation: spread each (series,
+    day) total over 24 hours proportionally to the series' HOURLY
+    CLIMATOLOGY (the A5 diurnal profile) — the standard downscaling
+    that turns daily products into hourly forcing series
+    (data_prep_knmi_evapo_forecast.py consumes exactly such splits).
+
+    Exactness: the hourly share is formed from exact DECIMAL
+    climatology sums (share = hour_sum / day_sum as one double
+    division), and the disaggregated value is daily_total·share with
+    both factors engine-identical. Mass preservation is property-tested
+    (Σ hours == daily total to rounding). Shuffles: the climatology
+    profile is series x 24 — broadcast; one shuffle builds the daily
+    table.
+    """
+    ev = _events(spark, sf_dir).withColumn("value", F.col("value").cast(VALUE_DEC))
+    prof = (
+        ev.groupBy(
+            "event_type", F.hour("ts").cast("int").alias("hod")
+        )
+        .agg(F.sum("value").alias("hour_sum"))
+    )
+    day_tot = prof.groupBy("event_type").agg(F.sum("hour_sum").alias("all_sum"))
+    shares = prof.join(day_tot, "event_type").select(
+        "event_type", "hod",
+        (F.col("hour_sum").cast("double") / F.col("all_sum").cast("double")).alias("share"),
+    )
+    daily = _daily(spark, sf_dir).select(
+        "event_type", F.col("bucket"), "daily_total"
+    )
+    out = daily.join(F.broadcast(shares), "event_type")
+    return out.select(
+        "event_type",
+        F.col("bucket").alias("day"),
+        F.col("hod"),
+        F.round(F.col("daily_total").cast("double") * F.col("share"), 4).alias(
+            "hourly_value"
+        ),
+        F.round("share", 6).alias("share"),
+    )
+
+
+ETL_QUERIES["disaggregate_daily_hourly"] = q_disaggregate_daily_hourly
+
+ETL_ORACLES["disaggregate_daily_hourly"] = _DAILY_CTE + """
+, prof AS (
+    SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+           sum(CAST(value AS DECIMAL(14,2))) AS hour_sum
+    FROM events GROUP BY 1, 2
+), day_tot AS (
+    SELECT event_type, sum(hour_sum) AS all_sum FROM prof GROUP BY 1
+), shares AS (
+    SELECT p.event_type, p.hod,
+           CAST(p.hour_sum AS DOUBLE) / CAST(t.all_sum AS DOUBLE) AS share
+    FROM prof p JOIN day_tot t ON p.event_type = t.event_type
+)
+SELECT d.event_type, d.bucket AS day, s.hod,
+       round(CAST(d.daily_total AS DOUBLE) * s.share, 4) AS hourly_value,
+       round(s.share, 6) AS share
+FROM daily d JOIN shares s ON d.event_type = s.event_type
+"""
+
+
+PERIODOGRAM_PS = (7, 14)
+
+
+def q_periodogram_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse periodogram: spectral power of each series' daily totals
+    at candidate periods (7 and 14 days) plus the fraction of total
+    variance each explains — the periodicity detector that picks the
+    seasonal period BEFORE seasonal_decompose_dow assumes one.
+
+    Power(P) = (Σ y·cos(2πx/P))² + (Σ y·sin(2πx/P))² over the
+    mean-centered series. Cross-engine determinism: each cos/sin term
+    is rounded then DECIMAL-summed (the js-divergence convention —
+    libm's last ulp sits 6 digits below the rounding scale), squares
+    and ratios derive from those exact sums. One shuffle to (series,
+    period) after a 2-way explode of the tiny daily table.
+    """
+    import math as _math
+
+    base = _daily_xy(spark, sf_dir)
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yi").cast("bigint").alias("sy"),
+        F.sum(F.col("yi").cast("decimal(19,0)") * F.col("yi").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    centered = base.join(F.broadcast(stats), "event_type").select(
+        "event_type", "x", "n", "sy", "syy",
+        (
+            F.col("yi").cast("double") / 100.0
+            - F.col("sy").cast("double") / F.col("n") / 100.0
+        ).alias("yc"),
+        F.explode(F.array(*[F.lit(p) for p in PERIODOGRAM_PS])).alias("p"),
+    )
+    ang = 2.0 * _math.pi * F.col("x").cast("double") / F.col("p").cast("double")
+    agg = centered.groupBy("event_type", "p").agg(
+        F.first("n").alias("n"),
+        F.first("sy").alias("sy"),
+        F.first("syy").alias("syy"),
+        F.sum(F.round(F.col("yc") * F.cos(ang), 6).cast("decimal(24,6)")).alias("sc"),
+        F.sum(F.round(F.col("yc") * F.sin(ang), 6).cast("decimal(24,6)")).alias("ss"),
+    )
+    power = (
+        F.col("sc").cast("double") * F.col("sc").cast("double")
+        + F.col("ss").cast("double") * F.col("ss").cast("double")
+    )
+    # total sum of squares of the centered series (exact):
+    # Σ(y-ȳ)² = (n·Σy² − (Σy)²) / n / 100²
+    tss = (
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("syy")
+            - F.col("sy").cast("decimal(19,0)") * F.col("sy").cast("decimal(19,0)")
+        ).cast("double")
+        / F.col("n").cast("double")
+        / 10000.0
+    )
+    return agg.select(
+        "event_type",
+        F.col("p").cast("int").alias("p"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(power, 4).alias("power"),
+        F.round(2.0 * power / (F.col("n").cast("double") * tss), 6).alias(
+            "var_fraction"
+        ),
+    )
+
+
+ETL_QUERIES["periodogram_coarse"] = q_periodogram_coarse
+
+ETL_ORACLES["periodogram_coarse"] = _DAILY_CTE + f"""
+, base AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x,
+           CAST(daily_total * 100 AS BIGINT) AS yi
+    FROM daily
+), stats AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(yi) AS BIGINT) AS sy,
+           sum(CAST(yi AS HUGEINT) * yi) AS syy
+    FROM base GROUP BY 1
+), centered AS (
+    SELECT b.event_type, b.x, s.n, s.sy, s.syy, p.p,
+           CAST(b.yi AS DOUBLE) / 100.0
+             - CAST(s.sy AS DOUBLE) / s.n / 100.0 AS yc
+    FROM base b
+    JOIN stats s ON b.event_type = s.event_type
+    CROSS JOIN (VALUES {", ".join(f"({p})" for p in PERIODOGRAM_PS)}) p(p)
+), agg AS (
+    SELECT event_type, p, min(n) AS n, min(sy) AS sy, min(syy) AS syy,
+           sum(CAST(round(yc * cos(2.0 * pi() * CAST(x AS DOUBLE)
+                                   / CAST(p AS DOUBLE)), 6)
+                    AS DECIMAL(24,6))) AS sc,
+           sum(CAST(round(yc * sin(2.0 * pi() * CAST(x AS DOUBLE)
+                                   / CAST(p AS DOUBLE)), 6)
+                    AS DECIMAL(24,6))) AS ss
+    FROM centered GROUP BY 1, 2
+)
+SELECT event_type, CAST(p AS INT) AS p, CAST(n AS BIGINT) AS n,
+       round(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+             + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE), 4) AS power,
+       round(2.0 * (CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                    + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+             / (CAST(n AS DOUBLE)
+                * (CAST(CAST(n AS HUGEINT) * syy
+                        - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                   / CAST(n AS DOUBLE) / 10000.0)), 6) AS var_fraction
+FROM agg
+"""

@@ -741,3 +741,39 @@ def missing_partitions(
             out.append(d.isoformat())
         d += _dt.timedelta(days=1)
     return out
+
+
+def collection_stats(spark, path: str) -> dict:
+    """Storage observability for a collection: file/byte totals, per
+    partition-directory byte sizes, and bytes-per-row — the numbers
+    that drive compaction and retention decisions (files_per_partition
+    creeping up says "compact"; bytes_per_row jumping says a schema or
+    encoding regression). Footer-only row count (parquet metadata), no
+    data scan.
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    per_dir: dict[str, dict] = {}
+    total_bytes = n_files = 0
+    it = fs.listFiles(root, True)
+    root_str = str(fs.makeQualified(root))
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        rel = str(f.getPath().getParent())[len(root_str):].strip("/")
+        d = per_dir.setdefault(rel or ".", {"files": 0, "bytes": 0})
+        d["files"] += 1
+        d["bytes"] += f.getLen()
+        total_bytes += f.getLen()
+        n_files += 1
+    n_rows = spark.read.parquet(path).count()  # metadata-only for parquet
+    return {
+        "n_files": n_files,
+        "total_bytes": int(total_bytes),
+        "n_rows": int(n_rows),
+        "bytes_per_row": round(total_bytes / n_rows, 2) if n_rows else None,
+        "partitions": dict(sorted(per_dir.items())),
+    }

@@ -741,3 +741,40 @@ def test_dataset_card_matches_python(spark, sf_dir):
         # en_share sanity: at least the docs whose top stopword family is
         # English count; exact parity is pinned by the oracle gate
         assert 0.0 <= got["en_share"] <= 1.0
+
+
+def test_disaggregation_preserves_mass(spark, sf_dir):
+    rows = QUERIES["disaggregate_daily_hourly"](spark, sf_dir).collect()
+    daily = _daily_pd(spark, sf_dir)
+    back = {}
+    shares = {}
+    for r in rows:
+        key = (r["event_type"], r["day"].date())
+        back[key] = back.get(key, 0.0) + r["hourly_value"]
+        shares.setdefault(r["event_type"], {})[r["hod"]] = r["share"]
+    for d in daily.itertuples():
+        key = (d.event_type, d.day.date())
+        # Σ over hours recovers the daily total (to rounding of 24 terms)
+        assert back[key] == pytest.approx(d.value, abs=24 * 1e-4 + 1e-6)
+    for et, sh in shares.items():
+        assert len(sh) == 24
+        assert sum(sh.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_periodogram_flags_weekly_cycle(spark, sf_dir):
+    import math
+
+    rows = QUERIES["periodogram_coarse"](spark, sf_dir).collect()
+    daily = _daily_pd(spark, sf_dir)
+    anchor = pd.Timestamp("2024-01-01")
+    for r in rows[:6]:
+        grp = daily[daily.event_type == r["event_type"]].sort_values("day")
+        x = (grp["day"] - anchor).dt.days.to_numpy(dtype=float)
+        y = grp["value"].to_numpy(dtype=float)
+        yc = y - y.mean()
+        ang = 2 * math.pi * x / r["p"]
+        power = (yc * np.cos(ang)).sum() ** 2 + (yc * np.sin(ang)).sum() ** 2
+        assert r["power"] == pytest.approx(power, rel=1e-3, abs=1e-2)
+        tss = (yc ** 2).sum()
+        assert r["var_fraction"] == pytest.approx(2 * power / (len(x) * tss), abs=1e-4)
+        assert 0.0 <= r["var_fraction"] <= 1.0 + 1e-9

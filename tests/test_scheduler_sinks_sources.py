@@ -610,3 +610,20 @@ def test_backfill_lands_missing_days_idempotently(spark, sf_dir, tmp_path):
         spark, registry, "daily_slice", path, "day", "2024-01-01", "2024-01-06"
     )
     assert res2["planned"] == [] and res2["landed"] == []
+
+
+def test_collection_stats_reports_layout(spark, sf_dir, tmp_path):
+    from pygeoapi_ingestor_spark.sinks.collections import collection_stats
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "obs")
+    ev.write.partitionBy("day").parquet(path)
+    stats = collection_stats(spark, path)
+    assert stats["n_rows"] == ev.count()
+    assert stats["n_files"] >= len(stats["partitions"])
+    assert stats["total_bytes"] == sum(
+        d["bytes"] for d in stats["partitions"].values()
+    )
+    assert stats["bytes_per_row"] > 0
+    assert all(k.startswith("day=") for k in stats["partitions"])

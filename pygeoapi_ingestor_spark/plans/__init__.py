@@ -245,7 +245,8 @@ _TAIL = [
 # as-of re-stamps fill exactly). The late-round-5 additions
 # (heat_wave_events, vocab_coverage_curve, double_mass_curve,
 # kge_nse_scores, mann_kendall, gumbel_return_levels, triplet_mining,
-# dataset_card, disaggregate_daily_hourly, periodogram_coarse) are
+# dataset_card, disaggregate_daily_hourly, periodogram_coarse,
+# ab_test_conversion, survival_hazard_table) are
 # locally oracle-verified (pytest suite +
 # tools/driver_sim at sf0.001/0.01, several also at sf0.1) and should
 # be FRONT-LOADED by the round-6 reordering.

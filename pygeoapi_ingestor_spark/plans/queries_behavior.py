@@ -926,3 +926,215 @@ SELECT d.day, d.dau, w.wau,
        round(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
 FROM dau d JOIN wau w ON d.day = w.wday
 """
+
+
+def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B conversion test: users hash deterministically
+    into arms (md5 parity — the same content-stable assignment trick as
+    stratified_split), conversion = the user has a purchase event, and
+    the readout is the classic pooled two-proportion z statistic — the
+    experiment-analysis primitive over the event log.
+
+    All counts exact; p-hats, the pooled variance, and z are the only
+    floats, built from one identical expression chain in both engines.
+    One user-key shuffle (conversion flags), one tiny arm rollup.
+    """
+    ev = read_events(spark, sf_dir)
+    # conversion = a HIGH-VALUE purchase (>= 175): nearly every synthetic
+    # user purchases something, so plain "has purchase" is degenerate
+    # (pooled p = 1 -> zero variance)
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") >= 175.0)
+            ).cast("int")
+        ).alias("converted")
+    )
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % 2
+    )
+    armed = users.withColumn("arm", arm.cast("int"))
+    agg = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    a = agg.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    b = agg.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    )
+    j = a.crossJoin(b)
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    pool = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    se = F.sqrt(
+        pool * (1.0 - pool)
+        * (1.0 / F.col("na").cast("double") + 1.0 / F.col("nb").cast("double"))
+    )
+    z = F.when(se > 0, (pa - pb) / se)
+    return j.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ca").cast("bigint").alias("conv_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("cb").cast("bigint").alias("conv_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant"),
+    )
+
+
+BEHAVIOR_QUERIES["ab_test_conversion"] = q_ab_test_conversion
+
+BEHAVIOR_ORACLES["ab_test_conversion"] = """
+WITH users AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value >= 175.0
+                    THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY 1
+), armed AS (
+    SELECT CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                % 2 AS INT) AS arm,
+           converted
+    FROM users
+), agg AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS c
+    FROM armed GROUP BY 1
+), j AS (
+    SELECT a.n AS na, a.c AS ca, b.n AS nb, b.c AS cb
+    FROM (SELECT * FROM agg WHERE arm = 0) a
+    CROSS JOIN (SELECT * FROM agg WHERE arm = 1) b
+)
+SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+       round(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+       round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+       round(CASE WHEN sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) > 0
+             THEN (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                  / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                         * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                         * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+             END, 6) AS z,
+       coalesce(abs(CASE WHEN sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) > 0
+             THEN (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                  / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                         * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                         * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+             END) > 1.96, FALSE) AS significant
+FROM j
+"""
+
+
+def q_survival_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival analysis of view -> first purchase: per
+    day-offset k, the users still at risk, the conversions at k, the
+    discrete hazard, and the Kaplan-Meier survival curve — time-to-event
+    with RIGHT CENSORING at the observation window's end (the users who
+    never purchase are not dropped; they survive past the horizon).
+
+    Counts are exact; the KM product Π(1−h) folds as exp(Σ ln(1−h))
+    with each ln term rounded-then-DECIMAL-summed (the js-divergence
+    convention), so the cumulative curve stays order-independent across
+    engines. One user-key shuffle, then a day-offset rollup and a tiny
+    ordered window over the offsets.
+    """
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    first_view = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    first_purchase = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("tp"))
+    horizon = ev.agg(F.max("ts").alias("t_end"))
+    cohort = (
+        first_view.join(first_purchase, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.when(
+                F.col("tp").isNotNull() & (F.col("tp") >= F.col("t0")),
+                F.datediff(F.col("tp").cast("date"), F.col("t0").cast("date")),
+            ).cast("bigint").alias("event_day"),
+            F.datediff(F.col("t_end").cast("date"), F.col("t0").cast("date"))
+            .cast("bigint")
+            .alias("censor_day"),
+        )
+    )
+    max_k = 14
+    grid = spark.range(max_k + 1).select(F.col("id").cast("bigint").alias("k"))
+    # at risk at k: entered (censor_day >= k) and not converted before k
+    at_risk = cohort.crossJoin(F.broadcast(grid)).filter(
+        (F.col("censor_day") >= F.col("k"))
+        & (F.col("event_day").isNull() | (F.col("event_day") >= F.col("k")))
+    )
+    table = at_risk.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at_risk"),
+        # event_day is NULL for censored users: a raw (event_day == k)
+        # comparison is NULL there and would null the whole sum
+        F.sum(F.when(F.col("event_day") == F.col("k"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_events"),
+    )
+    h = F.col("n_events").cast("double") / F.col("n_at_risk")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    km = F.exp(
+        F.sum(
+            F.round(F.log(1.0 - h), 9).cast("decimal(20,9)")
+        ).over(w).cast("double")
+    )
+    return table.filter(F.col("n_at_risk") > 0).select(
+        F.col("k").cast("int").alias("k"),
+        "n_at_risk",
+        "n_events",
+        F.round(h, 6).alias("hazard"),
+        F.round(km, 6).alias("km_survival"),
+    )
+
+
+BEHAVIOR_QUERIES["survival_hazard_table"] = q_survival_hazard_table
+
+BEHAVIOR_ORACLES["survival_hazard_table"] = """
+WITH fv AS (
+    SELECT user_id, min(ts) AS t0 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+), fp AS (
+    SELECT user_id, min(ts) AS tp FROM events
+    WHERE event_type = 'purchase' GROUP BY 1
+), horizon AS (SELECT max(ts) AS t_end FROM events),
+cohort AS (
+    SELECT v.user_id,
+           CASE WHEN p.tp IS NOT NULL AND p.tp >= v.t0
+                THEN date_diff('day', CAST(v.t0 AS DATE), CAST(p.tp AS DATE))
+           END AS event_day,
+           date_diff('day', CAST(v.t0 AS DATE), CAST(h.t_end AS DATE))
+               AS censor_day
+    FROM fv v LEFT JOIN fp p ON v.user_id = p.user_id
+    CROSS JOIN horizon h
+), grid AS (SELECT unnest(range(0, 15)) AS k),
+at_risk AS (
+    SELECT g.k, c.event_day FROM cohort c CROSS JOIN grid g
+    WHERE c.censor_day >= g.k
+      AND (c.event_day IS NULL OR c.event_day >= g.k)
+), table_ AS (
+    SELECT k, CAST(count(*) AS BIGINT) AS n_at_risk,
+           CAST(sum(CASE WHEN event_day = k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events
+    FROM at_risk GROUP BY 1
+)
+SELECT CAST(k AS INT) AS k, n_at_risk, n_events,
+       round(CAST(n_events AS DOUBLE) / n_at_risk, 6) AS hazard,
+       round(exp(CAST(sum(CAST(round(ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk), 9)
+                              AS DECIMAL(20,9)))
+                     OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS DOUBLE)), 6) AS km_survival
+FROM table_ WHERE n_at_risk > 0
+"""

@@ -778,3 +778,64 @@ def test_periodogram_flags_weekly_cycle(spark, sf_dir):
         tss = (yc ** 2).sum()
         assert r["var_fraction"] == pytest.approx(2 * power / (len(x) * tss), abs=1e-4)
         assert 0.0 <= r["var_fraction"] <= 1.0 + 1e-9
+
+
+def test_ab_test_matches_python_two_proportion(spark, sf_dir):
+    import hashlib
+    import math
+
+    row = QUERIES["ab_test_conversion"](spark, sf_dir).collect()[0]
+    ev = _events_pd(spark, sf_dir)
+    conv = ev.assign(hi=(ev.event_type == "purchase") & (ev.value >= 175.0)) \
+             .groupby("user_id")["hi"].any()
+    arms = {0: [0, 0], 1: [0, 0]}
+    for uid, c in conv.items():
+        a = int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+        arms[a][0] += 1
+        arms[a][1] += int(c)
+    na, ca = arms[0]
+    nb, cb = arms[1]
+    assert (row["n_a"], row["conv_a"], row["n_b"], row["conv_b"]) == (na, ca, nb, cb)
+    pool = (ca + cb) / (na + nb)
+    se = math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    z = (ca / na - cb / nb) / se
+    assert row["z"] == pytest.approx(z, abs=1e-5)
+    assert row["significant"] == (abs(z) > 1.96)
+
+
+def test_survival_table_matches_python_km(spark, sf_dir):
+    rows = {r["k"]: r for r in QUERIES["survival_hazard_table"](spark, sf_dir).collect()}
+    ev = _events_pd(spark, sf_dir)
+    t_end = ev["ts"].max()
+    fv = ev[ev.event_type == "view"].groupby("user_id")["ts"].min()
+    fp = ev[ev.event_type == "purchase"].groupby("user_id")["ts"].min()
+    cohort = []
+    for uid, t0 in fv.items():
+        tp = fp.get(uid)
+        event_day = (
+            (tp.normalize() - t0.normalize()).days
+            if tp is not None and tp >= t0 else None
+        )
+        censor_day = (t_end.normalize() - t0.normalize()).days
+        cohort.append((event_day, censor_day))
+    surv = 1.0
+    for k in range(15):
+        at_risk = [
+            (e, c) for e, c in cohort
+            if c >= k and (e is None or e >= k)
+        ]
+        if not at_risk:
+            assert k not in rows
+            continue
+        events = sum(1 for e, _ in at_risk if e == k)
+        got = rows[k]
+        assert got["n_at_risk"] == len(at_risk)
+        assert got["n_events"] == events
+        h = events / len(at_risk)
+        assert got["hazard"] == pytest.approx(h, abs=1e-6)
+        surv *= (1 - h)
+        assert got["km_survival"] == pytest.approx(surv, abs=1e-4)
+    # survival is monotone nonincreasing
+    ks = sorted(rows)
+    kms = [rows[k]["km_survival"] for k in ks]
+    assert all(a >= b - 1e-9 for a, b in zip(kms, kms[1:]))

@@ -4111,3 +4111,105 @@ SELECT event_type, CAST(p AS INT) AS p, CAST(n AS BIGINT) AS n,
                    / CAST(n AS DOUBLE) / 10000.0)), 6) AS var_fraction
 FROM agg
 """
+
+
+# extraterrestrial radiation (Ra, MJ m⁻² day⁻¹) per latitude band —
+# Python-computed literals like AW_LAT_BANDS (FAO-56 eq. 21 at a fixed
+# representative day-of-year), so both engines embed identical doubles
+RA_LAT_BANDS = [
+    (
+        li,
+        round(
+            max(
+                0.5,  # polar floor: Ra is nonnegative by construction,
+                # and a positive floor also keeps PET's sign exact
+                # (a negative Ra times sqrt(0) would make -0.0 in one
+                # engine and +0.0 in the other — observed, not
+                # hypothetical)
+                24 * 60 / _math.pi * 0.0820 * 0.985
+                * (
+                    _math.cos(_math.radians((li - 17.5) * 5.0)) * 0.9025
+                    + _math.sin(_math.radians((li - 17.5) * 5.0)) * 0.05
+                ),
+            ),
+            6,
+        ),
+    )
+    for li in range(36)
+]
+
+
+def q_pet_hargreaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hargreaves potential evapotranspiration per (lat-band, day):
+    PET = 0.0023 · Ra · (Tmean + 17.8) · √(Tmax − Tmin) — the
+    temperature-only PET the reference's evapotranspiration chain
+    computes when radiation data is missing (ingestor_knmi_evapo.py /
+    data_prep_knmi_evapo_forecast.py consume exactly this family;
+    values here read the synthetic series as temperature-like).
+
+    Tmean/Tmax/Tmin come from exact DECIMAL/exact-extreme daily
+    aggregates per band; Ra is a broadcast 36-row literal table (the
+    area_weighted_mean convention — no cross-engine libm trust). The
+    PET expression is one identical float chain; negative ranges are
+    impossible (max >= min) and zero ranges yield PET 0.
+    """
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        (F.col("user_id") % 36).cast("int").alias("li"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast(VALUE_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("t_mean"),
+        F.max("value").alias("t_max"),
+        F.min("value").alias("t_min"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+    ra = spark.createDataFrame(
+        [(li, v) for li, v in RA_LAT_BANDS], "li int, ra double"
+    )
+    out = daily.join(F.broadcast(ra), "li")
+    pet = (
+        0.0023
+        * F.col("ra")
+        * (F.col("t_mean") / 10.0 + 17.8)
+        * F.sqrt((F.col("t_max") - F.col("t_min")) / 10.0)
+    )
+    # t_mean = (2-decimal sum)/count lands EXACTLY on 4-decimal .5
+    # boundaries for power-of-two counts (x.xx/8 has 5 decimals), where
+    # Spark rounds HALF_UP and DuckDB HALF_EVEN — round at 6 decimals,
+    # beyond the value's own precision, so no boundary exists
+    return out.select(
+        "li", "day", "n_obs",
+        F.round("t_mean", 6).alias("t_mean"),
+        F.round("t_max", 2).alias("t_max"),
+        F.round("t_min", 2).alias("t_min"),
+        F.round(pet, 4).alias("pet"),
+    )
+
+
+ETL_QUERIES["pet_hargreaves"] = q_pet_hargreaves
+
+
+def _pet_oracle_sql() -> str:
+    rows = ", ".join(f"({li}, {v})" for li, v in RA_LAT_BANDS)
+    return f"""
+WITH daily AS (
+    SELECT CAST(user_id % 36 AS INT) AS li, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS t_mean,
+           max(value) AS t_max, min(value) AS t_min,
+           CAST(count(*) AS BIGINT) AS n_obs
+    FROM events GROUP BY 1, 2
+), ra(li, ra) AS (SELECT * FROM (VALUES {rows}) t(li, ra))
+SELECT d.li, d.day, d.n_obs,
+       round(d.t_mean, 6) AS t_mean,
+       round(d.t_max, 2) AS t_max,
+       round(d.t_min, 2) AS t_min,
+       round(0.0023 * r.ra * (d.t_mean / 10.0 + 17.8)
+             * sqrt((d.t_max - d.t_min) / 10.0), 4) AS pet
+FROM daily d JOIN ra r ON d.li = r.li
+"""
+
+
+ETL_ORACLES["pet_hargreaves"] = _pet_oracle_sql()

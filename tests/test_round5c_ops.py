@@ -839,3 +839,28 @@ def test_survival_table_matches_python_km(spark, sf_dir):
     ks = sorted(rows)
     kms = [rows[k]["km_survival"] for k in ks]
     assert all(a >= b - 1e-9 for a, b in zip(kms, kms[1:]))
+
+
+def test_pet_hargreaves_matches_python(spark, sf_dir):
+    import math
+
+    from pygeoapi_ingestor_spark.plans.queries_etl import RA_LAT_BANDS
+
+    rows = QUERIES["pet_hargreaves"](spark, sf_dir).collect()
+    ra = dict(RA_LAT_BANDS)
+    ev = _events_pd(spark, sf_dir)
+    ev["li"] = (ev["user_id"] % 36).astype(int)
+    ev["day"] = ev["ts"].dt.date
+    ev["v"] = ev["value"].round(2)
+    grouped = ev.groupby(["li", "day"])["v"].agg(["mean", "max", "min", "size"])
+    assert len(rows) == len(grouped)
+    for r in rows[:300]:
+        g = grouped.loc[(r["li"], r["day"])]
+        assert r["n_obs"] == g["size"]
+        assert r["t_mean"] == pytest.approx(g["mean"], abs=1e-4)
+        pet = (
+            0.0023 * ra[r["li"]] * (g["mean"] / 10.0 + 17.8)
+            * math.sqrt((g["max"] - g["min"]) / 10.0)
+        )
+        assert r["pet"] == pytest.approx(pet, abs=1e-3)
+        assert ra[r["li"]] > 0 and r["pet"] >= 0

@@ -566,7 +566,8 @@ def test_r6_candidate_plans_stay_bounded(spark, sf_dir):
     for key in (
         "heat_wave_events", "vocab_coverage_curve", "double_mass_curve",
         "kge_nse_scores", "mann_kendall", "gumbel_return_levels",
-        "dataset_card",
+        "dataset_card", "disaggregate_daily_hourly", "periodogram_coarse",
+        "ab_test_conversion", "survival_hazard_table", "pet_hargreaves",
     ):
         plan = _simple(QUERIES[key](spark, sf_dir))
         assert "CartesianProduct" not in plan, key

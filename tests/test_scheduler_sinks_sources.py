@@ -627,3 +627,38 @@ def test_collection_stats_reports_layout(spark, sf_dir, tmp_path):
     )
     assert stats["bytes_per_row"] > 0
     assert all(k.startswith("day=") for k in stats["partitions"])
+
+
+def test_expectations_single_pass_and_verdicts(spark, sf_dir):
+    from pygeoapi_ingestor_spark.quality import check_expectations
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    report = check_expectations(ev, [
+        {"rule": "not_null", "col": "event_id"},
+        {"rule": "unique", "col": "event_id"},
+        {"rule": "in_range", "col": "value", "min": 0.0, "max": 1000.0},
+        {"rule": "in_set", "col": "event_type",
+         "values": ["click", "view", "purchase", "signup", "error"]},
+        {"rule": "matches", "col": "event_type", "pattern": "[a-z]+"},
+        {"rule": "min_rows", "n": 10},
+    ])
+    assert report["ok"] and report["n_rows"] == ev.count()
+    assert all(r["violations"] == 0 for r in report["results"])
+
+    # violations are counted, not just flagged
+    bad = check_expectations(ev, [
+        {"rule": "in_range", "col": "value", "min": 0.0, "max": 100.0},
+        {"rule": "in_set", "col": "event_type", "values": ["click"]},
+        {"rule": "min_rows", "n": 10**9},
+    ])
+    assert not bad["ok"]
+    exp_range = ev.filter("value > 100.0 or value < 0.0 or value is null").count()
+    assert bad["results"][0]["violations"] == exp_range
+    assert bad["results"][1]["violations"] == ev.filter("event_type <> 'click'").count()
+    assert bad["results"][2]["violations"] == 10**9 - ev.count()
+
+    # duplicate detection via the unique rule
+    doubled = ev.limit(50).unionAll(ev.limit(20))
+    dup = check_expectations(doubled, [{"rule": "unique", "col": "event_id"}])
+    assert dup["results"][0]["violations"] == 20

@@ -246,7 +246,8 @@ _TAIL = [
 # (heat_wave_events, vocab_coverage_curve, double_mass_curve,
 # kge_nse_scores, mann_kendall, gumbel_return_levels, triplet_mining,
 # dataset_card, disaggregate_daily_hourly, periodogram_coarse,
-# ab_test_conversion, survival_hazard_table, pet_hargreaves) are
+# ab_test_conversion, survival_hazard_table, pet_hargreaves,
+# wet_day_markov, cooccurrence_pmi) are
 # locally oracle-verified (pytest suite +
 # tools/driver_sim at sf0.001/0.01, several also at sf0.1) and should
 # be FRONT-LOADED by the round-6 reordering.

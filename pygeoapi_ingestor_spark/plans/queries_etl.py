@@ -4213,3 +4213,106 @@ FROM daily d JOIN ra r ON d.li = r.li
 
 
 ETL_ORACLES["pet_hargreaves"] = _pet_oracle_sql()
+
+
+WET_THRESHOLD = 50.0
+
+
+def q_wet_day_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order wet-day Markov chain per series: P01 (dry->wet) and
+    P11 (wet->wet) transition probabilities plus the stationary wet
+    fraction — THE parameters a stochastic weather generator fits to an
+    observed precip series before simulating synthetic forcing (the
+    generative counterpart of climate_cdd's descriptive spells).
+
+    Wet = daily total above WET_THRESHOLD x n_obs-independent decimal
+    compare; transitions come from one lag over the day index with
+    calendar-gap guarding (a missing day breaks the chain rather than
+    faking a transition). All counts exact; the three probabilities are
+    the only floats.
+    """
+    from pyspark.sql import Window
+
+    d = _daily(spark, sf_dir).select(
+        "event_type",
+        F.expr(_X_DAY_SPARK).cast("bigint").alias("x"),
+        (F.col("daily_total") > F.lit(WET_THRESHOLD) * F.col("n_obs")).alias("wet"),
+        "n_obs",
+    )
+    w = Window.partitionBy("event_type").orderBy("x")
+    t = d.select(
+        "event_type", "x", "wet",
+        F.lag("wet").over(w).alias("prev_wet"),
+        F.lag("x").over(w).alias("prev_x"),
+    ).filter(
+        F.col("prev_wet").isNotNull() & (F.col("x") - F.col("prev_x") == 1)
+    )
+    agg = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans"),
+        F.sum(F.when(~F.col("prev_wet"), 1).otherwise(0)).cast("bigint").alias("n_from_dry"),
+        F.sum(F.when(~F.col("prev_wet") & F.col("wet"), 1).otherwise(0))
+        .cast("bigint").alias("n_dry_wet"),
+        F.sum(F.when(F.col("prev_wet"), 1).otherwise(0)).cast("bigint").alias("n_from_wet"),
+        F.sum(F.when(F.col("prev_wet") & F.col("wet"), 1).otherwise(0))
+        .cast("bigint").alias("n_wet_wet"),
+    )
+    wet_frac = d.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("wet").cast("int")) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("wet_fraction")
+    )
+    return agg.join(wet_frac, "event_type").select(
+        "event_type", "n_trans", "n_from_dry", "n_from_wet",
+        F.round(
+            F.when(F.col("n_from_dry") > 0,
+                   F.col("n_dry_wet") / F.col("n_from_dry").cast("double")),
+            6,
+        ).alias("p01"),
+        F.round(
+            F.when(F.col("n_from_wet") > 0,
+                   F.col("n_wet_wet") / F.col("n_from_wet").cast("double")),
+            6,
+        ).alias("p11"),
+        "wet_fraction",
+    )
+
+
+ETL_QUERIES["wet_day_markov"] = q_wet_day_markov
+
+ETL_ORACLES["wet_day_markov"] = _DAILY_CTE + f"""
+, d AS (
+    SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x,
+           daily_total > {WET_THRESHOLD} * n_obs AS wet
+    FROM daily
+), t AS (
+    SELECT event_type, x, wet,
+           lag(wet) OVER (PARTITION BY event_type ORDER BY x) AS prev_wet,
+           lag(x) OVER (PARTITION BY event_type ORDER BY x) AS prev_x
+    FROM d
+), trans AS (
+    SELECT * FROM t WHERE prev_wet IS NOT NULL AND x - prev_x = 1
+), agg AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_trans,
+           CAST(sum(CASE WHEN NOT prev_wet THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_from_dry,
+           CAST(sum(CASE WHEN NOT prev_wet AND wet THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dry_wet,
+           CAST(sum(CASE WHEN prev_wet THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_from_wet,
+           CAST(sum(CASE WHEN prev_wet AND wet THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_wet_wet
+    FROM trans GROUP BY 1
+), wf AS (
+    SELECT event_type,
+           round(sum(CASE WHEN wet THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS wet_fraction
+    FROM d GROUP BY 1
+)
+SELECT a.event_type, a.n_trans, a.n_from_dry, a.n_from_wet,
+       round(CASE WHEN a.n_from_dry > 0
+                  THEN a.n_dry_wet / CAST(a.n_from_dry AS DOUBLE) END, 6) AS p01,
+       round(CASE WHEN a.n_from_wet > 0
+                  THEN a.n_wet_wet / CAST(a.n_from_wet AS DOUBLE) END, 6) AS p11,
+       w.wet_fraction
+FROM agg a JOIN wf w ON a.event_type = w.event_type
+"""

@@ -3604,3 +3604,98 @@ JOIN fp f ON c.doc_id = f.doc_id
 JOIN fps s ON f.fingerprint = s.fingerprint
 GROUP BY 1
 """
+
+
+PMI_MIN_COUNT, PMI_TOPK = 5, 20
+
+
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-k adjacent word pairs by pointwise mutual
+    information, min-count filtered — the phrase detector
+    (word2vec-style "new_york" merging) and the lexical sibling of
+    lift_cooccurrence's basket lift.
+
+    PMI = ln(N·c_ab / (c_a·c_b)) over exact integer counts (adjacency
+    pairs from the lead window, unigrams from one explode), so the only
+    float is a single deterministic ln per surviving pair. Min-count
+    prunes the Zipf tail BEFORE the unigram joins; top-k is TakeOrdered
+    on (pmi, pair) — no global sort.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+    tok = docs.select(
+        F.col("doc_id").alias("doc"), F.posexplode(words).alias("pos", "w1")
+    )
+    uni = tok.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    n_tok = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    pairs = (
+        tok.select("doc", "w1", F.lead("w1").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_COUNT)
+    )
+    ub = uni.select(F.col("w1").alias("w2"), F.col("c1").alias("c2"))
+    scored = (
+        pairs.join(uni, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .withColumn(
+            "pmi",
+            F.log(
+                F.col("n").cast("double") * F.col("cab")
+                / (F.col("c1").cast("double") * F.col("c2"))
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(PMI_TOPK)
+        .select("w1", "w2", "cab", "c1", "c2", F.round("pmi", 6).alias("pmi"))
+    )
+
+
+LLM_QUERIES["cooccurrence_pmi"] = q_cooccurrence_pmi
+
+LLM_ORACLES["cooccurrence_pmi"] = rf"""
+WITH words_t AS (
+    SELECT doc_id,
+           list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                   '\s+'),
+               w -> w <> '') AS ws
+    FROM documents
+), tok AS (
+    SELECT doc_id AS doc, unnest(ws) AS w1,
+           generate_subscripts(ws, 1) AS pos
+    FROM words_t
+), uni AS (
+    SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1
+), n_tok AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+pairs AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab FROM (
+        SELECT doc, w1,
+               lead(w1) OVER (PARTITION BY doc ORDER BY pos) AS w2
+        FROM tok
+    ) WHERE w2 IS NOT NULL
+    GROUP BY 1, 2
+    HAVING count(*) >= {PMI_MIN_COUNT}
+)
+SELECT p.w1, p.w2, p.cab, u1.c1, u2.c1 AS c2,
+       round(ln(CAST(t.n AS DOUBLE) * p.cab
+                / (CAST(u1.c1 AS DOUBLE) * u2.c1)), 6) AS pmi
+FROM pairs p
+JOIN uni u1 ON p.w1 = u1.w1
+JOIN uni u2 ON p.w2 = u2.w1
+CROSS JOIN n_tok t
+ORDER BY ln(CAST(t.n AS DOUBLE) * p.cab / (CAST(u1.c1 AS DOUBLE) * u2.c1)) DESC,
+         p.w1 ASC, p.w2 ASC
+LIMIT {PMI_TOPK}
+"""

@@ -568,6 +568,7 @@ def test_r6_candidate_plans_stay_bounded(spark, sf_dir):
         "kge_nse_scores", "mann_kendall", "gumbel_return_levels",
         "dataset_card", "disaggregate_daily_hourly", "periodogram_coarse",
         "ab_test_conversion", "survival_hazard_table", "pet_hargreaves",
+        "wet_day_markov", "cooccurrence_pmi",
     ):
         plan = _simple(QUERIES[key](spark, sf_dir))
         assert "CartesianProduct" not in plan, key

@@ -864,3 +864,63 @@ def test_pet_hargreaves_matches_python(spark, sf_dir):
         )
         assert r["pet"] == pytest.approx(pet, abs=1e-3)
         assert ra[r["li"]] > 0 and r["pet"] >= 0
+
+
+def test_pmi_matches_python(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    rows = QUERIES["cooccurrence_pmi"](spark, sf_dir).collect()
+    assert rows
+    docs = _docs_pd(spark, sf_dir)
+    uni, pairs = Counter(), Counter()
+    n = 0
+    for d in docs.itertuples():
+        ws = _words(d.text)
+        uni.update(ws)
+        n += len(ws)
+        pairs.update(zip(ws, ws[1:]))
+    scored = [
+        ((w1, w2), math.log(n * c / (uni[w1] * uni[w2])), c)
+        for (w1, w2), c in pairs.items() if c >= 5
+    ]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    exp = scored[:20]
+    assert [(r["w1"], r["w2"]) for r in rows] == [p for p, _, _ in exp]
+    for r, (_, pmi, c) in zip(rows, exp):
+        assert r["cab"] == c
+        assert r["pmi"] == pytest.approx(pmi, abs=1e-5)
+
+
+def test_wet_day_markov_matches_python(spark, sf_dir):
+    out = {r["event_type"]: r for r in QUERIES["wet_day_markov"](spark, sf_dir).collect()}
+    daily = _daily_pd(spark, sf_dir)
+    ev = _events_pd(spark, sf_dir)
+    ev["day"] = ev["ts"].dt.floor("D")
+    nobs = ev.groupby(["event_type", "day"]).size()
+    for et, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day")
+        wet = [
+            v > 50.0 * nobs[(et, d)]
+            for v, d in zip(grp["value"], grp["day"])
+        ]
+        days = [(d - pd.Timestamp("2024-01-01")).days for d in grp["day"]]
+        from_dry = dry_wet = from_wet = wet_wet = 0
+        for i in range(1, len(wet)):
+            if days[i] - days[i - 1] != 1:
+                continue
+            if wet[i - 1]:
+                from_wet += 1
+                wet_wet += int(wet[i])
+            else:
+                from_dry += 1
+                dry_wet += int(wet[i])
+        got = out[et]
+        assert got["n_from_dry"] == from_dry and got["n_from_wet"] == from_wet
+        if from_dry:
+            assert got["p01"] == pytest.approx(dry_wet / from_dry, abs=1e-6)
+        if from_wet:
+            assert got["p11"] == pytest.approx(wet_wet / from_wet, abs=1e-6)
+        assert got["wet_fraction"] == pytest.approx(
+            sum(wet) / len(wet), abs=1e-6
+        )

@@ -3699,3 +3699,129 @@ ORDER BY ln(CAST(t.n AS DOUBLE) * p.cab / (CAST(u1.c1 AS DOUBLE) * u2.c1)) DESC,
          p.w1 ASC, p.w2 ASC
 LIMIT {PMI_TOPK}
 """
+
+
+KNN_OUT_K, KNN_OUT_TOP = 5, 20
+
+
+def q_embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outliers in embedding space: each vector's mean
+    cosine distance to its KNN_OUT_K nearest neighbors (EXACT, all
+    pairs), top KNN_OUT_TOP reported — the "these embeddings are
+    off-manifold" screen that catches mislabeled, corrupted, or
+    out-of-domain items before they poison curation (the unsupervised
+    sibling of triplet_mining's label-based margins).
+
+    Scale lesson baked in: the same exact pass written as an
+    interpreted 64-d array fold ran 61s at sf0.1, and an 8/24-plane RP
+    prefilter recovered only half the true top outliers on
+    near-uniform embeddings (kNN distances bunch tightly, so the
+    prefilter's bias dwarfs the rank spread — measured, then
+    rejected). Unpacking the vector into 64 SCALAR columns puts the
+    whole dot product inside whole-stage codegen: the exact all-pairs
+    pass drops to ~2s, no recall compromise. At corpus scales where
+    all-pairs is impossible, the per-vector aggregate runs over
+    IVF/LSH candidate lists instead — with the recall caveat this
+    dataset just demonstrated.
+    """
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    comps = [F.col("embedding").getItem(i).cast("double").alias(f"e{i}")
+             for i in range(EMB_DIM)]
+    flat = e.select("vec_id", *comps)
+    nrm = None
+    for i in range(EMB_DIM):
+        t = F.col(f"e{i}") * F.col(f"e{i}")
+        nrm = t if nrm is None else nrm + t
+    flat = flat.withColumn("nrm", F.sqrt(nrm)).persist()
+    a = flat.select(
+        F.col("vec_id").alias("ia"), F.col("nrm").alias("na"),
+        *[F.col(f"e{i}").alias(f"a{i}") for i in range(EMB_DIM)],
+    )
+    b = flat.select(
+        F.col("vec_id").alias("ib"), F.col("nrm").alias("nb"),
+        *[F.col(f"e{i}").alias(f"b{i}") for i in range(EMB_DIM)],
+    )
+    dot = None
+    for i in range(EMB_DIM):
+        t = F.col(f"a{i}") * F.col(f"b{i}")
+        dot = t if dot is None else dot + t
+    # cosine distance is symmetric: compute the strict upper triangle
+    # (half the 64-FMA work) and mirror the narrow result for ranking
+    # persist the narrow triangle: the union references it twice, and
+    # without a barrier Catalyst re-runs the 2M-row FMA join per branch
+    half = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", (1.0 - dot / (F.col("na") * F.col("nb"))).alias("dist"))
+    ).persist()
+    pairs = half.unionByName(
+        half.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "dist"
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.col("dist").asc(), F.col("ib").asc())
+    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KNN_OUT_K
+    )
+    # mean of the k nearest, summed in ascending rank order (matches
+    # the oracle's ordered-list aggregate to the last ulp)
+    scored = knn.groupBy("ia").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "dist"))),
+                    lambda s: s.getField("dist"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("knn_dist")
+    )
+    return (
+        scored.select(F.col("ia").alias("vec_id"), "knn_dist")
+        .orderBy(F.col("knn_dist").desc(), F.col("vec_id").asc())
+        .limit(KNN_OUT_TOP)
+        .select("vec_id", F.round("knn_dist", 6).alias("knn_dist"))
+    )
+
+
+LLM_QUERIES["embedding_knn_outliers"] = q_embedding_knn_outliers
+
+
+def _knn_outlier_oracle_sql() -> str:
+    """Brute-force twin: identical scalar-arithmetic cosine (the
+    component sums associate left-to-right in ascending index order in
+    both engines), (dist, id) neighbor ranking, neighbors averaged in
+    ascending rank order."""
+    dot = " + ".join(f"a.v[{i + 1}] * b.v[{i + 1}]" for i in range(EMB_DIM))
+    nrm = " + ".join(f"v[{i + 1}] * v[{i + 1}]" for i in range(EMB_DIM))
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt({nrm}) AS nrm
+    FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           1.0 - ({dot}) / (a.nrm * b.nrm) AS dist
+    FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id
+), ranked AS (
+    SELECT ia, dist,
+           row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rn
+    FROM pairs
+), knn AS (
+    SELECT ia AS vec_id, list(dist ORDER BY rn) AS ds
+    FROM ranked WHERE rn <= {KNN_OUT_K}
+    GROUP BY ia
+)
+SELECT vec_id,
+       round(list_aggregate(ds, 'sum') / len(ds), 6) AS knn_dist
+FROM knn
+ORDER BY list_aggregate(ds, 'sum') / len(ds) DESC, vec_id ASC
+LIMIT {KNN_OUT_TOP}
+"""
+
+
+LLM_ORACLES["embedding_knn_outliers"] = _knn_outlier_oracle_sql()

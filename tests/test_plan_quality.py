@@ -574,6 +574,15 @@ def test_r6_candidate_plans_stay_bounded(spark, sf_dir):
         assert "CartesianProduct" not in plan, key
 
 
+def test_knn_outliers_dot_product_is_codegen(spark, sf_dir):
+    # the all-pairs cosine must run as scalar codegen arithmetic, not an
+    # interpreted zip_with fold (61s vs 8s at sf0.1) — the fold version's
+    # signature expression must be absent from the whole plan
+    plan = _formatted(QUERIES["embedding_knn_outliers"](spark, sf_dir))
+    assert "zip_with" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the half matrix
+
+
 def test_triplet_mining_broadcasts_anchors(spark, sf_dir):
     plan = _simple(QUERIES["triplet_mining"](spark, sf_dir))
     assert "CartesianProduct" not in plan

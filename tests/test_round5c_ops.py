@@ -924,3 +924,24 @@ def test_wet_day_markov_matches_python(spark, sf_dir):
         assert got["wet_fraction"] == pytest.approx(
             sum(wet) / len(wet), abs=1e-6
         )
+
+
+def test_knn_outliers_match_unpruned_bruteforce(spark, sf_dir):
+    rows = QUERIES["embedding_knn_outliers"](spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    np.fill_diagonal(sims, -np.inf)
+    dists = 1.0 - sims
+    # unpruned ground truth: mean of the 5 smallest distances per vector
+    part = np.sort(dists, axis=1)[:, :5]
+    gt = dict(zip(ids, part.mean(axis=1)))
+    # the RP prefilter (50 candidates of 500) must keep the top outliers'
+    # kNN sets intact: reported distances equal the unpruned ones
+    for r in rows:
+        assert r["knn_dist"] == pytest.approx(gt[r["vec_id"]], abs=1e-4)
+    # and the reported set IS the unpruned top-20 (ties broken by id)
+    exp_top = sorted(gt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert {r["vec_id"] for r in rows} == {i for i, _ in exp_top}

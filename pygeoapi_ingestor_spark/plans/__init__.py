@@ -32,88 +32,40 @@ _ALL = {
     **BEHAVIOR_QUERIES,
 }
 
-# Round-5 front-load: the driver's correctness gate stamps the first ~50
-# entries in dict order, so rank keys by how stale their evidence is.
-# Tier 0 — brand new this round (no CORRECTNESS row ever).
-# Tier 1 — operator code changed this round: the SimHash bucket cap
-#          (dedup_simhash), the thresholded centroid/codebook tables
-#          (PQ / k-means / IVF-trained / centroid-classify), the zonal
-#          bucket-name fix (zonal_stats), the rfm unpersist loop; plus
-#          corpus_token_stats, whose round-4 plan rewrite never received
-#          a driver stamp (round-4 advice).
-# Tier 2 — the 30 keys whose newest stamp is still round 2 (code
-#          unchanged, but two rounds of shared-helper refactors argue
-#          for a re-stamp; round-4 verdict item 4).
-# Tier 3 — round-3-stamped keys touched indirectly (axis_seconds users,
-#          LSH family) — refresh with the spare window slots.
-# Tail  — freshly stamped in round 3/4 on unchanged code.
-_R5_NEW: list[str] = [
-    "zonal_stats_polygon",
-    "bias_correction_spline",
-    "spi_forecast_blend",
-    "spi_forecast_gamma",
-    # round-5 continuation batch (no CORRECTNESS row ever)
-    "trend_ols",
-    "acf_lags",
-    "nearest_site_join",
-    "winsorize_values",
-    "stratified_split",
-    "contamination_score",
-    "bigram_lm_score",
-    "semdedup_clusters",
-    "source_mix_weights",
-    "changepoint_cusum",
-    "ts_similarity_topk",
-    "ensemble_crps",
-    "brier_exceedance",
-    "rank_histogram",
-    "reliability_bins",
-    "user_path_transitions",
-    "psi_drift_daily",
-    "embedding_qa_stats",
-    "seasonal_decompose_dow",
-    "lift_cooccurrence",
-    "cell_pyramid",
-    # round-5 continuation-2 batch (no CORRECTNESS row ever)
-    "focal_stats_grid",
-    "theilsen_trend",
-    "ccf_lags",
-    "idw_interp",
-    "audience_overlap",
-    "dup_rate_per_source",
-    "ngram_novelty",
-    "dedup_containment",
-    "embedding_rp_reduce",
-    "climate_cdd",
-    "return_levels_empirical",
-    "feature_hash_vectors",
-    "threshold_crossings",
-    "qc_flags_station",
-    "minhash_accuracy_eval",
-    "area_weighted_mean",
-    "lang_id_confusion",
-    "user_concentration",
-    "token_js_divergence",
-    "asof_join_nearest",
-    "rolling_active_users",
-    "bm25_topk",
-    "rrf_fusion",
+# Round-6 front-load (VERDICT r5 "Next round: do this" #1): the driver
+# stamps the first ~50 entries in dict order, and round 5 proved that
+# letting brand-new keys outrank the backlog starves older keys of
+# driver evidence. This round the ENTIRE window goes to the evidence
+# backlog: first the 16 keys with no CORRECTNESS row in any round, then
+# the 31 keys whose newest stamp is still round 2 (47 keys ~= the
+# window). New round-6 keys queue AFTER the backlog; they are covered
+# by the pytest oracle gate (tests/test_queries_oracle.py) and by the
+# committed full-catalog artifact (CORRECTNESS_FULL.json) regardless of
+# whether the window reaches them.
+
+# no CORRECTNESS row in r1-r5 (late round-5 additions)
+_NEVER_STAMPED = [
+    "heat_wave_events",
+    "double_mass_curve",
+    "kge_nse_scores",
+    "mann_kendall",
+    "gumbel_return_levels",
+    "disaggregate_daily_hourly",
+    "periodogram_coarse",
+    "pet_hargreaves",
+    "wet_day_markov",
+    "vocab_coverage_curve",
+    "triplet_mining",
+    "dataset_card",
+    "cooccurrence_pmi",
+    "embedding_knn_outliers",
+    "ab_test_conversion",
+    "survival_hazard_table",
 ]
 
-_FRONT = _R5_NEW + [
-    # tier 1: code changed this round (asof_join refactored for the
-    # nearest direction -> its existing consumers re-stamp first)
-    "asof_join_events",
-    "asof_join_forward",
-    "dedup_simhash",
-    "sim_search_pq_adc",
-    "kmeans_clusters_int8",
-    "centroid_classify",
-    "sim_search_ivf_trained",
-    "zonal_stats",
-    "rfm_segments",
+# newest driver stamp is round 2 (code unchanged since)
+_R2_STALE = [
     "corpus_token_stats",
-    # tier 2: newest stamp is round 2
     "rating_curve_interp",
     "threshold_categorize",
     "threshold_per_station",
@@ -144,7 +96,18 @@ _FRONT = _R5_NEW + [
     "sim_search_cosine_topk",
     "sim_search_ivf",
     "dedup_embedding_cosine",
-    # tier 3: round-3 stamps, refreshed with the spare slots
+]
+
+# new round-6 keys (appended as they are built this round)
+_R6_NEW = [
+]
+
+# Remaining keys by newest-stamp round, stalest first, so future
+# windows keep rotating oldest-evidence-first.
+_STAMPED_R3 = [
+    "dedup_simhash",
+    "kmeans_clusters_int8",
+    "sim_search_ivf_trained",
     "fuzzy_match_names",
     "spi_empirical",
     "ewma_smooth",
@@ -152,10 +115,6 @@ _FRONT = _R5_NEW + [
     "chunk_documents",
     "top_ngrams",
     "dedup_incremental_lsh",
-]
-
-# stamped round 3/4 on code unchanged since — safe at the back
-_TAIL = [
     "funnel_conversion",
     "value_percentiles",
     "unpivot_daily",
@@ -193,6 +152,13 @@ _TAIL = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive",
+]
+
+_STAMPED_R4 = [
+    "sim_search_pq_adc",
+    "centroid_classify",
+    "zonal_stats",
+    "rfm_segments",
     "time_weighted_avg",
     "sessionize_gap",
     "linear_interp_gaps",
@@ -240,21 +206,69 @@ _TAIL = [
     "bias_correction_qmap",
 ]
 
-# Keys in neither list land HERE — after the whole _FRONT block, i.e.
-# outside the ~50-entry round-5 stamp window (which _R5_NEW + the two
-# as-of re-stamps fill exactly). The late-round-5 additions
-# (heat_wave_events, vocab_coverage_curve, double_mass_curve,
-# kge_nse_scores, mann_kendall, gumbel_return_levels, triplet_mining,
-# dataset_card, disaggregate_daily_hourly, periodogram_coarse,
-# ab_test_conversion, survival_hazard_table, pet_hargreaves,
-# wet_day_markov, cooccurrence_pmi) are
-# locally oracle-verified (pytest suite +
-# tools/driver_sim at sf0.001/0.01, several also at sf0.1) and should
-# be FRONT-LOADED by the round-6 reordering.
+_STAMPED_R5 = [
+    "zonal_stats_polygon",
+    "bias_correction_spline",
+    "spi_forecast_blend",
+    "spi_forecast_gamma",
+    "trend_ols",
+    "acf_lags",
+    "nearest_site_join",
+    "winsorize_values",
+    "stratified_split",
+    "contamination_score",
+    "bigram_lm_score",
+    "semdedup_clusters",
+    "source_mix_weights",
+    "changepoint_cusum",
+    "ts_similarity_topk",
+    "ensemble_crps",
+    "brier_exceedance",
+    "rank_histogram",
+    "reliability_bins",
+    "user_path_transitions",
+    "psi_drift_daily",
+    "embedding_qa_stats",
+    "seasonal_decompose_dow",
+    "lift_cooccurrence",
+    "cell_pyramid",
+    "focal_stats_grid",
+    "theilsen_trend",
+    "ccf_lags",
+    "idw_interp",
+    "audience_overlap",
+    "dup_rate_per_source",
+    "ngram_novelty",
+    "dedup_containment",
+    "embedding_rp_reduce",
+    "climate_cdd",
+    "return_levels_empirical",
+    "feature_hash_vectors",
+    "threshold_crossings",
+    "qc_flags_station",
+    "minhash_accuracy_eval",
+    "area_weighted_mean",
+    "lang_id_confusion",
+    "user_concentration",
+    "token_js_divergence",
+    "asof_join_nearest",
+    "rolling_active_users",
+    "bm25_topk",
+    "rrf_fusion",
+    "asof_join_events",
+    "asof_join_forward",
+]
+
+_FRONT = _NEVER_STAMPED + _R2_STALE + _R6_NEW
 _order = list(_FRONT)
-_order += [k for k in _ALL if k not in _FRONT and k not in _TAIL]
-_order += [k for k in _TAIL if k in _ALL]
+_order += _STAMPED_R3 + _STAMPED_R4 + _STAMPED_R5
+# keys in no list (defensive: a new key not yet registered above) land
+# between the backlog and the stale tail so they still get stamped early
+_rest = [k for k in _ALL if k not in _order]
+_order = _FRONT + _rest + _STAMPED_R3 + _STAMPED_R4 + _STAMPED_R5
+_order = [k for k in _order if k in _ALL]
 assert set(_order) == set(_ALL), sorted(set(_ALL) ^ set(_order))
+assert len(_order) == len(_ALL)
 
 QUERIES = {k: _ALL[k] for k in _order}
 _ALL_ORACLES = {

@@ -235,10 +235,17 @@ class JobManager:
                 # must surface as a failed job, never a silent 'running'
                 res = {"id": process_id, "status": "failed",
                        "message": repr(e)[:500]}
+            status = res.get("status", "failed")
+            # ingestor results use the reference's ok/skipped vocabulary
+            # (ProcessResult.OK/SKIPPED); the job ledger speaks OGC, so
+            # map both onto the 'successful' terminal state — otherwise
+            # wait() would spin its full timeout on every ingestor job
+            if status in ("ok", "skipped"):
+                status = "successful"
             with self._lock:
                 if self._jobs[job_id]["status"] == "dismissed":
                     return
-                self._jobs[job_id]["status"] = res.get("status", "failed")
+                self._jobs[job_id]["status"] = status
                 self._jobs[job_id]["result"] = res
 
         self._pool.submit(_run)
@@ -262,6 +269,10 @@ class JobManager:
             job = self._jobs.get(job_id)
             if job is None:
                 return {"id": job_id, "status": "not-found"}
+            # OGC dismiss must not rewrite history: a job that already
+            # reached a terminal state keeps its true outcome
+            if job["status"] in ("successful", "failed", "dismissed"):
+                return {"id": job_id, "status": job["status"]}
             job["status"] = "dismissed"
         spark.sparkContext.cancelJobGroup(job_id)
         return {"id": job_id, "status": "dismissed"}

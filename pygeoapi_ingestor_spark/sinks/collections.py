@@ -382,7 +382,6 @@ def write_chunk_grid(
     from pyspark.sql import functions as F
 
     from pygeoapi_ingestor_spark.operators import spatial
-    from pygeoapi_ingestor_spark.operators.temporal import wall_trunc
 
     day_anchor = "2024-01-01"
     tchunk = (
@@ -410,6 +409,11 @@ def write_chunk_grid(
         "chunk_days": chunk_days,
         "bits_per_axis": bits_per_axis,
         "anchor": day_anchor,
+        # record the column names so readers work for collections
+        # written with non-default ts/lon/lat columns
+        "ts_col": ts_col,
+        "lon_col": lon_col,
+        "lat_col": lat_col,
         "n_chunks": len(counts),
         "chunks": {
             f"{r['time_chunk']}.{r['cell_chunk']}": r["count"]
@@ -605,7 +609,14 @@ def chunk_keys_for_bbox(
     w, s, e, n = bbox
 
     def q(v, lo, span):
-        return min(scale, max(0, int(round((min(max(v, lo), lo + span) - lo) / span * scale))))
+        scaled = (min(max(v, lo), lo + span) - lo) / span * scale
+        # mirror spatial.morton_cell's F.round (HALF_UP) exactly —
+        # Python round() is half-to-even and diverges at exact .5
+        # quantization boundaries (e.g. lon=-120 at bits=4 scales to
+        # 2.5: Spark writes cell 3, round() would prune to cell 2 and
+        # silently drop in-bbox rows). scaled >= 0, so floor(x+0.5)
+        # IS HALF_UP here.
+        return min(scale, max(0, int(_math.floor(scaled + 0.5))))
 
     x0, x1 = q(w, -180.0, 360.0), q(e, -180.0, 360.0)
     y0, y1 = q(s, -90.0, 180.0), q(n, -90.0, 180.0)
@@ -657,17 +668,22 @@ def read_chunks_bbox(
         manifest["anchor"],
     )
     w, s, e, n = bbox
+    # column names come from the manifest (older manifests predate the
+    # ts_col/lon_col/lat_col fields — fall back to the old defaults)
+    ts_col = manifest.get("ts_col", "ts")
+    lon_col = manifest.get("lon_col", "lon")
+    lat_col = manifest.get("lat_col", "lat")
     return (
         spark.read.parquet(path)
         .filter(F.col("time_chunk").isin(tchunks))
         .filter(F.col("cell_chunk").isin(cells))
         .filter(
-            (F.col("lon") >= w) & (F.col("lon") <= e)
-            & (F.col("lat") >= s) & (F.col("lat") <= n)
+            (F.col(lon_col) >= w) & (F.col(lon_col) <= e)
+            & (F.col(lat_col) >= s) & (F.col(lat_col) <= n)
         )
         .filter(
-            (F.col("ts") >= F.lit(t0).cast("timestamp"))
-            & (F.col("ts") < F.lit(t1).cast("timestamp"))
+            (F.col(ts_col) >= F.lit(t0).cast("timestamp"))
+            & (F.col(ts_col) < F.lit(t1).cast("timestamp"))
         )
     )
 

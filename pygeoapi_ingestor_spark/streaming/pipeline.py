@@ -408,18 +408,18 @@ def trending_topk_stream(
     events: DataFrame,
     window: str = "6 hours",
     watermark: str = "1 hour",
-    k: int = 3,
 ):
-    """Continuous trending-items feed: per event-time window, the top-k
-    event types by count — the "what is spiking right now" panel over
-    the live intake (the streaming twin of docs_top_per_source's
-    bucketed per-group top-k).
+    """Continuous trending-items feed: per event-time window counts of
+    event types — the "what is spiking right now" panel over the live
+    intake (the streaming twin of docs_top_per_source's bucketed
+    per-group top-k).
 
     Structured Streaming cannot rank inside an aggregation, so the
-    windowed counts stream in UPDATE mode and the rank applies
-    per-sink-batch in foreachBatch — counts stay incremental state, the
-    rank only ever touches one batch's updated windows. Returns the
-    counts DataFrame ready for ``rank_batch``-driven sinks.
+    windowed counts stream in UPDATE mode and the rank (with its ``k``)
+    applies per-sink-batch via ``rank_topk_batch`` in foreachBatch —
+    counts stay incremental state, the rank only ever touches one
+    batch's updated windows. Returns the counts DataFrame ready for
+    ``rank_topk_batch``-driven sinks.
     """
     return (
         events.withWatermark("ts", watermark)

@@ -111,3 +111,55 @@ def test_async_jobs_lifecycle(spark, sf_dir):
     st = jm.wait(j4)
     assert st["status"] == "dismissed"
     assert jm.result(j4) is None
+
+
+def test_async_ingestor_job_reaches_terminal_state(spark, tmp_path):
+    """ADVICE r5: ProcessAPI.execute returns the reference's ok/skipped
+    vocabulary for ingestors; the job ledger must map both onto the OGC
+    'successful' terminal state or wait() spins its whole timeout."""
+    import time
+
+    from pygeoapi_ingestor_spark.api import JobManager, ProcessAPI
+
+    api = ProcessAPI()
+    cat = CollectionCatalog(str(tmp_path / "cat.json"))
+    api.register_ingestor(
+        IngestProcess(
+            collection_id="stac_items",
+            fetch=lambda s: external.ingest(s, "stac", str(tmp_path / "stage")),
+            transform=lambda df: df.withColumn("day", F.to_date("datetime")),
+            out_path=str(tmp_path / "coll"),
+            catalog=cat,
+            ts_col="datetime",
+        )
+    )
+    jm = JobManager(api, max_workers=2)
+
+    j1 = jm.submit(spark, "stac_items", {"token": "t"})
+    t0 = time.monotonic()
+    st = jm.wait(j1, timeout_s=120.0)
+    assert st["status"] == "successful"
+    # wait() must return on completion, not burn the full timeout
+    assert time.monotonic() - t0 < 60.0
+    # the raw result keeps the reference's vocabulary
+    assert jm.result(j1)["status"] == "ok"
+
+    # idempotent rerun: skipped is also terminal-successful
+    j2 = jm.submit(spark, "stac_items", {"token": "t"})
+    assert jm.wait(j2, timeout_s=120.0)["status"] == "successful"
+    assert jm.result(j2)["status"] == "skipped"
+
+
+def test_dismiss_terminal_job_keeps_outcome(spark, sf_dir):
+    """ADVICE r5: OGC dismiss on a finished job must not rewrite its
+    true outcome (or drop its result)."""
+    from pygeoapi_ingestor_spark.api import JobManager, ProcessAPI
+
+    api = ProcessAPI(default_sf_dir=sf_dir)
+    jm = JobManager(api, max_workers=2)
+    j = jm.submit(spark, "resample_daily_sum", {"limit": 3})
+    assert jm.wait(j, timeout_s=120.0)["status"] == "successful"
+    out = jm.dismiss(spark, j)
+    assert out["status"] == "successful"
+    assert jm.status(j)["status"] == "successful"
+    assert jm.result(j)["value"]["n_rows_sampled"] == 3

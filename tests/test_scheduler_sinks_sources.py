@@ -662,3 +662,62 @@ def test_expectations_single_pass_and_verdicts(spark, sf_dir):
     doubled = ev.limit(50).unionAll(ev.limit(20))
     dup = check_expectations(doubled, [{"rule": "unique", "col": "event_id"}])
     assert dup["results"][0]["violations"] == 20
+
+
+def test_chunk_quantizer_matches_spark_round_at_half_boundary(spark):
+    """ADVICE r5: the driver-side bbox quantizer must round HALF_UP like
+    spatial.morton_cell's F.round — Python round() is half-to-even and
+    at exact .5 boundaries prunes away the cell that holds in-bbox rows.
+    lon=-120 at bits=4 scales to exactly 2.5; lat=-84 to exactly 0.5."""
+    from pygeoapi_ingestor_spark.operators import spatial
+    from pygeoapi_ingestor_spark.sinks.collections import chunk_keys_for_bbox
+
+    df = spark.createDataFrame([(-120.0, -84.0)], "lon double, lat double")
+    cell = df.select(
+        spatial.morton_cell("lon", "lat", bits_per_axis=4).alias("c")
+    ).first()["c"]
+    _, cells = chunk_keys_for_bbox(
+        (-120.0, -84.0, -120.0, -84.0), "2024-01-01", "2024-01-02",
+        chunk_days=7, bits_per_axis=4,
+    )
+    assert cell in cells
+
+
+def test_chunk_grid_custom_column_names_roundtrip(spark, sf_dir, tmp_path):
+    """ADVICE r5: write_chunk_grid accepts arbitrary ts/lon/lat column
+    names — the manifest must record them so read_chunks_bbox works on
+    such collections."""
+    import json
+
+    from pygeoapi_ingestor_spark.sinks.collections import (
+        read_chunks_bbox,
+        write_chunk_grid,
+    )
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", F.col("ts").alias("observed_at"), "value",
+        ((F.col("event_id") % 5760) / F.lit(16.0) - F.lit(180.0)).alias("x"),
+        ((F.col("user_id") % 2880) / F.lit(16.0) - F.lit(90.0)).alias("y"),
+    )
+    out = str(tmp_path / "chunked_custom")
+    write_chunk_grid(
+        ev, out, ts_col="observed_at", lon_col="x", lat_col="y",
+        chunk_days=7, bits_per_axis=2,
+    )
+    m = json.load(open(f"{out}/_chunk_manifest.json"))
+    assert (m["ts_col"], m["lon_col"], m["lat_col"]) == ("observed_at", "x", "y")
+    bbox, t0, t1 = (-170.0, -90.0, -130.0, -89.0), "2024-01-05", "2024-01-20"
+    got = sorted(
+        r["event_id"] for r in read_chunks_bbox(spark, out, bbox, t0, t1).collect()
+    )
+    exp = sorted(
+        r["event_id"]
+        for r in ev.filter(
+            (F.col("x") >= bbox[0]) & (F.col("x") <= bbox[2])
+            & (F.col("y") >= bbox[1]) & (F.col("y") <= bbox[3])
+            & (F.col("observed_at") >= F.lit(t0).cast("timestamp"))
+            & (F.col("observed_at") < F.lit(t1).cast("timestamp"))
+        ).collect()
+    )
+    assert got == exp and got

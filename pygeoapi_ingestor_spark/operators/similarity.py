@@ -245,6 +245,130 @@ def ivf_topk(
     )
 
 
+def ivf_knn_outliers(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    k: int = 5,
+    n_clusters: int = 32,
+    n_probe: int = 4,
+    top_n: int = 20,
+) -> DataFrame:
+    """kNN-distance outlier screen over IVF candidate lists — the
+    scale-safe sibling of the exact all-pairs pass: each vector's mean
+    cosine distance to its k nearest CANDIDATES, where candidates are
+    the members of the ``n_probe`` inverted lists nearest the vector.
+
+    Plan shape: centroid assignment is a single projection against the
+    ``n_clusters`` literal centroids (lowest-id vectors, the ivf_topk
+    build — deterministic, O(n_clusters·dim) driver state), computed
+    ONCE per vector (home list and probe list come out of the same
+    sorted-distances expression, persisted narrow). The candidate pass
+    is ONE equi-join keyed by cluster id between the home-assigned
+    side and the probe-exploded side. Work is n²·(n_probe/n_clusters)
+    — with n_clusters ~ √n that is n^1.5, not the exact pass's n² —
+    and every stage is a keyed shuffle (AQE splits a skewed hot list).
+    Each (query, neighbor) pair occurs at most once because a neighbor
+    has exactly one home list. The pair distance runs on the exact
+    pass's scalar-unpacked columns, so the 64-FMA dot product stays
+    inside whole-stage codegen instead of an interpreted array fold.
+
+    Candidate-list kNN bias is one-sided: a missed true neighbor can
+    only INFLATE a vector's mean-kNN distance, so genuine off-manifold
+    outliers (large true distance) stay ranked high; the recall eval
+    row (plans knn_outliers_recall) measures top-N agreement against
+    the exact pass and gates acceptance in tests.
+    """
+    cent_rows = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(n_clusters)
+        .collect()
+    )
+    cents_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["_id"]).alias("cid"),
+                F.lit([float(x) for x in r["_v"]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
+    )
+    scored = F.transform(
+        cents_arr,
+        lambda c: F.struct(
+            _sq_dist(F.col(vec_col), c.getField("cvec")).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    comps = [
+        F.col(vec_col).getItem(i).cast("double").alias(f"_e{i}")
+        for i in range(dim)
+    ]
+    nrm = None
+    for i in range(dim):
+        t = F.col(f"_e{i}") * F.col(f"_e{i}")
+        nrm = t if nrm is None else nrm + t
+    # one pass: scalar components + norm + home/probe clusters, persisted
+    # narrow so neither join side recomputes the centroid argmin
+    flat = (
+        embeddings.select(F.col(id_col).alias("_vid"), *comps,
+                          F.slice(F.array_sort(scored), 1, n_probe).alias("_near"))
+        .withColumn("_nrm", F.sqrt(nrm))
+        .withColumn("_home", F.col("_near").getItem(0).getField("cid"))
+        .persist()
+    )
+    lists = flat.select(
+        F.col("_vid").alias("ib"), F.col("_nrm").alias("nb"),
+        F.col("_home").alias("_cluster"),
+        *[F.col(f"_e{i}").alias(f"b{i}") for i in range(dim)],
+    )
+    probes = flat.select(
+        F.col("_vid").alias("ia"), F.col("_nrm").alias("na"),
+        F.explode(
+            F.transform(F.col("_near"), lambda s: s.getField("cid"))
+        ).alias("_cluster"),
+        *[F.col(f"_e{i}").alias(f"a{i}") for i in range(dim)],
+    )
+    dot = None
+    for i in range(dim):
+        t = F.col(f"a{i}") * F.col(f"b{i}")
+        dot = t if dot is None else dot + t
+    pairs = (
+        lists.join(probes, "_cluster")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "ib",
+            (1.0 - dot / (F.col("na") * F.col("nb"))).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.col("dist").asc(), F.col("ib").asc())
+    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    # rank-ascending ordered sum, so an external oracle reproduces the
+    # float mean to the last ulp (the exact pass's convention)
+    agg = knn.groupBy("ia").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "dist"))),
+                    lambda s: s.getField("dist"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("knn_dist")
+    )
+    return (
+        agg.select(F.col("ia").alias(id_col), "knn_dist")
+        .orderBy(F.col("knn_dist").desc(), F.col(id_col).asc())
+        .limit(top_n)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

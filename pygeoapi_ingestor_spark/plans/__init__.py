@@ -100,6 +100,8 @@ _R2_STALE = [
 
 # new round-6 keys (appended as they are built this round)
 _R6_NEW = [
+    "knn_outliers_ivf",
+    "knn_outliers_recall",
 ]
 
 # Remaining keys by newest-stamp round, stalest first, so future

@@ -3825,3 +3825,130 @@ LIMIT {KNN_OUT_TOP}
 
 
 LLM_ORACLES["embedding_knn_outliers"] = _knn_outlier_oracle_sql()
+
+
+KNN_IVF_CLUSTERS, KNN_IVF_PROBE = 32, 8
+
+
+def q_knn_outliers_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe kNN-distance outlier screen: the IVF candidate-list
+    variant embedding_knn_outliers' docstring promises — mean cosine
+    distance to the k nearest vectors among the n_probe nearest
+    inverted lists, no all-pairs pass anywhere (candidate work is
+    n²·probe/clusters ≈ n^1.5 with √n clusters; one cluster-keyed
+    equi-join instead of a crossJoin). The exact pass stays beside it
+    as the small-scale oracle twin; knn_outliers_recall measures their
+    top-N agreement."""
+    out = similarity.ivf_knn_outliers(
+        _emb(spark, sf_dir), id_col="vec_id", vec_col="embedding",
+        dim=EMB_DIM, k=KNN_OUT_K, n_clusters=KNN_IVF_CLUSTERS,
+        n_probe=KNN_IVF_PROBE, top_n=KNN_OUT_TOP,
+    )
+    return out.select("vec_id", F.round("knn_dist", 6).alias("knn_dist"))
+
+
+LLM_QUERIES["knn_outliers_ivf"] = q_knn_outliers_ivf
+
+
+def _knn_ivf_cte() -> str:
+    """Shared oracle CTE chain for the IVF kNN outlier score: centroid
+    assignment mirrors sim_search_ivf's oracle (lowest-id centroids,
+    (distance, cid) tie-break), the kNN mean mirrors the exact pass's
+    rank-ordered list sum."""
+    dot = " + ".join(f"a.v[{i + 1}] * p.qv[{i + 1}]" for i in range(EMB_DIM))
+    return f"""
+ivf_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ivf_cents AS (SELECT vec_id AS cid, v AS cv FROM ivf_e ORDER BY vec_id LIMIT {KNN_IVF_CLUSTERS}),
+ivf_assign AS (
+    SELECT vec_id, v, cid AS cluster FROM (
+        SELECT ie.vec_id, ie.v, c.cid,
+               row_number() OVER (PARTITION BY ie.vec_id
+                   ORDER BY list_distance(ie.v, c.cv) ASC, c.cid ASC) AS rn
+        FROM ivf_e ie CROSS JOIN ivf_cents c
+    ) WHERE rn = 1
+),
+ivf_probes AS (
+    SELECT vec_id AS qid, v AS qv, cid AS cluster FROM (
+        SELECT ie.vec_id, ie.v, c.cid,
+               row_number() OVER (PARTITION BY ie.vec_id
+                   ORDER BY list_distance(ie.v, c.cv) ASC, c.cid ASC) AS rn
+        FROM ivf_e ie CROSS JOIN ivf_cents c
+    ) WHERE rn <= {KNN_IVF_PROBE}
+),
+ivf_cand AS (
+    SELECT p.qid AS ia, a.vec_id AS ib,
+           1.0 - ({dot}) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv)))
+               AS dist
+    FROM ivf_assign a JOIN ivf_probes p ON a.cluster = p.cluster
+    WHERE a.vec_id <> p.qid
+),
+ivf_ranked AS (
+    SELECT ia, dist,
+           row_number() OVER (PARTITION BY ia ORDER BY dist, ib) AS rn
+    FROM ivf_cand
+),
+ivf_knn AS (
+    SELECT ia AS vec_id, list(dist ORDER BY rn) AS ds
+    FROM ivf_ranked WHERE rn <= {KNN_OUT_K}
+    GROUP BY ia
+),
+ivf_top AS (
+    SELECT vec_id,
+           round(list_aggregate(ds, 'sum') / len(ds), 6) AS knn_dist
+    FROM ivf_knn
+    ORDER BY list_aggregate(ds, 'sum') / len(ds) DESC, vec_id ASC
+    LIMIT {KNN_OUT_TOP}
+)"""
+
+
+LLM_ORACLES["knn_outliers_ivf"] = (
+    "WITH " + _knn_ivf_cte() + "\nSELECT vec_id, knn_dist FROM ivf_top"
+)
+
+
+def q_knn_outliers_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance row for the IVF outlier screen: |top-N(exact) ∩
+    top-N(ivf)| and the implied recall — the ann_recall_eval pattern
+    applied to the outlier ranking. The exact side is the all-pairs
+    pass (fine at eval scale; at corpus scale this eval runs on a
+    sample, the screen itself never goes all-pairs)."""
+    exact = q_embedding_knn_outliers(spark, sf_dir).select("vec_id")
+    approx = q_knn_outliers_ivf(spark, sf_dir).select("vec_id")
+    hit = exact.join(approx, "vec_id")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_top"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_overlap")))
+        .select(
+            "n_top",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_top"), 6).alias("recall"),
+        )
+    )
+
+
+LLM_QUERIES["knn_outliers_recall"] = q_knn_outliers_recall
+
+
+def _knn_recall_oracle_sql() -> str:
+    exact_body = _knn_outlier_oracle_sql().strip()
+    assert exact_body.upper().startswith("WITH")
+    exact_ctes = exact_body[len("WITH"):].rsplit("SELECT vec_id,", 1)[0].rstrip().rstrip(",")
+    return f"""
+WITH {exact_ctes},
+exact_top AS (
+    SELECT vec_id
+    FROM knn
+    ORDER BY list_aggregate(ds, 'sum') / len(ds) DESC, vec_id ASC
+    LIMIT {KNN_OUT_TOP}
+),
+{_knn_ivf_cte().lstrip()}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact_top) AS n_top,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM exact_top JOIN ivf_top USING (vec_id)) AS n_overlap,
+       round((SELECT count(*) FROM exact_top JOIN ivf_top USING (vec_id))
+             * 1.0 / (SELECT count(*) FROM exact_top), 6) AS recall
+"""
+
+
+LLM_ORACLES["knn_outliers_recall"] = _knn_recall_oracle_sql()

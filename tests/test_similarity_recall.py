@@ -135,3 +135,58 @@ def test_trained_ivf_probe_semantics(spark, sf_dir):
     assert sets[8] == exact
     assert recall(sets[3]) <= recall(sets[5]) <= 1.0
     assert recall(sets[3]) >= 0.4
+
+
+def test_ivf_knn_outliers_full_probe_equals_exact(spark, sf_dir):
+    """Probing every inverted list makes the candidate set all-pairs, so
+    the IVF outlier screen must reproduce the exact pass bit-for-bit
+    (same scalar-ascending dot/norm arithmetic, same rank-ordered mean)."""
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        KNN_OUT_K,
+        KNN_OUT_TOP,
+        q_embedding_knn_outliers,
+    )
+
+    exact = [
+        (r["vec_id"], r["knn_dist"])
+        for r in q_embedding_knn_outliers(spark, sf_dir).collect()
+    ]
+    full = similarity.ivf_knn_outliers(
+        _emb(spark, sf_dir), "vec_id", "embedding", dim=64,
+        k=KNN_OUT_K, n_clusters=8, n_probe=8, top_n=KNN_OUT_TOP,
+    )
+    got = [(r["vec_id"], round(r["knn_dist"], 6)) for r in full.collect()]
+    assert got == exact
+
+
+def test_ivf_knn_outliers_recovers_planted_outliers(spark):
+    """On data WITH cluster structure (the regime the screen is built
+    for), a partial probe must surface every planted off-manifold
+    vector in the top ranks — members sit next to their cluster twins
+    (tiny kNN distance), planted outliers are far from everything."""
+    dim, n_clusters, per_cluster, n_out = 16, 8, 30, 5
+    rows = []
+    vid = 0
+    # first 8 ids are one member per cluster -> they become the IVF
+    # centroids (lowest-id build), giving one inverted list per cluster
+    for m in range(per_cluster):
+        for c in range(n_clusters):
+            vec = [0.0] * dim
+            vec[2 * c] = 1.0
+            vec[2 * c + 1] = 0.01 * ((m * 7 + c) % 5)  # deterministic jitter
+            rows.append((vid, vec))
+            vid += 1
+    # planted outliers: unique anti-cluster directions
+    for j in range(n_out):
+        vec = [-1.0 if (i + j) % 2 else 1.0 for i in range(dim)]
+        vec[j] = -3.0
+        rows.append((vid, vec))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = similarity.ivf_knn_outliers(
+        df, "vec_id", "embedding", dim=dim,
+        k=5, n_clusters=n_clusters, n_probe=2, top_n=n_out,
+    )
+    got = {r["vec_id"] for r in out.collect()}
+    planted = {per_cluster * n_clusters + j for j in range(n_out)}
+    assert got == planted

@@ -102,6 +102,8 @@ _R2_STALE = [
 _R6_NEW = [
     "knn_outliers_ivf",
     "knn_outliers_recall",
+    "pet_knmi",
+    "pet_deficit_chain",
 ]
 
 # Remaining keys by newest-stamp round, stalest first, so future

@@ -4316,3 +4316,260 @@ SELECT a.event_type, a.n_trans, a.n_from_dry, a.n_from_wet,
        w.wet_fraction
 FROM agg a JOIN wf w ON a.event_type = w.event_type
 """
+
+
+# Re — the reference's day-of-year extraterrestrial-radiation lookup
+# (ingestor_knmi_evapo.py:300-303 get_Re reads tab_Re.csv keyed
+# "day-month") — embedded as (month, day, value) literals so both
+# engines broadcast bit-identical doubles (the RA_LAT_BANDS
+# convention). The full 366-entry table (leap 29-2 included) rides
+# along even though the testdata spans part of the year.
+KNMI_RE_TABLE: list[tuple[int, int, float]] = [
+    (1, 1, 1.83), (1, 2, 1.83), (1, 3, 1.83), (1, 4, 1.83), (1, 5, 1.83), (1, 6, 1.83),
+    (1, 7, 1.83), (1, 8, 1.83), (1, 9, 2.33), (1, 10, 2.33), (1, 11, 2.33), (1, 12, 2.33),
+    (1, 13, 2.33), (1, 14, 2.33), (1, 15, 2.33), (1, 16, 2.33), (1, 17, 2.33), (1, 18, 2.33),
+    (1, 19, 2.33), (1, 20, 2.33), (1, 21, 2.33), (1, 22, 2.33), (1, 23, 2.33), (1, 24, 3.35),
+    (1, 25, 3.35), (1, 26, 3.35), (1, 27, 3.35), (1, 28, 3.35), (1, 29, 3.35), (1, 30, 3.35),
+    (1, 31, 3.35), (2, 1, 3.35), (2, 2, 3.35), (2, 3, 3.35), (2, 4, 3.35), (2, 5, 3.35),
+    (2, 6, 3.35), (2, 7, 3.35), (2, 8, 4.74), (2, 9, 4.74), (2, 10, 4.74), (2, 11, 4.74),
+    (2, 12, 4.74), (2, 13, 4.74), (2, 14, 4.74), (2, 15, 4.74), (2, 16, 4.74), (2, 17, 4.74),
+    (2, 18, 4.74), (2, 19, 4.74), (2, 20, 4.74), (2, 21, 4.74), (2, 22, 4.74), (2, 23, 6.4),
+    (2, 24, 6.4), (2, 25, 6.4), (2, 26, 6.4), (2, 27, 6.4), (2, 28, 6.4), (2, 29, 6.4),
+    (3, 1, 6.4), (3, 2, 6.4), (3, 3, 6.4), (3, 4, 6.4), (3, 5, 6.4), (3, 6, 6.4),
+    (3, 7, 6.4), (3, 8, 8.37), (3, 9, 8.37), (3, 10, 8.37), (3, 11, 8.37), (3, 12, 8.37),
+    (3, 13, 8.37), (3, 14, 8.37), (3, 15, 8.37), (3, 16, 8.37), (3, 17, 8.37), (3, 18, 8.37),
+    (3, 19, 8.37), (3, 20, 8.37), (3, 21, 8.37), (3, 22, 8.37), (3, 23, 10.7), (3, 24, 10.7),
+    (3, 25, 10.7), (3, 26, 10.7), (3, 27, 10.7), (3, 28, 10.7), (3, 29, 10.7), (3, 30, 10.7),
+    (3, 31, 10.7), (4, 1, 10.7), (4, 2, 10.7), (4, 3, 10.7), (4, 4, 10.7), (4, 5, 10.7),
+    (4, 6, 10.7), (4, 7, 10.7), (4, 8, 13.19), (4, 9, 13.19), (4, 10, 13.19), (4, 11, 13.19),
+    (4, 12, 13.19), (4, 13, 13.19), (4, 14, 13.19), (4, 15, 13.19), (4, 16, 13.19), (4, 17, 13.19),
+    (4, 18, 13.19), (4, 19, 13.19), (4, 20, 13.19), (4, 21, 13.19), (4, 22, 13.19), (4, 23, 15.51),
+    (4, 24, 15.51), (4, 25, 15.51), (4, 26, 15.51), (4, 27, 15.51), (4, 28, 15.51), (4, 29, 15.51),
+    (4, 30, 15.51), (5, 1, 15.51), (5, 2, 15.51), (5, 3, 15.51), (5, 4, 15.51), (5, 5, 15.51),
+    (5, 6, 15.51), (5, 7, 15.51), (5, 8, 17.41), (5, 9, 17.41), (5, 10, 17.41), (5, 11, 17.41),
+    (5, 12, 17.41), (5, 13, 17.41), (5, 14, 17.41), (5, 15, 17.41), (5, 16, 17.41), (5, 17, 17.41),
+    (5, 18, 17.41), (5, 19, 17.41), (5, 20, 17.41), (5, 21, 17.41), (5, 22, 17.41), (5, 23, 17.41),
+    (5, 24, 18.57), (5, 25, 18.57), (5, 26, 18.57), (5, 27, 18.57), (5, 28, 18.57), (5, 29, 18.57),
+    (5, 30, 18.57), (5, 31, 18.57), (6, 1, 18.57), (6, 2, 18.57), (6, 3, 18.57), (6, 4, 18.57),
+    (6, 5, 18.57), (6, 6, 18.57), (6, 7, 18.57), (6, 8, 18.75), (6, 9, 18.75), (6, 10, 18.75),
+    (6, 11, 18.75), (6, 12, 18.75), (6, 13, 18.75), (6, 14, 18.75), (6, 15, 18.75), (6, 16, 18.75),
+    (6, 17, 18.75), (6, 18, 18.75), (6, 19, 18.75), (6, 20, 18.75), (6, 21, 18.75), (6, 22, 18.75),
+    (6, 23, 18.75), (6, 24, 18.04), (6, 25, 18.04), (6, 26, 18.04), (6, 27, 18.04), (6, 28, 18.04),
+    (6, 29, 18.04), (6, 30, 18.04), (7, 1, 18.04), (7, 2, 18.04), (7, 3, 18.04), (7, 4, 18.04),
+    (7, 5, 18.04), (7, 6, 18.04), (7, 7, 18.04), (7, 8, 18.04), (7, 9, 16.99), (7, 10, 16.99),
+    (7, 11, 16.99), (7, 12, 16.99), (7, 13, 16.99), (7, 14, 16.99), (7, 15, 16.99), (7, 16, 16.99),
+    (7, 17, 16.99), (7, 18, 16.99), (7, 19, 16.99), (7, 20, 16.99), (7, 21, 16.99), (7, 22, 16.99),
+    (7, 23, 16.99), (7, 24, 15.96), (7, 25, 15.96), (7, 26, 15.96), (7, 27, 15.96), (7, 28, 15.96),
+    (7, 29, 15.96), (7, 30, 15.96), (7, 31, 15.96), (8, 1, 15.96), (8, 2, 15.96), (8, 3, 15.96),
+    (8, 4, 15.96), (8, 5, 15.96), (8, 6, 15.96), (8, 7, 15.96), (8, 8, 14.77), (8, 9, 14.77),
+    (8, 10, 14.77), (8, 11, 14.77), (8, 12, 14.77), (8, 13, 14.77), (8, 14, 14.77), (8, 15, 14.77),
+    (8, 16, 14.77), (8, 17, 14.77), (8, 18, 14.77), (8, 19, 14.77), (8, 20, 14.77), (8, 21, 14.77),
+    (8, 22, 14.77), (8, 23, 14.77), (8, 24, 13.04), (8, 25, 13.04), (8, 26, 13.04), (8, 27, 13.04),
+    (8, 28, 13.04), (8, 29, 13.04), (8, 30, 13.04), (8, 31, 13.04), (9, 1, 13.04), (9, 2, 13.04),
+    (9, 3, 13.04), (9, 4, 13.04), (9, 5, 13.04), (9, 6, 13.04), (9, 7, 13.04), (9, 8, 10.8),
+    (9, 9, 10.8), (9, 10, 10.8), (9, 11, 10.8), (9, 12, 10.8), (9, 13, 10.8), (9, 14, 10.8),
+    (9, 15, 10.8), (9, 16, 10.8), (9, 17, 10.8), (9, 18, 10.8), (9, 19, 10.8), (9, 20, 10.8),
+    (9, 21, 10.8), (9, 22, 10.8), (9, 23, 10.8), (9, 24, 8.41), (9, 25, 8.41), (9, 26, 8.41),
+    (9, 27, 8.41), (9, 28, 8.41), (9, 29, 8.41), (9, 30, 8.41), (10, 1, 8.41), (10, 2, 8.41),
+    (10, 3, 8.41), (10, 4, 8.41), (10, 5, 8.41), (10, 6, 8.41), (10, 7, 8.41), (10, 8, 8.41),
+    (10, 9, 6.17), (10, 10, 6.17), (10, 11, 6.17), (10, 12, 6.17), (10, 13, 6.17), (10, 14, 6.17),
+    (10, 15, 6.17), (10, 16, 6.17), (10, 17, 6.17), (10, 18, 6.17), (10, 19, 6.17), (10, 20, 6.17),
+    (10, 21, 6.17), (10, 22, 6.17), (10, 23, 6.17), (10, 24, 4.27), (10, 25, 4.27), (10, 26, 4.27),
+    (10, 27, 4.27), (10, 28, 4.27), (10, 29, 4.27), (10, 30, 4.27), (10, 31, 4.27), (11, 1, 4.27),
+    (11, 2, 4.27), (11, 3, 4.27), (11, 4, 4.27), (11, 5, 4.27), (11, 6, 4.27), (11, 7, 4.27),
+    (11, 8, 2.88), (11, 9, 2.88), (11, 10, 2.88), (11, 11, 2.88), (11, 12, 2.88), (11, 13, 2.88),
+    (11, 14, 2.88), (11, 15, 2.88), (11, 16, 2.88), (11, 17, 2.88), (11, 18, 2.88), (11, 19, 2.88),
+    (11, 20, 2.88), (11, 21, 2.88), (11, 22, 2.88), (11, 23, 2.88), (11, 24, 2.09), (11, 25, 2.09),
+    (11, 26, 2.09), (11, 27, 2.09), (11, 28, 2.09), (11, 29, 2.09), (11, 30, 2.09), (12, 1, 2.09),
+    (12, 2, 2.09), (12, 3, 2.09), (12, 4, 2.09), (12, 5, 2.09), (12, 6, 2.09), (12, 7, 2.09),
+    (12, 8, 2.09), (12, 9, 1.78), (12, 10, 1.78), (12, 11, 1.78), (12, 12, 1.78), (12, 13, 1.78),
+    (12, 14, 1.78), (12, 15, 1.78), (12, 16, 1.78), (12, 17, 1.78), (12, 18, 1.78), (12, 19, 1.78),
+    (12, 20, 1.78), (12, 21, 1.78), (12, 22, 1.78), (12, 23, 1.78), (12, 24, 1.83), (12, 25, 1.83),
+    (12, 26, 1.83), (12, 27, 1.83), (12, 28, 1.83), (12, 29, 1.83), (12, 30, 1.83), (12, 31, 1.83),
+]
+
+
+def _knmi_daily_ta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily mean temperature per series from the even-user sensor
+    family, centered into a plausible °C range (2·t_mean − 90 → roughly [−22, 72] on this testdata, with ~1 in 5 days under the −5 °C floor) so the reference's Ta+5 ≤ 0 zero-floor branch is
+    actually exercised by the testdata."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 2 == 0)
+    return ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast(VALUE_DEC)).cast("double")
+            / F.count(F.lit(1)) * 2.0 - 90.0
+        ).alias("ta"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+
+
+_KNMI_TA_DUCK = (
+    "SELECT event_type, CAST(ts AS DATE) AS day, "
+    "CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*) * 2.0 - 90.0 AS ta, "
+    "CAST(count(*) AS BIGINT) AS n_obs "
+    "FROM events WHERE user_id % 2 = 0 GROUP BY 1, 2"
+)
+
+
+def _pet_knmi_expr():
+    """The reference PET expression, term-for-term
+    (ingestor_knmi_evapo.py:305-317 calc_PET): kc·(Re/(λρ))·
+    ((Ta+Tadd)/Tscale)·1000 with kc=1, ρ=1000, Tadd=5, Tscale=45,
+    λ = 2.501 − 0.002361·Ta, floored to 0 where Ta+Tadd ≤ 0. Pure
+    rational arithmetic — no libm — so Spark and an external engine
+    produce bit-identical doubles."""
+    lam = F.lit(2.501) - F.lit(0.002361) * F.col("ta")
+    pet = (
+        (F.col("re") / (lam * F.lit(1000.0)))
+        * ((F.col("ta") + F.lit(5.0)) / F.lit(45.0))
+        * F.lit(1000.0)
+    )
+    return F.when(F.col("ta") + F.lit(5.0) > 0, pet).otherwise(F.lit(0.0))
+
+
+_PET_KNMI_DUCK = (
+    "CASE WHEN ta + 5.0 > 0 THEN (re / ((2.501 - 0.002361 * ta) * 1000.0)) "
+    "* ((ta + 5.0) / 45.0) * 1000.0 ELSE 0.0 END"
+)
+
+
+def q_pet_knmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact reference potential evapotranspiration: the KNMI evapo
+    process's calc_PET formula applied per (series, day), with Re from
+    the broadcast day-of-year table — the formula whose outputs feed
+    the production deficit chain, re-expressed as one projection after
+    the daily aggregate (reference: ingestor_knmi_evapo.py:300-317
+    get_Re/calc_PET; numpy where → WHEN, scalar Re lookup → broadcast
+    (month, day) equi-join)."""
+    ta = _knmi_daily_ta(spark, sf_dir)
+    re = spark.createDataFrame(
+        KNMI_RE_TABLE, "m int, d int, re double"
+    )
+    out = ta.join(
+        F.broadcast(re),
+        (F.month("day") == F.col("m")) & (F.dayofmonth("day") == F.col("d")),
+    )
+    return out.select(
+        "event_type", "day", "n_obs",
+        F.round("ta", 6).alias("ta"),
+        "re",
+        F.round(_pet_knmi_expr(), 6).alias("pet"),
+    )
+
+
+ETL_QUERIES["pet_knmi"] = q_pet_knmi
+
+
+def _pet_knmi_oracle_sql() -> str:
+    rows = ", ".join(f"({m}, {d}, {v})".format(m=m, d=d, v=v) for m, d, v in KNMI_RE_TABLE)
+    return f"""
+WITH ta_daily AS ({_KNMI_TA_DUCK}),
+re_tab AS (SELECT m, d, CAST(re AS DOUBLE) AS re FROM (VALUES {rows}) t(m, d, re))
+SELECT event_type, day, n_obs,
+       round(ta, 6) AS ta, re,
+       round({_PET_KNMI_DUCK}, 6) AS pet
+FROM ta_daily JOIN re_tab
+  ON month(day) = re_tab.m AND dayofmonth(day) = re_tab.d
+""".format(_KNMI_TA_DUCK=_KNMI_TA_DUCK, rows=rows, _PET_KNMI_DUCK=_PET_KNMI_DUCK)
+
+
+ETL_ORACLES["pet_knmi"] = _pet_knmi_oracle_sql()
+
+
+def q_pet_deficit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end KNMI process arc: PET → daily deficit → zero-clamped
+    running accumulation — the full production chain verified as one
+    query (reference: ingestor_knmi_evapo.py:393-416, where p_def =
+    PET − precip and each appended day stores max(prev + p_def, 0) via
+    calc_p_def / calc_init_p_def).
+
+    The reference's day-at-a-time recursion c_t = max(c_{t-1} + d_t, 0)
+    is re-expressed CLOSED-FORM over two window passes:
+    c_t = S_t − min(0, running_min(S_t)) with S the running sum of
+    deficits — algebraically identical (init day included:
+    c_0 = max(d_0, 0)), but embarrassingly parallel per series instead
+    of a sequential append loop, and expressible in any SQL engine.
+    Precip comes from the odd-user gauge family (p_mean/100, sized so the daily deficit straddles zero and the clamp genuinely engages); a missing
+    calendar day chains to the next present day, matching the
+    append-only zarr semantics."""
+    from pyspark.sql import Window
+
+    ta = _knmi_daily_ta(spark, sf_dir)
+    re = spark.createDataFrame(KNMI_RE_TABLE, "m int, d int, re double")
+    pet = ta.join(
+        F.broadcast(re),
+        (F.month("day") == F.col("m")) & (F.dayofmonth("day") == F.col("d")),
+    ).select("event_type", "day", _pet_knmi_expr().alias("pet"))
+    precip = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") % 2 == 1)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            (
+                F.sum(F.col("value").cast(VALUE_DEC)).cast("double")
+                / F.count(F.lit(1)) / 100.0
+            ).alias("p")
+        )
+    )
+    d = pet.join(precip, ["event_type", "day"]).select(
+        "event_type", "day", (F.col("pet") - F.col("p")).alias("p_def")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_s = d.select(
+        "event_type", "day", "p_def", F.sum("p_def").over(w).alias("s")
+    )
+    out = with_s.withColumn("s_min", F.min("s").over(w))
+    return out.select(
+        "event_type", "day",
+        F.round("p_def", 6).alias("p_def"),
+        F.round(F.col("s") - F.least(F.col("s_min"), F.lit(0.0)), 6).alias("cum_deficit"),
+    )
+
+
+ETL_QUERIES["pet_deficit_chain"] = q_pet_deficit_chain
+
+
+def _pet_deficit_oracle_sql() -> str:
+    rows = ", ".join(f"({m}, {d}, {v})".format(m=m, d=d, v=v) for m, d, v in KNMI_RE_TABLE)
+    return f"""
+WITH ta_daily AS ({_KNMI_TA_DUCK}),
+re_tab AS (SELECT m, d, CAST(re AS DOUBLE) AS re FROM (VALUES {rows}) t(m, d, re)),
+pet AS (
+    SELECT event_type, day, {_PET_KNMI_DUCK} AS pet
+    FROM ta_daily JOIN re_tab
+      ON month(day) = re_tab.m AND dayofmonth(day) = re_tab.d
+),
+precip AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*) / 100.0 AS p
+    FROM events WHERE user_id % 2 = 1 GROUP BY 1, 2
+),
+d AS (
+    SELECT pet.event_type, pet.day, pet.pet - precip.p AS p_def
+    FROM pet JOIN precip ON pet.event_type = precip.event_type AND pet.day = precip.day
+),
+win1 AS (
+    SELECT event_type, day, p_def,
+           sum(p_def) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+    FROM d
+),
+win AS (
+    SELECT event_type, day, p_def, s,
+           min(s) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_min
+    FROM win1
+)
+SELECT event_type, day, round(p_def, 6) AS p_def,
+       round(s - least(s_min, 0.0), 6) AS cum_deficit
+FROM win
+""".format(_KNMI_TA_DUCK=_KNMI_TA_DUCK, rows=rows, _PET_KNMI_DUCK=_PET_KNMI_DUCK)
+
+
+ETL_ORACLES["pet_deficit_chain"] = _pet_deficit_oracle_sql()

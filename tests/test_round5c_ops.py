@@ -945,3 +945,42 @@ def test_knn_outliers_match_unpruned_bruteforce(spark, sf_dir):
     # and the reported set IS the unpruned top-20 (ties broken by id)
     exp_top = sorted(gt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert {r["vec_id"] for r in rows} == {i for i, _ in exp_top}
+
+
+def test_pet_deficit_closed_form_matches_recursion(spark, sf_dir):
+    """The two-window closed form c_t = S_t − min(0, running_min(S))
+    must equal the reference's literal day-by-day recursion
+    c_t = max(c_{t-1} + d_t, 0) (ingestor_knmi_evapo.py:319-325) on
+    the real chain output, per series, including the init day."""
+    from pygeoapi_ingestor_spark.plans.queries_etl import q_pet_deficit_chain
+
+    rows = q_pet_deficit_chain(spark, sf_dir).collect()
+    series = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        series.setdefault(r["event_type"], []).append(r)
+    assert series
+    for chain in series.values():
+        cum = 0.0
+        for r in chain:
+            cum = max(cum + r["p_def"], 0.0)
+            # p_def is rounded at 6 dp in the output; replaying the
+            # recursion on rounded inputs drifts ~1e-6 per step
+            assert abs(cum - r["cum_deficit"]) < 1e-4
+            cum = r["cum_deficit"]
+
+
+def test_pet_knmi_floor_and_formula_branches(spark, sf_dir):
+    """Both calc_PET branches must be live on the testdata, and every
+    positive PET must satisfy the closed formula at its row's Ta/Re."""
+    from pygeoapi_ingestor_spark.plans.queries_etl import q_pet_knmi
+
+    rows = q_pet_knmi(spark, sf_dir).collect()
+    floored = [r for r in rows if r["pet"] == 0.0]
+    positive = [r for r in rows if r["pet"] > 0.0]
+    assert floored and positive
+    for r in floored:
+        assert r["ta"] + 5.0 <= 0.0 or abs(r["ta"] + 5.0) < 1e-9
+    for r in positive[:50]:
+        lam = 2.501 - 0.002361 * r["ta"]
+        expect = (float(r["re"]) / (lam * 1000.0)) * ((r["ta"] + 5.0) / 45.0) * 1000.0
+        assert abs(expect - r["pet"]) < 1e-4

@@ -402,6 +402,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    steps_per_round: int = 1,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the
     grouping step that turns verified pairs into dedup clusters (every
@@ -414,6 +415,14 @@ def connected_components(
     rounds (tiny for dup clusters); each round is one join + one
     aggregate, with ``localCheckpoint`` truncating the lineage so the
     plan does not grow with iterations.
+
+    ``steps_per_round`` chains that many propagation steps into ONE
+    materialization (checkpoint + convergence count): the fixpoint is
+    unchanged, but the per-round fixed cost — scheduling, checkpoint,
+    count — amortizes over k hops. Use >1 for graphs whose components
+    are deep (grid-dissolve run graphs: diameter ~ raster width);
+    leave at 1 for shallow dup clusters where a single hop usually
+    converges and a deeper plan would only add join work.
 
     Returns (node, component) with component = min node id reachable.
     """
@@ -445,26 +454,27 @@ def connected_components(
     )
     labels = prev_gen
     for _ in range(max_iter):
-        neigh = (
-            edges.join(
-                labels.select(F.col("node").alias("b"), F.col("comp").alias("_nc")),
-                "b",
+        # carry the round-entry label through as _prev so convergence
+        # detection is a scan of the checkpointed result, not a join
+        cur = labels.select("node", "comp", F.col("comp").alias("_prev"))
+        for _step in range(max(1, steps_per_round)):
+            neigh = (
+                edges.join(
+                    cur.select(F.col("node").alias("b"), F.col("comp").alias("_nc")),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("_nc").alias("_minn"))
+                .select(F.col("a").alias("node"), "_minn")
             )
-            .groupBy("a")
-            .agg(F.min("_nc").alias("_minn"))
-            .select(F.col("a").alias("node"), "_minn")
-        )
-        # carry the old label through the select so convergence detection
-        # is a scan of the checkpointed result, not a second join
-        stepped = (
-            labels.join(neigh, "node", "left")
-            .select(
+            cur = cur.join(neigh, "node", "left").select(
                 "node",
-                F.least(F.col("comp"), F.coalesce(F.col("_minn"), F.col("comp"))).alias("comp"),
-                F.col("comp").alias("_prev"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_minn"), F.col("comp"))
+                ).alias("comp"),
+                "_prev",
             )
-            .localCheckpoint()
-        )
+        stepped = cur.localCheckpoint()
         changed = stepped.filter(F.col("comp") != F.col("_prev")).limit(1).count()
         labels = stepped.select("node", "comp")
         # stepped is materialized (eager checkpoint + the count above):

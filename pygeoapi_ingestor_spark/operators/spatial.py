@@ -186,3 +186,99 @@ def cell_aggregate(
         F.avg(lon_col).alias("centroid_lon"),
         F.avg(lat_col).alias("centroid_lat"),
     )
+
+
+def band_classify(value: Column, levels: list[float]) -> Column:
+    """Fixed-level band index for isoband extraction: band k means
+    ``levels[k-1] <= v < levels[k]`` (band 0 below the first level,
+    band len(levels) at/above the last) — the cell-wise half of
+    ``gdal_contour -p -fl ...`` (reference:
+    ingestor_knmi_evapo.py:454-457). Expressed as a sum of exact
+    >=-comparisons so any SQL engine reproduces it bit-identically."""
+    b = None
+    for lv in levels:
+        t = (value >= F.lit(float(lv))).cast("int")
+        b = t if b is None else b + t
+    return b
+
+
+def dissolve_regions(
+    cells: DataFrame,
+    x_col: str,
+    y_col: str,
+    band_col: str,
+    width: int,
+    max_iter: int = 96,
+) -> DataFrame:
+    """Dissolve same-band 4-adjacent grid cells into region labels —
+    the polygonize step of isoband extraction (the reference shells to
+    ``gdal_contour -p`` for this; here it is a pure DataFrame
+    computation).
+
+    Two-pass distributed CCL, the standard raster formulation:
+
+    1. **Run collapse** — contiguous same-band cells within a row fold
+       into one run labeled by its smallest cell id (two window passes
+       keyed on the row — no iteration). This is the step that makes
+       the iterative part cheap: a run spans many cells, so the run
+       graph is a fraction of the cell graph and its diameter (what
+       bounds propagation rounds) collapses with it.
+    2. **Run-graph components** — vertical cell adjacencies (one
+       shifted equi-join) map to run-pair edges; the dedup
+       connected-components min-label kernel labels each region with
+       its smallest run id, which IS the smallest cell id in the
+       region (same fixpoint as cell-level propagation, so an external
+       cell-level oracle reproduces the labels exactly).
+
+    Cells ≪ points (the raster is already the coarsened form), so
+    every stage runs on coarse data; isolated runs never enter the
+    edge list and label themselves on the way out. Returns the cells
+    frame plus ``node`` (y·width + x) and ``region``.
+    """
+    from pyspark.sql import Window
+
+    from pygeoapi_ingestor_spark.operators.dedup import connected_components
+
+    node = (F.col(y_col).cast("long") * width + F.col(x_col)).alias("node")
+    with_node = cells.withColumn("node", node)
+    row_w = Window.partitionBy(y_col).orderBy(x_col)
+    runs = with_node.select(
+        x_col, y_col, band_col, "node",
+        F.when(
+            F.col(x_col) - F.lag(x_col).over(row_w) == 1,
+            (F.col(band_col) != F.lag(band_col).over(row_w)).cast("int"),
+        ).otherwise(F.lit(1)).alias("_new_run"),
+    ).withColumn(
+        "_seg",
+        F.sum("_new_run").over(
+            row_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn(
+        "run_id",
+        F.min("node").over(Window.partitionBy(y_col, "_seg")),
+    ).select(x_col, y_col, band_col, "node", "run_id")
+    below = runs.select(
+        F.col(x_col), (F.col(y_col) - 1).alias(y_col),
+        F.col(band_col), F.col("run_id").alias("run_b"),
+    )
+    run_edges = (
+        runs.join(below, [x_col, y_col, band_col])
+        .select(F.col("run_id").alias("run_a"), "run_b")
+        .filter(F.col("run_a") != F.col("run_b"))
+        .distinct()
+    )
+    # steps_per_round=2 measured best on the run graph (sf0.1: 10.8s
+    # at 1 hop/round, 7.0s at 2, plan-depth regression past 4) — the
+    # per-round fixed cost halves while the chained plan stays shallow
+    comp = connected_components(
+        run_edges, a_col="run_a", b_col="run_b", max_iter=max_iter,
+        steps_per_round=2,
+    )
+    labeled = runs.join(
+        comp.select(F.col("node").alias("run_id"), F.col("comp").alias("region")),
+        "run_id",
+        "left",
+    ).withColumn("region", F.coalesce(F.col("region"), F.col("run_id")))
+    return with_node.join(
+        labeled.select("node", "region"), "node"
+    )

@@ -104,6 +104,7 @@ _R6_NEW = [
     "knn_outliers_recall",
     "pet_knmi",
     "pet_deficit_chain",
+    "isoband_regions",
 ]
 
 # Remaining keys by newest-stamp round, stalest first, so future

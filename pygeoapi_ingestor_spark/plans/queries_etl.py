@@ -4573,3 +4573,130 @@ FROM win
 
 
 ETL_ORACLES["pet_deficit_chain"] = _pet_deficit_oracle_sql()
+
+
+ISO_LEVELS = [50.0, 100.0, 125.0, 150.0, 175.0, 200.0]
+ISO_BITS = 6  # 64x64 grid
+
+
+def q_isoband_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isoband (contour polygon) extraction, Spark-native: classify
+    each raster cell into a fixed-level band, then dissolve same-band
+    4-adjacent cells into labeled regions with a cell count and bbox —
+    the tabular form of the polygons the reference publishes from
+    ``gdal_contour -p -amin lvlmin -amax lvlmax -fl 50 100 125 150 175
+    200`` (ingestor_knmi_evapo.py:454-457) to PostGIS for the evapo
+    map layer.
+
+    Pipeline: one quantization + aggregate builds the cell raster
+    (exact DECIMAL means, the morton_cells lattice), band index is a
+    sum of >=-comparisons (engine-exact), the dissolve is two shifted
+    equi-joins + min-label propagation (operators/spatial.py
+    dissolve_regions reusing the dedup connected-components kernel).
+    Cells ≪ points, so every iterative round runs on the coarsened
+    raster, not the fact table. region_id = smallest cell id in the
+    region (deterministic); bbox edges come straight off the integer
+    grid (x·360/63 − 180 exact double chain in both engines).
+    """
+    from pygeoapi_ingestor_spark.operators import spatial
+
+    scale = (1 << ISO_BITS) - 1
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        ((F.col("event_id") % 5760) / F.lit(16.0) - F.lit(180.0)).alias("lon"),
+        ((F.col("user_id") % 2880) / F.lit(16.0) - F.lit(90.0)).alias("lat"),
+        F.col("value"),
+    )
+    x = F.round(
+        (F.greatest(F.lit(-180.0), F.least(F.lit(180.0), F.col("lon"))) + 180.0)
+        / 360.0 * scale, 0,
+    ).cast("long")
+    y = F.round(
+        (F.greatest(F.lit(-90.0), F.least(F.lit(90.0), F.col("lat"))) + 90.0)
+        / 180.0 * scale, 0,
+    ).cast("long")
+    cells = pts.groupBy(x.alias("x"), y.alias("y")).agg(
+        (
+            F.sum(F.col("value").cast(VALUE_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+    ).withColumn("band", spatial.band_classify(F.col("v"), ISO_LEVELS))
+    regions = spatial.dissolve_regions(
+        cells, x_col="x", y_col="y", band_col="band", width=scale + 1
+    )
+    lon_of = lambda c: F.col(c).cast("double") * 360.0 / scale - 180.0  # noqa: E731
+    lat_of = lambda c: F.col(c).cast("double") * 180.0 / scale - 90.0  # noqa: E731
+    return regions.groupBy(
+        F.col("band").cast("int").alias("band"),
+        F.col("region").alias("region_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n_pts").cast("bigint").alias("n_points"),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+    ).select(
+        "band", "region_id", "n_cells", "n_points",
+        F.round(lon_of("x_min"), 6).alias("bbox_w"),
+        F.round(lat_of("y_min"), 6).alias("bbox_s"),
+        F.round(lon_of("x_max"), 6).alias("bbox_e"),
+        F.round(lat_of("y_max"), 6).alias("bbox_n"),
+    )
+
+
+ETL_QUERIES["isoband_regions"] = q_isoband_regions
+
+
+def _isoband_oracle_sql() -> str:
+    scale = (1 << ISO_BITS) - 1
+    band = " + ".join(f"CAST(v >= {lv} AS INT)" for lv in ISO_LEVELS)
+    return f"""
+WITH RECURSIVE pts AS (
+    SELECT (event_id % 5760) / 16.0 - 180.0 AS lon,
+           (user_id % 2880) / 16.0 - 90.0 AS lat,
+           value
+    FROM events
+), q AS (
+    SELECT CAST(round((greatest(-180.0, least(180.0, lon)) + 180.0)
+                      / 360.0 * {scale}, 0) AS BIGINT) AS x,
+           CAST(round((greatest(-90.0, least(90.0, lat)) + 90.0)
+                      / 180.0 * {scale}, 0) AS BIGINT) AS y,
+           value
+    FROM pts
+), cells AS (
+    SELECT x, y, y * {scale + 1} + x AS node,
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS v,
+           CAST(count(*) AS BIGINT) AS n_pts
+    FROM q GROUP BY x, y
+), banded AS (
+    SELECT x, y, node, n_pts, {band} AS band FROM cells
+), edges AS (
+    SELECT a.node AS a, b.node AS b
+    FROM banded a JOIN banded b
+      ON b.x = a.x + 1 AND b.y = a.y AND b.band = a.band
+    UNION ALL
+    SELECT a.node, b.node
+    FROM banded a JOIN banded b
+      ON b.x = a.x AND b.y = a.y + 1 AND b.band = a.band
+), sym AS (
+    SELECT a, b FROM edges UNION SELECT b, a FROM edges
+), reach(node, lbl) AS (
+    SELECT node, node FROM banded
+    UNION
+    SELECT s.a, r.lbl FROM reach r JOIN sym s ON s.b = r.node
+), comp AS (
+    SELECT node, min(lbl) AS region FROM reach GROUP BY node
+)
+SELECT CAST(band AS INT) AS band, region AS region_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(n_pts) AS BIGINT) AS n_points,
+       round(CAST(min(x) AS DOUBLE) * 360.0 / {scale} - 180.0, 6) AS bbox_w,
+       round(CAST(min(y) AS DOUBLE) * 180.0 / {scale} - 90.0, 6) AS bbox_s,
+       round(CAST(max(x) AS DOUBLE) * 360.0 / {scale} - 180.0, 6) AS bbox_e,
+       round(CAST(max(y) AS DOUBLE) * 180.0 / {scale} - 90.0, 6) AS bbox_n
+FROM banded JOIN comp USING (node)
+GROUP BY band, region
+"""
+
+
+ETL_ORACLES["isoband_regions"] = _isoband_oracle_sql()

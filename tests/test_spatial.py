@@ -40,3 +40,52 @@ def test_cell_aggregate(spark, tmp_path):
     for r in rows:
         assert r["cell_min"] <= r["cell_mean"] <= r["cell_max"]
         assert 44.0 <= r["centroid_lon"] <= 47.5
+
+
+def test_dissolve_regions_matches_flood_fill(spark):
+    """The run-collapse + min-label dissolve must produce exactly the
+    same cell partition as a literal 4-neighbor flood fill, on a
+    synthetic raster with concentric bands, a diagonal (touching only
+    at corners — must NOT merge), and isolated cells."""
+    from pygeoapi_ingestor_spark.operators.spatial import dissolve_regions
+
+    W = 12
+    def band_of(x, y):
+        # concentric square rings + a diagonal stripe of a third band
+        if x == y and x % 2 == 0:
+            return 7  # diagonal: same band, corner-touching -> isolated
+        d = max(abs(x - W // 2), abs(y - W // 2))
+        return d // 2
+
+    cells = [(x, y, band_of(x, y)) for x in range(W) for y in range(W)]
+    df = spark.createDataFrame(cells, "x long, y long, band int")
+    got = {
+        r["node"]: r["region"]
+        for r in dissolve_regions(df, "x", "y", "band", width=W).collect()
+    }
+
+    # reference flood fill
+    grid = {(x, y): b for x, y, b in cells}
+    seen, regions = set(), {}
+    for (x, y) in sorted(grid, key=lambda c: (c[1] * W + c[0])):
+        if (x, y) in seen:
+            continue
+        stack, comp = [(x, y)], []
+        seen.add((x, y))
+        while stack:
+            cx, cy = stack.pop()
+            comp.append((cx, cy))
+            for nx, ny in ((cx+1,cy),(cx-1,cy),(cx,cy+1),(cx,cy-1)):
+                if (nx, ny) in grid and (nx, ny) not in seen \
+                        and grid[nx, ny] == grid[cx, cy]:
+                    seen.add((nx, ny))
+                    stack.append((nx, ny))
+        label = min(cy * W + cx for cx, cy in comp)
+        for cx, cy in comp:
+            regions[cy * W + cx] = label
+
+    assert got == regions
+    # the corner-touching diagonal cells must each be their own region
+    diag = [y * W + x for x in range(W) for y in range(W)
+            if band_of(x, y) == 7]
+    assert all(regions[n] == n for n in diag)

@@ -22,6 +22,24 @@ from pygeoapi_ingestor_spark.session import get_spark  # noqa: E402
 # every catalog query participates; order: cheap scans first
 BENCH_KEYS = sorted(QUERIES)
 
+# Pinned headline set (r5 verdict item 7): the catalog's expensive tail
+# (round-5's five slowest) plus one representative per family, tracked
+# round-over-round in the summary line so a regression in the tail
+# cannot hide behind the growing catalog mean. Keep this list STABLE —
+# it is the ratchet; add, don't rotate.
+HEADLINE_KEYS = [
+    # round-5 top-5 cold cost
+    "embedding_knn_outliers", "dedup_simhash", "mad_outliers",
+    "dedup_components", "rfm_segments",
+    # one per family: temporal resample, geo zonal, TPC-H, windowed
+    # sessions, LSH dedup, ANN search, text stats, behavior cohorts
+    "resample_daily_sum", "zonal_stats_polygon", "q1_pricing_summary",
+    "sessionize_gap", "dedup_minhash_lsh", "sim_search_ivf",
+    "tfidf_top_terms", "retention_cohorts",
+    # round-6 additions with real plan weight
+    "isoband_regions", "knn_outliers_ivf",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,10 +114,35 @@ def main() -> None:
         list(pool.map(lambda k: QUERIES[k](spark, sf_dir).count(), BENCH_KEYS))
     concurrent_total = round(time.perf_counter() - t_c0, 3)
 
+    # headline ratchet: current cold numbers for the pinned set, plus
+    # the delta against the previous BENCH_FULL.json (read before this
+    # run overwrites it) so regressions in the expensive tail surface
+    # directly in the summary artifact
+    headline = {k: timings[k] for k in HEADLINE_KEYS if k in timings}
+    headline_prev: dict[str, float] = {}
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(full_path) as f:
+            headline_prev = {
+                k: v for k, v in json.load(f).get("queries", {}).items()
+                if k in headline
+            }
+    except Exception:
+        pass
+    headline_delta = {
+        k: round(headline[k] - headline_prev[k], 3)
+        for k in headline if k in headline_prev
+    }
+
     full = {
         "metric": "catalog_total_wall",
         "value": total,
         "unit": "sec",
+        "headline": headline,
+        "headline_total": round(sum(headline.values()), 3),
+        "headline_delta_vs_prev": headline_delta,
         "queries": timings,
         "queries_warm": warm_timings,
         "warm_total": warm_total,
@@ -123,6 +166,8 @@ def main() -> None:
         "metric": "catalog_total_wall",
         "value": total,
         "unit": "sec",
+        "headline": headline,
+        "headline_total": round(sum(headline.values()), 3),
         "queries": line_queries,
         "n_queries": len(timings),
         "warm_total": warm_total,

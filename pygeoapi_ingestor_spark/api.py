@@ -22,6 +22,7 @@ from pyspark.sql import SparkSession
 
 from pygeoapi_ingestor_spark.plans import QUERIES
 from pygeoapi_ingestor_spark.processes import IngestProcess, ProcessorExecuteError
+from pygeoapi_ingestor_spark.streaming.scheduler import finalize_job
 
 MAX_SAMPLE_ROWS = 100
 
@@ -135,10 +136,22 @@ class ProcessAPI:
         return out
 
     def execute(
-        self, spark: SparkSession, process_id: str, inputs: dict[str, Any] | None = None
+        self, spark: SparkSession, process_id: str,
+        inputs: dict[str, Any] | None = None,
+        finalize: bool = True,
     ) -> dict[str, Any]:
         """Execute one process; dict response mirrors the reference's
-        ``{"id", "status", "value"}`` output shape."""
+        ``{"id", "status", "value"}`` output shape.
+
+        ``finalize`` releases per-job engine state after the response is
+        materialized — the same between-jobs contract the scheduler's
+        ``finalize_job`` applies: operators deliberately persist index
+        artifacts (LSH signatures, PPJoin tokens, PQ codes) for their
+        own downstream actions and cannot know when the caller is done;
+        a long-lived API service that skips this accumulates
+        MEMORY_AND_DISK blocks for the session lifetime. Pass False
+        only when the caller manages the cache lifecycle itself.
+        """
         inputs = dict(inputs or {})
         if process_id in self._ingestors:
             try:
@@ -147,6 +160,9 @@ class ProcessAPI:
                 )
             except ProcessorExecuteError as e:
                 return {"id": process_id, "status": "failed", "message": str(e)}
+            finally:
+                if finalize:
+                    finalize_job(spark)
             return {
                 "id": process_id,
                 "status": res.status.lower(),
@@ -171,6 +187,11 @@ class ProcessAPI:
                     "status": "failed",
                     "message": str(e)[:500],
                 }
+            finally:
+                # the response is fully materialized (collected) by now,
+                # so the query's persisted index artifacts are releasable
+                if finalize:
+                    finalize_job(spark)
             return {
                 "id": process_id,
                 "status": "successful",

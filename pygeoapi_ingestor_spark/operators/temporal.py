@@ -52,23 +52,42 @@ def wall_trunc(freq: str, col) -> "F.Column":
 
     Spark's ``date_trunc`` pushes TIMESTAMP_NTZ input through the
     session zone and returns TIMESTAMP, so under a non-UTC session a
-    naive '2024-01-19 00:00' day-bucket surfaces shifted (e.g. 05:00).
-    Round-tripping through TIMESTAMP_NTZ on both sides makes the
-    truncation a pure wall-clock operation for either input flavor —
-    matching DuckDB's ``date_trunc`` on naive timestamps whatever
-    timezone the driver's session happens to run in.
+    naive '2024-01-19 00:00' day-bucket surfaces shifted (e.g. 05:00)
+    — and even an NTZ→trunc→NTZ round trip converts through the zone
+    internally, which shifts buckets by an hour in zones whose DST
+    spring-forward lands at midnight (America/Santiago, Azores), where
+    local midnight does not exist on transition days.
 
-    KNOWN LIMIT (round-4 advice): the round-trip still converts through
-    the session zone internally, so in a zone whose DST spring-forward
-    lands at midnight (America/Santiago, Azores) local midnight does not
-    exist on transition days and day/week buckets shift by an hour. The
-    supported contract is therefore a fixed-offset session zone:
-    ``session.get_spark`` pins ``spark.sql.session.timeZone=UTC``, and
-    tests/test_tz_independence.py exercises non-UTC zones whose
-    transitions avoid midnight. A fully zone-free form would truncate
-    via date arithmetic on the NTZ value; not done while every gate and
-    deployment profile runs pinned-UTC."""
-    return F.date_trunc(freq, F.col(col).cast("timestamp_ntz") if isinstance(col, str) else col.cast("timestamp_ntz")).cast("timestamp_ntz")
+    The calendar frequencies therefore truncate via PURE DATE
+    ARITHMETIC on the NTZ value — ``cast(ntz as date)`` (wall-date
+    extraction, no zone), Monday via ``weekday`` (no zone),
+    month/year via ``trunc`` on the date, hour via field extraction
+    into ``make_timestamp_ntz`` — so no session zone enters at any
+    point and the result matches DuckDB's ``date_trunc`` on naive
+    timestamps under ANY session zone, midnight-DST ones included
+    (tests/test_tz_independence.py sweeps America/Santiago).
+    TIMESTAMP (tz-aware) input still resolves its wall clock through
+    the session zone first — that IS its wall-clock semantic."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("timestamp_ntz")
+    f = freq.lower()
+    if f == "hour":
+        return F.make_timestamp_ntz(
+            F.year(c), F.month(c), F.dayofmonth(c), F.hour(c),
+            F.lit(0), F.lit(0),
+        )
+    if f in ("day", "week", "month", "year"):
+        d = c.cast("date")
+        if f == "week":
+            d = F.date_sub(d, F.weekday(d))
+        elif f == "month":
+            d = F.trunc(d, "month")
+        elif f == "year":
+            d = F.trunc(d, "year")
+        return d.cast("timestamp_ntz")
+    # sub-hour frequencies: the zoned round trip (exact for any
+    # fixed-offset zone; DST transitions never land mid-hour)
+    return F.date_trunc(f, c).cast("timestamp_ntz")
 
 
 def axis_seconds(df: DataFrame, ts_col: str) -> "F.Column":

@@ -163,3 +163,22 @@ def test_dismiss_terminal_job_keeps_outcome(spark, sf_dir):
     assert out["status"] == "successful"
     assert jm.status(j)["status"] == "successful"
     assert jm.result(j)["value"]["n_rows_sampled"] == 3
+
+
+def test_execute_releases_index_artifacts_between_jobs(spark, sf_dir):
+    """r5 verdict item 8: the service path must apply the scheduler's
+    between-jobs finalize — two back-to-back index-building queries
+    through ProcessAPI.execute may not accumulate persisted blocks."""
+    api = ProcessAPI(default_sf_dir=sf_dir)
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    baseline = len(jsc.getRDDStorageInfo())
+    for key in ("dedup_ppjoin", "sim_search_lsh"):
+        res = api.execute(spark, key)
+        assert res["status"] == "successful"
+        assert len(jsc.getRDDStorageInfo()) == baseline, key
+    # opting out leaves the artifacts for the caller to manage
+    res = api.execute(spark, "dedup_ppjoin", finalize=False)
+    assert res["status"] == "successful"
+    assert len(jsc.getRDDStorageInfo()) > baseline
+    spark.catalog.clearCache()

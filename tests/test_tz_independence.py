@@ -36,10 +36,17 @@ TZ_SENSITIVE = [
 ]
 
 
+# America/Santiago springs forward AT MIDNIGHT (Sep): local midnight
+# does not exist on transition days, which broke the old zoned
+# NTZ→date_trunc→NTZ round trip — the zone-free wall_trunc must hold
+ZONES = ["America/New_York", "America/Santiago"]
+
+
 @pytest.mark.parametrize("key", TZ_SENSITIVE)
-def test_query_matches_oracle_under_non_utc_session(spark, sf_dir, key):
+@pytest.mark.parametrize("zone", ZONES)
+def test_query_matches_oracle_under_non_utc_session(spark, sf_dir, key, zone):
     prev = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.session.timeZone", zone)
     try:
         df = QUERIES[key](spark, sf_dir)
         spark_cols = df.columns

@@ -106,6 +106,19 @@ def main():
 
     bad = [k for k, v in out.items() if not (v.get("hash") or v.get("rows_only"))]
     print(f"\nTOTAL {total:.1f}s over {len(out)} keys; failing: {bad}")
+    # SIM_OUT=<path>: persist the full per-key ledger (the committed
+    # CORRECTNESS_FULL.json artifact — the durable full-catalog evidence
+    # the rotating ~50-key driver window cannot provide; r5 verdict #5)
+    out_path = os.environ.get("SIM_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_keys": len(out),
+                 "total_sec": round(total, 1), "failing": bad,
+                 "results": out},
+                f, indent=1, sort_keys=False,
+            )
+        print(f"wrote {out_path}")
     spark.stop()
     return 1 if bad else 0
 

@@ -105,6 +105,7 @@ _R6_NEW = [
     "pet_knmi",
     "pet_deficit_chain",
     "isoband_regions",
+    "danger_levels_weekly",
 ]
 
 # Remaining keys by newest-stamp round, stalest first, so future

@@ -4700,3 +4700,81 @@ GROUP BY band, region
 
 
 ETL_ORACLES["isoband_regions"] = _isoband_oracle_sql()
+
+
+DANGER_COLORS = [
+    "darkblue", "blue", "green", "yellow", "orange", "red", "darkred",
+]
+
+
+def q_danger_levels_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end danger-level feed — the composed form of the
+    reference's rijnland process (ll_nl_danger_levels.py:68-121):
+    masked-region daily series → Sunday-END weekly max → ISO week /
+    month numbers per Sunday label → the exact 7-color ladder at the
+    isoband levels [50,100,125,150,175,200] ('darkblue'…'darkred',
+    categorize() verbatim).
+
+    The region mask (reference: cells where mask == 666) maps to the
+    station family user_id % 7 == 3; the weekly metric is 2.5 × the
+    weekly max of exact-DECIMAL daily means — the pet_knmi unit-mapping
+    convention, sized so several ladder rungs are live on the
+    testdata. Every step is zone-free date arithmetic (weekday/
+    date_add on the wall date), so the feed matches the oracle under
+    any session timezone."""
+    from pygeoapi_ingestor_spark.operators import spatial
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 7 == 3)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast(VALUE_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("t_mean")
+    )
+    week_end = F.date_add(
+        F.date_sub(F.col("day"), F.weekday(F.col("day"))), 6
+    )
+    weekly = daily.groupBy(
+        "event_type", week_end.alias("week_end")
+    ).agg((F.max("t_mean") * 2.5).alias("deficit"))
+    band = spatial.band_classify(F.col("deficit"), ISO_LEVELS)
+    colors = F.array(*[F.lit(c) for c in DANGER_COLORS])
+    return weekly.select(
+        "event_type", "week_end",
+        F.weekofyear("week_end").cast("int").alias("iso_week"),
+        F.month("week_end").cast("int").alias("month_no"),
+        F.round("deficit", 6).alias("deficit"),
+        F.element_at(colors, band + 1).alias("color"),
+    )
+
+
+ETL_QUERIES["danger_levels_weekly"] = q_danger_levels_weekly
+
+
+def _danger_oracle_sql() -> str:
+    ladder = " ".join(
+        f"WHEN deficit >= {lv} THEN '{DANGER_COLORS[i + 1]}'"
+        for i, lv in reversed(list(enumerate(ISO_LEVELS)))
+    )
+    return f"""
+WITH d AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS t_mean
+    FROM events WHERE user_id % 7 = 3 GROUP BY 1, 2
+), w AS (
+    SELECT event_type, CAST(date_trunc('week', day) AS DATE) + 6 AS week_end,
+           max(t_mean) * 2.5 AS deficit
+    FROM d GROUP BY 1, 2
+)
+SELECT event_type, week_end,
+       CAST(weekofyear(week_end) AS INT) AS iso_week,
+       CAST(month(week_end) AS INT) AS month_no,
+       round(deficit, 6) AS deficit,
+       CASE {ladder} ELSE '{DANGER_COLORS[0]}' END AS color
+FROM w
+"""
+
+
+ETL_ORACLES["danger_levels_weekly"] = _danger_oracle_sql()

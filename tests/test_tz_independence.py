@@ -33,6 +33,10 @@ TZ_SENSITIVE = [
     "qc_flags_station",
     "area_weighted_mean",
     "threshold_crossings",
+    # round-6: day-bucketed PET chain + week-bucketed danger feed
+    "pet_knmi",
+    "pet_deficit_chain",
+    "danger_levels_weekly",
 ]
 
 

@@ -106,6 +106,7 @@ _R6_NEW = [
     "pet_deficit_chain",
     "isoband_regions",
     "danger_levels_weekly",
+    "river_discharge_arpae",
 ]
 
 # Remaining keys by newest-stamp round, stalest first, so future

@@ -4778,3 +4778,72 @@ FROM w
 
 
 ETL_ORACLES["danger_levels_weekly"] = _danger_oracle_sql()
+
+
+# The ARPAE river-discharge rating table, verbatim (H stage (m) -> Q
+# discharge (m**3/s); reference: rer_river_discharge_arpae_process.py
+# :325-457 portata_lineare) — embedded as literals like pet_knmi's Re
+# table so both engines interpolate over bit-identical doubles.
+ARPAE_RATING: list[tuple[float, float]] = [
+    (0.0, 0.0), (0.03, 0.49), (0.05, 1.41), (0.06, 1.72),
+    (0.09, 3.59), (0.1, 4.38), (0.15, 9.85), (0.2, 16.0),
+    (0.25, 22.8), (0.3, 30.1), (0.35, 37.7), (0.4, 45.6),
+    (0.45, 53.7), (0.5, 61.9), (0.55, 70.3), (0.6, 79.0),
+    (0.65, 87.8), (0.7, 96.8), (0.75, 106.0), (0.8, 115.0),
+    (0.85, 125.0), (0.9, 134.0), (0.95, 144.0), (1.0, 153.0),
+    (1.05, 163.0), (1.1, 172.0), (1.15, 182.0), (1.2, 192.0),
+    (1.25, 202.0), (1.3, 213.0), (1.31, 215.0), (1.36, 239.0),
+    (1.44, 258.0), (1.52, 277.0), (1.6, 296.0), (1.66, 312.0),
+    (1.68, 326.0), (1.73, 341.0), (1.85, 363.0), (1.95, 392.0),
+    (2.03, 417.0), (2.1, 437.3), (2.15, 453.3), (2.2, 470.0),
+    (2.25, 487.4), (2.3, 505.8), (2.35, 525.1), (2.4, 545.4),
+    (2.45, 566.7), (2.5, 589.2), (2.55, 738.8), (2.6, 637.8),
+    (2.65, 664.0), (2.7, 691.6), (2.75, 720.7), (2.78, 739.0),
+]
+
+
+def q_river_discharge_arpae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact reference stage→discharge conversion: piecewise-linear
+    interpolation over the verbatim 56-point ARPAE rating table with
+    the reference's CLAMPED edge semantics (h ≤ H[0] → Q[0], h ≥ H[-1]
+    → Q[-1]; rer_river_discharge_arpae_process.py:444-457) — unlike
+    rating_curve_interp's NULL-outside-range synthetic curve. The
+    whole table compiles into one chained CASE projection (no join, no
+    shuffle; codegen evaluates it inside the scan) — the 100 TB path
+    for fixed rating tables. Stage h = value/100 m, spanning both
+    clamps and the interior segments on the testdata."""
+    ev = _events(spark, sf_dir)
+    h = (F.col("value") / 100.0).alias("h")
+    out = ev.select("event_id", h).withColumn(
+        "discharge",
+        curves.interpolate_points_expr(ARPAE_RATING, "h", clamp_edges=True),
+    )
+    return out.select(
+        "event_id",
+        F.round("h", 6).alias("h"),
+        F.round("discharge", 6).alias("discharge"),
+    )
+
+
+ETL_QUERIES["river_discharge_arpae"] = q_river_discharge_arpae
+
+
+def _arpae_oracle_sql() -> str:
+    pts = sorted(ARPAE_RATING)
+    cases = " ".join(
+        "WHEN h >= " + repr(x0) + " AND h < " + repr(x1) + " THEN "
+        + repr(y0) + " + (" + repr(y1) + " - " + repr(y0) + ") * (h - "
+        + repr(x0) + ") / (" + repr(x1) + " - " + repr(x0) + ")"
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:])
+    )
+    return (
+        "WITH src AS (SELECT event_id, value / 100.0 AS h FROM events)\n"
+        "SELECT event_id, round(h, 6) AS h,\n"
+        "       round(CASE WHEN h <= " + repr(pts[0][0]) + " THEN " + repr(pts[0][1]) + "\n"
+        "                  WHEN h >= " + repr(pts[-1][0]) + " THEN " + repr(pts[-1][1]) + "\n"
+        "                  " + cases + " END, 6) AS discharge\n"
+        "FROM src"
+    )
+
+
+ETL_ORACLES["river_discharge_arpae"] = _arpae_oracle_sql()

@@ -984,3 +984,35 @@ def test_pet_knmi_floor_and_formula_branches(spark, sf_dir):
         lam = 2.501 - 0.002361 * r["ta"]
         expect = (float(r["re"]) / (lam * 1000.0)) * ((r["ta"] + 5.0) / 45.0) * 1000.0
         assert abs(expect - r["pet"]) < 1e-4
+
+
+def test_arpae_rating_clamps_and_segments(spark):
+    """Exact reference semantics of portata_lineare
+    (rer_river_discharge_arpae_process.py:444-457): clamped below the
+    first stage and above the last, linear inside each segment."""
+    from pygeoapi_ingestor_spark.operators.curves import interpolate_points_expr
+    from pygeoapi_ingestor_spark.plans.queries_etl import ARPAE_RATING
+
+    H = [p[0] for p in ARPAE_RATING]
+    Q = [p[1] for p in ARPAE_RATING]
+    probes = [-1.0, 0.0, 0.015, 0.05, 1.33, 2.78, 5.0]
+    df = spark.createDataFrame([(h,) for h in probes], "h double")
+    got = {
+        r["h"]: r["q"]
+        for r in df.withColumn(
+            "q", interpolate_points_expr(ARPAE_RATING, "h", clamp_edges=True)
+        ).collect()
+    }
+
+    def portata(h):
+        if h <= H[0]:
+            return Q[0]
+        if h >= H[-1]:
+            return Q[-1]
+        for i in range(len(H) - 1):
+            if H[i] <= h <= H[i + 1]:
+                return Q[i] + (Q[i + 1] - Q[i]) * (h - H[i]) / (H[i + 1] - H[i])
+
+    for h in probes:
+        assert abs(got[h] - portata(h)) < 1e-12, h
+    assert got[-1.0] == Q[0] and got[5.0] == Q[-1]

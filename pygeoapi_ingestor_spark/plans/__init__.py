@@ -107,6 +107,7 @@ _R6_NEW = [
     "isoband_regions",
     "danger_levels_weekly",
     "river_discharge_arpae",
+    "dedup_keep_best",
 ]
 
 # Remaining keys by newest-stamp round, stalest first, so future

@@ -3952,3 +3952,80 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact_top) AS n_top,
 
 
 LLM_ORACLES["knn_outliers_recall"] = _knn_recall_oracle_sql()
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization: within each exact-duplicate
+    group (normalized-content fingerprint), keep the HIGHEST-quality
+    member instead of dedup_exact's lowest id — what a curation
+    pipeline actually ships when near-identical pages differ in
+    boilerplate (the composite quality score ranks them; ties break to
+    the smallest doc_id so the choice is deterministic).
+
+    One projection computes fingerprint + quality features, one window
+    rank per fingerprint picks the canonical doc — a single shuffle on
+    the fingerprint, same scale shape as dedup_exact. Emits one row
+    per group with the kept doc, its quality, and the group size.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    scored = text.quality_features(
+        text.fingerprint(d, "text", out_col="fingerprint"), text_col="text"
+    ).select("doc_id", "fingerprint", "quality_score")
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    sizes = scored.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("keep_id"),
+            F.round("quality_score", 6).alias("best_quality"),
+        )
+    )
+    return best.join(sizes, "fingerprint")
+
+
+LLM_QUERIES["dedup_keep_best"] = q_dedup_keep_best
+
+_QUALITY_CTE = r"""
+feats AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+           length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+           len(string_split_regex(trim(text), '\s+')) AS n_ws,
+           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it)\b')) AS n_stop
+    FROM documents
+), scored AS (
+    SELECT doc_id, fingerprint,
+           0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+           + 0.3 * least((CASE WHEN n_ws > 0 THEN n_stop / n_ws ELSE 0.0 END) * 2, 1.0)
+           + 0.2 * (1.0 - least((CASE WHEN n_alpha > 0 THEN n_upper / n_alpha ELSE 0.0 END) * 2, 1.0))
+           + 0.1 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5, 1.0))
+               AS quality_score
+    FROM feats
+)"""
+
+LLM_ORACLES["dedup_keep_best"] = (
+    "WITH " + _QUALITY_CTE + """
+, ranked AS (
+    SELECT fingerprint, doc_id, quality_score,
+           row_number() OVER (PARTITION BY fingerprint
+               ORDER BY quality_score DESC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY fingerprint) AS n_members
+    FROM scored
+)
+SELECT fingerprint, doc_id AS keep_id,
+       round(quality_score, 6) AS best_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+)

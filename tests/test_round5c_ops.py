@@ -1016,3 +1016,33 @@ def test_arpae_rating_clamps_and_segments(spark):
     for h in probes:
         assert abs(got[h] - portata(h)) < 1e-12, h
     assert got[-1.0] == Q[0] and got[5.0] == Q[-1]
+
+
+def test_dedup_keep_best_prefers_quality_then_id(spark, tmp_path):
+    """Canonical selection must pick the highest-quality member of each
+    duplicate group (normalized-content fingerprint), breaking quality
+    ties to the smallest doc_id — dedup_exact's grouping, a different
+    ship rule."""
+    from pygeoapi_ingestor_spark.plans.queries_llm import q_dedup_keep_best
+
+    docs = [
+        # group A: same normalized content, different quality (caps/punct)
+        (1, "THE QUICK BROWN FOX!!! JUMPS;;; OVER THE LAZY DOG", "en", "web"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "web"),
+        (3, "The quick brown fox, jumps over the lazy dog.", "en", "web"),
+        # group B: exact same text -> quality tie -> smallest id wins
+        (10, "it is a truth universally acknowledged", "en", "book"),
+        (11, "it is a truth universally acknowledged", "en", "book"),
+        # singleton
+        (20, "completely unrelated text about spark plans", "en", "web"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, lang string, source string")
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    rows = {r["keep_id"]: r for r in q_dedup_keep_best(spark, path).collect()}
+    assert len(rows) == 3
+    group_a = [r for r in rows.values() if r["n_members"] == 3]
+    assert len(group_a) == 1 and group_a[0]["keep_id"] == 2  # all-lowercase beats caps
+    group_b = [r for r in rows.values() if r["n_members"] == 2]
+    assert len(group_b) == 1 and group_b[0]["keep_id"] == 10  # tie -> min id
+    assert 20 in rows and rows[20]["n_members"] == 1

@@ -37,7 +37,7 @@ HEADLINE_KEYS = [
     "sessionize_gap", "dedup_minhash_lsh", "sim_search_ivf",
     "tfidf_top_terms", "retention_cohorts",
     # round-6 additions with real plan weight
-    "isoband_regions", "knn_outliers_ivf",
+    "isoband_regions", "knn_outliers_ivf", "knn_outliers_recall",
 ]
 
 

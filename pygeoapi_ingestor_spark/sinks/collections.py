@@ -793,3 +793,48 @@ def collection_stats(spark, path: str) -> dict:
         "bytes_per_row": round(total_bytes / n_rows, 2) if n_rows else None,
         "partitions": dict(sorted(per_dir.items())),
     }
+
+
+def geojson_polygon_expr(
+    w_col: str, s_col: str, e_col: str, n_col: str, props_cols: list[str]
+) -> "F.Column":
+    """One RFC 7946 Polygon Feature per row from bbox columns (closed
+    counter-clockwise ring) — pure projection like
+    ``geojson_feature_expr``; the polygon twin the isoband publication
+    path needs (reference: ingestor_knmi_evapo.py:454-476 publishes
+    gdal_contour polygons to PostGIS)."""
+    w, s, e, n = (F.col(c) for c in (w_col, s_col, e_col, n_col))
+    ring = F.array(
+        F.array(w, s), F.array(e, s), F.array(e, n), F.array(w, n),
+        F.array(w, s),
+    )
+    return F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Polygon").alias("type"),
+                F.array(ring).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(*props_cols).alias("properties"),
+        )
+    )
+
+
+def export_polygons_geojsonl(
+    df: DataFrame,
+    path: str,
+    w_col: str,
+    s_col: str,
+    e_col: str,
+    n_col: str,
+    props_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Distributed polygon-feature export (newline-delimited GeoJSON,
+    one feature per line, one file per partition) — the publication
+    sink for ``isoband_regions``' (band, region, bbox) output: the
+    tabular re-expression of the reference's contour-polygon → PostGIS
+    step."""
+    df.select(
+        geojson_polygon_expr(w_col, s_col, e_col, n_col, props_cols).alias("value")
+    ).write.mode(mode).text(path)

@@ -446,3 +446,45 @@ def rank_topk_batch(batch_df: DataFrame, k: int = 3) -> DataFrame:
         batch_df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def danger_levels_stream(
+    events: DataFrame,
+    levels: list[float] | None = None,
+    colors: list[str] | None = None,
+    window: str = "7 days",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """The danger-level feed as a CONTINUOUS query — the streaming twin
+    of plans.danger_levels_weekly (reference:
+    ll_nl_danger_levels.py:68-121 republishes the categorized weekly
+    deficit on a schedule; here the windowed max maintains itself
+    incrementally as observations land).
+
+    Event-time tumbling window + max aggregate (incremental state, late
+    data bounded by the watermark); the categorize() color ladder is a
+    pure projection applied on the aggregate output, so batch and
+    stream share the exact classification expression
+    (spatial.band_classify)."""
+    from pygeoapi_ingestor_spark.operators import spatial
+    from pygeoapi_ingestor_spark.plans.queries_etl import (
+        DANGER_COLORS,
+        ISO_LEVELS,
+    )
+
+    levels = ISO_LEVELS if levels is None else levels
+    colors = DANGER_COLORS if colors is None else colors
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.max("value").alias("window_max"))
+    )
+    band = spatial.band_classify(F.col("window_max"), levels)
+    color_arr = F.array(*[F.lit(c) for c in colors])
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "window_max",
+        F.element_at(color_arr, band + F.lit(1)).alias("color"),
+    )

@@ -367,3 +367,71 @@ def test_trending_topk_stream_matches_batch(spark, sf_dir, tmp_path):
         )
         exp_rows = sorted(((r["event_type"], r["n"], r["rank"]) for r in rows))
         assert got_rows == exp_rows, wstart
+
+
+def test_danger_levels_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming danger feed must classify exactly like the batch
+    band_classify ladder on the same windowed max."""
+    src = str(tmp_path / "danger_src")
+    ev = _stage_events_json(spark, sf_dir, src)
+    stream = pipeline.read_event_stream(spark, src, fmt="json")
+    feed = pipeline.danger_levels_stream(stream, window="7 days",
+                                         watermark="1 day")
+    pipeline.run_to_memory(feed, "danger_feed", mode="complete")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["window_max"], r["color"])
+        for r in spark.sql("SELECT * FROM danger_feed").collect()
+    }
+    assert got
+
+    from pygeoapi_ingestor_spark.operators import spatial
+    from pygeoapi_ingestor_spark.plans.queries_etl import DANGER_COLORS, ISO_LEVELS
+
+    batch = (
+        ev.groupBy(F.window("ts", "7 days").alias("w"), "event_type")
+        .agg(F.max("value").alias("window_max"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "window_max",
+            F.element_at(
+                F.array(*[F.lit(c) for c in DANGER_COLORS]),
+                spatial.band_classify(F.col("window_max"), ISO_LEVELS) + F.lit(1),
+            ).alias("color"),
+        )
+    )
+    exp = {
+        (str(r["window_start"]), r["event_type"]): (r["window_max"], r["color"])
+        for r in batch.collect()
+    }
+    assert got == exp
+    assert len({c for _, c in got.values()}) >= 2  # ladder actually used
+
+
+def test_isoband_polygon_export_roundtrip(spark, sf_dir, tmp_path):
+    """isoband_regions' bbox output must publish as valid RFC 7946
+    Polygon features (closed ring, properties carried) and read back
+    distributed."""
+    import json as _json
+
+    from pygeoapi_ingestor_spark.plans.queries_etl import q_isoband_regions
+    from pygeoapi_ingestor_spark.sinks.collections import export_polygons_geojsonl
+
+    regions = q_isoband_regions(spark, sf_dir)
+    out = str(tmp_path / "isobands_geojsonl")
+    export_polygons_geojsonl(
+        regions, out, "bbox_w", "bbox_s", "bbox_e", "bbox_n",
+        props_cols=["band", "region_id", "n_cells"],
+    )
+    lines = [
+        _json.loads(r["value"])
+        for r in spark.read.text(out).collect()
+    ]
+    assert len(lines) == regions.count() and lines
+    for f in lines:
+        assert f["type"] == "Feature"
+        geom = f["geometry"]
+        assert geom["type"] == "Polygon"
+        ring = geom["coordinates"][0]
+        assert len(ring) == 5 and ring[0] == ring[-1]
+        (w, s), (e, n) = ring[0], ring[2]
+        assert w <= e and s <= n
+        assert set(f["properties"]) == {"band", "region_id", "n_cells"}

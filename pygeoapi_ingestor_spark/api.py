@@ -80,6 +80,7 @@ class ProcessAPI:
         sort_col: str | None = None,
         limit: int = 10,
         offset: int = 0,
+        after: Any | None = None,
         time_col: str = "ts",
         lon_col: str = "lon",
         lat_col: str = "lat",
@@ -87,14 +88,24 @@ class ProcessAPI:
     ) -> dict[str, Any]:
         """The ``/collections/{id}/items`` read surface (pygeoapi
         feature-paging analog): datetime interval + bbox + property
-        equality filters, deterministic keyset paging, bounded response.
+        equality filters, deterministic paging, bounded response.
 
         Every filter is a plain column predicate, so it reaches the
         parquet scan as a pushed-down filter (plan-asserted in tests) —
-        at 100 TB the page costs a pruned scan, not a full read. Paging
-        uses ``ORDER BY sort_col OFFSET/LIMIT``; Spark executes the
-        order + limit as a TakeOrdered (top-k per partition + merge), so
-        no global sort materializes.
+        at 100 TB the page costs a pruned scan, not a full read.
+
+        Two paging modes share the ORDER BY sort_col + LIMIT plan
+        (TakeOrdered: top-k per partition + merge, no global sort):
+
+        - ``after`` — KEYSET paging, the scale path: the filter
+          ``sort_col > after`` is a pushed-down predicate, so page
+          depth costs nothing — page 10,000 scans the same rows as
+          page 1. The response's ``nextAfter`` is the cursor for the
+          next call. Requires a unique ``sort_col``.
+        - ``offset`` — positional OFFSET/LIMIT for OGC compatibility:
+          every skipped row is still produced by the top-k, so deep
+          offsets degrade linearly; fine for shallow UI paging, wrong
+          for crawls.
         """
         df = spark.read.parquet(collection_path)
         if datetime_range is not None:
@@ -117,9 +128,15 @@ class ProcessAPI:
         matched = df.count() if count_matched else None
         limit = max(0, min(int(limit), MAX_SAMPLE_ROWS))
         page = df
+        if after is not None:
+            if sort_col is None:
+                raise ValueError("keyset paging (after=...) requires sort_col")
+            from pyspark.sql import functions as F
+
+            page = page.filter(F.col(sort_col) > F.lit(after))
         if sort_col is not None:
             page = page.orderBy(sort_col)
-        if offset:
+        if offset and after is None:
             page = page.offset(int(offset))
         rows = [
             _json_safe(r.asDict(recursive=True))
@@ -131,6 +148,8 @@ class ProcessAPI:
             "features": rows,
             "offset": int(offset),
         }
+        if sort_col is not None and rows:
+            out["nextAfter"] = rows[-1].get(sort_col)
         if matched is not None:
             out["numberMatched"] = int(matched)
         return out

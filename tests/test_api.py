@@ -182,3 +182,42 @@ def test_execute_releases_index_artifacts_between_jobs(spark, sf_dir):
     assert res["status"] == "successful"
     assert len(jsc.getRDDStorageInfo()) > baseline
     spark.catalog.clearCache()
+
+
+def test_items_keyset_paging_matches_offset_and_pushes_down(spark, sf_dir, tmp_path):
+    """Keyset paging (after=cursor) must walk the exact same sequence
+    as offset paging, and the cursor predicate must reach the parquet
+    scan as a pushed-down filter (depth-independent cost — the 100 TB
+    paging mode)."""
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+
+    api = ProcessAPI(default_sf_dir=sf_dir)
+    path = str(tmp_path / "coll")
+    read_events(spark, sf_dir).write.mode("overwrite").parquet(path)
+
+    kw = dict(properties={"event_type": "click"}, sort_col="event_id", limit=5)
+    via_offset = []
+    for off in (0, 5, 10):
+        via_offset += [r["event_id"] for r in
+                       api.items(spark, path, offset=off, **kw)["features"]]
+
+    via_keyset, cursor = [], None
+    for _ in range(3):
+        page = api.items(spark, path, after=cursor, **kw)
+        via_keyset += [r["event_id"] for r in page["features"]]
+        cursor = page["nextAfter"]
+    assert via_keyset == via_offset and len(via_keyset) == 15
+
+    # the cursor predicate must be a pushed-down scan filter
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("event_id") > cursor)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "GreaterThan(event_id" in plan
+
+    # keyset requires a sort column
+    import pytest
+
+    with pytest.raises(ValueError):
+        api.items(spark, path, after=3)

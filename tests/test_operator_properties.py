@@ -433,3 +433,74 @@ def test_bloom_prescreen_no_false_negatives_and_bounded_fp(spark, sf_dir):
     assert fp / max(1, len(non_members)) <= 0.15
     # and the screen is actually selective
     assert fp < len(non_members)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    deficits=st.lists(
+        st.floats(-50.0, 50.0, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=40,
+    )
+)
+def test_clamped_cumsum_closed_form_property(spark, deficits):
+    """The pet_deficit_chain identity on arbitrary sequences:
+    c_t = max(c_{t-1} + d_t, 0) (reference recursion, init included)
+    == S_t − min(0, running_min(S_t)) (the two-window closed form)."""
+    import datetime as _dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("s", _dt.date(2024, 1, 1) + _dt.timedelta(days=i), float(d))
+        for i, d in enumerate(deficits)
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, p_def double")
+    w = (
+        Window.partitionBy("k").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_s = df.select("k", "day", "p_def", F.sum("p_def").over(w).alias("s"))
+    out = with_s.withColumn("s_min", F.min("s").over(w)).select(
+        "day", (F.col("s") - F.least(F.col("s_min"), F.lit(0.0))).alias("cum")
+    )
+    got = {r["day"]: r["cum"] for r in out.collect()}
+    cum = 0.0
+    for i, d in enumerate(deficits):
+        cum = max(cum + d, 0.0)
+        day = _dt.date(2024, 1, 1) + _dt.timedelta(days=i)
+        assert abs(got[day] - cum) < 1e-9, (i, d, got[day], cum)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    coords=st.lists(
+        st.tuples(
+            st.floats(-180.0, 180.0, allow_nan=False),
+            st.floats(-90.0, 90.0, allow_nan=False),
+        ),
+        min_size=1, max_size=20,
+    ),
+    bits=st.sampled_from([2, 3, 4]),
+)
+def test_chunk_quantizer_never_prunes_written_cells(spark, coords, bits):
+    """For ANY coordinate, the chunk written by spatial.morton_cell must
+    appear in the driver-side pruned cell list of a degenerate bbox at
+    that coordinate — the HALF_UP fix as a universal property, not one
+    boundary example."""
+    from pygeoapi_ingestor_spark.operators import spatial
+    from pygeoapi_ingestor_spark.sinks.collections import chunk_keys_for_bbox
+
+    df = spark.createDataFrame(coords, "lon double, lat double")
+    cells = [
+        r["c"]
+        for r in df.select(
+            spatial.morton_cell("lon", "lat", bits_per_axis=bits).alias("c")
+        ).collect()
+    ]
+    for (lon, lat), cell in zip(coords, cells):
+        _, pruned = chunk_keys_for_bbox(
+            (lon, lat, lon, lat), "2024-01-01", "2024-01-02",
+            chunk_days=7, bits_per_axis=bits,
+        )
+        assert cell in pruned, (lon, lat, bits, cell, pruned)

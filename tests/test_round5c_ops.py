@@ -1046,3 +1046,32 @@ def test_dedup_keep_best_prefers_quality_then_id(spark, tmp_path):
     group_b = [r for r in rows.values() if r["n_members"] == 2]
     assert len(group_b) == 1 and group_b[0]["keep_id"] == 10  # tie -> min id
     assert 20 in rows and rows[20]["n_members"] == 1
+
+
+def test_string_id_codec_reference_parity(spark):
+    """The id codec must be byte-identical to the reference's
+    string_to_int_id/int_id_to_string (utils.py:41-46), and the Spark
+    expression must agree with the exact codec for <=7-byte names and
+    return NULL beyond."""
+    from pygeoapi_ingestor_spark.functions.ids import (
+        int_id_to_string,
+        string_id_expr,
+        string_to_int_id,
+    )
+
+    names = ["A", "Po", "Alazani", "Shaqriani-Hydro", "sé"]
+    # round trip == reference behavior
+    for n in names:
+        assert int_id_to_string(string_to_int_id(n)) == n
+    assert string_to_int_id("Po") == int.from_bytes(b"Po", "big")
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r["name"]: r["sid"]
+        for r in df.select("name", string_id_expr("name").alias("sid")).collect()
+    }
+    for n in names:
+        if len(n.encode()) <= 7:
+            assert got[n] == string_to_int_id(n), n
+        else:
+            assert got[n] is None, n

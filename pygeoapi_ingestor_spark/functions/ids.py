@@ -38,6 +38,9 @@ def string_id_expr(col: str | Column) -> Column:
     the always-safe width). ``conv(hex(name), 16, 10)`` stays JVM-side
     — a pure projection, usable on the fact path."""
     c = F.col(col) if isinstance(col, str) else col
+    # conv(hex(''), 16, 10) is NULL in Spark while the reference codec
+    # maps '' -> 0 (int.from_bytes(b'') == 0) — coalesce keeps parity
     return F.when(
-        F.octet_length(c) <= 7, F.conv(F.hex(c), 16, 10).cast("long")
+        F.octet_length(c) <= 7,
+        F.coalesce(F.conv(F.hex(c), 16, 10).cast("long"), F.lit(0).cast("long")),
     ).otherwise(F.lit(None).cast("long"))

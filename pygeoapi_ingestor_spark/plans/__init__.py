@@ -98,7 +98,11 @@ _R2_STALE = [
     "dedup_embedding_cosine",
 ]
 
-# new round-6 keys (appended as they are built this round)
+# new round-6 keys (appended as they are built this round).
+# ROUND-7 NOTE: the ~50-key window covers the 47-key backlog plus the
+# first few of these; next round, front-load whichever _R6_NEW keys
+# have no row in CORRECTNESS_r06, then rotate _STAMPED_R3 (the then-
+# stalest cohort) into the remaining window slots.
 _R6_NEW = [
     "knn_outliers_ivf",
     "knn_outliers_recall",

@@ -1059,7 +1059,7 @@ def test_string_id_codec_reference_parity(spark):
         string_to_int_id,
     )
 
-    names = ["A", "Po", "Alazani", "Shaqriani-Hydro", "sé"]
+    names = ["", "A", "Po", "Alazani", "Shaqriani-Hydro", "sé"]
     # round trip == reference behavior
     for n in names:
         assert int_id_to_string(string_to_int_id(n)) == n

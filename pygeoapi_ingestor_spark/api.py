@@ -138,18 +138,21 @@ class ProcessAPI:
             page = page.orderBy(sort_col)
         if offset and after is None:
             page = page.offset(int(offset))
-        rows = [
-            _json_safe(r.asDict(recursive=True))
-            for r in page.limit(limit).collect()
-        ]
+        collected = page.limit(limit).collect()
+        rows = [_json_safe(r.asDict(recursive=True)) for r in collected]
         out = {
             "type": "items",
             "numberReturned": len(rows),
             "features": rows,
             "offset": int(offset),
         }
-        if sort_col is not None and rows:
-            out["nextAfter"] = rows[-1].get(sort_col)
+        if sort_col is not None and collected:
+            # cursor must be the RAW column value, not the JSON-safe
+            # rendering: Decimal→float would make the next page's
+            # `> cursor` comparison lossy (skipped rows), and a binary
+            # sort key rendered as hex text would compare as a
+            # different ordering entirely
+            out["nextAfter"] = collected[-1][sort_col]
         if matched is not None:
             out["numberMatched"] = int(matched)
         return out
@@ -168,8 +171,12 @@ class ProcessAPI:
         artifacts (LSH signatures, PPJoin tokens, PQ codes) for their
         own downstream actions and cannot know when the caller is done;
         a long-lived API service that skips this accumulates
-        MEMORY_AND_DISK blocks for the session lifetime. Pass False
-        only when the caller manages the cache lifecycle itself.
+        MEMORY_AND_DISK blocks for the session lifetime. NOTE the
+        release is session-GLOBAL (clearCache): correct for the
+        sequential service loop, but concurrent callers sharing one
+        session must pass False and coordinate a single finalize when
+        the session goes idle — exactly what JobManager does for its
+        thread pool.
         """
         inputs = dict(inputs or {})
         if process_id in self._ingestors:
@@ -244,6 +251,7 @@ class JobManager:
         self._jobs: dict[str, dict[str, Any]] = {}
         self._lock = threading.Lock()
         self._n = 0
+        self._active = 0
 
     def submit(
         self, spark: SparkSession, process_id: str,
@@ -260,17 +268,31 @@ class JobManager:
                 if self._jobs[job_id]["status"] == "dismissed":
                     return
                 self._jobs[job_id]["status"] = "running"
+                self._active += 1
             try:
                 spark.sparkContext.setJobGroup(job_id, f"api job {job_id}",
                                                interruptOnCancel=True)
                 try:
-                    res = self.api.execute(spark, process_id, inputs)
+                    # finalize=False: execute's finalize is a GLOBAL
+                    # clearCache — under a concurrent pool it would wipe
+                    # other in-flight jobs' persisted index artifacts
+                    # mid-query (cache thrash scaling with concurrency).
+                    # The manager finalizes once, below, when the LAST
+                    # active job drains.
+                    res = self.api.execute(
+                        spark, process_id, inputs, finalize=False
+                    )
                 finally:
                     # Spark 4 dropped SparkContext.clearJobGroup; reset
                     # the thread-local property directly
                     spark.sparkContext.setLocalProperty(
                         "spark.jobGroup.id", None
                     )
+                    with self._lock:
+                        self._active -= 1
+                        idle = self._active == 0
+                    if idle:
+                        finalize_job(spark)
             except BaseException as e:  # noqa: BLE001 — a crashed worker
                 # must surface as a failed job, never a silent 'running'
                 res = {"id": process_id, "status": "failed",

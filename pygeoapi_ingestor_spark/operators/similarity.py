@@ -274,11 +274,16 @@ def ivf_knn_outliers(
     pass's scalar-unpacked columns, so the 64-FMA dot product stays
     inside whole-stage codegen instead of an interpreted array fold.
 
-    Candidate-list kNN bias is one-sided: a missed true neighbor can
-    only INFLATE a vector's mean-kNN distance, so genuine off-manifold
-    outliers (large true distance) stay ranked high; the recall eval
-    row (plans knn_outliers_recall) measures top-N agreement against
-    the exact pass and gates acceptance in tests.
+    Candidate-list kNN bias is one-sided — PROVIDED a vector has at
+    least k candidates: the k nearest among a subset are >= the true k
+    nearest, so a missed neighbor can only INFLATE the mean and genuine
+    off-manifold outliers stay ranked high. A vector whose probed lists
+    hold FEWER than k other members would get a deflated mean (its
+    missing larger distances are the ones dropped), so such
+    under-probed vectors are excluded from the ranking rather than
+    scored misleadingly low. The recall eval row (plans
+    knn_outliers_recall) measures top-N agreement against the exact
+    pass and gates acceptance in tests.
     """
     cent_rows = (
         embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -348,7 +353,9 @@ def ivf_knn_outliers(
         F.col("rn") <= k
     )
     # rank-ascending ordered sum, so an external oracle reproduces the
-    # float mean to the last ulp (the exact pass's convention)
+    # float mean to the last ulp (the exact pass's convention); the
+    # count gate drops under-probed vectors (< k candidates), keeping
+    # the one-sided-bias guarantee above
     agg = knn.groupBy("ia").agg(
         (
             F.aggregate(
@@ -360,8 +367,9 @@ def ivf_knn_outliers(
                 lambda acc, x: acc + x,
             )
             / F.count(F.lit(1))
-        ).alias("knn_dist")
-    )
+        ).alias("knn_dist"),
+        F.count(F.lit(1)).alias("_n_cand"),
+    ).filter(F.col("_n_cand") >= k)
     return (
         agg.select(F.col("ia").alias(id_col), "knn_dist")
         .orderBy(F.col("knn_dist").desc(), F.col(id_col).asc())

@@ -208,7 +208,7 @@ def dissolve_regions(
     y_col: str,
     band_col: str,
     width: int,
-    max_iter: int = 96,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """Dissolve same-band 4-adjacent grid cells into region labels —
     the polygonize step of isoband extraction (the reference shells to
@@ -240,7 +240,10 @@ def dissolve_regions(
     from pygeoapi_ingestor_spark.operators.dedup import connected_components
 
     node = (F.col(y_col).cast("long") * width + F.col(x_col)).alias("node")
-    with_node = cells.withColumn("node", node)
+    # persist the raster: with_node feeds the run build AND the final
+    # label join — without this, every consumer replays the upstream
+    # cells aggregation (a fact-table scan in the isoband query)
+    with_node = cells.withColumn("node", node).persist()
     row_w = Window.partitionBy(y_col).orderBy(x_col)
     runs = with_node.select(
         x_col, y_col, band_col, "node",
@@ -256,7 +259,7 @@ def dissolve_regions(
     ).withColumn(
         "run_id",
         F.min("node").over(Window.partitionBy(y_col, "_seg")),
-    ).select(x_col, y_col, band_col, "node", "run_id")
+    ).select(x_col, y_col, band_col, "node", "run_id").persist()
     below = runs.select(
         F.col(x_col), (F.col(y_col) - 1).alias(y_col),
         F.col(band_col), F.col("run_id").alias("run_b"),
@@ -269,7 +272,14 @@ def dissolve_regions(
     )
     # steps_per_round=2 measured best on the run graph (sf0.1: 10.8s
     # at 1 hop/round, 7.0s at 2, plan-depth regression past 4) — the
-    # per-round fixed cost halves while the chained plan stays shallow
+    # per-round fixed cost halves while the chained plan stays shallow.
+    # The hop budget defaults to the worst POSSIBLE path on this grid
+    # (a serpentine region has ~width² runs): the loop exits at the
+    # fixpoint, so real rasters still converge in a few rounds — the
+    # bound only prevents a legitimate long thin region from spuriously
+    # raising, never adds work
+    if max_iter is None:
+        max_iter = max(96, (width * width + 1) // 2)
     comp = connected_components(
         run_edges, a_col="run_a", b_col="run_b", max_iter=max_iter,
         steps_per_round=2,

@@ -272,11 +272,10 @@ _STAMPED_R5 = [
 ]
 
 _FRONT = _NEVER_STAMPED + _R2_STALE + _R6_NEW
-_order = list(_FRONT)
-_order += _STAMPED_R3 + _STAMPED_R4 + _STAMPED_R5
 # keys in no list (defensive: a new key not yet registered above) land
 # between the backlog and the stale tail so they still get stamped early
-_rest = [k for k in _ALL if k not in _order]
+_known = set(_FRONT) | set(_STAMPED_R3) | set(_STAMPED_R4) | set(_STAMPED_R5)
+_rest = [k for k in _ALL if k not in _known]
 _order = _FRONT + _rest + _STAMPED_R3 + _STAMPED_R4 + _STAMPED_R5
 _order = [k for k in _order if k in _ALL]
 assert set(_order) == set(_ALL), sorted(set(_ALL) ^ set(_order))

@@ -4463,7 +4463,7 @@ ETL_QUERIES["pet_knmi"] = q_pet_knmi
 
 
 def _pet_knmi_oracle_sql() -> str:
-    rows = ", ".join(f"({m}, {d}, {v})".format(m=m, d=d, v=v) for m, d, v in KNMI_RE_TABLE)
+    rows = ", ".join(f"({m}, {d}, {v})" for m, d, v in KNMI_RE_TABLE)
     return f"""
 WITH ta_daily AS ({_KNMI_TA_DUCK}),
 re_tab AS (SELECT m, d, CAST(re AS DOUBLE) AS re FROM (VALUES {rows}) t(m, d, re))
@@ -4472,7 +4472,7 @@ SELECT event_type, day, n_obs,
        round({_PET_KNMI_DUCK}, 6) AS pet
 FROM ta_daily JOIN re_tab
   ON month(day) = re_tab.m AND dayofmonth(day) = re_tab.d
-""".format(_KNMI_TA_DUCK=_KNMI_TA_DUCK, rows=rows, _PET_KNMI_DUCK=_PET_KNMI_DUCK)
+"""
 
 
 ETL_ORACLES["pet_knmi"] = _pet_knmi_oracle_sql()
@@ -4536,7 +4536,7 @@ ETL_QUERIES["pet_deficit_chain"] = q_pet_deficit_chain
 
 
 def _pet_deficit_oracle_sql() -> str:
-    rows = ", ".join(f"({m}, {d}, {v})".format(m=m, d=d, v=v) for m, d, v in KNMI_RE_TABLE)
+    rows = ", ".join(f"({m}, {d}, {v})" for m, d, v in KNMI_RE_TABLE)
     return f"""
 WITH ta_daily AS ({_KNMI_TA_DUCK}),
 re_tab AS (SELECT m, d, CAST(re AS DOUBLE) AS re FROM (VALUES {rows}) t(m, d, re)),
@@ -4569,7 +4569,7 @@ win AS (
 SELECT event_type, day, round(p_def, 6) AS p_def,
        round(s - least(s_min, 0.0), 6) AS cum_deficit
 FROM win
-""".format(_KNMI_TA_DUCK=_KNMI_TA_DUCK, rows=rows, _PET_KNMI_DUCK=_PET_KNMI_DUCK)
+"""
 
 
 ETL_ORACLES["pet_deficit_chain"] = _pet_deficit_oracle_sql()
@@ -4784,6 +4784,10 @@ ETL_ORACLES["danger_levels_weekly"] = _danger_oracle_sql()
 # discharge (m**3/s); reference: rer_river_discharge_arpae_process.py
 # :325-457 portata_lineare) — embedded as literals like pet_knmi's Re
 # table so both engines interpolate over bit-identical doubles.
+# NOTE: the pair (2.55, 738.8) breaks monotonicity (589.2 @ 2.5,
+# 637.8 @ 2.6) IN THE REFERENCE ITSELF — almost certainly a typo for
+# ~613.8, but exact parity means reproducing the table as published,
+# anomaly included; do not "fix" it here.
 ARPAE_RATING: list[tuple[float, float]] = [
     (0.0, 0.0), (0.03, 0.49), (0.05, 1.41), (0.06, 1.72),
     (0.09, 3.59), (0.1, 4.38), (0.15, 9.85), (0.2, 16.0),

@@ -3892,6 +3892,7 @@ ivf_knn AS (
     SELECT ia AS vec_id, list(dist ORDER BY rn) AS ds
     FROM ivf_ranked WHERE rn <= {KNN_OUT_K}
     GROUP BY ia
+    HAVING count(*) >= {KNN_OUT_K}
 ),
 ivf_top AS (
     SELECT vec_id,

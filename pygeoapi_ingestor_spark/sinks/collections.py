@@ -609,14 +609,19 @@ def chunk_keys_for_bbox(
     w, s, e, n = bbox
 
     def q(v, lo, span):
+        import decimal as _dec
+
         scaled = (min(max(v, lo), lo + span) - lo) / span * scale
-        # mirror spatial.morton_cell's F.round (HALF_UP) exactly —
-        # Python round() is half-to-even and diverges at exact .5
-        # quantization boundaries (e.g. lon=-120 at bits=4 scales to
-        # 2.5: Spark writes cell 3, round() would prune to cell 2 and
-        # silently drop in-bbox rows). scaled >= 0, so floor(x+0.5)
-        # IS HALF_UP here.
-        return min(scale, max(0, int(_math.floor(scaled + 0.5))))
+        # mirror spatial.morton_cell's F.round (BigDecimal HALF_UP of
+        # the exact double) exactly. Python round() is half-to-even,
+        # and floor(x + 0.5) breaks at doubles just under .5 (e.g.
+        # 0.49999999999999994 + 0.5 rounds to 1.0 in FP) — only
+        # Decimal(scaled).quantize(HALF_UP) reproduces Spark on every
+        # representable double.
+        cell = int(
+            _dec.Decimal(scaled).quantize(0, rounding=_dec.ROUND_HALF_UP)
+        )
+        return min(scale, max(0, cell))
 
     x0, x1 = q(w, -180.0, 360.0), q(e, -180.0, 360.0)
     y0, y1 = q(s, -90.0, 180.0), q(n, -90.0, 180.0)

@@ -221,3 +221,27 @@ def test_items_keyset_paging_matches_offset_and_pushes_down(spark, sf_dir, tmp_p
 
     with pytest.raises(ValueError):
         api.items(spark, path, after=3)
+
+
+def test_jobmanager_finalizes_when_pool_drains(spark, sf_dir):
+    """Concurrent jobs must NOT trigger mid-flight global cache clears
+    (execute runs with finalize=False under the pool); the manager
+    finalizes once when the last active job drains, returning storage
+    to baseline."""
+    import time
+
+    from pygeoapi_ingestor_spark.api import JobManager, ProcessAPI
+
+    api = ProcessAPI(default_sf_dir=sf_dir)
+    jm = JobManager(api, max_workers=2)
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    baseline = len(jsc.getRDDStorageInfo())
+    j1 = jm.submit(spark, "dedup_ppjoin")
+    j2 = jm.submit(spark, "sim_search_lsh")
+    assert jm.wait(j1, timeout_s=180.0)["status"] == "successful"
+    assert jm.wait(j2, timeout_s=180.0)["status"] == "successful"
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and len(jsc.getRDDStorageInfo()) > baseline:
+        time.sleep(0.2)
+    assert len(jsc.getRDDStorageInfo()) <= baseline

@@ -270,29 +270,42 @@ class JobManager:
                 self._jobs[job_id]["status"] = "running"
                 self._active += 1
             try:
-                spark.sparkContext.setJobGroup(job_id, f"api job {job_id}",
-                                               interruptOnCancel=True)
                 try:
-                    # finalize=False: execute's finalize is a GLOBAL
-                    # clearCache — under a concurrent pool it would wipe
-                    # other in-flight jobs' persisted index artifacts
-                    # mid-query (cache thrash scaling with concurrency).
-                    # The manager finalizes once, below, when the LAST
-                    # active job drains.
-                    res = self.api.execute(
-                        spark, process_id, inputs, finalize=False
-                    )
+                    spark.sparkContext.setJobGroup(job_id, f"api job {job_id}",
+                                                   interruptOnCancel=True)
+                    try:
+                        # finalize=False: execute's finalize is a GLOBAL
+                        # clearCache — under a concurrent pool it would wipe
+                        # other in-flight jobs' persisted index artifacts
+                        # mid-query (cache thrash scaling with concurrency).
+                        # The manager finalizes once, below, when the LAST
+                        # active job drains.
+                        res = self.api.execute(
+                            spark, process_id, inputs, finalize=False
+                        )
+                    finally:
+                        # Spark 4 dropped SparkContext.clearJobGroup; reset
+                        # the thread-local property directly
+                        spark.sparkContext.setLocalProperty(
+                            "spark.jobGroup.id", None
+                        )
                 finally:
-                    # Spark 4 dropped SparkContext.clearJobGroup; reset
-                    # the thread-local property directly
-                    spark.sparkContext.setLocalProperty(
-                        "spark.jobGroup.id", None
-                    )
+                    # decrement in an OUTER finally (even setJobGroup
+                    # failing must not leak _active — a leaked count
+                    # disables pool finalize for the session lifetime),
+                    # and finalize UNDER the lock: a job that was
+                    # submitted but not yet running increments _active
+                    # under this same lock, so it cannot start building
+                    # cache state while clearCache is in flight
                     with self._lock:
                         self._active -= 1
-                        idle = self._active == 0
-                    if idle:
-                        finalize_job(spark)
+                        if self._active == 0:
+                            try:
+                                finalize_job(spark)
+                            except Exception:
+                                # a failed cache release must not turn a
+                                # finished job's result into a failure
+                                pass
             except BaseException as e:  # noqa: BLE001 — a crashed worker
                 # must surface as a failed job, never a silent 'running'
                 res = {"id": process_id, "status": "failed",

@@ -24,6 +24,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def atomic_dir_swap(jvm, fs, path: str, tmp: str, bak: str, label: str) -> None:
+    """Swap a fully-written sibling ``tmp`` directory in as ``path``:
+    rename live -> bak, tmp -> live, drop bak (restoring bak on a failed
+    swap) — the shared dance behind compaction, rollup-state updates and
+    CDC snapshot maintenance, so a concurrent reader always sees a
+    complete directory."""
+    live_p = jvm.org.apache.hadoop.fs.Path(path)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    bak_p = jvm.org.apache.hadoop.fs.Path(bak)
+    if fs.exists(bak_p):
+        fs.delete(bak_p, True)
+    if fs.exists(live_p) and not fs.rename(live_p, bak_p):
+        raise IOError(f"{label}: could not move {path} aside")
+    if not fs.rename(tmp_p, live_p):
+        if fs.exists(bak_p):
+            fs.rename(bak_p, live_p)
+        raise IOError(f"{label}: could not swap in {path}")
+    fs.delete(bak_p, True)
+
+
 def write_collection(
     df: DataFrame,
     path: str,
@@ -106,16 +126,7 @@ def compact_collection(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
 
-    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-    bak_path = jvm.org.apache.hadoop.fs.Path(bak)
-    if fs.exists(bak_path):
-        fs.delete(bak_path, True)
-    if not fs.rename(hadoop_path, bak_path):
-        raise IOError(f"compact: could not move {path} aside")
-    if not fs.rename(tmp_path, hadoop_path):
-        fs.rename(bak_path, hadoop_path)  # roll back
-        raise IOError(f"compact: could not swap in rewritten {path}")
-    fs.delete(bak_path, True)
+    atomic_dir_swap(jvm, fs, path, tmp, bak, "compact")
 
     it = fs.listFiles(hadoop_path, True)
     files_after = 0
@@ -495,13 +506,15 @@ def merge_into_partitioned(
         )
         out = latest.withColumn("bucket", bucket)
         out.write.mode("overwrite").partitionBy("bucket").parquet(snapshot_path)
-        n = spark.read.parquet(snapshot_path).count()
+        # read the buckets back from the materialized snapshot instead of
+        # re-running the dedup window a second time just to list them
+        snap = spark.read.parquet(snapshot_path)
         return {
             "touched_buckets": sorted(
-                r["bucket"] for r in out.select("bucket").distinct().collect()
+                r["bucket"] for r in snap.select("bucket").distinct().collect()
             ),
             "total_buckets": n_buckets,
-            "rows_written": n,
+            "rows_written": snap.count(),
         }
 
     touched = sorted(

@@ -80,16 +80,9 @@ def update_rollup(
             merged._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:
             pass
-    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-    bak_path = jvm.org.apache.hadoop.fs.Path(bak)
-    if fs.exists(bak_path):
-        fs.delete(bak_path, True)
-    if not fs.rename(hadoop_path, bak_path):
-        raise IOError(f"rollup: could not move {state_path} aside")
-    if not fs.rename(tmp_path, hadoop_path):
-        fs.rename(bak_path, hadoop_path)
-        raise IOError(f"rollup: could not swap in {state_path}")
-    fs.delete(bak_path, True)
+    from pygeoapi_ingestor_spark.sinks.collections import atomic_dir_swap
+
+    atomic_dir_swap(jvm, fs, state_path, tmp, bak, "rollup")
 
 
 def read_rollup(spark, state_path: str) -> DataFrame:

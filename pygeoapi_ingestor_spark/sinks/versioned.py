@@ -51,9 +51,12 @@ def _read_manifest(spark, root: str) -> dict:
 
 def _write_manifest(spark, root: str, manifest: dict) -> None:
     """Publish the manifest atomically: write a tmp file, then rename it
-    over the live name (delete-then-rename where rename-over-existing is
-    not supported; the tmp file is complete before the swap, so a reader
-    either sees the old manifest or the new one, never a partial)."""
+    OVER the live name (FileContext rename with Options.Rename.OVERWRITE
+    — atomic where the filesystem supports it; the tmp file is complete
+    before the swap, so a reader either sees the old manifest or the new
+    one, never a partial — and, unlike delete-then-rename, never a
+    MISSING manifest, which a concurrent reader would mistake for an
+    empty collection)."""
     jvm, fs, _ = _fs(spark, root)
     base = root.rstrip("/")
     mpath = jvm.org.apache.hadoop.fs.Path(f"{base}/{MANIFEST}")
@@ -63,10 +66,22 @@ def _write_manifest(spark, root: str, manifest: dict) -> None:
         out.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
     finally:
         out.close()
-    if fs.exists(mpath):
-        fs.delete(mpath, False)
-    if not fs.rename(tmp, mpath):
-        raise IOError(f"versioned: could not publish manifest at {base}")
+    try:
+        gw = spark.sparkContext._gateway
+        rename_cls = getattr(jvm, "org.apache.hadoop.fs.Options$Rename")
+        opts = gw.new_array(rename_cls, 1)
+        opts[0] = rename_cls.OVERWRITE
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration()
+        )
+        fc.rename(tmp, mpath, opts)
+    except Exception:
+        # filesystems without FileContext support: fall back to
+        # delete-then-rename (non-atomic, but never leaves a partial)
+        if fs.exists(mpath):
+            fs.delete(mpath, False)
+        if not fs.rename(tmp, mpath):
+            raise IOError(f"versioned: could not publish manifest at {base}")
 
 
 def _vdir(root: str, version: int) -> str:
@@ -138,8 +153,11 @@ def prune_versions(spark, root: str, keep: int = 2) -> list[int]:
     m = _read_manifest(spark, root)
     versions = sorted(int(v) for v in m["versions"])
     current = int(m["current"])
-    candidates = [v for v in versions if v != current]
-    to_prune = candidates[: max(0, len(versions) - max(keep, 1))]
+    # keep = the newest ``keep`` versions PLUS the current target: after
+    # a rollback (current older than the top), pruning must not delete
+    # the newest snapshots just to hold a total count
+    newest = set(versions[-max(keep, 1):])
+    to_prune = [v for v in versions if v != current and v not in newest]
     for v in to_prune:
         fs.delete(jvm.org.apache.hadoop.fs.Path(_vdir(root, v)), True)
         del m["versions"][str(v)]

@@ -200,11 +200,14 @@ def run_to_collection(
         .start()
     )
     q.awaitTermination()
+    from pyspark.errors import AnalysisException
+
     try:
         written = result.sparkSession.read.parquet(out_path)
-    except Exception:
+    except AnalysisException:
         # zero batches produced -> nothing written; an empty tick is a
-        # successful no-op, not a registration
+        # successful no-op, not a registration (anything other than a
+        # missing/unreadable-plan path should surface, not skip silently)
         return q
     catalog.register(
         collection_id, out_path, compute_extents(written, ts_col=ts_col)
@@ -381,17 +384,9 @@ def cdc_upsert_stream(
         tmp = snapshot_path.rstrip("/") + "._merge_tmp"
         bak = snapshot_path.rstrip("/") + "._merge_bak"
         merged.write.mode("overwrite").parquet(tmp)
-        tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-        bak_path = jvm.org.apache.hadoop.fs.Path(bak)
-        if fs.exists(bak_path):
-            fs.delete(bak_path, True)
-        if fs.exists(hadoop_path) and not fs.rename(hadoop_path, bak_path):
-            raise IOError(f"cdc_upsert: could not move {snapshot_path} aside")
-        if not fs.rename(tmp_path, hadoop_path):
-            if fs.exists(bak_path):
-                fs.rename(bak_path, hadoop_path)
-            raise IOError(f"cdc_upsert: could not swap in {snapshot_path}")
-        fs.delete(bak_path, True)
+        from pygeoapi_ingestor_spark.sinks.collections import atomic_dir_swap
+
+        atomic_dir_swap(jvm, fs, snapshot_path, tmp, bak, "cdc_upsert")
 
     q = (
         changes.writeStream.foreachBatch(write_batch)

@@ -97,7 +97,10 @@ def cron_matches(expr: str, when: datetime.datetime) -> bool:
         return False
     dom_hit = _field_matches(dom, when.day, 1, 31)
     dow_hit = _field_matches(dow, when.isoweekday() % 7, 0, 7, norm=lambda d: d % 7)
-    if dom != "*" and dow != "*":
+    # Vixie marks a field unrestricted when it STARTS with '*' (so
+    # '*/2' is a star field): either-match applies only when BOTH
+    # fields are non-star (crontab(5) / Vixie entry.c DOM_STAR|DOW_STAR)
+    if not dom.startswith("*") and not dow.startswith("*"):
         return dom_hit or dow_hit
     return dom_hit and dow_hit
 

@@ -22,16 +22,10 @@ OUTPUT_SCHEMA = (
 )
 STATE_SCHEMA = "ewma double, level string"
 
-# same breakpoints as operators.thresholds.DANGER_LEVELS
-_LEVELS = (
-    (50.0, "darkblue"),
-    (100.0, "blue"),
-    (125.0, "green"),
-    (150.0, "yellow"),
-    (175.0, "orange"),
-    (200.0, "red"),
+from pygeoapi_ingestor_spark.operators.thresholds import (  # noqa: E402
+    DANGER_FALLBACK as _FALLBACK,
+    DANGER_LEVELS as _LEVELS,
 )
-_FALLBACK = "darkred"
 
 
 def _classify(x: float) -> str:
@@ -66,8 +60,12 @@ def alert_transitions(
         else:
             ewma, level = None, None
         out_rows: list[dict[str, Any]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+        # the iterator yields the group in arrow-sized CHUNKS: sorting
+        # each chunk independently would fold the EWMA out of event-time
+        # order whenever a group spans chunks — concatenate, THEN sort
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts")
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 ewma = value if ewma is None else alpha * value + (1 - alpha) * ewma
                 new_level = _classify(ewma)

@@ -181,8 +181,17 @@ def run_to_collection(
     mode: str = "append",
 ):
     """Streaming twin of the ingest-process store+register arc: each
-    micro-batch appends into the partitioned collection via
-    ``foreachBatch``; the catalog entry's extents refresh after the run.
+    micro-batch lands in the collection via ``foreachBatch``; the
+    catalog entry's extents refresh after the run.
+
+    REPLAY-IDEMPOTENT: foreachBatch is at-least-once (a crash between a
+    batch's write and its checkpoint commit re-delivers the batch on
+    restart), so a plain append would duplicate rows. Each batch lands
+    under its own ``_batch=<id>`` partition directory via DYNAMIC
+    partition overwrite — a replayed batch REPLACES its own directory
+    and nothing else, giving effectively-exactly-once output (the same
+    trick merge_into_partitioned uses for bucket rewrites). Readers see
+    a ``_batch`` partition column; drop it if unwanted.
 
     With ``availableNow`` this is one scheduler tick; with a continuous
     trigger the same query keeps the collection live.
@@ -190,7 +199,13 @@ def run_to_collection(
     from pygeoapi_ingestor_spark.sinks.collections import compute_extents
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_path)
+        (
+            batch_df.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_path)
+        )
 
     q = (
         result.writeStream.foreachBatch(write_batch)

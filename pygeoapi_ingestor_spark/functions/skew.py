@@ -46,7 +46,8 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
-    aggs: {out_name: (fn, col)} with fn in {sum, count, min, max}.
+    aggs: {out_name: (fn, col)} with fn in {sum, count, min, max};
+    ``count`` is SQL ``count(col)`` (non-null rows of that column).
     Phase 1 shuffles on (key, salt) — hot keys fan out over n_salts
     reducers; phase 2 merges the tiny per-salt partials on key.
     """
@@ -56,7 +57,7 @@ def salted_agg(
     salted = with_salt(df, n_salts)
     phase1 = salted.groupBy(*key_cols, "_salt").agg(
         *[
-            (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(c)).alias(out)
+            (F.count(c) if fn == "count" else getattr(F, fn)(c)).alias(out)
             for out, (fn, c) in aggs.items()
         ]
     )

@@ -81,9 +81,12 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    # no broadcast hint: `sizes` has one row per document (unbounded at
+    # corpus scale); forcing it into the driver/broadcast path would OOM.
+    # AQE still auto-broadcasts when the table is actually small.
     pairs = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),

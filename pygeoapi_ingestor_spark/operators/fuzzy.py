@@ -32,6 +32,11 @@ def qgrams(names: DataFrame, name_col: str = "name", q: int = 2) -> DataFrame:
             lambda i: F.col(name_col).substr(i, F.lit(q)),
         )
     )
+    # guard: for names shorter than q, sequence(1, len-q+1) would DESCEND
+    # ([1, 0]) and emit bogus truncated grams — such names have no q-grams
+    grams = F.when(F.length(name_col) >= q, grams).otherwise(
+        F.array().cast("array<string>")
+    )
     # two projections: referencing name_col next to its own re-alias in
     # ONE select trips Spark 4's lateral-column-alias check inside the
     # transform lambda (INTERNAL_ERROR LateralColumnAliasReference)

@@ -213,11 +213,25 @@ def spi_fit_apply_gamma(
 
     def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(bucket_col)
-        ref = pdf.loc[pdf[is_ref_col], value_col].to_numpy(dtype=float)
-        fc = pdf.loc[~pdf[is_ref_col]]
-        vals = fc[value_col].to_numpy(dtype=float)
+        all_vals = pdf[value_col].to_numpy(dtype=float)
+        # rolling spi_ts-period totals over the CONCATENATED ref+forecast
+        # series (the reference appends the forecast to the climate series
+        # before the transform), NaN where no full window exists — same
+        # alignment as numerics.spi_from_series
+        if spi_ts > 1:
+            totals = np.full(all_vals.size, np.nan)
+            if all_vals.size >= spi_ts:
+                totals[spi_ts - 1:] = np.convolve(
+                    np.nan_to_num(all_vals), np.ones(spi_ts), mode="valid"
+                )
+        else:
+            totals = all_vals
+        is_ref = pdf[is_ref_col].to_numpy(dtype=bool)
+        ref = totals[is_ref]
+        fc = pdf.loc[~is_ref]
+        vals = totals[~is_ref]
         out = fc[[*series_cols, bucket_col]].copy()
-        out["monthly_value"] = vals
+        out["monthly_value"] = fc[value_col].to_numpy(dtype=float)
         finite = ref[np.isfinite(ref)]
         if finite.size == 0 or np.all(finite <= 0):
             out["spi"] = 0.0

@@ -135,7 +135,11 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             for mid, mtype, sha_hex, n_frames in zip(
                 pdf["media_id"], pdf["media_type"], pdf["sha256"], pdf["n_frames"]
             ):
-                idxs = range(0, int(n_frames or 1), every_n) if mtype == "video" else [0]
+                # pd.isna, not `or`: a null int column arrives as float
+                # NaN in pandas, and NaN is truthy — `int(NaN or 1)`
+                # would raise instead of defaulting
+                nf = 1 if pd.isna(n_frames) else (int(n_frames) or 1)
+                idxs = range(0, nf, every_n) if mtype == "video" else [0]
                 for i in idxs:
                     digest = hashlib.sha256(f"{sha_hex}:{i}".encode()).hexdigest()
                     rows.append(

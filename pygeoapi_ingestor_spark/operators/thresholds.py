@@ -27,10 +27,12 @@ def categorize(value_col, levels=DANGER_LEVELS, fallback: str = DANGER_FALLBACK)
     if not levels:
         raise ValueError("categorize needs at least one (bound, label) level")
     col = F.col(value_col) if isinstance(value_col, str) else value_col
-    expr = None
+    # NULL values stay NULL: every `col < bound` comparison is NULL for a
+    # NULL input, so without this branch the chain would fall through to
+    # the fallback and label missing data as the most severe class
+    expr = F.when(col.isNull(), F.lit(None).cast("string"))
     for bound, label in levels:
-        cond = col < F.lit(bound)
-        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        expr = expr.when(col < F.lit(bound), label)
     return expr.otherwise(fallback)
 
 
@@ -51,8 +53,8 @@ def categorize_by_table(
     is labeled in a single projection after one broadcast hash join —
     no per-row shuffle, no row-multiplying join, no re-aggregation. The
     label is the first ladder entry with value < bound (ascending
-    bounds), else ``fallback``. Stations absent from the table get NULL
-    (surface them, don't silently default)."""
+    bounds), else ``fallback``. Stations absent from the table and NULL
+    values get NULL (surface them, don't silently default)."""
     ladders = levels.groupBy(F.col(station_col).alias("_station")).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("bound").alias("x"), F.col("label").alias("lbl")))
@@ -64,7 +66,10 @@ def categorize_by_table(
     ).drop("_station")
     hit = F.filter(F.col("_ladder"), lambda p: v < p.getField("x"))
     label = F.when(
-        F.col("_ladder").isNull(), F.lit(None).cast("string")
+        # missing ladder OR missing value both surface as NULL — a NULL
+        # value would otherwise drop every ladder rung (NULL comparisons)
+        # and take the fallback, labeling missing data as the worst class
+        F.col("_ladder").isNull() | v.isNull(), F.lit(None).cast("string")
     ).otherwise(
         # F.get is null-on-out-of-bounds (ANSI-safe where element_at throws)
         F.coalesce(F.get(hit, 0).getField("lbl"), F.lit(fallback))

@@ -48,8 +48,12 @@ def zonal_stats(
         F.min("_v").alias("v_min"),
         F.max("_v").alias("v_max"),
     )
+    # exact_percentiles requires a non-null value column (SQL percentile
+    # aggregates skip nulls); unfiltered nulls would land in bucket -1,
+    # shift every percentile position and corrupt the interpolation
     pcts = ranks.exact_percentiles(
-        joined, series_cols=["_zone", "_bucket_v"], value_col="_v",
+        joined.filter(F.col("_v").isNotNull()),
+        series_cols=["_zone", "_bucket_v"], value_col="_v",
         ps=list(percentiles), tiebreak_cols=[],
     )
     wide = pcts.groupBy("_zone", "_bucket_v").agg(
@@ -60,7 +64,9 @@ def zonal_stats(
             for p in percentiles
         ]
     )
-    out = base.join(wide, ["_zone", "_bucket_v"])
+    # left join: a (zone, bucket) group whose values are ALL null still
+    # surfaces (with null percentiles) instead of vanishing
+    out = base.join(wide, ["_zone", "_bucket_v"], "left")
     # derive the output name of bucket_col portably (works on classic and
     # Connect — no private _jc): the analyzed single-column projection's
     # schema carries exactly the alias the caller gave the expression

@@ -240,7 +240,7 @@ def embedding_cosine_pairs(
     within buckets — same scoring expression, candidate set shrunk from
     n^2 to the bucket sizes.
     """
-    from pygeoapi_ingestor_spark.operators.similarity import _dot, _norm
+    from pygeoapi_ingestor_spark.operators.similarity import _dot, _norm, _safe_denom
 
     base = embeddings.select(
         F.col(id_col).alias("doc"),
@@ -249,7 +249,7 @@ def embedding_cosine_pairs(
     )
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(b, F.col("a.doc") < F.col("b.doc"))
-    cos = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = _dot(F.col("a.vec"), F.col("b.vec")) / _safe_denom(F.col("a.nrm") * F.col("b.nrm"))
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
@@ -534,6 +534,7 @@ def embedding_cosine_pairs_bucketed(
     from pygeoapi_ingestor_spark.operators.similarity import (
         _dot,
         _norm,
+        _safe_denom,
         md5_plane_weights,
     )
 
@@ -613,7 +614,7 @@ def embedding_cosine_pairs_bucketed(
         F.col("doc").alias("doc_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
     )
     scored = cand.join(va, "doc_a").join(vb, "doc_b")
-    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / _safe_denom(F.col("nrm_a") * F.col("nrm_b"))
     return (
         scored.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

@@ -18,6 +18,17 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _safe_denom(x: Column) -> Column:
+    """Cosine denominator guard: a zero-norm vector (an empty document's
+    embedding) would make the division raise DIVIDE_BY_ZERO under Spark
+    4's default ANSI mode — one bad row aborting the whole query.
+    nullif turns the denominator into NULL instead, so the cosine is
+    NULL and the row simply drops out of rank filters. (Never fires on
+    well-formed embeddings, so oracle value-hash parity is unaffected.)
+    """
+    return F.nullif(x, F.lit(0.0))
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -54,10 +65,12 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
     ).crossJoin(q)
     joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("_vec"), F.col("_qvec")) / (
+    cos = _dot(F.col("_vec"), F.col("_qvec")) / _safe_denom(
         _norm(F.col("_vec")) * _norm(F.col("_qvec"))
     )
-    scored = joined.withColumn("cosine", cos)
+    scored = joined.withColumn("cosine", cos).filter(
+        F.col("cosine").isNotNull()
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -231,10 +244,12 @@ def ivf_topk(
         )
     )
     joined = e.join(q, "_cluster").filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("_vec"), F.col("_qvec")) / (
+    cos = _dot(F.col("_vec"), F.col("_qvec")) / _safe_denom(
         _norm(F.col("_vec")) * _norm(F.col("_qvec"))
     )
-    scored = joined.withColumn("cosine", cos)
+    scored = joined.withColumn("cosine", cos).filter(
+        F.col("cosine").isNotNull()
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -345,8 +360,9 @@ def ivf_knn_outliers(
         .filter(F.col("ia") != F.col("ib"))
         .select(
             "ia", "ib",
-            (1.0 - dot / (F.col("na") * F.col("nb"))).alias("dist"),
+            (1.0 - dot / _safe_denom(F.col("na") * F.col("nb"))).alias("dist"),
         )
+        .filter(F.col("dist").isNotNull())
     )
     w = Window.partitionBy("ia").orderBy(F.col("dist").asc(), F.col("ib").asc())
     knn = pairs.withColumn("rn", F.row_number().over(w)).filter(
@@ -411,10 +427,12 @@ def lsh_topk(
         )
     )
     joined = e.join(q, "_sig").filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("_vec"), F.col("_qvec")) / (
+    cos = _dot(F.col("_vec"), F.col("_qvec")) / _safe_denom(
         _norm(F.col("_vec")) * _norm(F.col("_qvec"))
     )
-    scored = joined.withColumn("cosine", cos)
+    scored = joined.withColumn("cosine", cos).filter(
+        F.col("cosine").isNotNull()
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -451,7 +469,7 @@ def cosine_topk_int8(
         ).select("query_id", F.col("q_vec").alias("_qvec"))
     )
     joined = eq.crossJoin(qq).filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("_vec"), F.col("_qvec")) / (
+    cos = _dot(F.col("_vec"), F.col("_qvec")) / _safe_denom(
         _norm(F.col("_vec")) * _norm(F.col("_qvec"))
     )
     scored = joined.withColumn("cosine_q", cos)
@@ -728,7 +746,9 @@ def ivf_topk_trained(
     cos = _dot(F.col("_v"), F.col("_qv")) / (
         _norm(F.col("_v")) * _norm(F.col("_qv"))
     )
-    scored = joined.withColumn("cosine", cos)
+    scored = joined.withColumn("cosine", cos).filter(
+        F.col("cosine").isNotNull()
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

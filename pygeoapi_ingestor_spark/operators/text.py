@@ -83,7 +83,14 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
 def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count (letters runs,
     digit runs, single punctuation — a public approximation of byte-pair
-    pre-tokenization)."""
+    pre-tokenization).
+
+    CONVENTION: ``split('')`` yields one empty element, so an empty or
+    whitespace-only document counts as ws_tokens=1 (regex_tokens stays
+    0). The same split convention is mirrored verbatim in every DuckDB
+    oracle that derives word counts, so changing it here alone would
+    break the value-hash parity gate; quality gates drop such documents
+    anyway, so the phantom token never influences shipped corpora."""
     text = F.col(text_col)
     return df.withColumn(
         "ws_tokens", F.size(F.split(F.trim(text), r"\s+")).cast("bigint")

@@ -190,3 +190,28 @@ def test_ivf_knn_outliers_recovers_planted_outliers(spark):
     got = {r["vec_id"] for r in out.collect()}
     planted = {per_cluster * n_clusters + j for j in range(n_out)}
     assert got == planted
+
+
+def test_zero_norm_vectors_yield_null_cosine_not_ansi_crash(spark):
+    """A zero embedding (empty document) must NOT abort the query under
+    ANSI mode: its cosine is NULL, so it silently drops out of ranked
+    results rather than raising DIVIDE_BY_ZERO."""
+    rows = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])]
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = e.filter(F.col("vec_id").isin(1, 0))
+    out = similarity.cosine_topk(
+        e, q, "vec_id", "embedding", "vec_id", "embedding", k=3
+    ).collect()
+    # query 1 ranks its non-degenerate neighbors; the zero vector never
+    # appears on either side of a ranked pair
+    got = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert (1, 2) in got and all(0 not in pair for pair in got)
+
+    from pygeoapi_ingestor_spark.operators import dedup
+
+    pairs = dedup.embedding_cosine_pairs(
+        e, "vec_id", "embedding", threshold=0.5
+    ).collect()
+    ids = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in ids and all(0 not in p for p in ids)

@@ -43,7 +43,8 @@ TZ_SENSITIVE = [
 # America/Santiago springs forward AT MIDNIGHT (Sep): local midnight
 # does not exist on transition days, which broke the old zoned
 # NTZ→date_trunc→NTZ round trip — the zone-free wall_trunc must hold
-ZONES = ["America/New_York", "America/Santiago"]
+# Asia/Kathmandu adds a +05:45 fractional offset (sub-hour bucket shear)
+ZONES = ["America/New_York", "America/Santiago", "Asia/Kathmandu"]
 
 
 @pytest.mark.parametrize("key", TZ_SENSITIVE)

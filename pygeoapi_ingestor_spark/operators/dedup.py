@@ -42,10 +42,9 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     slice-inside-transform version is O(words^2) per document — at 500
     words/doc that was the single hottest stage in the whole catalog.
     """
-    words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
-        lambda w: w != "",
-    )
+    from pygeoapi_ingestor_spark.operators.text import norm_words
+
+    words = norm_words(text_col)
     tok = df.select(
         F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "w")
     )
@@ -654,10 +653,9 @@ def simhash(
     lanes_per_long = max(64 // lane_bits - 1, 1)
     n_longs = -(-bits // lanes_per_long)
     lane_mask = (1 << lane_bits) - 1
-    words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
-        lambda w: w != "",
-    )
+    from pygeoapi_ingestor_spark.operators.text import norm_words
+
+    words = norm_words(text_col)
     tok = (
         df.select(F.col(id_col).alias("doc"), F.explode(words).alias("w"))
         .groupBy("doc", "w")
@@ -884,10 +882,9 @@ def winnow_fingerprints(
 
     Returns (doc, pos, gram_hash) — the positioned fingerprint set.
     """
-    words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
-        lambda w: w != "",
-    )
+    from pygeoapi_ingestor_spark.operators.text import norm_words
+
+    words = norm_words(text_col)
     tok = df.select(
         F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "w")
     )

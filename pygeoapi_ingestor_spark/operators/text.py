@@ -47,6 +47,22 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFra
     )
 
 
+def norm_words(col) -> "F.Column":
+    """THE normalized-word tokenizer (lowercase, non-alnum -> space,
+    whitespace split, empties dropped) — single source of truth for
+    every word-level operator AND their DuckDB oracle twins
+    (`list_filter(string_split_regex(lower(regexp_replace(text,
+    '[^A-Za-z0-9\\s]', ' ', 'g')), '\\s+'), w -> w <> '')`).
+    dedup.shingles and seven catalog queries tokenize through this one
+    expression so a normalization change can never desynchronize the
+    cross-query joins (containment, contamination, BM25 vocab)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(c, r"[^A-Za-z0-9\s]", " ")), r"\s+"),
+        lambda w: w != "",
+    )
+
+
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Length / punctuation / uppercase / stopword-density features plus a
     composite quality score in [0, 1]."""

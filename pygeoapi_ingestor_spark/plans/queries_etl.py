@@ -1101,24 +1101,20 @@ ETL_ORACLES = {
 # ---------------------------------------------------------------------------
 
 
-def q_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bilinear regrid of a gridded daily field onto scattered target
-    points (reference: bias_correction_cds_process.py:272,295 —
-    ``ds.interp(method="linear")``). The grid derives deterministically
-    from events (10x10 lattice per day, exact DECIMAL cell means so the
-    field itself is bit-stable); targets are fractional points, some
-    outside the envelope (NULL path exercised). Axis interval tables
-    broadcast; corner lookup is one explode + equi-join."""
-    from pygeoapi_ingestor_spark.operators import regrid
-
+def _interp_grid_and_targets(spark, sf_dir, glat="lat", glon="lon"):
+    """Shared synthetic lattice for the interpolation queries:
+    regrid_bilinear and idw_interp use the SAME grid (pre-cutoff daily
+    exact-DECIMAL cell means on the user/event modular lattice) and the
+    SAME 200 targets — one definition so the two queries and their
+    oracles cannot drift apart (only the grid column names differ)."""
     ev = _events(spark, sf_dir)
     day = F.col("ts").cast("date")
     grid = (
         ev.filter(day < F.lit("2024-01-03").cast("date"))
         .groupBy(
             day.alias("day"),
-            (F.col("user_id") % 10).cast("double").alias("lat"),
-            (F.col("event_id") % 10).cast("double").alias("lon"),
+            (F.col("user_id") % 10).cast("double").alias(glat),
+            (F.col("event_id") % 10).cast("double").alias(glon),
         )
         .agg(
             (
@@ -1136,6 +1132,20 @@ def q_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("event_id") % 87) / F.lit(10.0)).alias("lon"),
         )
     )
+    return grid, targets
+
+
+def q_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear regrid of a gridded daily field onto scattered target
+    points (reference: bias_correction_cds_process.py:272,295 —
+    ``ds.interp(method="linear")``). The grid derives deterministically
+    from events (10x10 lattice per day, exact DECIMAL cell means so the
+    field itself is bit-stable); targets are fractional points, some
+    outside the envelope (NULL path exercised). Axis interval tables
+    broadcast; corner lookup is one explode + equi-join."""
+    from pygeoapi_ingestor_spark.operators import regrid
+
+    grid, targets = _interp_grid_and_targets(spark, sf_dir)
     out = regrid.bilinear_regrid(
         grid, targets, value_col="gval", time_col="day",
         lat_col="lat", lon_col="lon", out_col="value_interp",
@@ -2932,31 +2942,7 @@ def q_idw_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-distance target takes its cell's value exactly (the coincident
     cell is unique per day).
     """
-    ev = _events(spark, sf_dir)
-    day = F.col("ts").cast("date")
-    grid = (
-        ev.filter(day < F.lit("2024-01-03").cast("date"))
-        .groupBy(
-            day.alias("day"),
-            (F.col("user_id") % 10).cast("double").alias("glat"),
-            (F.col("event_id") % 10).cast("double").alias("glon"),
-        )
-        .agg(
-            (
-                F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("gval")
-        )
-    )
-    targets = (
-        ev.filter((F.col("event_id") < 200) & (day < F.lit("2024-01-03").cast("date")))
-        .select(
-            "event_id",
-            day.alias("day"),
-            ((F.col("user_id") % 93) / F.lit(10.0)).alias("lat"),
-            ((F.col("event_id") % 87) / F.lit(10.0)).alias("lon"),
-        )
-    )
+    grid, targets = _interp_grid_and_targets(spark, sf_dir, glat="glat", glon="glon")
     cand = targets.select(
         "event_id", "day", "lat", "lon",
         F.explode(F.expr("array(-2, -1, 0, 1, 2)")).alias("dy"),
@@ -3789,7 +3775,6 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
             F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
             .cast("bigint")
             .alias("tie_term"),

@@ -2048,10 +2048,7 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles since it is a plain equi-join; per-doc state is two numbers.
     """
     docs = _docs(spark, sf_dir)
-    words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
-        lambda w: w != "",
-    )
+    words = text.norm_words("text")
     from pyspark.sql import Window
 
     tok = docs.select(
@@ -2499,13 +2496,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    words = F.filter(
-        F.split(
-            F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")),
-            r"\s+",
-        ),
-        lambda w: w != "",
-    )
+    words = text.norm_words("text")
     base = docs.select("doc_id", words.alias("ws"))
     snippets = base.filter(
         (F.col("doc_id") % 7 == 0) & (F.size("ws") >= CONTAIN_SNIPPET_WORDS)
@@ -2722,13 +2713,7 @@ def q_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc; tokens shuffle as integers, never text.
     """
     docs = _docs(spark, sf_dir)
-    words = F.filter(
-        F.split(
-            F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")),
-            r"\s+",
-        ),
-        lambda w: w != "",
-    )
+    words = text.norm_words("text")
     tok = docs.select(F.col("doc_id"), F.explode(words).alias("w"))
     h8 = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
     sign = F.when(
@@ -2961,10 +2946,7 @@ def q_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (Zipf head handled by AQE skew split), single-row output.
     """
     docs = _docs(spark, sf_dir)
-    words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
-        lambda w: w != "",
-    )
+    words = text.norm_words("text")
     tok = docs.select((F.col("doc_id") % 2).alias("half"), F.explode(words).alias("w"))
     counts = tok.groupBy("w").agg(
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("ca"),
@@ -3051,10 +3033,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a global sort.
     """
     docs = _docs(spark, sf_dir)
-    words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
-        lambda w: w != "",
-    )
+    words = text.norm_words("text")
     tok = docs.select("doc_id", words.alias("ws")).select(
         "doc_id", F.size("ws").cast("bigint").alias("dl"), F.explode("ws").alias("w")
     )
@@ -3338,10 +3317,7 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoapi_ingestor_spark.functions import ranks
 
     docs = _docs(spark, sf_dir)
-    words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
-        lambda w: w != "",
-    )
+    words = text.norm_words("text")
     counts = (
         docs.select(F.explode(words).alias("w"))
         .groupBy("w")
@@ -3463,6 +3439,10 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ep"),
     )
+    # a training triplet needs BOTH a positive and a negative: anchors
+    # with a singleton label (no positive) or a corpus-wide label (no
+    # negative) drop out — the oracle's inner joins do the same
+    agg = agg.filter(F.col("hn").isNotNull() & F.col("ep").isNotNull())
     return agg.select(
         "anchor_id",
         F.col("a_label").alias("label"),
@@ -3566,9 +3546,7 @@ LLM_ORACLES["dataset_card"] = r"""
 WITH counted AS (
     SELECT doc_id, source,
            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens
-    FROM documents WHERE length(trim(text)) > 0
-    UNION ALL
-    SELECT doc_id, source, 0 FROM documents WHERE length(trim(text)) = 0
+    FROM documents
 ), hits AS (
     SELECT doc_id,
            len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it)\b')) AS h_en,
@@ -3624,10 +3602,7 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", " ")), r"\s+"),
-        lambda w: w != "",
-    )
+    words = text.norm_words("text")
     tok = docs.select(
         F.col("doc_id").alias("doc"), F.posexplode(words).alias("pos", "w1")
     )

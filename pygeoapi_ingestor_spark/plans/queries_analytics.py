@@ -9,7 +9,7 @@ engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pygeoapi_ingestor_spark.operators import temporal
@@ -576,7 +576,9 @@ def q_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest registration."""
     from pygeoapi_ingestor_spark.operators import fuzzy
 
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    from pygeoapi_ingestor_spark.sources.readers import read_table
+
+    part = read_table(spark, sf_dir, "part")
     return fuzzy.fuzzy_name_pairs(part, name_col="p_name", q=2, max_dist=2)
 
 

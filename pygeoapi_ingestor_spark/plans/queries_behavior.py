@@ -60,7 +60,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     match exactly."""
     from pygeoapi_ingestor_spark.functions import ranks
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pygeoapi_ingestor_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
     maxd = o.agg(F.max("o_orderdate").alias("_maxd"))
     per_cust = (
         o.crossJoin(F.broadcast(maxd))
@@ -585,16 +587,19 @@ def q_psi_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mass; build it from the distinct days x the 10 literal bins
     bins = spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
     grid = day_tot.crossJoin(F.broadcast(bins))
+    # base joins LEFT too: a bin no day ever hit still contributes its
+    # smoothed (p-q)·ln(p/q) mass (cb coalesced to 0) — an inner join
+    # here silently dropped globally-empty bins from the sum
     j = (
         grid.join(daily, ["day", "bin"], "left")
-        .join(F.broadcast(base), "bin")
+        .join(F.broadcast(base), "bin", "left")
         .crossJoin(F.broadcast(base_tot))
         .select(
             "day",
             "bin",
             ((F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
              / (F.col("nd") + PSI_BINS).cast("double")).alias("p"),
-            ((F.col("cb") + 1).cast("double")
+            ((F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
              / (F.col("nb") + PSI_BINS).cast("double")).alias("q"),
         )
     )
@@ -630,10 +635,10 @@ grid AS (
 ), j AS (
     SELECT g.day, g.bin,
            (coalesce(dl.c, 0) + 1) / CAST(g.nd + {PSI_BINS} AS DOUBLE) AS p,
-           (ba.cb + 1) / CAST(bt.nb + {PSI_BINS} AS DOUBLE) AS q
+           (coalesce(ba.cb, 0) + 1) / CAST(bt.nb + {PSI_BINS} AS DOUBLE) AS q
     FROM grid g
     LEFT JOIN daily dl ON g.day = dl.day AND g.bin = dl.bin
-    JOIN base ba ON g.bin = ba.bin
+    LEFT JOIN base ba ON g.bin = ba.bin
     CROSS JOIN base_tot bt
 )
 SELECT day, round(sum((p - q) * ln(p / q)), 6) AS psi,
@@ -1086,11 +1091,21 @@ def q_survival_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.col("n_events").cast("double") / F.col("n_at_risk")
     w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
-    km = F.exp(
+    # KM guard: a step where EVERY at-risk user converts (h == 1) would
+    # put ln(0) into the fold — Spark nulls it (sum silently skips,
+    # leaving the curve stuck above 0) and an external engine errors.
+    # Track the absorbing state explicitly: once any h == 1, survival
+    # is exactly 0 from that offset on.
+    hit_one = F.max((F.col("n_events") == F.col("n_at_risk")).cast("int")).over(w)
+    km_raw = F.exp(
         F.sum(
-            F.round(F.log(1.0 - h), 9).cast("decimal(20,9)")
+            F.when(
+                F.col("n_events") < F.col("n_at_risk"),
+                F.round(F.log(1.0 - h), 9).cast("decimal(20,9)"),
+            )
         ).over(w).cast("double")
     )
+    km = F.when(hit_one == 1, F.lit(0.0)).otherwise(km_raw)
     return table.filter(F.col("n_at_risk") > 0).select(
         F.col("k").cast("int").alias("k"),
         "n_at_risk",
@@ -1132,9 +1147,14 @@ at_risk AS (
 )
 SELECT CAST(k AS INT) AS k, n_at_risk, n_events,
        round(CAST(n_events AS DOUBLE) / n_at_risk, 6) AS hazard,
-       round(exp(CAST(sum(CAST(round(ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk), 9)
-                              AS DECIMAL(20,9)))
+       round(CASE WHEN max(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+                      OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) = 1
+                  THEN 0.0
+                  ELSE exp(CAST(sum(CASE WHEN n_events < n_at_risk THEN
+                              CAST(round(ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk), 9)
+                                   AS DECIMAL(20,9)) END)
                      OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) AS DOUBLE)), 6) AS km_survival
+                           AND CURRENT ROW) AS DOUBLE)) END, 6) AS km_survival
 FROM table_ WHERE n_at_risk > 0
 """

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # route through read_table: a bare spark.read.parquet would surface
+    # ns-typed timestamp columns as bigint once any earlier events read
+    # flipped the session's nanosAsLong conf (readers.py rebuilds them)
+    from pygeoapi_ingestor_spark.sources.readers import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def _dec_price():

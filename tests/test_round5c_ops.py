@@ -1075,3 +1075,31 @@ def test_string_id_codec_reference_parity(spark):
             assert got[n] == string_to_int_id(n), n
         else:
             assert got[n] is None, n
+
+
+def test_km_survival_reaches_zero_when_hazard_hits_one(spark):
+    """The KM fold's absorbing state: at the offset where every at-risk
+    user converts (hazard == 1), survival must be exactly 0 from then
+    on — not stuck at the previous value via a silently-skipped ln(0)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    table = spark.createDataFrame(
+        [(0, 10, 2), (1, 8, 8), (2, 3, 1)],
+        "k long, n_at_risk long, n_events long",
+    )
+    h = F.col("n_events").cast("double") / F.col("n_at_risk")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    hit_one = F.max((F.col("n_events") == F.col("n_at_risk")).cast("int")).over(w)
+    km_raw = F.exp(
+        F.sum(
+            F.when(
+                F.col("n_events") < F.col("n_at_risk"),
+                F.round(F.log(1.0 - h), 9).cast("decimal(20,9)"),
+            )
+        ).over(w).cast("double")
+    )
+    km = F.when(hit_one == 1, F.lit(0.0)).otherwise(km_raw)
+    got = {r["k"]: r["s"] for r in table.select("k", km.alias("s")).collect()}
+    assert abs(got[0] - 0.8) < 1e-9
+    assert got[1] == 0.0 and got[2] == 0.0

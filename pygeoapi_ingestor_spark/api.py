@@ -46,6 +46,50 @@ def _json_safe(obj):
     return obj
 
 
+def _encode_cursor(value):
+    """Lossless, JSON-serializable keyset cursor.
+
+    ``_json_safe`` is the wrong codec for the cursor: Decimal→float is
+    lossy (the next page's ``> cursor`` comparison would skip rows) and
+    bytes→hex changes the collation. Instead tag the value with its type
+    so ``_decode_cursor`` can rebuild the exact original before
+    ``F.lit``: datetimes round-trip losslessly through ISO-8601, Decimal
+    through its string form, bytes through hex. Primitives pass through
+    untagged."""
+    import datetime
+    import decimal
+
+    if isinstance(value, datetime.datetime):
+        return {"$cursor": "datetime", "v": value.isoformat()}
+    if isinstance(value, datetime.date):
+        return {"$cursor": "date", "v": value.isoformat()}
+    if isinstance(value, decimal.Decimal):
+        return {"$cursor": "decimal", "v": str(value)}
+    if isinstance(value, (bytes, bytearray)):
+        return {"$cursor": "bytes", "v": bytes(value).hex()}
+    return value
+
+
+def _decode_cursor(value):
+    """Inverse of ``_encode_cursor``; raw (untagged) values pass
+    through, so callers holding an original column value keep working."""
+    import datetime
+    import decimal
+
+    if isinstance(value, dict) and "$cursor" in value:
+        tag, v = value["$cursor"], value["v"]
+        if tag == "datetime":
+            return datetime.datetime.fromisoformat(v)
+        if tag == "date":
+            return datetime.date.fromisoformat(v)
+        if tag == "decimal":
+            return decimal.Decimal(v)
+        if tag == "bytes":
+            return bytes.fromhex(v)
+        raise ValueError(f"unknown cursor type {tag!r}")
+    return value
+
+
 class ProcessAPI:
     def __init__(self, default_sf_dir: str = "/root/testdata/sf0.001"):
         self.default_sf_dir = default_sf_dir
@@ -133,7 +177,7 @@ class ProcessAPI:
                 raise ValueError("keyset paging (after=...) requires sort_col")
             from pyspark.sql import functions as F
 
-            page = page.filter(F.col(sort_col) > F.lit(after))
+            page = page.filter(F.col(sort_col) > F.lit(_decode_cursor(after)))
         if sort_col is not None:
             page = page.orderBy(sort_col)
         if offset and after is None:
@@ -147,12 +191,10 @@ class ProcessAPI:
             "offset": int(offset),
         }
         if sort_col is not None and collected:
-            # cursor must be the RAW column value, not the JSON-safe
-            # rendering: Decimal→float would make the next page's
-            # `> cursor` comparison lossy (skipped rows), and a binary
-            # sort key rendered as hex text would compare as a
-            # different ordering entirely
-            out["nextAfter"] = collected[-1][sort_col]
+            # typed lossless cursor: json.dumps(response) must work even
+            # for timestamp/decimal sort keys, and the decode side must
+            # rebuild the EXACT original value for the `> cursor` filter
+            out["nextAfter"] = _encode_cursor(collected[-1][sort_col])
         if matched is not None:
             out["numberMatched"] = int(matched)
         return out

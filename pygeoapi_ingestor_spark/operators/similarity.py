@@ -695,6 +695,7 @@ def ivf_topk_trained(
     n_clusters: int = 8,
     iters: int = 3,
     n_probe: int = 3,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF search over TRAINED centroids: ``kmeans_fit_int8`` builds the
     inverted lists, assignment and probing use exact integer distances
@@ -704,7 +705,7 @@ def ivf_topk_trained(
     probe -> score) with every stage reproducible in SQL.
     """
     cents, _ = kmeans_fit_int8(
-        embeddings, id_col, vec_col, k=n_clusters, iters=iters
+        embeddings, id_col, vec_col, k=n_clusters, iters=iters, dim=dim
     )
 
     eq = quantize_int8(
@@ -743,7 +744,7 @@ def ivf_topk_trained(
     joined = assigned.join(F.broadcast(probes), "cluster").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = _dot(F.col("_v"), F.col("_qv")) / (
+    cos = _dot(F.col("_v"), F.col("_qv")) / _safe_denom(
         _norm(F.col("_v")) * _norm(F.col("_qv"))
     )
     scored = joined.withColumn("cosine", cos).filter(

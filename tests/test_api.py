@@ -223,6 +223,43 @@ def test_items_keyset_paging_matches_offset_and_pushes_down(spark, sf_dir, tmp_p
         api.items(spark, path, after=3)
 
 
+def test_items_cursor_is_json_safe_and_lossless(spark, tmp_path):
+    """r6 ADVICE: nextAfter must survive json.dumps even when the sort
+    key is a timestamp or DECIMAL, and the decoded cursor must rebuild
+    the EXACT original value (no Decimal→float skip, no hex-text
+    collation change)."""
+    import datetime
+    import decimal
+    import json
+
+    path = str(tmp_path / "tscoll")
+    rows = [
+        (datetime.datetime(2024, 1, 1, 0, 0, i), decimal.Decimal(f"{i}.25"), i)
+        for i in range(9)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, amount decimal(10,2), n int"
+    ).write.mode("overwrite").parquet(path)
+    api = ProcessAPI()
+
+    for sort_col in ("ts", "amount"):
+        walked, cursor = [], None
+        for _ in range(3):
+            page = api.items(spark, path, sort_col=sort_col, limit=3,
+                             after=cursor)
+            # the full response (cursor included) must be JSON text and
+            # round-trip back into a usable cursor
+            page = json.loads(json.dumps(page))
+            walked += [r["n"] for r in page["features"]]
+            cursor = page["nextAfter"]
+        assert walked == list(range(9)), sort_col
+
+    # the raw (untagged) value form still works as a cursor
+    page = api.items(spark, path, sort_col="ts", limit=3,
+                     after=datetime.datetime(2024, 1, 1, 0, 0, 5))
+    assert [r["n"] for r in page["features"]] == [6, 7, 8]
+
+
 def test_jobmanager_finalizes_when_pool_drains(spark, sf_dir):
     """Concurrent jobs must NOT trigger mid-flight global cache clears
     (execute runs with finalize=False under the pool); the manager

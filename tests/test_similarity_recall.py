@@ -215,3 +215,14 @@ def test_zero_norm_vectors_yield_null_cosine_not_ansi_crash(spark):
     ).collect()
     ids = {(r["doc_a"], r["doc_b"]) for r in pairs}
     assert (1, 2) in ids and all(0 not in p for p in ids)
+
+    # the trained-IVF kernel shares the same zero-norm invariant: a
+    # degenerate corpus vector lands in SOME inverted list but must
+    # score NULL (dropped), never raise DIVIDE_BY_ZERO under ANSI
+    ivf = similarity.ivf_topk_trained(
+        e, q, "vec_id", "embedding", "vec_id", "embedding",
+        k=3, n_clusters=2, iters=1, n_probe=2, dim=4,
+    ).collect()
+    got_ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert all(0 not in pair for pair in got_ivf)
+    assert all(r["cosine"] is not None for r in ivf)

@@ -119,6 +119,52 @@ def normal_ppf_as(p: np.ndarray) -> np.ndarray:
     return np.where(lower, -z, z)
 
 
+def gammainc_ppf(a: float, p: np.ndarray) -> np.ndarray:
+    """Inverse of the regularized lower incomplete gamma: solve
+    P(a, t) = p for t >= 0 (scalar shape a > 0, array p).
+
+    Newton iteration in LOG space on the ``gammainc_lower`` kernel above
+    (log space keeps every iterate strictly positive without ad-hoc
+    clipping), seeded with the Wilson-Hilferty cube-root approximation.
+    Tail conventions match scipy's ``gamma.ppf`` with loc=0:
+    p <= 0 -> 0, p >= 1 -> +inf, NaN passes through.
+
+    This is the gamma leg of the Georgia parametric quantile mapping
+    (georgia_cds_bias_correction_process.py:371-372,417-419): the
+    correction needs ``rvo.ppf(...)`` and scipy is not in the runtime,
+    so the inverse is built on the same public incomplete-gamma kernel
+    the SPI family already uses.
+    """
+    p = np.asarray(p, dtype=np.float64)
+    out = np.full_like(p, np.nan)
+    out[p <= 0.0] = 0.0
+    out[p >= 1.0] = np.inf
+    m = np.isfinite(p) & (p > 0.0) & (p < 1.0)
+    if not m.any():
+        return out
+    pm = p[m]
+    gln = _lgamma(a)
+    # Wilson-Hilferty seed: t0 = a * (1 - 1/(9a) + z/(3*sqrt(a)))^3
+    z = normal_ppf_as(pm)
+    seed = 1.0 - 1.0 / (9.0 * a) + z / (3.0 * np.sqrt(a))
+    t = a * np.clip(seed, 0.02, None) ** 3
+    t = np.clip(t, 1e-300, None)
+    active = np.ones_like(t, dtype=bool)
+    for _ in range(100):
+        f = gammainc_lower(a, t) - pm
+        with errstate(over="ignore", under="ignore", divide="ignore"):
+            # dP/dt = t^(a-1) e^-t / Γ(a);   d/d(log t) = t * dP/dt
+            dlog = np.exp(-t + a * np.log(t) - gln)
+        du = f / np.clip(dlog, 1e-300, None)
+        du = np.clip(du, -2.0, 2.0)  # damp far-from-root steps
+        t = np.where(active, t * np.exp(-du), t)
+        active = active & (np.abs(du) > 1e-15)
+        if not active.any():
+            break
+    out[m] = t
+    return out
+
+
 def thom_gamma_fit(x: np.ndarray) -> tuple[float, float]:
     """Thom (1958) maximum-likelihood approximation for the gamma shape and
     scale of a positive sample — the standard SPI fitting scheme.

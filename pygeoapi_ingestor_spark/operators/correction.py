@@ -219,3 +219,116 @@ def quantile_map(
         .withColumn(out_col, F.col("_mapped"))
         .select(*out_cols, out_col)
     )
+
+
+def parametric_normal_map(
+    fact: DataFrame,
+    params: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "value_bc",
+) -> DataFrame:
+    """Parametric quantile mapping, NORMAL leg — the Georgia seasonal
+    temperature correction (georgia_cds_bias_correction_process.py:
+    375-385, 415-419): per stored-parameter key the reference computes
+    ``rvo.ppf(norm.cdf(norm.ppf(rv.cdf(x))))`` with rv = N(fc_mean,
+    fc_std) and rvo = N(obs_mean, obs_std). The middle ppf/cdf pair is
+    the identity (scipy round-trips it to machine precision), so the
+    whole map collapses to the closed-form affine
+
+        bc = obs_mean + obs_std * (x - fc_mean) / fc_std
+
+    which is the expression evaluated here — fully SQL-expressible, so
+    the hash oracle covers this leg exactly.
+
+    ``params`` is the stored artifact (the reference's
+    bias_correction_{forecast,observed}_normal.csv) with columns
+    key_cols + fc_mean / fc_std / obs_mean / obs_std. It is a tiny dim
+    (one row per init-month x lead x cell x variable): BROADCAST join,
+    zero fact-side shuffle, whole-stage-codegen projection. Inner join =
+    the reference's ``.iloc[0]`` lookup — rows without stored params are
+    outside the corrected six-month lead window and drop.
+    """
+    joined = fact.join(F.broadcast(params), key_cols, "inner")
+    bc = F.col("obs_mean") + F.col("obs_std") * (
+        (F.col(value_col) - F.col("fc_mean")) / F.col("fc_std")
+    )
+    return joined.withColumn(out_col, bc).drop(
+        "fc_mean", "fc_std", "obs_mean", "obs_std"
+    )
+
+
+def parametric_gamma_map(
+    fact: DataFrame,
+    params: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "value_bc",
+) -> DataFrame:
+    """Parametric quantile mapping, GAMMA leg — the Georgia seasonal
+    precipitation correction (georgia_cds_bias_correction_process.py:
+    363-374, 415-419): with rv = gamma(fc_alpha, loc=0, scale=fc_scale)
+    and rvo = gamma(obs_alpha, loc=0, scale=obs_scale),
+
+        bc = rvo.ppf(rv.cdf(x))
+           = obs_scale * P^-1(obs_alpha, P(fc_alpha, x / fc_scale))
+
+    (the norm.ppf/norm.cdf middle step is again the identity). The
+    incomplete-gamma CDF and its Newton-inverted PPF come from
+    functions/numerics.py — scipy-free, the same kernel family the SPI
+    chain uses — so this leg is a pandas-UDF path and its catalog entry
+    is rows-only (property-tested instead of hash-oracled, the A7
+    pattern).
+
+    Reference edge semantics preserved: x <= 0 -> CDF 0 -> bc 0 (the
+    implicit negative clamp), CDF rounding to exactly 1.0 -> ppf +inf ->
+    NaN (the xr.where(isinf, nan) post_process at line 374).
+
+    Scale shape: broadcast-join the stored params onto the fact rows,
+    then ONE ``mapInPandas`` pass — no shuffle at all. Within each Arrow
+    batch rows are regrouped by their (few) distinct parameter combos so
+    the scalar-shape kernels stay vectorized over x; cost is O(batch)
+    with at most |params| kernel calls per batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(fact.sparkSession)
+    joined = fact.join(F.broadcast(params), key_cols, "inner")
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in joined.schema.fields
+        if f.name not in ("fc_alpha", "fc_scale", "obs_alpha", "obs_scale")
+    )
+    schema = f"{out_fields}, {out_col} double"
+    keep = [
+        f.name
+        for f in joined.schema.fields
+        if f.name not in ("fc_alpha", "fc_scale", "obs_alpha", "obs_scale")
+    ]
+
+    def correct(batches):
+        from pygeoapi_ingestor_spark.functions.numerics import (
+            gammainc_lower,
+            gammainc_ppf,
+        )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = pdf[value_col].to_numpy(dtype=np.float64)
+            bc = np.full(len(pdf), np.nan)
+            groups = pdf.groupby(
+                ["fc_alpha", "fc_scale", "obs_alpha", "obs_scale"], sort=False
+            ).indices
+            for (fa, fs, oa, osc), idx in groups.items():
+                p = gammainc_lower(float(fa), np.clip(x[idx], 0.0, None) / float(fs))
+                bc[idx] = float(osc) * gammainc_ppf(float(oa), p)
+            bc[np.isinf(bc)] = np.nan  # reference post_process: inf -> nan
+            out = pdf[keep].copy()
+            out[out_col] = bc
+            yield out
+
+    return joined.mapInPandas(correct, schema=schema)

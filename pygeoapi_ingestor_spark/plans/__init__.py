@@ -6,10 +6,9 @@
 Ordering matters: the driver's correctness gate walks ``queries()`` in
 dict order and (round 1 evidence) stops after a fixed budget of entries.
 The catalog therefore front-loads the keys with the LEAST accumulated
-correctness evidence — the C-block tail that round 1's check never
-reached, then this round's new/changed plans — and pushes the
-expensive, already-hash-green or rows-only keys to the back, so every
-key has a correctness row in the union of rounds whatever the budget.
+correctness evidence — never-stamped keys first, then the stalest
+cohort — and pushes the freshly-stamped keys to the back, so every key
+has a correctness row in the union of rounds whatever the budget.
 """
 
 from pygeoapi_ingestor_spark.plans.queries_analytics import (
@@ -32,90 +31,33 @@ _ALL = {
     **BEHAVIOR_QUERIES,
 }
 
-# Round-6 front-load (VERDICT r5 "Next round: do this" #1): the driver
-# stamps the first ~50 entries in dict order, and round 5 proved that
-# letting brand-new keys outrank the backlog starves older keys of
-# driver evidence. This round the ENTIRE window goes to the evidence
-# backlog: first the 16 keys with no CORRECTNESS row in any round, then
-# the 31 keys whose newest stamp is still round 2 (47 keys ~= the
-# window). New round-6 keys queue AFTER the backlog; they are covered
-# by the pytest oracle gate (tests/test_queries_oracle.py) and by the
-# committed full-catalog artifact (CORRECTNESS_FULL.json) regardless of
-# whether the window reaches them.
+# Round-7 front-load (VERDICT r6 "Next round: do this" #2): the driver
+# stamps the first ~50 entries in dict order. CORRECTNESS_r06 covered
+# the entire r6 backlog (the 16 never-stamped + 31 r2-stale keys) plus
+# knn_outliers_ivf / knn_outliers_recall / pet_knmi, which leaves five
+# round-6 keys with no driver stamp in any round. Those five go first,
+# then this round's brand-new keys, then the 47 keys whose newest stamp
+# is still round 3 — ~55 keys, approximately the window. After r7 the
+# union staleness floor rises to round 4.
 
-# no CORRECTNESS row in r1-r5 (late round-5 additions)
+# no CORRECTNESS_r* row in r1-r6 (late round-6 additions)
 _NEVER_STAMPED = [
-    "heat_wave_events",
-    "double_mass_curve",
-    "kge_nse_scores",
-    "mann_kendall",
-    "gumbel_return_levels",
-    "disaggregate_daily_hourly",
-    "periodogram_coarse",
-    "pet_hargreaves",
-    "wet_day_markov",
-    "vocab_coverage_curve",
-    "triplet_mining",
-    "dataset_card",
-    "cooccurrence_pmi",
-    "embedding_knn_outliers",
-    "ab_test_conversion",
-    "survival_hazard_table",
-]
-
-# newest driver stamp is round 2 (code unchanged since)
-_R2_STALE = [
-    "corpus_token_stats",
-    "rating_curve_interp",
-    "threshold_categorize",
-    "threshold_per_station",
-    "bias_correction_stored",
-    "collection_healthcheck",
-    "value_change_lag",
-    "forward_fill_gaps",
-    "lang_id_heuristic",
-    "text_quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "quality_filter",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "spi_gamma_monthly",
-    "corpus_mix_sample",
-    "text_scrub",
-    "dedup_keep_corpus",
-    "embedding_quantize_int8",
-    "multimodal_meta",
-    "multimodal_frames",
-    "pack_sequences",
-    "decontaminate_ngram",
-    "sim_search_cosine_topk",
-    "sim_search_ivf",
-    "dedup_embedding_cosine",
-]
-
-# new round-6 keys (appended as they are built this round).
-# ROUND-7 NOTE: the ~50-key window covers the 47-key backlog plus the
-# first few of these; next round, front-load whichever _R6_NEW keys
-# have no row in CORRECTNESS_r06, then rotate _STAMPED_R3 (the then-
-# stalest cohort) into the remaining window slots.
-_R6_NEW = [
-    "knn_outliers_ivf",
-    "knn_outliers_recall",
-    "pet_knmi",
-    "pet_deficit_chain",
     "isoband_regions",
-    "danger_levels_weekly",
+    "pet_deficit_chain",
     "river_discharge_arpae",
+    "danger_levels_weekly",
     "dedup_keep_best",
 ]
 
-# Remaining keys by newest-stamp round, stalest first, so future
-# windows keep rotating oldest-evidence-first.
+# new round-7 keys (appended as they are built this round)
+_R7_NEW = [
+    "bias_correction_parametric",
+    "bias_correction_parametric_gamma",
+    "bias_correction_parametric_tp",
+]
+
+# newest driver stamp is round 3 (code unchanged since) — the stalest
+# surviving cohort; rotates through the remainder of the r7 window.
 _STAMPED_R3 = [
     "dedup_simhash",
     "kmeans_clusters_int8",
@@ -271,12 +213,69 @@ _STAMPED_R5 = [
     "asof_join_forward",
 ]
 
-_FRONT = _NEVER_STAMPED + _R2_STALE + _R6_NEW
+# stamped this past round (CORRECTNESS_r06.json, 50 keys) — freshest
+# evidence, so they queue last.
+_STAMPED_R6 = [
+    "heat_wave_events",
+    "double_mass_curve",
+    "kge_nse_scores",
+    "mann_kendall",
+    "gumbel_return_levels",
+    "disaggregate_daily_hourly",
+    "periodogram_coarse",
+    "pet_hargreaves",
+    "wet_day_markov",
+    "vocab_coverage_curve",
+    "triplet_mining",
+    "dataset_card",
+    "cooccurrence_pmi",
+    "embedding_knn_outliers",
+    "ab_test_conversion",
+    "survival_hazard_table",
+    "corpus_token_stats",
+    "rating_curve_interp",
+    "threshold_categorize",
+    "threshold_per_station",
+    "bias_correction_stored",
+    "collection_healthcheck",
+    "value_change_lag",
+    "forward_fill_gaps",
+    "lang_id_heuristic",
+    "text_quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "quality_filter",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "spi_gamma_monthly",
+    "corpus_mix_sample",
+    "text_scrub",
+    "dedup_keep_corpus",
+    "embedding_quantize_int8",
+    "multimodal_meta",
+    "multimodal_frames",
+    "pack_sequences",
+    "decontaminate_ngram",
+    "sim_search_cosine_topk",
+    "sim_search_ivf",
+    "dedup_embedding_cosine",
+    "knn_outliers_ivf",
+    "knn_outliers_recall",
+    "pet_knmi",
+]
+
+_FRONT = _NEVER_STAMPED + _R7_NEW + _STAMPED_R3
 # keys in no list (defensive: a new key not yet registered above) land
 # between the backlog and the stale tail so they still get stamped early
-_known = set(_FRONT) | set(_STAMPED_R3) | set(_STAMPED_R4) | set(_STAMPED_R5)
+_known = (
+    set(_FRONT) | set(_STAMPED_R4) | set(_STAMPED_R5) | set(_STAMPED_R6)
+)
 _rest = [k for k in _ALL if k not in _known]
-_order = _FRONT + _rest + _STAMPED_R3 + _STAMPED_R4 + _STAMPED_R5
+_order = _FRONT + _rest + _STAMPED_R4 + _STAMPED_R5 + _STAMPED_R6
 _order = [k for k in _order if k in _ALL]
 assert set(_order) == set(_ALL), sorted(set(_ALL) ^ set(_order))
 assert len(_order) == len(_ALL)

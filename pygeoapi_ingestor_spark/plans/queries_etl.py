@@ -4836,3 +4836,169 @@ def _arpae_oracle_sql() -> str:
 
 
 ETL_ORACLES["river_discharge_arpae"] = _arpae_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Parametric (gamma/normal) quantile mapping — the Georgia seasonal
+# bias correction (georgia_cds_bias_correction_process.py:346-461).
+#
+# Stored distribution parameters: the reference loads per-(initmonth,
+# leadtime, lat, lon, variable) fitted params from the
+# bias_correction_{forecast,observed}_{gamma,normal}.csv artifacts.
+# These tables are the deterministic public stand-in, keyed by
+# (leadtime, station): leadtime plays the reference's ilead month
+# index (masked to < 6, line 355-359), station the (lat, lon) cell.
+# Values are Python floats so Spark and the oracle embed identical
+# literals (the CORRECTION_CURVES convention).
+QM_NORMAL_PARAMS = [
+    (
+        lead,
+        st,
+        -225.0 + 2.0 * lead + st,     # fc_mean  (of value - 273.15)
+        55.0 + 1.0 * lead + 0.5 * st,  # fc_std
+        -220.0 + 1.5 * lead + st,     # obs_mean
+        50.0 + 1.0 * lead + 0.5 * st,  # obs_std
+    )
+    for lead in range(6)
+    for st in range(5)
+]
+
+QM_GAMMA_PARAMS = [
+    (
+        lead,
+        st,
+        1.0 + 0.1 * lead + 0.05 * st,   # fc_alpha
+        45.0 + 2.0 * lead + st,         # fc_scale
+        0.9 + 0.08 * lead + 0.04 * st,  # obs_alpha
+        50.0 + 1.5 * lead + st,         # obs_scale
+    )
+    for lead in range(6)
+    for st in range(5)
+]
+
+# tp leg params: the preprocess is diff(time) * 1000 (cumulative m ->
+# daily mm), so daily values span roughly +-5e5; the gamma scales are
+# sized for that magnitude.
+QM_TP_PARAMS = [
+    (
+        lead,
+        st,
+        1.1 + 0.08 * lead + 0.05 * st,        # fc_alpha
+        50000.0 + 1500.0 * lead + 800.0 * st,  # fc_scale
+        1.0 + 0.06 * lead + 0.04 * st,        # obs_alpha
+        52000.0 + 1200.0 * lead + 900.0 * st,  # obs_scale
+    )
+    for lead in range(6)
+    for st in range(5)
+]
+
+_QM_KEY_SCHEMA_N = (
+    "leadtime int, station int, fc_mean double, fc_std double, "
+    "obs_mean double, obs_std double"
+)
+_QM_KEY_SCHEMA_G = (
+    "leadtime int, station int, fc_alpha double, fc_scale double, "
+    "obs_alpha double, obs_scale double"
+)
+
+
+def _qm_fact(ev: DataFrame, value_expr, value_name: str) -> DataFrame:
+    """(leadtime, station) keying shared by the three parametric-QM
+    queries: leadtime = (day-of-month - 1) % 8 with the reference's
+    six-lead mask applied (georgia_cds_bias_correction_process.py:
+    355-359 keeps only forecasts < 6 months from the reference time),
+    station = user_id % 5."""
+    return ev.select(
+        "event_id",
+        ((F.dayofmonth("ts") - 1) % 8).cast("int").alias("leadtime"),
+        (F.col("user_id") % 5).cast("int").alias("station"),
+        value_expr.alias(value_name),
+    ).filter(F.col("leadtime") < 6)
+
+
+def q_bias_correction_parametric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NORMAL leg (tmn/tmx): Kelvin->Celsius preprocess (line 375), then
+    the stored-params correction rvo.ppf(rv.cdf(x)) with both sides
+    normal — the closed-form affine obs_mean + obs_std*(x-fc_mean)/fc_std
+    (see correction.parametric_normal_map). One broadcast join + one
+    codegen projection; hash-oracled end to end."""
+    ev = _events(spark, sf_dir)
+    fact = _qm_fact(ev, F.col("value") - 273.15, "value_c")
+    params = spark.createDataFrame(QM_NORMAL_PARAMS, _QM_KEY_SCHEMA_N)
+    out = correction.parametric_normal_map(
+        fact, params, ["leadtime", "station"], "value_c"
+    )
+    return out.select(
+        "event_id", "leadtime", "station",
+        F.round("value_c", 6).alias("value_c"),
+        F.round("value_bc", 6).alias("value_bc"),
+    )
+
+
+def q_bias_correction_parametric_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAMMA leg (tp): stored-params correction with both sides gamma —
+    obs_scale * P^-1(obs_alpha, P(fc_alpha, x/fc_scale)) via the
+    scipy-free incomplete-gamma kernels (rows-only: DuckDB has no
+    incomplete gamma; property-tested like the SPI family)."""
+    ev = _events(spark, sf_dir)
+    fact = _qm_fact(ev, F.col("value"), "value")
+    params = spark.createDataFrame(QM_GAMMA_PARAMS, _QM_KEY_SCHEMA_G)
+    out = correction.parametric_gamma_map(
+        fact, params, ["leadtime", "station"], "value"
+    )
+    return out.select(
+        "event_id", "leadtime", "station", "value",
+        F.round("value_bc", 6).alias("value_bc"),
+    )
+
+
+def q_bias_correction_parametric_tp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed tp arc: diff(time)*1000 preprocess (cumulative total
+    precipitation in m -> daily mm, line 364), gamma-gamma correction,
+    inf->nan post_process (line 374). Negative diffs (the raw field is
+    not monotone) hit CDF 0 -> bc 0 — the implicit negative clamp.
+    Rows-only (gamma kernels), with the lag-diff window partitioned per
+    (event_type, user_id) series so the preprocess shuffle is bounded by
+    series cardinality."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    daily = (
+        ev.withColumn("_prev", F.lag("value").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .withColumn("daily_mm", (F.col("value") - F.col("_prev")) * 1000.0)
+    )
+    fact = _qm_fact(daily, F.col("daily_mm"), "daily_mm")
+    params = spark.createDataFrame(QM_TP_PARAMS, _QM_KEY_SCHEMA_G)
+    out = correction.parametric_gamma_map(
+        fact, params, ["leadtime", "station"], "daily_mm"
+    )
+    return out.select(
+        "event_id", "leadtime", "station",
+        F.round("daily_mm", 4).alias("daily_mm"),
+        F.round("value_bc", 6).alias("value_bc"),
+    )
+
+
+ETL_QUERIES["bias_correction_parametric"] = q_bias_correction_parametric
+ETL_QUERIES["bias_correction_parametric_gamma"] = q_bias_correction_parametric_gamma
+ETL_QUERIES["bias_correction_parametric_tp"] = q_bias_correction_parametric_tp
+
+ETL_ORACLES["bias_correction_parametric"] = f"""
+    WITH params(leadtime, station, fc_mean, fc_std, obs_mean, obs_std) AS (VALUES
+        {", ".join(f"({le}, {st}, {fm!r}, {fs!r}, {om!r}, {os_!r})"
+                   for le, st, fm, fs, om, os_ in QM_NORMAL_PARAMS)}),
+    fact AS (
+        SELECT event_id, CAST((day(ts) - 1) % 8 AS INTEGER) AS leadtime,
+               CAST(user_id % 5 AS INTEGER) AS station,
+               value - 273.15 AS value_c
+        FROM events
+    )
+    SELECT f.event_id, f.leadtime, f.station,
+           round(f.value_c, 6) AS value_c,
+           round(p.obs_mean + p.obs_std * ((f.value_c - p.fc_mean) / p.fc_std), 6)
+               AS value_bc
+    FROM fact f JOIN params p USING (leadtime, station)
+    WHERE f.leadtime < 6
+"""

@@ -77,3 +77,37 @@ def test_spi_rolling_timescale():
 def test_spi_all_zero_series():
     spi = numerics.spi_from_series(np.zeros(24), spi_ts=1)
     assert np.all(spi == 0.0)
+
+
+def test_gammainc_ppf_round_trip():
+    rng = np.random.default_rng(11)
+    for a in [0.2, 0.5, 1.0, 1.7, 3.0, 8.0, 30.0]:
+        x = rng.gamma(a, 1.0, 2000)
+        p = numerics.gammainc_lower(a, x)
+        back = numerics.gammainc_ppf(a, p)
+        rel = np.abs(back - x) / np.maximum(np.abs(x), 1e-12)
+        assert rel.max() < 1e-10, (a, rel.max())
+
+
+def test_gammainc_ppf_exponential_closed_form():
+    # a=1 is the exponential: ppf(p) = -ln(1-p)
+    p = np.linspace(1e-9, 1 - 1e-9, 500)
+    got = numerics.gammainc_ppf(1.0, p)
+    want = -np.log1p(-p)
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-12)
+
+
+def test_gammainc_ppf_tails():
+    out = numerics.gammainc_ppf(2.0, np.array([0.0, -0.5, 1.0, 2.0, np.nan]))
+    assert out[0] == 0.0 and out[1] == 0.0
+    assert np.isinf(out[2]) and np.isinf(out[3])
+    assert np.isnan(out[4])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.floats(0.25, 25.0), st.floats(1e-6, 1.0 - 1e-6))
+def test_gammainc_ppf_inverts_cdf(a, p):
+    t = numerics.gammainc_ppf(a, np.array([p]))[0]
+    assert t >= 0.0
+    back = numerics.gammainc_lower(a, np.array([t]))[0]
+    assert abs(back - p) < 1e-9

@@ -1708,6 +1708,46 @@ def _daily_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# quadratic-pair cap (r6 verdict item 4): the Theil-Sen / Mann-Kendall
+# pair joins are quadratic in DAYS per series — bounded at one month of
+# testdata, but a production deployment holds years (10^4 days -> 10^8
+# pairs PER SERIES). Both fits therefore run on the TRAILING
+# TREND_WINDOW_DAYS buckets per series (the SimHash bucket-cap
+# precedent, operators/dedup.py): a documented, oracle-mirrored window
+# that bounds pair work at window^2 while leaving any series shorter
+# than the window bit-identical to the uncapped fit (cap-invariance
+# pinned in tests on the one-month testdata).
+TREND_WINDOW_DAYS = 200
+
+
+def _cap_trailing(base: DataFrame, window_days: int = TREND_WINDOW_DAYS) -> DataFrame:
+    """Keep the trailing ``window_days`` buckets per series of a
+    (event_type, x, yi) table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("x").desc())
+    return (
+        base.withColumn("_rx", F.row_number().over(w))
+        .filter(F.col("_rx") <= window_days)
+        .drop("_rx")
+    )
+
+
+def _daily_xy_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cap_trailing(_daily_xy(spark, sf_dir))
+
+
+_CAPPED_XY_DUCK = f"""
+, capped AS (
+    SELECT event_type, x, yi FROM (
+        SELECT event_type, x, yi,
+               row_number() OVER (PARTITION BY event_type ORDER BY x DESC) AS rx
+        FROM base
+    ) WHERE rx <= {TREND_WINDOW_DAYS}
+)
+"""
+
+
 def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series OLS trend (slope / intercept / r²) of the daily totals
     — the climate-trend regression run on every SPI/deficit series.
@@ -2727,12 +2767,20 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row_number + middle-two average), NOT via an engine median()
     aggregate whose interpolation conventions differ. The residual
     median reuses the same positional mechanic over the ~30 daily rows
-    per series. Scale: the pair blowup is quadratic in DAYS (a year =
-    66k pairs/series), while series parallelism is unbounded.
+    per series. Scale: the pair blowup is quadratic in DAYS, so the fit
+    runs on the trailing TREND_WINDOW_DAYS buckets per series (see the
+    cap note above _daily_xy_capped) — pair work is bounded at window²
+    while series parallelism stays unbounded.
     """
+    return _theilsen_from_xy(_daily_xy_capped(spark, sf_dir))
+
+
+def _theilsen_from_xy(base: DataFrame) -> DataFrame:
+    """Theil-Sen fit over a (event_type, x, yi) table — split out so the
+    cap-engagement property test can drive it with a synthetic long
+    series."""
     from pyspark.sql import Window
 
-    base = _daily_xy(spark, sf_dir)
     a = base.select("event_type", F.col("x").alias("xa"), F.col("yi").alias("ya"))
     b = base.select(
         F.col("event_type").alias("et_b"),
@@ -2804,10 +2852,10 @@ ETL_ORACLES["theilsen_trend"] = _DAILY_CTE + f"""
     SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x,
            CAST(daily_total * 100 AS BIGINT) AS yi
     FROM daily
-), pairs AS (
+){_CAPPED_XY_DUCK}, pairs AS (
     SELECT a.event_type,
            CAST(b.yi - a.yi AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) / 100.0 AS slope
-    FROM base a JOIN base b
+    FROM capped a JOIN capped b
       ON b.event_type = a.event_type AND b.x > a.x
 ), ranked AS (
     SELECT event_type, slope,
@@ -2823,7 +2871,7 @@ ETL_ORACLES["theilsen_trend"] = _DAILY_CTE + f"""
 ), resid AS (
     SELECT b.event_type, med.slope, med.n_pairs,
            CAST(b.yi AS DOUBLE) / 100.0 - med.slope * b.x AS r
-    FROM base b JOIN med ON b.event_type = med.event_type
+    FROM capped b JOIN med ON b.event_type = med.event_type
 ), rranked AS (
     SELECT event_type, slope, n_pairs, r,
            row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
@@ -3748,12 +3796,20 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     every climate trend statement ("significant at p<0.05").
 
     S = Σ sign(y_j − y_i) over day-ordered pairs is a pure integer sum
-    from the same bounded pair join as Theil-Sen (quadratic in DAYS,
-    series parallelism unbounded); the tie correction aggregates value
-    multiplicities exactly. Floats enter only at Z's division; the
-    verdict thresholds at |Z| > 1.96.
+    from the same bounded pair join as Theil-Sen — computed on the
+    trailing TREND_WINDOW_DAYS buckets per series (the cap note above
+    _daily_xy_capped), so pair work is window² per series; the tie
+    correction aggregates value multiplicities exactly over the same
+    window. Floats enter only at Z's division; the verdict thresholds
+    at |Z| > 1.96.
     """
-    base = _daily_xy(spark, sf_dir)
+    return _mann_kendall_from_xy(_daily_xy_capped(spark, sf_dir))
+
+
+def _mann_kendall_from_xy(base: DataFrame) -> DataFrame:
+    """Mann-Kendall statistic over a (event_type, x, yi) table — split
+    out so the cap-engagement property test can drive it with a
+    synthetic long series."""
     a = base.select("event_type", F.col("x").alias("xa"), F.col("yi").alias("ya"))
     b = base.select(
         F.col("event_type").alias("et_b"),
@@ -3813,11 +3869,11 @@ ETL_ORACLES["mann_kendall"] = _DAILY_CTE + f"""
     SELECT event_type, CAST({_X_DAY_DUCK} AS BIGINT) AS x,
            CAST(daily_total * 100 AS BIGINT) AS yi
     FROM daily
-), s_tab AS (
+){_CAPPED_XY_DUCK}, s_tab AS (
     SELECT a.event_type,
            CAST(sum(CAST(sign(CAST(b.yi - a.yi AS DOUBLE)) AS BIGINT)) AS BIGINT)
                AS s_stat
-    FROM base a JOIN base b
+    FROM capped a JOIN capped b
       ON b.event_type = a.event_type AND b.x > a.x
     GROUP BY 1
 ), ties AS (
@@ -3826,7 +3882,7 @@ ETL_ORACLES["mann_kendall"] = _DAILY_CTE + f"""
            CAST(sum(t) AS BIGINT) AS n
     FROM (
         SELECT event_type, yi, CAST(count(*) AS BIGINT) AS t
-        FROM base GROUP BY 1, 2
+        FROM capped GROUP BY 1, 2
     ) GROUP BY 1
 ), j AS (
     SELECT s.event_type, s.s_stat, t.n,

@@ -167,3 +167,42 @@ def test_parametric_normal_plan_is_broadcast_no_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     fact_side = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in fact_side
+
+
+def test_trend_cap_engages_on_long_series(spark):
+    """r6 verdict item 4: a 400-day series whose first half falls and
+    whose trailing 200 days rise — the capped Theil-Sen / Mann-Kendall
+    must fit ONLY the trailing regime, and the cap must change the
+    answer relative to the uncapped fit."""
+    from pygeoapi_ingestor_spark.plans import queries_etl as qe
+
+    rows = [("s", x, 5000 - 25 * x) for x in range(200)]
+    rows += [("s", x, 2 * x) for x in range(200, 400)]
+    base = spark.createDataFrame(rows, "event_type string, x bigint, yi bigint")
+
+    capped = qe._cap_trailing(base)
+    kept = capped.collect()
+    assert len(kept) == qe.TREND_WINDOW_DAYS == 200
+    assert min(r["x"] for r in kept) == 200  # trailing window, not leading
+
+    ts = qe._theilsen_from_xy(capped).collect()[0]
+    assert abs(ts["slope"] - 0.02) < 1e-9  # yi = 2x, yi is value*100
+    assert ts["n_days"] == 200 and ts["n_pairs"] == 200 * 199 // 2
+
+    mk = qe._mann_kendall_from_xy(capped).collect()[0]
+    assert mk["trend"] == "increasing" and mk["n"] == 200
+
+    # the uncapped fit sees the V-shape and lands elsewhere
+    full = qe._theilsen_from_xy(base).collect()[0]
+    assert abs(full["slope"] - ts["slope"]) > 1e-6
+
+
+def test_trend_cap_invariant_on_short_series(spark, sf_dir):
+    """The one-month testdata is far below TREND_WINDOW_DAYS: the cap
+    must be a no-op there (which is also why the hash oracles stay
+    green unchanged)."""
+    from pygeoapi_ingestor_spark.plans import queries_etl as qe
+
+    b1 = sorted(map(tuple, qe._daily_xy(spark, sf_dir).collect()))
+    b2 = sorted(map(tuple, qe._daily_xy_capped(spark, sf_dir).collect()))
+    assert b1 == b2

@@ -384,6 +384,43 @@ def q_ensemble_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the reference's published forecast quantile set
+# (data_prep_knmi_evapo_forecast.py:161 — quantile([0.1, 0.3, 0.5,
+# 0.7, 0.9], dim="epoches"))
+ENSEMBLE_FC_QUANTILES = (0.10, 0.30, 0.50, 0.70, 0.90)
+
+
+def q_ensemble_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 parameterized to the KNMI forecast product's quantile list
+    (r6 verdict item 5): the ensemble-member axis collapsed to the
+    published [p10, p30, p50, p70, p90] per bucket — both engines use
+    the linear-interpolation quantile convention (F.percentile /
+    quantile_cont), the parity q_ensemble_stats already proves."""
+    ev = _events(spark, sf_dir)
+    member_daily = temporal.resample(
+        ev.withColumn("value", F.col("value").cast(VALUE_DEC)),
+        ts_col="ts", series_cols=["event_type", "user_id"],
+        value_col="value", freq="day",
+        aggs={"member_sum": "sum", "member_n": "count"},
+    ).withColumn(
+        "member_avg", F.col("member_sum").cast("double") / F.col("member_n")
+    )
+    out = zonal.ensemble_stats(
+        member_daily, bucket_cols=["event_type", "bucket"],
+        value_col="member_avg", percentiles=ENSEMBLE_FC_QUANTILES,
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        "ens_n",
+        *[
+            F.round(f"ens_p{int(round(p * 100)):02d}", 6)
+            .alias(f"ens_p{int(round(p * 100)):02d}")
+            for p in ENSEMBLE_FC_QUANTILES
+        ],
+    )
+
+
 def q_bias_correction_qmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped quantile mapping: one empirical map per lead-hour series —
     the reference's per-(variable, init-month, lead-month) correction
@@ -682,6 +719,7 @@ ETL_QUERIES = {
     "spi_empirical": q_spi_empirical,
     "zonal_stats": q_zonal_stats,
     "ensemble_stats": q_ensemble_stats,
+    "ensemble_quantiles": q_ensemble_quantiles,
     "bias_correction_qmap": q_bias_correction_qmap,
     "rating_curve_interp": q_rating_curve_interp,
     "threshold_categorize": q_threshold_categorize,
@@ -893,6 +931,22 @@ ETL_ORACLES = {
                round(quantile_cont(member_avg, 0.5), 6) AS ens_median,
                CAST(count(*) AS BIGINT) AS ens_n,
                round(quantile_cont(member_avg, 0.10), 6) AS ens_p10,
+               round(quantile_cont(member_avg, 0.90), 6) AS ens_p90
+        FROM member_daily GROUP BY 1, 2
+    """,
+    "ensemble_quantiles": """
+        WITH member_daily AS (
+            SELECT event_type, user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                   CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+                       AS member_avg
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type, bucket,
+               CAST(count(*) AS BIGINT) AS ens_n,
+               round(quantile_cont(member_avg, 0.10), 6) AS ens_p10,
+               round(quantile_cont(member_avg, 0.30), 6) AS ens_p30,
+               round(quantile_cont(member_avg, 0.50), 6) AS ens_p50,
+               round(quantile_cont(member_avg, 0.70), 6) AS ens_p70,
                round(quantile_cont(member_avg, 0.90), 6) AS ens_p90
         FROM member_daily GROUP BY 1, 2
     """,

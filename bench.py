@@ -16,8 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pygeoapi_ingestor_spark.plans import QUERIES  # noqa: E402
-from pygeoapi_ingestor_spark.session import get_spark  # noqa: E402
+from pygeoapi_ingestor_spark.plans import ORACLES, QUERIES  # noqa: E402
+from pygeoapi_ingestor_spark.session import TABLES, get_spark  # noqa: E402
 
 # every catalog query participates; order: cheap scans first
 BENCH_KEYS = sorted(QUERIES)
@@ -104,6 +104,44 @@ def main() -> None:
         _periodic_gc(i)
     noop_total = round(time.perf_counter() - t_n0, 3)
 
+    # DuckDB oracle wall-clock (r6 verdict item 6): run every oracle
+    # SQL on the SAME parquet, same machine, so the summary can state a
+    # spark/duckdb ratio instead of an un-anchored "no baseline". DuckDB
+    # is multi-threaded over the same cores; this is the single-node
+    # columnar-engine reference number for each SQL-expressible key.
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracle_timings: dict[str, float] = {}
+    t_o0 = time.perf_counter()
+    for key, sql in ORACLES.items():
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+            oracle_timings[key] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            pass  # an oracle that errors is the correctness gate's job
+    oracle_total = round(time.perf_counter() - t_o0, 3)
+    con.close()
+    # ratio over the keys BOTH series cover (rows-only keys have no
+    # oracle number); > 1.0 means Spark's fixed per-query overheads
+    # dominate at this toy SF — the honest small-scale statement
+    _shared = [k for k in oracle_timings if k in timings]
+    vs_oracle = (
+        round(
+            sum(timings[k] for k in _shared)
+            / max(sum(oracle_timings[k] for k in _shared), 1e-9),
+            3,
+        )
+        if _shared
+        else None
+    )
+
     # concurrent catalog throughput: submit all queries from a thread
     # pool (Spark schedules jobs from multiple threads concurrently) —
     # the multi-tenant number a shared cluster actually sees
@@ -149,6 +187,9 @@ def main() -> None:
         "cold_warm_wall": cold_warm_wall,
         "queries_noop": noop_timings,
         "noop_total": noop_total,
+        "queries_oracle_sec": oracle_timings,
+        "oracle_total": oracle_total,
+        "vs_oracle": vs_oracle,
         "concurrent_wall": concurrent_total,
         "sf": sf,
     }
@@ -172,6 +213,8 @@ def main() -> None:
         "n_queries": len(timings),
         "warm_total": warm_total,
         "noop_total": noop_total,
+        "oracle_total": oracle_total,
+        "vs_oracle": vs_oracle,
         "concurrent_wall": concurrent_total,
         "full": "BENCH_FULL.json",
         "sf": sf,

@@ -498,3 +498,47 @@ def danger_levels_stream(
         "window_max",
         F.element_at(color_arr, band + F.lit(1)).alias("color"),
     )
+
+
+def danger_levels_result_json(
+    weekly: DataFrame,
+    week_source_col: str = "window_end",
+    color_col: str = "color",
+    value_col: str = "window_max",
+) -> dict:
+    """The reference process's ``result_json`` payload
+    (ll_nl_danger_levels.py:139-151): ``{iso_week_number: color}``,
+    built in week order so a re-published week overwrites its earlier
+    color exactly like the reference's ``dict(zip(week_numbers,
+    categories))``. The companion ``series`` rows carry the full
+    week/month/value/color tuple the process derives before collapsing
+    to the dict (rijnland_precipitation_deficit returns week numbers,
+    month numbers and weekly values; execute then categorizes).
+
+    Driver-side over the BOUNDED weekly rows (weeks/year per region —
+    never data-scaled), the same O(weeks) shape as the reference's
+    numpy arrays.
+    """
+    rows = (
+        weekly.select(
+            F.weekofyear(F.col(week_source_col)).cast("int").alias("week"),
+            F.month(F.col(week_source_col)).cast("int").alias("month"),
+            F.col(value_col).alias("value"),
+            F.col(color_col).alias("color"),
+            F.col(week_source_col).alias("_ord"),
+        )
+        .orderBy("_ord")
+        .collect()
+    )
+    return {
+        "weeks": {int(r["week"]): r["color"] for r in rows},
+        "series": [
+            {
+                "week": int(r["week"]),
+                "month": int(r["month"]),
+                "value": float(r["value"]),
+                "color": r["color"],
+            }
+            for r in rows
+        ],
+    }

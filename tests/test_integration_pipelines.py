@@ -122,3 +122,85 @@ def test_lsh_finds_planted_near_duplicates(spark):
         ).collect()
     }
     assert (0, 1) in sim and sim[(0, 1)] <= 16
+
+
+def test_danger_levels_publication_arc(spark, sf_dir, tmp_path):
+    """r6 verdict item 7: the full ll_nl_danger_levels execute arc
+    composed end-to-end from the STREAMING path — event stream ->
+    windowed danger feed -> collection publish + catalog register ->
+    items API page -> the reference's result_json payload
+    ({iso_week: color}, ll_nl_danger_levels.py:139-151) written to the
+    bucket path. Pins the composition, not just the parts."""
+    import json
+
+    from pygeoapi_ingestor_spark.api import ProcessAPI
+    from pygeoapi_ingestor_spark.operators import spatial
+    from pygeoapi_ingestor_spark.plans.queries_etl import (
+        DANGER_COLORS,
+        ISO_LEVELS,
+    )
+    from pygeoapi_ingestor_spark.streaming import pipeline
+
+    src = str(tmp_path / "danger_src")
+    ev = read_events(spark, sf_dir)
+    ev.coalesce(2).write.mode("overwrite").json(src)
+
+    # 1. continuous feed -> registered collection (one availableNow tick)
+    cat = CollectionCatalog(str(tmp_path / "cat.json"))
+    stream = pipeline.read_event_stream(spark, src, fmt="json")
+    feed = pipeline.danger_levels_stream(stream, window="7 days",
+                                         watermark="1 day")
+    coll = str(tmp_path / "danger_coll")
+    pipeline.run_to_collection(
+        feed, "danger_levels", coll, str(tmp_path / "ckpt"),
+        cat, ts_col="window_start", mode="complete",
+    )
+    assert cat.exists("danger_levels")
+    assert cat.healthcheck(spark)[0]["ok"]
+
+    # 2. the /items read surface pages the published feed
+    api = ProcessAPI()
+    page = api.items(
+        spark, coll, properties={"event_type": "click"},
+        sort_col="window_start", limit=10,
+    )
+    assert page["numberReturned"] > 0
+    assert {"window_start", "window_max", "color"} <= set(
+        page["features"][0]
+    )
+
+    # 3. execute -> result_json: the reference's week/month/value/color
+    # payload, written to the "bucket" path like the process does
+    weekly = (
+        spark.read.parquet(coll)
+        .filter(F.col("event_type") == "click")
+    )
+    payload = pipeline.danger_levels_result_json(weekly)
+    out_file = tmp_path / "result.json"
+    out_file.write_text(json.dumps(payload))
+    got = json.loads(out_file.read_text())
+
+    # shape: {week: color} dict + full series rows
+    assert got["weeks"] and got["series"]
+    assert set(got["weeks"].values()) <= set(DANGER_COLORS)
+    assert all(1 <= int(w) <= 53 for w in got["weeks"])
+    for row in got["series"]:
+        assert {"week", "month", "value", "color"} == set(row)
+        assert 1 <= row["month"] <= 12
+
+    # the streamed payload must classify exactly like the batch ladder
+    batch = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.window("ts", "7 days").alias("w"))
+        .agg(F.max("value").alias("window_max"))
+        .select(
+            F.col("w.end").alias("window_end"), "window_max",
+            F.element_at(
+                F.array(*[F.lit(c) for c in DANGER_COLORS]),
+                spatial.band_classify(F.col("window_max"), ISO_LEVELS)
+                + F.lit(1),
+            ).alias("color"),
+        )
+    )
+    exp = pipeline.danger_levels_result_json(batch)
+    assert got["weeks"] == {str(k): v for k, v in exp["weeks"].items()}

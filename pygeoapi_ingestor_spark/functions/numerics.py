@@ -32,20 +32,26 @@ def gammainc_lower(a: float, x: np.ndarray) -> np.ndarray:
 
 
 def _gser(a: float, x: np.ndarray) -> np.ndarray:
-    """Series representation: P(a,x) = e^-x x^a / Γ(a) * Σ x^n Γ(a)/Γ(a+1+n)."""
+    """Series representation: P(a,x) = e^-x x^a / Γ(a) * Σ x^n Γ(a)/Γ(a+1+n).
+
+    The term loop runs on a COMPRESSED active set: convergence count is
+    ~x+a terms, so small-x elements finish in a handful of iterations
+    and must not pay for the slowest element in the batch (this kernel
+    sits under both the SPI family and the gamma quantile-map Newton
+    iteration)."""
     if x.size == 0:
         return x.copy()
     gln = _lgamma(a)
-    ap = np.full_like(x, a)
     term = np.full_like(x, 1.0 / a)
     total = term.copy()
-    active = np.ones_like(x, dtype=bool)
+    ap = a
+    idx = np.arange(x.size)
     for _ in range(500):
         ap += 1.0
-        term = term * x / ap
-        total = np.where(active, total + term, total)
-        active = np.abs(term) >= np.abs(total) * 1e-15
-        if not active.any():
+        term[idx] = term[idx] * x[idx] / ap
+        total[idx] += term[idx]
+        idx = idx[np.abs(term[idx]) >= np.abs(total[idx]) * 1e-15]
+        if idx.size == 0:
             break
     with errstate(divide="ignore", invalid="ignore"):
         res = total * np.exp(-x + a * np.log(np.where(x > 0, x, 1.0)) - gln)
@@ -53,7 +59,13 @@ def _gser(a: float, x: np.ndarray) -> np.ndarray:
 
 
 def _gcf(a: float, x: np.ndarray) -> np.ndarray:
-    """Continued-fraction representation of Q(a,x) (modified Lentz)."""
+    """Continued-fraction representation of Q(a,x) (modified Lentz).
+
+    Like ``_gser``, the Lentz recurrence runs on a COMPRESSED active
+    set: an element whose delta has converged to 1 within 1e-15 stops
+    iterating (its h would only accumulate ~1-ulp drift per extra
+    step), so a batch's cost tracks each element's own convergence
+    depth instead of the slowest element's."""
     if x.size == 0:
         return x.copy()
     gln = _lgamma(a)
@@ -62,17 +74,19 @@ def _gcf(a: float, x: np.ndarray) -> np.ndarray:
     c = np.full_like(x, 1.0 / tiny)
     d = 1.0 / np.where(b != 0, b, tiny)
     h = d.copy()
+    idx = np.arange(x.size)
     for i in range(1, 500):
         an = -i * (i - a)
-        b = b + 2.0
-        d = an * d + b
-        d = np.where(np.abs(d) < tiny, tiny, d)
-        c = b + an / c
-        c = np.where(np.abs(c) < tiny, tiny, c)
-        d = 1.0 / d
-        delta = d * c
-        h = h * delta
-        if np.all(np.abs(delta - 1.0) < 1e-15):
+        b[idx] += 2.0
+        d[idx] = an * d[idx] + b[idx]
+        d[idx] = np.where(np.abs(d[idx]) < tiny, tiny, d[idx])
+        c[idx] = b[idx] + an / c[idx]
+        c[idx] = np.where(np.abs(c[idx]) < tiny, tiny, c[idx])
+        d[idx] = 1.0 / d[idx]
+        delta = d[idx] * c[idx]
+        h[idx] = h[idx] * delta
+        idx = idx[np.abs(delta - 1.0) >= 1e-15]
+        if idx.size == 0:
             break
     return np.exp(-x + a * np.log(x) - gln) * h
 
@@ -149,17 +163,21 @@ def gammainc_ppf(a: float, p: np.ndarray) -> np.ndarray:
     seed = 1.0 - 1.0 / (9.0 * a) + z / (3.0 * np.sqrt(a))
     t = a * np.clip(seed, 0.02, None) ** 3
     t = np.clip(t, 1e-300, None)
-    active = np.ones_like(t, dtype=bool)
+    # iterate on a COMPRESSED active set: most elements converge in
+    # ~4-8 Newton steps, and gammainc_lower's own inner loops run until
+    # the whole array converges — evaluating already-converged elements
+    # every iteration made the pandas-UDF batch path ~3x slower
+    idx = np.arange(t.size)
     for _ in range(100):
-        f = gammainc_lower(a, t) - pm
+        f = gammainc_lower(a, t[idx]) - pm[idx]
         with errstate(over="ignore", under="ignore", divide="ignore"):
             # dP/dt = t^(a-1) e^-t / Γ(a);   d/d(log t) = t * dP/dt
-            dlog = np.exp(-t + a * np.log(t) - gln)
+            dlog = np.exp(-t[idx] + a * np.log(t[idx]) - gln)
         du = f / np.clip(dlog, 1e-300, None)
         du = np.clip(du, -2.0, 2.0)  # damp far-from-root steps
-        t = np.where(active, t * np.exp(-du), t)
-        active = active & (np.abs(du) > 1e-15)
-        if not active.any():
+        t[idx] = t[idx] * np.exp(-du)
+        idx = idx[np.abs(du) > 1e-15]
+        if idx.size == 0:
             break
     out[m] = t
     return out

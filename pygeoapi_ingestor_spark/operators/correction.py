@@ -297,6 +297,14 @@ def parametric_gamma_map(
 
     ensure_package_on_executors(fact.sparkSession)
     joined = fact.join(F.broadcast(params), key_cols, "inner")
+    # spread the Python stage: a local single-file input arrives as 1-2
+    # partitions and would serialize the whole vectorized kernel on one
+    # worker. Only repartition when the input is narrower than the
+    # cores — a production input with thousands of partitions keeps its
+    # partitioning (no extra shuffle).
+    par = fact.sparkSession.sparkContext.defaultParallelism
+    if joined.rdd.getNumPartitions() < par:
+        joined = joined.repartition(par)
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in joined.schema.fields

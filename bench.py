@@ -38,6 +38,9 @@ HEADLINE_KEYS = [
     "tfidf_top_terms", "retention_cohorts",
     # round-6 additions with real plan weight
     "isoband_regions", "knn_outliers_ivf", "knn_outliers_recall",
+    # round-7 additions: the gamma quantile-map (heaviest Python-kernel
+    # path) and the budgeted-selection window pass
+    "bias_correction_parametric_gamma", "token_budget_select",
 ]
 
 

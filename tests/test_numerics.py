@@ -111,3 +111,26 @@ def test_gammainc_ppf_inverts_cdf(a, p):
     assert t >= 0.0
     back = numerics.gammainc_lower(a, np.array([t]))[0]
     assert abs(back - p) < 1e-9
+
+
+def _gammainc_naive(a: float, x: float, terms: int = 400) -> float:
+    """Independent direct-series P(a,x) = e^-x Σ x^(a+n)/Γ(a+n+1) built
+    only on math.lgamma — a different code path from the kernel's
+    series/continued-fraction split, used as a cross-implementation
+    oracle."""
+    if x <= 0:
+        return 0.0
+    total = 0.0
+    for n in range(terms):
+        total += math.exp(
+            -x + (a + n) * math.log(x) - math.lgamma(a + n + 1.0)
+        )
+    return min(total, 1.0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.floats(0.3, 12.0), st.floats(0.05, 25.0))
+def test_gammainc_matches_independent_series(a, x):
+    got = numerics.gammainc_lower(a, np.array([x]))[0]
+    want = _gammainc_naive(a, x)
+    assert abs(got - want) < 1e-10, (a, x, got, want)

@@ -56,6 +56,7 @@ _R7_NEW = [
     "bias_correction_parametric_tp",
     "ensemble_quantiles",
     "token_budget_select",
+    "corpus_snapshot_diff",
 ]
 
 # newest driver stamp is round 3 (code unchanged since) — the stalest

@@ -4306,3 +4306,106 @@ SELECT source,
            AS cutoff_quality
 FROM running GROUP BY source
 """
+
+
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff — the per-source added/removed/changed/
+    unchanged accounting (with token deltas) a corpus version bump
+    publishes alongside the data (the tabular form of
+    sinks/versioned.py's manifest story, as an analytic query).
+
+    Two snapshots derive deterministically from the documents table so
+    the diff semantics are oracle-checkable: v1 drops doc_id % 7 == 0,
+    v2 drops doc_id % 5 == 0 and EDITS the text of doc_id % 3 == 0
+    (suffix append — changes the normalized fingerprint). The diff is
+    ONE full-outer equi-join on doc_id (colocated under bucketing, the
+    dedup_exact scale shape) comparing content fingerprints; per-source
+    per-status rollup with exact BIGINT token sums.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    v1 = text.fingerprint(
+        docs.filter(F.col("doc_id") % 7 != 0), "text", out_col="fp"
+    ).select(
+        "doc_id", "source", F.col("fp").alias("fp1"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(text.TOKEN_REGEX), F.lit(0)
+            )
+        ).cast("bigint").alias("tok1"),
+    )
+    edited = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" [v2 errata note]")),
+    ).otherwise(F.col("text"))
+    v2 = text.fingerprint(
+        docs.filter(F.col("doc_id") % 5 != 0).withColumn("text", edited),
+        "text",
+        out_col="fp",
+    ).select(
+        F.col("doc_id").alias("doc_id2"), F.col("source").alias("source2"),
+        F.col("fp").alias("fp2"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(text.TOKEN_REGEX), F.lit(0)
+            )
+        ).cast("bigint").alias("tok2"),
+    )
+    j = v1.join(v2, F.col("doc_id") == F.col("doc_id2"), "full_outer")
+    status = (
+        F.when(F.col("doc_id").isNull(), F.lit("added"))
+        .when(F.col("doc_id2").isNull(), F.lit("removed"))
+        .when(F.col("fp1") != F.col("fp2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("source"), F.col("source2")).alias("source"),
+            status.alias("status"),
+            F.coalesce(F.col("tok1"), F.lit(0)).alias("tok1"),
+            F.coalesce(F.col("tok2"), F.lit(0)).alias("tok2"),
+        )
+        .groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tok1").cast("bigint").alias("tokens_v1"),
+            F.sum("tok2").cast("bigint").alias("tokens_v2"),
+            F.sum(F.col("tok2") - F.col("tok1")).cast("bigint").alias("token_delta"),
+        )
+    )
+
+
+LLM_QUERIES["corpus_snapshot_diff"] = q_corpus_snapshot_diff
+
+LLM_ORACLES["corpus_snapshot_diff"] = r"""
+WITH v1 AS (
+    SELECT doc_id, source,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp1,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok1
+    FROM documents WHERE doc_id % 7 <> 0
+), v2src AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 3 = 0 THEN text || ' [v2 errata note]'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 5 <> 0
+), v2 AS (
+    SELECT doc_id AS doc_id2, source AS source2,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp2,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok2
+    FROM v2src
+), j AS (
+    SELECT coalesce(v1.source, v2.source2) AS source,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id2 IS NULL THEN 'removed'
+                WHEN v1.fp1 <> v2.fp2 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           coalesce(v1.tok1, 0) AS tok1,
+           coalesce(v2.tok2, 0) AS tok2
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id2
+)
+SELECT source, status,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok1) AS BIGINT) AS tokens_v1,
+       CAST(sum(tok2) AS BIGINT) AS tokens_v2,
+       CAST(sum(tok2 - tok1) AS BIGINT) AS token_delta
+FROM j GROUP BY 1, 2
+"""

@@ -37,6 +37,12 @@ TZ_SENSITIVE = [
     "pet_knmi",
     "pet_deficit_chain",
     "danger_levels_weekly",
+    # round-7: dayofmonth-keyed parametric QM + day-bucketed ensemble
+    # quantiles + the capped day-pair trend fits
+    "bias_correction_parametric",
+    "ensemble_quantiles",
+    "theilsen_trend",
+    "mann_kendall",
 ]
 
 

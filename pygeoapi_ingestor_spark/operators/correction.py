@@ -296,15 +296,12 @@ def parametric_gamma_map(
     from pygeoapi_ingestor_spark.session import ensure_package_on_executors
 
     ensure_package_on_executors(fact.sparkSession)
-    joined = fact.join(F.broadcast(params), key_cols, "inner")
+    from pygeoapi_ingestor_spark.session import spread_if_narrow
+
     # spread the Python stage: a local single-file input arrives as 1-2
     # partitions and would serialize the whole vectorized kernel on one
-    # worker. Only repartition when the input is narrower than the
-    # cores — a production input with thousands of partitions keeps its
-    # partitioning (no extra shuffle).
-    par = fact.sparkSession.sparkContext.defaultParallelism
-    if joined.rdd.getNumPartitions() < par:
-        joined = joined.repartition(par)
+    # worker; an already-wide production input keeps its partitioning
+    joined = spread_if_narrow(fact.join(F.broadcast(params), key_cols, "inner"))
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in joined.schema.fields

@@ -342,13 +342,14 @@ def ivf_knn_outliers(
         t = F.col(f"_e{i}") * F.col(f"_e{i}")
         nrm = t if nrm is None else nrm + t
     # one pass: scalar components + norm + home/probe clusters, persisted
-    # narrow so neither join side recomputes the centroid argmin; the
-    # repartition spreads a single-file local input across the cores (one
-    # row group => one task otherwise serializes the whole argmin build)
+    # narrow so neither join side recomputes the centroid argmin; a
+    # single-file local input spreads across the cores first (one row
+    # group => one task otherwise serializes the whole argmin build),
+    # while an already-wide production input keeps its partitioning
+    from pygeoapi_ingestor_spark.session import spread_if_narrow
+
     flat = (
-        embeddings.repartition(
-            embeddings.sparkSession.sparkContext.defaultParallelism
-        )
+        spread_if_narrow(embeddings)
         .select(F.col(id_col).alias("_vid"), *comps,
                 F.slice(F.array_sort(scored), 1, n_probe).alias("_near"))
         .withColumn("_nrm", F.sqrt(nrm))

@@ -1614,7 +1614,8 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_queries rides in the output. Both sides are deterministic, so
     even the approximate side is value-hash-gated."""
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id").isin(_ann_query_ids(spark, sf_dir)))
+    qids = _ann_query_ids(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(qids))
     gt = similarity.cosine_topk(
         e, q, id_col="vec_id", vec_col="embedding",
         query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
@@ -1637,8 +1638,11 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_k"),
     )
-    n_q = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
-    return per_query.crossJoin(F.broadcast(n_q))
+    # the sample ids are already a driver-side list; a count() aggregate
+    # branch + crossJoin would re-scan embeddings for a known constant
+    return per_query.withColumn(
+        "n_queries", F.lit(len(qids)).cast("bigint")
+    )
 
 
 _WORDS_CTE = r"""
@@ -3760,15 +3764,13 @@ def q_embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(EMB_DIM):
         t = F.col(f"e{i}") * F.col(f"e{i}")
         nrm = t if nrm is None else nrm + t
-    # embeddings is a single parquet file => one input partition; spread
-    # the streamed side of the nested-loop join across the executor
-    # cores or the whole n^2 FMA pass runs on one thread (measured 7.7s
-    # -> ~1s at sf0.1)
-    flat = (
-        flat.withColumn("nrm", F.sqrt(nrm))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
-    )
+    # a single-file local input arrives as one partition and would run
+    # the whole n^2 FMA pass on one thread (measured 7.7s -> ~3s at
+    # sf0.1); spread_if_narrow leaves an already-wide production input
+    # untouched (no gratuitous shuffle, no parallelism collapse)
+    from pygeoapi_ingestor_spark.session import spread_if_narrow
+
+    flat = spread_if_narrow(flat.withColumn("nrm", F.sqrt(nrm))).persist()
     a = flat.select(
         F.col("vec_id").alias("ia"), F.col("nrm").alias("na"),
         *[F.col(f"e{i}").alias(f"a{i}") for i in range(EMB_DIM)],
@@ -4005,14 +4007,12 @@ def _exact_knn_scores_sampled(
     for i in range(EMB_DIM):
         t = F.col(f"e{i}") * F.col(f"e{i}")
         nrm = t if nrm is None else nrm + t
-    # embeddings is a single parquet file => one input partition; spread
-    # the streamed side of the nested-loop join across the executor
-    # cores or the whole FMA pass runs on one thread
-    flat = (
-        flat.withColumn("nrm", F.sqrt(nrm))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
-    )
+    # a single-file local input arrives as one partition and would run
+    # the whole FMA pass on one thread; spread_if_narrow leaves an
+    # already-wide production input untouched (no gratuitous shuffle)
+    from pygeoapi_ingestor_spark.session import spread_if_narrow
+
+    flat = spread_if_narrow(flat.withColumn("nrm", F.sqrt(nrm))).persist()
     a = flat.filter(F.col("vec_id").isin(sample_ids)).select(
         F.col("vec_id").alias("ia"), F.col("nrm").alias("na"),
         *[F.col(f"e{i}").alias(f"a{i}") for i in range(EMB_DIM)],
@@ -4179,10 +4179,16 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LLM_QUERIES["dedup_keep_best"] = q_dedup_keep_best
 
-_QUALITY_CTE = r"""
+def _quality_cte(feat_cols: str = "", carry: str = "") -> str:
+    """ONE source of truth for the composite-quality oracle SQL (the
+    operators/text.py quality_features twin): ``feat_cols`` adds extra
+    SELECT expressions to the feats CTE, ``carry`` propagates columns
+    by name into scored — so consumers extend the shared fragment
+    instead of pasting a diverging copy of the weight formula."""
+    return rf"""
 feats AS (
     SELECT doc_id,
-           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint{feat_cols},
            length(text) AS n_chars,
            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
            length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
@@ -4191,7 +4197,7 @@ feats AS (
            len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it)\b')) AS n_stop
     FROM documents
 ), scored AS (
-    SELECT doc_id, fingerprint,
+    SELECT doc_id, fingerprint{carry},
            0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
            + 0.3 * least((CASE WHEN n_ws > 0 THEN n_stop / n_ws ELSE 0.0 END) * 2, 1.0)
            + 0.2 * (1.0 - least((CASE WHEN n_alpha > 0 THEN n_upper / n_alpha ELSE 0.0 END) * 2, 1.0))
@@ -4199,6 +4205,9 @@ feats AS (
                AS quality_score
     FROM feats
 )"""
+
+
+_QUALITY_CTE = _quality_cte()
 
 LLM_ORACLES["dedup_keep_best"] = (
     "WITH " + _QUALITY_CTE + """
@@ -4269,26 +4278,14 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LLM_QUERIES["token_budget_select"] = q_token_budget_select
 
-LLM_ORACLES["token_budget_select"] = rf"""
-WITH feats AS (
-    SELECT doc_id, source,
-           length(text) AS n_chars,
-           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-           length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
-           len(string_split_regex(trim(text), '\s+')) AS n_ws,
-           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it)\b')) AS n_stop,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens
-    FROM documents
-), scored AS (
-    SELECT doc_id, source, regex_tokens,
-           0.4 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
-           + 0.3 * least((CASE WHEN n_ws > 0 THEN n_stop / n_ws ELSE 0.0 END) * 2, 1.0)
-           + 0.2 * (1.0 - least((CASE WHEN n_alpha > 0 THEN n_upper / n_alpha ELSE 0.0 END) * 2, 1.0))
-           + 0.1 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5, 1.0))
-               AS quality_score
-    FROM feats
-), running AS (
+LLM_ORACLES["token_budget_select"] = "WITH " + _quality_cte(
+    feat_cols=(
+        r", source, len(regexp_extract_all(text,"
+        r" '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens"
+    ),
+    carry=", source, regex_tokens",
+) + rf"""
+, running AS (
     SELECT source, doc_id, quality_score, regex_tokens,
            sum(regex_tokens) OVER (PARTITION BY source
                ORDER BY quality_score DESC, doc_id ASC

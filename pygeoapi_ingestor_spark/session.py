@@ -56,6 +56,19 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def spread_if_narrow(df):
+    """Repartition to the session's core count ONLY when the input has
+    fewer partitions — a local single-file parquet arrives as one
+    partition and would serialize any all-pairs / heavy-projection
+    stage on one thread, while a production input with thousands of
+    partitions must keep its partitioning (no gratuitous full-data
+    shuffle, no parallelism collapse)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def ensure_package_on_executors(spark: SparkSession) -> None:
     """Ship this package to executor Python workers via ``addPyFile``.
 

@@ -515,14 +515,22 @@ def danger_levels_result_json(
     to the dict (rijnland_precipitation_deficit returns week numbers,
     month numbers and weekly values; execute then categorizes).
 
+    ``week_source_col`` is the window's EXCLUSIVE end (the streaming
+    feed's ``window_end``), a timestamp that is never inside the
+    window: labels derive from the LAST INCLUDED DAY (end − 1 day), so
+    a July window [Jul 25, Aug 1) publishes July's week/month — the
+    reference labels by the data's own Sundays, which are in-window
+    (ll_nl_danger_levels.py:86-92).
+
     Driver-side over the BOUNDED weekly rows (weeks/year per region —
     never data-scaled), the same O(weeks) shape as the reference's
     numpy arrays.
     """
+    last_day = F.date_sub(F.col(week_source_col).cast("date"), 1)
     rows = (
         weekly.select(
-            F.weekofyear(F.col(week_source_col)).cast("int").alias("week"),
-            F.month(F.col(week_source_col)).cast("int").alias("month"),
+            F.weekofyear(last_day).cast("int").alias("week"),
+            F.month(last_day).cast("int").alias("month"),
             F.col(value_col).alias("value"),
             F.col(color_col).alias("color"),
             F.col(week_source_col).alias("_ord"),

@@ -204,3 +204,23 @@ def test_danger_levels_publication_arc(spark, sf_dir, tmp_path):
     )
     exp = pipeline.danger_levels_result_json(batch)
     assert got["weeks"] == {str(k): v for k, v in exp["weeks"].items()}
+
+
+def test_result_json_labels_by_last_included_day(spark):
+    """Regression (round-7 review): window_end is the EXCLUSIVE bound —
+    a July window [Jul 25, Aug 1) must publish July's week/month, not
+    August's."""
+    import datetime
+
+    from pygeoapi_ingestor_spark.streaming import pipeline
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 8, 1), 120.0, "green")],
+        "window_end timestamp, window_max double, color string",
+    )
+    payload = pipeline.danger_levels_result_json(df)
+    row = payload["series"][0]
+    last_day = datetime.date(2024, 7, 31)
+    assert row["month"] == 7
+    assert row["week"] == last_day.isocalendar()[1]
+    assert payload["weeks"] == {last_day.isocalendar()[1]: "green"}

@@ -1824,10 +1824,18 @@ def q_sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 LLM_QUERIES["sim_search_pq_adc"] = q_sim_search_pq_adc
 
 
-def _pq_adc_oracle_sql(m_subs: int = 8, n_codes: int = 16, dim: int = 64, k: int = 5) -> str:
+def _pq_adc_oracle_sql(
+    m_subs: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    k: int = 5,
+    query_pred: str = "vec_id < 5",
+) -> str:
     """DuckDB twin of pq_adc_topk: same quantization, the same md5-draw
     codebook, per-subspace integer distances written as explicit 8-term
-    sums, codes via (d, j) row_number argmin, ADC via code-table join."""
+    sums, codes via (d, j) row_number argmin, ADC via code-table join.
+    ``query_pred`` selects the query subset (standalone key: first ids;
+    the recall eval passes the fixed-K md5 sample)."""
     sub = dim // m_subs
     terms = " + ".join(
         f"(v.q[{sub}*mm.m+{t}] - s.sq[{sub}*mm.m+{t}])"
@@ -1862,7 +1870,7 @@ cdist AS (
                row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
         FROM cdist) WHERE rn = 1
 ), qtab AS (
-    SELECT vec_id AS query_id, m, j, d FROM cdist WHERE vec_id < 5
+    SELECT vec_id AS query_id, m, j, d FROM cdist WHERE {query_pred}
 ), adc AS (
     SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.d) AS adc_dist
     FROM codes c JOIN qtab t ON t.m = c.m AND t.j = c.code
@@ -1878,6 +1886,58 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 
 
 LLM_ORACLES["sim_search_pq_adc"] = _pq_adc_oracle_sql()
+
+
+def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC index acceptance — the compressed-scan sibling of
+    ann_recall_eval, on the SAME fixed-K smallest-md5 query sample so
+    the two index families' recall numbers are directly comparable:
+    recall@k of the ADC ranking vs brute-force cosine ground truth per
+    query, n_queries in every row. Cost is K·n on both sides; both
+    sides are deterministic, so the whole row is value-hash-gated."""
+    e = _emb(spark, sf_dir)
+    qids = _ann_query_ids(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(qids))
+    gt = similarity.cosine_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
+    )
+    cand = similarity.pq_adc_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding",
+        k=TOPK, m_subs=8, n_codes=16, dim=64,
+    )
+    hits = gt.select("query_id", "neighbor_id").join(
+        cand.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per_query = hits.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.lit(float(TOPK)),
+            6,
+        ).alias("recall_at_k"),
+    )
+    return per_query.withColumn("n_queries", F.lit(len(qids)).cast("bigint"))
+
+
+LLM_QUERIES["pq_recall_eval"] = q_pq_recall_eval
+
+LLM_ORACLES["pq_recall_eval"] = f"""
+    WITH gt AS (SELECT * FROM ({_cosine_topk_oracle_sql(_ANN_QUERY_SQL)})),
+         cand AS (SELECT * FROM ({_pq_adc_oracle_sql(query_pred=_ANN_QUERY_SQL)})),
+         nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+                FROM embeddings WHERE {_ANN_QUERY_SQL})
+    SELECT gt.query_id,
+           CAST(count(cand.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(cand.neighbor_id) / {float(TOPK)}, 6) AS recall_at_k,
+           (SELECT n_queries FROM nq) AS n_queries
+    FROM gt LEFT JOIN cand
+      ON gt.query_id = cand.query_id AND gt.neighbor_id = cand.neighbor_id
+    GROUP BY gt.query_id
+"""
 
 
 def q_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,6 +58,7 @@ _R7_NEW = [
     "token_budget_select",
     "corpus_snapshot_diff",
     "pq_recall_eval",
+    "ivf_recall_eval",
 ]
 
 # newest driver stamp is round 3 (code unchanged since) — the stalest

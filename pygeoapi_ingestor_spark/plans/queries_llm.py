@@ -806,6 +806,49 @@ def _cosine_topk_oracle_sql(query_pred: str = "vec_id < 5") -> str:
     """
 
 
+def _ivf_topk_oracle_sql(query_pred: str = "vec_id < 5") -> str:
+    """DuckDB twin of ivf_topk (16 lowest-id centroids, 4 probes):
+    ``query_pred`` selects the query subset (standalone key: first ids;
+    the recall eval passes the fixed-K md5 sample — inside the probes
+    scope the bare ``vec_id`` resolves to the query side, cents columns
+    are renamed)."""
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        assign AS (
+            SELECT vec_id, v, cid AS cluster FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, c.cv) ASC, c.cid ASC) AS rn
+                FROM e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, qv, cid AS cluster FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_distance(q.v, c.cv) ASC, c.cid ASC) AS rn
+                FROM e q CROSS JOIN cents c WHERE {query_pred}
+            ) WHERE rn <= 4
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   list_dot_product(a.v, p.qv) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv)))
+                       AS cosine
+            FROM assign a JOIN probes p ON a.cluster = p.cluster
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+               CAST(rnk AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """
+
+
 def _lsh_topk_oracle_sql(query_pred: str = "vec_id < 5") -> str:
     """DuckDB twin of the md5-plane LSH top-k: the same literal +/-1
     plane matrix with left-associated projections, full-signature
@@ -1358,41 +1401,7 @@ LLM_ORACLES = {
     """,
     # IVF is deterministic (centroids = 16 lowest-id vectors), so the whole
     # assign -> probe -> rank pipeline has an exact SQL twin
-    "sim_search_ivf": """
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-        assign AS (
-            SELECT vec_id, v, cid AS cluster FROM (
-                SELECT e.vec_id, e.v, c.cid,
-                       row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY list_distance(e.v, c.cv) ASC, c.cid ASC) AS rn
-                FROM e CROSS JOIN cents c
-            ) WHERE rn = 1
-        ),
-        probes AS (
-            SELECT query_id, qv, cid AS cluster FROM (
-                SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
-                       row_number() OVER (PARTITION BY q.vec_id
-                           ORDER BY list_distance(q.v, c.cv) ASC, c.cid ASC) AS rn
-                FROM e q CROSS JOIN cents c WHERE q.vec_id < 5
-            ) WHERE rn <= 4
-        ),
-        scored AS (
-            SELECT p.query_id, a.vec_id AS neighbor_id,
-                   list_dot_product(a.v, p.qv) /
-                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv)))
-                       AS cosine
-            FROM assign a JOIN probes p ON a.cluster = p.cluster
-            WHERE a.vec_id <> p.query_id
-        )
-        SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
-               CAST(rnk AS INTEGER) AS rank
-        FROM (
-            SELECT *, row_number() OVER (PARTITION BY query_id
-                          ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-            FROM scored
-        ) WHERE rnk <= 5
-    """,
+    "sim_search_ivf": _ivf_topk_oracle_sql(),
     "corpus_mix_sample": f"""
         WITH weights(source, rate) AS (VALUES
             {", ".join(f"('{s}', {r!r})" for s, r in MIX_WEIGHTS.items())}),
@@ -1928,6 +1937,57 @@ LLM_QUERIES["pq_recall_eval"] = q_pq_recall_eval
 LLM_ORACLES["pq_recall_eval"] = f"""
     WITH gt AS (SELECT * FROM ({_cosine_topk_oracle_sql(_ANN_QUERY_SQL)})),
          cand AS (SELECT * FROM ({_pq_adc_oracle_sql(query_pred=_ANN_QUERY_SQL)})),
+         nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+                FROM embeddings WHERE {_ANN_QUERY_SQL})
+    SELECT gt.query_id,
+           CAST(count(cand.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(cand.neighbor_id) / {float(TOPK)}, 6) AS recall_at_k,
+           (SELECT n_queries FROM nq) AS n_queries
+    FROM gt LEFT JOIN cand
+      ON gt.query_id = cand.query_id AND gt.neighbor_id = cand.neighbor_id
+    GROUP BY gt.query_id
+"""
+
+
+def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index acceptance — completes the per-index-family recall
+    trio (LSH C34, PQ-ADC C65, IVF here) on the SAME fixed-K
+    smallest-md5 query sample: recall@k of the 16-list/4-probe IVF
+    ranking vs brute-force cosine ground truth per query, n_queries in
+    every row. Deterministic centroids => value-hash-gated."""
+    e = _emb(spark, sf_dir)
+    qids = _ann_query_ids(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(qids))
+    gt = similarity.cosine_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
+    )
+    cand = similarity.ivf_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding",
+        k=TOPK, n_clusters=16, n_probe=4,
+    )
+    hits = gt.select("query_id", "neighbor_id").join(
+        cand.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per_query = hits.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.lit(float(TOPK)),
+            6,
+        ).alias("recall_at_k"),
+    )
+    return per_query.withColumn("n_queries", F.lit(len(qids)).cast("bigint"))
+
+
+LLM_QUERIES["ivf_recall_eval"] = q_ivf_recall_eval
+
+LLM_ORACLES["ivf_recall_eval"] = f"""
+    WITH gt AS (SELECT * FROM ({_cosine_topk_oracle_sql(_ANN_QUERY_SQL)})),
+         cand AS (SELECT * FROM ({_ivf_topk_oracle_sql(_ANN_QUERY_SQL)})),
          nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
                 FROM embeddings WHERE {_ANN_QUERY_SQL})
     SELECT gt.query_id,

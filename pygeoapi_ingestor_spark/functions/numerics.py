@@ -179,6 +179,17 @@ def gammainc_ppf(a: float, p: np.ndarray) -> np.ndarray:
         idx = idx[np.abs(du) > 1e-15]
         if idx.size == 0:
             break
+    # positions still active after the cap may never have converged (the
+    # log-space derivative underflows for p within ~ulp of 1, du
+    # saturates at the +/-2 damp and the iterate can oscillate). Judge
+    # them by the actual CDF residual, not the last step size — a
+    # slow-tail element whose residual is at rounding level is fine;
+    # a saturated oscillator has a large residual and must surface as
+    # NaN like the other edge cases, not masquerade as converged.
+    if idx.size:
+        resid = np.abs(gammainc_lower(a, t[idx]) - pm[idx])
+        tol = 1e-9 * np.maximum(pm[idx], 1.0 - pm[idx])
+        t[idx[resid > tol]] = np.nan
     out[m] = t
     return out
 

@@ -31,76 +31,16 @@ _ALL = {
     **BEHAVIOR_QUERIES,
 }
 
-# Round-7 front-load (VERDICT r6 "Next round: do this" #2): the driver
-# stamps the first ~50 entries in dict order. CORRECTNESS_r06 covered
-# the entire r6 backlog (the 16 never-stamped + 31 r2-stale keys) plus
-# knn_outliers_ivf / knn_outliers_recall / pet_knmi, which leaves five
-# round-6 keys with no driver stamp in any round. Those five go first,
-# then this round's brand-new keys, then the 47 keys whose newest stamp
-# is still round 3 — ~55 keys, approximately the window. After r7 the
-# union staleness floor rises to round 4.
+# Round-8 front-load (VERDICT r7 "Next round: do this" #1): the driver
+# stamps the first ~50 entries in dict order. After r7 the union stamp
+# recency is r7x50, r6x50, r5x50, r4x49, r3x10 (computed from the
+# CORRECTNESS_r01-r07 union). The 10 keys whose newest stamp is still
+# round 3 go first, then the 49-key round-4 cohort — 59 keys, so the
+# ~50-key window covers all of r3 plus most of r4; r9 rotates the
+# remainder. New r8 keys (if any) land between r4 and r5 via ``_rest``.
 
-# no CORRECTNESS_r* row in r1-r6 (late round-6 additions)
-_NEVER_STAMPED = [
-    "isoband_regions",
-    "pet_deficit_chain",
-    "river_discharge_arpae",
-    "danger_levels_weekly",
-    "dedup_keep_best",
-]
-
-# new round-7 keys (appended as they are built this round)
-_R7_NEW = [
-    "bias_correction_parametric",
-    "bias_correction_parametric_gamma",
-    "bias_correction_parametric_tp",
-    "ensemble_quantiles",
-    "token_budget_select",
-    "corpus_snapshot_diff",
-    "pq_recall_eval",
-    "ivf_recall_eval",
-]
-
-# newest driver stamp is round 3 (code unchanged since) — the stalest
-# surviving cohort; rotates through the remainder of the r7 window.
+# newest driver stamp is round 3 — the stalest surviving cohort
 _STAMPED_R3 = [
-    "dedup_simhash",
-    "kmeans_clusters_int8",
-    "sim_search_ivf_trained",
-    "fuzzy_match_names",
-    "spi_empirical",
-    "ewma_smooth",
-    "skew_join_salted",
-    "chunk_documents",
-    "top_ngrams",
-    "dedup_incremental_lsh",
-    "funnel_conversion",
-    "value_percentiles",
-    "unpivot_daily",
-    "dedup_spans",
-    "grouping_sets_mixed",
-    "interval_overlap_join",
-    "percent_rank_bucketed",
-    "value_histogram",
-    "docs_top_per_source",
-    "approx_percentile_value",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_ship_delay",
-    "q20_volume_share_suppliers",
-    "q21_waiting_suppliers",
-    "repetition_metrics",
-    "sim_search_int8",
-    "sim_search_lsh",
-    "ntile_quartiles",
-    "dedup_minhash_lsh",
-    "dedup_lsh_verified",
-    "dedup_components",
-    "corr_value_props",
-    "profile_events",
-    "extreme_values",
-    "distinct_users_daily",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -113,59 +53,63 @@ _STAMPED_R3 = [
     "q19_disjunctive",
 ]
 
+# newest driver stamp is round 4
 _STAMPED_R4 = [
-    "sim_search_pq_adc",
-    "centroid_classify",
-    "zonal_stats",
-    "rfm_segments",
-    "time_weighted_avg",
-    "sessionize_gap",
+    "select_time_range",
+    "resample_daily_sum",
+    "resample_weekly_max",
+    "rolling_sum_7d",
+    "rolling_sum_7d_range",
     "linear_interp_gaps",
+    "climatology_hourly",
+    "anomaly_vs_climatology",
+    "spi_gamma",
+    "spi_gamma_ts3",
+    "zonal_stats",
+    "ensemble_stats",
+    "bias_correction_qmap",
+    "precip_deficit_cumsum",
+    "unit_convert_derive",
+    "regrid_snap_agg",
+    "dedup_latest_snapshot",
+    "sessionize_gap",
+    "set_ops_customers",
+    "approx_distinct_users",
+    "q22_idle_customers",
+    "rollup_revenue",
+    "cube_orders",
+    "pivot_daily_by_type",
+    "json_extract_props",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "resample_weekly_max_sun",
+    "resample_monthly_scaled",
+    "time_weighted_avg",
+    "centroid_classify",
     "merge_upsert",
     "dedup_ppjoin",
     "regrid_bilinear",
     "morton_cells",
     "winnow_fingerprints",
+    "sim_search_pq_adc",
     "dedup_against_reference",
     "tfidf_top_terms",
     "char_entropy",
     "bigram_merges",
     "ann_recall_eval",
     "retention_cohorts",
+    "rfm_segments",
     "mad_outliers",
     "session_stats",
     "streak_lengths",
     "gap_fill_calendar",
     "hist2d_value_hour",
-    "approx_distinct_users",
-    "cube_orders",
-    "dedup_exact",
-    "dedup_latest_snapshot",
-    "dedup_ngram_jaccard",
-    "json_extract_props",
-    "pivot_daily_by_type",
-    "precip_deficit_cumsum",
-    "q22_idle_customers",
-    "regrid_snap_agg",
-    "rollup_revenue",
-    "set_ops_customers",
-    "spi_gamma",
-    "spi_gamma_ts3",
-    "unit_convert_derive",
-    "select_time_range",
-    "resample_daily_sum",
-    "resample_weekly_max",
-    "resample_weekly_max_sun",
-    "resample_monthly_scaled",
-    "rolling_sum_7d",
-    "rolling_sum_7d_range",
-    "climatology_hourly",
-    "anomaly_vs_climatology",
-    "ensemble_stats",
-    "bias_correction_qmap",
 ]
 
+# newest driver stamp is round 5
 _STAMPED_R5 = [
+    "asof_join_events",
+    "asof_join_forward",
     "zonal_stats_polygon",
     "bias_correction_spline",
     "spi_forecast_blend",
@@ -214,13 +158,41 @@ _STAMPED_R5 = [
     "rolling_active_users",
     "bm25_topk",
     "rrf_fusion",
-    "asof_join_events",
-    "asof_join_forward",
 ]
 
-# stamped this past round (CORRECTNESS_r06.json, 50 keys) — freshest
-# evidence, so they queue last.
+# newest driver stamp is round 6
 _STAMPED_R6 = [
+    "forward_fill_gaps",
+    "rating_curve_interp",
+    "threshold_categorize",
+    "collection_healthcheck",
+    "value_change_lag",
+    "token_count",
+    "doc_fingerprint",
+    "lang_id_heuristic",
+    "text_quality_score",
+    "quality_filter",
+    "corpus_token_stats",
+    "dedup_keep_corpus",
+    "multimodal_meta",
+    "multimodal_frames",
+    "embedding_quantize_int8",
+    "sim_search_cosine_topk",
+    "sim_search_ivf",
+    "dedup_embedding_cosine",
+    "threshold_per_station",
+    "bias_correction_stored",
+    "spi_gamma_monthly",
+    "corpus_mix_sample",
+    "decontaminate_ngram",
+    "pack_sequences",
+    "text_scrub",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
     "heat_wave_events",
     "double_mass_curve",
     "kge_nse_scores",
@@ -237,50 +209,77 @@ _STAMPED_R6 = [
     "embedding_knn_outliers",
     "ab_test_conversion",
     "survival_hazard_table",
-    "corpus_token_stats",
-    "rating_curve_interp",
-    "threshold_categorize",
-    "threshold_per_station",
-    "bias_correction_stored",
-    "collection_healthcheck",
-    "value_change_lag",
-    "forward_fill_gaps",
-    "lang_id_heuristic",
-    "text_quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "quality_filter",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "spi_gamma_monthly",
-    "corpus_mix_sample",
-    "text_scrub",
-    "dedup_keep_corpus",
-    "embedding_quantize_int8",
-    "multimodal_meta",
-    "multimodal_frames",
-    "pack_sequences",
-    "decontaminate_ngram",
-    "sim_search_cosine_topk",
-    "sim_search_ivf",
-    "dedup_embedding_cosine",
     "knn_outliers_ivf",
     "knn_outliers_recall",
     "pet_knmi",
 ]
 
-_FRONT = _NEVER_STAMPED + _R7_NEW + _STAMPED_R3
-# keys in no list (defensive: a new key not yet registered above) land
-# between the backlog and the stale tail so they still get stamped early
+# stamped this past round (CORRECTNESS_r07.json, 50 keys) — freshest
+# evidence, so they queue last.
+_STAMPED_R7 = [
+    "spi_empirical",
+    "profile_events",
+    "distinct_users_daily",
+    "ntile_quartiles",
+    "corr_value_props",
+    "extreme_values",
+    "dedup_minhash_lsh",
+    "sim_search_lsh",
+    "dedup_simhash",
+    "dedup_lsh_verified",
+    "dedup_components",
+    "chunk_documents",
+    "top_ngrams",
+    "dedup_incremental_lsh",
+    "funnel_conversion",
+    "fuzzy_match_names",
+    "value_percentiles",
+    "unpivot_daily",
+    "ewma_smooth",
+    "kmeans_clusters_int8",
+    "dedup_spans",
+    "sim_search_ivf_trained",
+    "skew_join_salted",
+    "grouping_sets_mixed",
+    "interval_overlap_join",
+    "percent_rank_bucketed",
+    "value_histogram",
+    "docs_top_per_source",
+    "approx_percentile_value",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_delay",
+    "q20_volume_share_suppliers",
+    "q21_waiting_suppliers",
+    "repetition_metrics",
+    "sim_search_int8",
+    "isoband_regions",
+    "pet_deficit_chain",
+    "river_discharge_arpae",
+    "danger_levels_weekly",
+    "dedup_keep_best",
+    "bias_correction_parametric",
+    "bias_correction_parametric_gamma",
+    "bias_correction_parametric_tp",
+    "ensemble_quantiles",
+    "token_budget_select",
+    "corpus_snapshot_diff",
+    "pq_recall_eval",
+    "ivf_recall_eval",
+]
+
+_FRONT = _STAMPED_R3 + _STAMPED_R4
+# keys in no list (a new key not yet stamped in any round) land right
+# after the front-loaded backlog so they still get stamped early
 _known = (
-    set(_FRONT) | set(_STAMPED_R4) | set(_STAMPED_R5) | set(_STAMPED_R6)
+    set(_FRONT)
+    | set(_STAMPED_R5)
+    | set(_STAMPED_R6)
+    | set(_STAMPED_R7)
 )
 _rest = [k for k in _ALL if k not in _known]
-_order = _FRONT + _rest + _STAMPED_R4 + _STAMPED_R5 + _STAMPED_R6
+_order = _FRONT + _rest + _STAMPED_R5 + _STAMPED_R6 + _STAMPED_R7
 _order = [k for k in _order if k in _ALL]
 assert set(_order) == set(_ALL), sorted(set(_ALL) ^ set(_order))
 assert len(_order) == len(_ALL)

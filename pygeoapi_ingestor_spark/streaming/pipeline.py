@@ -544,7 +544,12 @@ def danger_levels_result_json(
             {
                 "week": int(r["week"]),
                 "month": int(r["month"]),
-                "value": float(r["value"]),
+                # an all-null window (upstream filter dropped every
+                # reading) yields a NULL window_max — publish it as
+                # null rather than raising TypeError mid-payload
+                "value": (
+                    None if r["value"] is None else float(r["value"])
+                ),
                 "color": r["color"],
             }
             for r in rows

@@ -104,6 +104,20 @@ def test_gammainc_ppf_tails():
     assert np.isnan(out[4])
 
 
+def test_gammainc_ppf_never_silently_wrong():
+    """Non-convergence contract (ADVICE r7): every finite output must
+    actually invert the CDF to rounding level; a Newton iterate that hit
+    the 100-step cap without converging surfaces as NaN, never as a
+    plausible-looking wrong number. Probes the near-1 tail where the
+    log-space derivative underflows and du saturates at the damp."""
+    for a in [0.05, 0.2, 1.0, 8.0, 80.0]:
+        p = 1.0 - np.geomspace(1e-16, 1e-3, 200)
+        out = numerics.gammainc_ppf(a, p)
+        fin = np.isfinite(out)
+        resid = np.abs(numerics.gammainc_lower(a, out[fin]) - p[fin])
+        assert np.all(resid <= 1e-9 * np.maximum(p[fin], 1.0 - p[fin]) + 1e-15)
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.floats(0.25, 25.0), st.floats(1e-6, 1.0 - 1e-6))
 def test_gammainc_ppf_inverts_cdf(a, p):

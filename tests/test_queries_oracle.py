@@ -44,6 +44,16 @@ def _normalize(rows, colnames):
     return sorted(out, key=repr)
 
 
+@pytest.fixture(autouse=True)
+def _clear_cache(spark):
+    """CACHE CONTRACT (operators/dedup.py): queries persist index
+    artifacts and never unpersist returned lineage — the harness clears
+    blocks between keys so the 209-key session doesn't accumulate every
+    key's cached partitions."""
+    yield
+    spark.catalog.clearCache()
+
+
 @pytest.mark.parametrize("key", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, key):
     df = QUERIES[key](spark, sf_dir)

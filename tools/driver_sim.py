@@ -96,6 +96,11 @@ def main():
                 status = {"rows_only": True, "n": len(rows)}
         except Exception as e:  # noqa: BLE001
             status = {"error": f"{type(e).__name__}: {e}"[:300]}
+        # CACHE CONTRACT (operators/dedup.py): queries persist their
+        # index artifacts and never unpersist returned lineage — the
+        # driver clears blocks between keys so a full-catalog run does
+        # not accumulate every key's cached partitions
+        spark.catalog.clearCache()
         dt = time.time() - t0
         total += dt
         status["sec"] = round(dt, 2)

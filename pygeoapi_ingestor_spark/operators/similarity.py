@@ -41,6 +41,28 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _flat_double(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, prefix: str, dim: int
+) -> DataFrame:
+    """Flatten array<float> to ``dim`` scalar DOUBLE columns plus the
+    L2 norm as a left-associated scalar chain. Scalar columns live
+    inside whole-stage codegen (higher-order folds are interpreted
+    per-element), and double products + sequential summation are
+    exactly what an external SQL twin (list_dot_product over
+    CAST(... AS DOUBLE[])) computes — so the fast path is also the
+    bit-exact-parity path."""
+    comps = [
+        F.col(vec_col).getItem(i).cast("double").alias(f"{prefix}{i}")
+        for i in range(dim)
+    ]
+    out = df.select(F.col(id_col).alias(out_id), *comps)
+    nrm = None
+    for i in range(dim):
+        t = F.col(f"{prefix}{i}") * F.col(f"{prefix}{i}")
+        nrm = t if nrm is None else nrm + t
+    return out.withColumn(f"{prefix}_nrm", F.sqrt(nrm))
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -49,25 +71,53 @@ def cosine_topk(
     query_id_col: str,
     query_vec_col: str,
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Broadcast cross join (query set is small by contract) + per-query
     window top-k. Excludes self-matches on equal ids.
+
+    With ``dim`` given, the dot product is evaluated as a flattened
+    scalar-chain over DOUBLE columns — whole-stage-codegen'd (the
+    default higher-order ``aggregate``/``zip_with`` fold is interpreted
+    per element, ~5x slower on a K·n scoring pass) and bit-identical to
+    a SQL oracle's CAST(... AS DOUBLE[]) + list_dot_product (sequential
+    double accumulation). Rankings from the two paths agree except
+    where two distinct neighbors' cosines collide within float
+    rounding; prefer ``dim`` wherever the oracle computes in double.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(query_vec_col).alias("_qvec"),
+    if dim is not None:
+        from pygeoapi_ingestor_spark.session import spread_if_narrow
+
+        b = spread_if_narrow(
+            _flat_double(embeddings, id_col, vec_col, "neighbor_id", "b", dim)
         )
-    )
-    joined = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
-    ).crossJoin(q)
-    joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("_vec"), F.col("_qvec")) / _safe_denom(
-        _norm(F.col("_vec")) * _norm(F.col("_qvec"))
-    )
+        a = F.broadcast(
+            _flat_double(queries, query_id_col, query_vec_col, "query_id", "a", dim)
+        )
+        joined = b.crossJoin(a).filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        dot = None
+        for i in range(dim):
+            t = F.col(f"a{i}") * F.col(f"b{i}")
+            dot = t if dot is None else dot + t
+        cos = dot / _safe_denom(F.col("b_nrm") * F.col("a_nrm"))
+    else:
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("_qvec"),
+            )
+        )
+        joined = embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
+        ).crossJoin(q)
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+        cos = _dot(F.col("_vec"), F.col("_qvec")) / _safe_denom(
+            _norm(F.col("_vec")) * _norm(F.col("_qvec"))
+        )
     scored = joined.withColumn("cosine", cos).filter(
         F.col("cosine").isNotNull()
     )

@@ -136,6 +136,7 @@ def q_sim_search_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.cosine_topk(
         e, q, id_col="vec_id", vec_col="embedding",
         query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
+        dim=64,
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
@@ -1628,6 +1629,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = similarity.cosine_topk(
         e, q, id_col="vec_id", vec_col="embedding",
         query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
+        dim=64,
     )
     cand = similarity.lsh_topk(
         e, q, id_col="vec_id", vec_col="embedding",
@@ -1910,6 +1912,7 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = similarity.cosine_topk(
         e, q, id_col="vec_id", vec_col="embedding",
         query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
+        dim=64,
     )
     cand = similarity.pq_adc_topk(
         e, q, id_col="vec_id", vec_col="embedding",
@@ -1961,6 +1964,7 @@ def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = similarity.cosine_topk(
         e, q, id_col="vec_id", vec_col="embedding",
         query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
+        dim=64,
     )
     cand = similarity.ivf_topk(
         e, q, id_col="vec_id", vec_col="embedding",
@@ -3324,7 +3328,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = similarity.cosine_topk(
         e, e.filter(F.col("vec_id") < N_QUERY_VECS),
         id_col="vec_id", vec_col="embedding",
-        query_id_col="vec_id", query_vec_col="embedding", k=RRF_LIST,
+        query_id_col="vec_id", query_vec_col="embedding", k=RRF_LIST, dim=64,
     ).select("query_id", "neighbor_id", F.col("rank").alias("r1"))
 
     # the projection table branches into corpus and query sides;

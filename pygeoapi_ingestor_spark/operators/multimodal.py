@@ -361,3 +361,65 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha256"])
 
     return df.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
+ROUNDTRIP_SCHEMA = (
+    "media_id bigint, media_kind string, width int, height int, "
+    "n_frames int, mean_r double"
+)
+
+
+def synthesize_decode_roundtrip(df: DataFrame, id_col: str) -> DataFrame:
+    """Distributed proof that the REAL codec inverts real bytes: per id,
+    SYNTHESIZE a deterministic payload (even ids: a P6 PPM of
+    id-derived geometry and constant color; odd ids: a PPMV container
+    with an id-derived frame count), then immediately decode it with
+    ``real_decode`` + ``decode_image_pixels`` and emit only
+    DECODED facts (geometry, frame count, mean red channel). An
+    external oracle replays the generator formulas symbolically, so
+    hash equality certifies the encode->decode round trip bit-exactly —
+    the codec analog of the text-derived fingerprint trick
+    ``sample_frames`` uses. One Arrow-batched mapInPandas stage; the
+    payload never leaves the executor."""
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+    ids = df.select(F.col(id_col).cast("bigint").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, v = 4 + mid % 13, 3 + mid % 7, mid % 256
+                rgb = bytes((v, v, v)) * (w * h)
+                frame = encode_ppm(w, h, rgb)
+                if mid % 2 == 0:
+                    kind, payload = "image", frame
+                else:
+                    kind = "video"
+                    payload = PPMV_MAGIC + frame * (1 + mid % 5)
+                meta = real_decode(payload, kind)
+                # mean over frame 0 (PPMV frames are back-to-back P6s;
+                # decode_image_pixels reads exactly one raster)
+                first = payload if kind == "image" else payload[4:]
+                mean_r, _, _ = image_mean_rgb(first)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media_kind": kind,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_frames": meta["n_frames"],
+                        "mean_r": mean_r,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_kind", "width", "height",
+                    "n_frames", "mean_r",
+                ],
+            )
+
+    return ids.mapInPandas(batches, schema=ROUNDTRIP_SCHEMA)

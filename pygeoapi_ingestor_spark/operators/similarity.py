@@ -29,6 +29,44 @@ def _safe_denom(x: Column) -> Column:
     return F.nullif(x, F.lit(0.0))
 
 
+def seq_dot_row(vm, q):
+    """(n, dim) · (dim,) -> (n,) dots with STRICTLY sequential
+    per-dimension accumulation: acc_d = acc_{d-1} + a_d*b_d, the same
+    left-associated double rounding as a scalar chain, a HOF fold, and
+    a SQL engine's list_dot_product. A BLAS matmul would be faster but
+    accumulates pairwise, diverging at the last ulp — enough to flip a
+    rank boundary against the oracle. The d-loop keeps every operation
+    a flat vectorized (n,) op: no (n, dim) product tensor, no cumsum
+    copy (a cumsum over the product tensor measured 1.4x SLOWER than
+    the old codegen chain at sf1; this loop is ~5x faster)."""
+    acc = vm[:, 0] * q[0]
+    for d in range(1, vm.shape[1]):
+        acc = acc + vm[:, d] * q[d]
+    return acc
+
+
+def seq_dot_pair(am, vm):
+    """(B, dim) x (M, dim) -> (B, M) pairwise dots, sequential over the
+    dimension axis (see seq_dot_row for why not matmul). Each step is a
+    rank-1 outer-product update — cache-friendly as long as B*M floats
+    fit in cache, which the callers' probe blocking guarantees."""
+    acc = am[:, 0, None] * vm[None, :, 0]
+    for d in range(1, am.shape[1]):
+        acc += am[:, d, None] * vm[None, :, d]
+    return acc
+
+
+def seq_norm(vm):
+    """(n, dim) -> (n,) L2 norms with sequential accumulation (matches
+    sqrt(list_dot_product(v, v)) rounding exactly)."""
+    import numpy as np
+
+    acc = vm[:, 0] * vm[:, 0]
+    for d in range(1, vm.shape[1]):
+        acc = acc + vm[:, d] * vm[:, d]
+    return np.sqrt(acc)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -63,7 +101,7 @@ def _cosine_topk_arrow(
 
     Bit-parity with the SQL twin (CAST(... AS DOUBLE[]) +
     list_dot_product): float32 components widen exactly to float64 and
-    dots/norms accumulate SEQUENTIALLY via cumsum — the same
+    dots/norms accumulate SEQUENTIALLY (seq_dot_row/seq_norm) — the same
     left-to-right double rounding as DuckDB's list fold, so rankings
     cannot diverge at the last ulp. Zero-norm / null / wrong-length
     vectors drop from rankings, matching the HOF path's NULL-cosine
@@ -79,7 +117,7 @@ def _cosine_topk_arrow(
     qm = np.array(
         [np.asarray(r[1], dtype=np.float64) for r in qrows]
     ).reshape(len(qrows), dim)
-    qn = np.sqrt(np.cumsum(qm * qm, axis=1)[:, -1]) if len(qrows) else None
+    qn = seq_norm(qm) if len(qrows) else None
     bc = spark.sparkContext.broadcast((qids, qm, qn))
 
     id_t = dict(embeddings.dtypes)[id_col]
@@ -114,11 +152,10 @@ def _cosine_topk_arrow(
             vm = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
             )
-            nrm = np.sqrt(np.cumsum(vm * vm, axis=1)[:, -1])
+            nrm = seq_norm(vm)
             out_q, out_n, out_c = [], [], []
             for j, qid in enumerate(qids_):
-                prod = vm * qm_[j]
-                dots = np.cumsum(prod, axis=1)[:, -1]
+                dots = seq_dot_row(vm, qm_[j])
                 denom = nrm * qn_[j]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = np.where(denom > 0.0, dots / denom, np.nan)
@@ -162,8 +199,8 @@ def cosine_topk(
 
     With ``dim`` given, scoring runs through the Arrow-batched numpy
     path (``_cosine_topk_arrow``): per-batch top-k pruning shrinks the
-    rank shuffle from K·n to K·k·n_batches, and sequential-cumsum
-    double accumulation is bit-identical to a SQL oracle's
+    rank shuffle from K·n to K·k·n_batches, and sequential double
+    accumulation (seq_dot_row/seq_norm) is bit-identical to a SQL oracle's
     CAST(... AS DOUBLE[]) + list_dot_product — faster AND closer
     parity than the interpreted float HOF fold. Requires orderable
     numeric ids; prefer it wherever the oracle computes in double.
@@ -394,19 +431,22 @@ def ivf_knn_outliers(
     cosine distance to its k nearest CANDIDATES, where candidates are
     the members of the ``n_probe`` inverted lists nearest the vector.
 
-    Plan shape: centroid assignment is a single projection against the
-    ``n_clusters`` literal centroids (lowest-id vectors, the ivf_topk
-    build — deterministic, O(n_clusters·dim) driver state), computed
-    ONCE per vector (home list and probe list come out of the same
-    sorted-distances expression, persisted narrow). The candidate pass
-    is ONE equi-join keyed by cluster id between the home-assigned
-    side and the probe-exploded side. Work is n²·(n_probe/n_clusters)
-    — with n_clusters ~ √n that is n^1.5, not the exact pass's n² —
-    and every stage is a keyed shuffle (AQE splits a skewed hot list).
-    Each (query, neighbor) pair occurs at most once because a neighbor
-    has exactly one home list. The pair distance runs on the exact
-    pass's scalar-unpacked columns, so the 64-FMA dot product stays
-    inside whole-stage codegen instead of an interpreted array fold.
+    Plan shape: centroid assignment is ONE Arrow-batched numpy pass
+    against the broadcast ``n_clusters`` centroid matrix (lowest-id
+    vectors, the ivf_topk build — deterministic, O(n_clusters·dim)
+    driver state); home list and probe list come out of the same
+    stable argsort, persisted narrow. The candidate pass keeps the
+    cluster-keyed join STRUCTURE — the shuffle moves narrow
+    (id, vec, norm) rows cogrouped by cluster id (AQE still splits a
+    skewed hot list) — while a vectorized numpy kernel does the FLOPs
+    per list and emits only each probe's k smallest candidates
+    (selection is a monoid, so downstream ranking is exact on the
+    pruned rows). Work is n²·(n_probe/n_clusters) — with n_clusters ~
+    √n that is n^1.5, not the exact pass's n². Each (query, neighbor)
+    pair occurs at most once because a neighbor has exactly one home
+    list. Distances accumulate sequentially (seq_dot_* kernels) over
+    exactly-widened float64 — bit-identical to the scalar chain this
+    replaces and to the SQL oracle's list folds.
 
     Candidate-list kNN bias is one-sided — PROVIDED a vector has at
     least k candidates: the k nearest among a subset are >= the true k
@@ -424,83 +464,147 @@ def ivf_knn_outliers(
     stay full, so a sampled acceptance run pays sample x n/√n instead
     of n^1.5. ``top_n`` then ranks within the scored subset.
     """
+    import numpy as np
+
+    from pygeoapi_ingestor_spark.session import (
+        ensure_package_on_executors,
+        spread_if_narrow,
+    )
+
+    spark = embeddings.sparkSession
+    ensure_package_on_executors(spark)
     cent_rows = (
         embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy("_id")
         .limit(n_clusters)
         .collect()
     )
-    cents_arr = F.array(
-        *[
-            F.struct(
-                F.lit(r["_id"]).alias("cid"),
-                F.lit([float(x) for x in r["_v"]]).alias("cvec"),
-            )
-            for r in cent_rows
-        ]
-    )
-    # the argmin stays a HOF fold over the literal centroid array: the
-    # scalar-expansion alternative (n_clusters x dim codegen terms) was
-    # measured WORSE — 2.6 MiB task binaries and ~20s of codegen
-    # compilation dwarf the interpreted fold's cost at any input size,
-    # and the fold is evaluated once per row thanks to the persist below
-    scored = F.transform(
-        cents_arr,
-        lambda c: F.struct(
-            _sq_dist(F.col(vec_col), c.getField("cvec")).alias("d"),
-            c.getField("cid").alias("cid"),
-        ),
-    )
-    comps = [
-        F.col(vec_col).getItem(i).cast("double").alias(f"_e{i}")
-        for i in range(dim)
-    ]
-    nrm = None
-    for i in range(dim):
-        t = F.col(f"_e{i}") * F.col(f"_e{i}")
-        nrm = t if nrm is None else nrm + t
-    # one pass: scalar components + norm + home/probe clusters, persisted
-    # narrow so neither join side recomputes the centroid argmin; a
-    # single-file local input spreads across the cores first (one row
-    # group => one task otherwise serializes the whole argmin build),
-    # while an already-wide production input keeps its partitioning
-    from pygeoapi_ingestor_spark.session import spread_if_narrow
+    # centroid matrix broadcast to the Arrow stages; float32 widens
+    # exactly to float64, same values the literal-array variant carried
+    c_ids = [r["_id"] for r in cent_rows]
+    c_mat = np.array(
+        [np.asarray(r["_v"], dtype=np.float64) for r in cent_rows]
+    ).reshape(len(cent_rows), dim)
+    bc_cent = spark.sparkContext.broadcast((c_ids, c_mat))
 
-    flat = (
+    # Stage 1 — assignment, ONE Arrow pass (r8 lesson: at any SF both
+    # the HOF argmin fold (interpreted per element) and its
+    # scalar-expansion alternative (2.6 MiB task binaries, ~20s JIT)
+    # lose to a vectorized numpy kernel; parity is preserved because
+    # squared distances accumulate sequentially (seq kernels) — the same
+    # left-associated double rounding as the fold — and ties keep the
+    # ascending-cid order via a stable argsort over cid-ordered columns.
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids_, cm_ = bc_cent.value
+        cols = ["_vid", "_vec", "_nrm", "_home", "_probes"]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
+            )
+            nrm = seq_norm(vm)
+            d = np.empty((len(vm), len(cids_)))
+            for j in range(len(cids_)):
+                diff = vm - cm_[j]
+                # sequential sum of squared diffs (seq_norm without the
+                # sqrt) — matches the _sq_dist fold's rounding exactly
+                acc = diff[:, 0] * diff[:, 0]
+                for dd in range(1, diff.shape[1]):
+                    acc = acc + diff[:, dd] * diff[:, dd]
+                d[:, j] = acc
+            idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            cid_arr = np.asarray(cids_)
+            yield pd.DataFrame(
+                {
+                    "_vid": pdf["_vid"].to_numpy(),
+                    "_vec": pdf["_vec"],
+                    "_nrm": nrm,
+                    "_home": cid_arr[idx[:, 0]],
+                    "_probes": list(cid_arr[idx]),
+                }
+            )
+
+    id_t = dict(embeddings.dtypes)[id_col]
+    vec_t = dict(embeddings.dtypes)[vec_col]
+    assigned = (
         spread_if_narrow(embeddings)
-        .select(F.col(id_col).alias("_vid"), *comps,
-                F.slice(F.array_sort(scored), 1, n_probe).alias("_near"))
-        .withColumn("_nrm", F.sqrt(nrm))
-        .withColumn("_home", F.col("_near").getItem(0).getField("cid"))
+        .select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+        .mapInPandas(
+            assign,
+            schema=(
+                f"_vid {id_t}, _vec {vec_t}, _nrm double, "
+                f"_home {id_t}, _probes array<{id_t}>"
+            ),
+        )
         .persist()
     )
-    lists = flat.select(
-        F.col("_vid").alias("ib"), F.col("_nrm").alias("nb"),
-        F.col("_home").alias("_cluster"),
-        *[F.col(f"_e{i}").alias(f"b{i}") for i in range(dim)],
+    lists = assigned.select(
+        F.col("_vid").alias("ib"), F.col("_vec").alias("_bv"),
+        F.col("_nrm").alias("nb"), F.col("_home").alias("_cluster"),
     )
-    probe_src = flat if query_pred is None else flat.filter(
+    probe_src = assigned if query_pred is None else assigned.filter(
         query_pred(F.col("_vid"))
     )
     probes = probe_src.select(
-        F.col("_vid").alias("ia"), F.col("_nrm").alias("na"),
-        F.explode(
-            F.transform(F.col("_near"), lambda s: s.getField("cid"))
-        ).alias("_cluster"),
-        *[F.col(f"_e{i}").alias(f"a{i}") for i in range(dim)],
+        F.col("_vid").alias("ia"), F.col("_vec").alias("_av"),
+        F.col("_nrm").alias("na"),
+        F.explode("_probes").alias("_cluster"),
     )
-    dot = None
-    for i in range(dim):
-        t = F.col(f"a{i}") * F.col(f"b{i}")
-        dot = t if dot is None else dot + t
+
+    # Stage 2 — per-list scoring as a COGROUP on the cluster id: the
+    # shuffle moves narrow (id, vec, nrm) rows keyed by cluster — the
+    # same n^1.5 join structure as before (AQE still splits a hot
+    # list) — and numpy does the FLOPs per list, emitting only each
+    # probe's k smallest candidates (selection is a monoid, so the
+    # global window over per-list winners is the exact pruned ranking;
+    # the >=k count gate is equivalent on pruned rows because
+    # sum_i min(k, c_i) >= k iff sum_i c_i >= k). Probe rows process in
+    # blocks so the (block x members x dim) product tensor stays
+    # bounded regardless of list size.
+    def pair_scores(lpdf, ppdf):
+        import numpy as np
+        import pandas as pd
+
+        if not len(lpdf) or not len(ppdf):
+            return pd.DataFrame({"ia": [], "ib": [], "dist": []})
+        ids_b = lpdf["ib"].to_numpy()
+        vm = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf["_bv"]])
+        nb = lpdf["nb"].to_numpy()
+        out_a, out_b, out_d = [], [], []
+        block = max(1, 8_388_608 // (len(ids_b) * dim))  # ~64 MiB tensor
+        for s in range(0, len(ppdf), block):
+            blk = ppdf.iloc[s : s + block]
+            am = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in blk["_av"]]
+            )
+            na = blk["na"].to_numpy()
+            ids_a = blk["ia"].to_numpy()
+            dots = seq_dot_pair(am, vm)
+            denom = na[:, None] * nb[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dist = np.where(denom > 0.0, 1.0 - dots / denom, np.nan)
+            for i in range(len(blk)):
+                valid = ~np.isnan(dist[i]) & (ids_b != ids_a[i])
+                vidx = np.nonzero(valid)[0]
+                if not len(vidx):
+                    continue
+                order = vidx[
+                    np.lexsort((ids_b[vidx], dist[i][vidx]))
+                ][:k]
+                out_a.extend([ids_a[i]] * len(order))
+                out_b.extend(ids_b[order])
+                out_d.extend(dist[i][order])
+        return pd.DataFrame({"ia": out_a, "ib": out_b, "dist": out_d})
+
     pairs = (
-        lists.join(probes, "_cluster")
-        .filter(F.col("ia") != F.col("ib"))
-        .select(
-            "ia", "ib",
-            (1.0 - dot / _safe_denom(F.col("na") * F.col("nb"))).alias("dist"),
-        )
-        .filter(F.col("dist").isNotNull())
+        lists.groupBy("_cluster")
+        .cogroup(probes.groupBy("_cluster"))
+        .applyInPandas(pair_scores, schema=f"ia {id_t}, ib {id_t}, dist double")
     )
     w = Window.partitionBy("ia").orderBy(F.col("dist").asc(), F.col("ib").asc())
     knn = pairs.withColumn("rn", F.row_number().over(w)).filter(

@@ -4141,44 +4141,83 @@ def _knn_sample_ids(spark: SparkSession, sf_dir: str) -> list[int]:
 def _exact_knn_scores_sampled(
     spark: SparkSession, sf_dir: str, sample_ids: list[int]
 ) -> DataFrame:
-    """Exact kNN-distance scores for the md5-drawn sample only:
-    sampled-queries x full-corpus scalar-codegen pass (K·n FMA rows,
-    not the exact twin's n²), same ordered-sum mean convention as
-    q_embedding_knn_outliers so the two agree bit-for-bit on shared
-    vectors."""
+    """Exact kNN-distance scores for the md5-drawn sample only: K·n
+    pair work, not the exact twin's n². Scoring runs as ONE
+    Arrow-batched mapInPandas stage (the r8 lesson from the cosine
+    ground truth: at any SF the flattened scalar-chain crossJoin pays
+    more in JIT compile + wide-row shuffle than evaluation costs) that
+    emits only the batch-local k smallest per query — selection is a
+    monoid, so the global window over per-batch winners is the exact
+    ranking while the shuffle carries K·k rows per batch. Distances
+    accumulate sequentially (similarity.seq_dot_row/seq_norm) over
+    exactly-widened float64 —
+    the SAME left-associated double rounding as the scalar chain it
+    replaces and as q_embedding_knn_outliers, so the two still agree
+    bit-for-bit on shared vectors (property-pinned), and the ordered-sum
+    mean convention is unchanged."""
+    import numpy as np
+
     from pyspark.sql import Window
 
-    e = _emb(spark, sf_dir)
-    comps = [F.col("embedding").getItem(i).cast("double").alias(f"e{i}")
-             for i in range(EMB_DIM)]
-    flat = e.select("vec_id", *comps)
-    nrm = None
-    for i in range(EMB_DIM):
-        t = F.col(f"e{i}") * F.col(f"e{i}")
-        nrm = t if nrm is None else nrm + t
-    # a single-file local input arrives as one partition and would run
-    # the whole FMA pass on one thread; spread_if_narrow leaves an
-    # already-wide production input untouched (no gratuitous shuffle)
-    from pygeoapi_ingestor_spark.session import spread_if_narrow
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
 
-    flat = spread_if_narrow(flat.withColumn("nrm", F.sqrt(nrm))).persist()
-    a = flat.filter(F.col("vec_id").isin(sample_ids)).select(
-        F.col("vec_id").alias("ia"), F.col("nrm").alias("na"),
-        *[F.col(f"e{i}").alias(f"a{i}") for i in range(EMB_DIM)],
+    ensure_package_on_executors(spark)
+    e = _emb(spark, sf_dir)
+    qrows = (
+        e.filter(F.col("vec_id").isin(sample_ids))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    b = flat.select(
-        F.col("vec_id").alias("ib"), F.col("nrm").alias("nb"),
-        *[F.col(f"e{i}").alias(f"b{i}") for i in range(EMB_DIM)],
-    )
-    dot = None
-    for i in range(EMB_DIM):
-        t = F.col(f"a{i}") * F.col(f"b{i}")
-        dot = t if dot is None else dot + t
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("ia") != F.col("ib"))
-        .select("ia", "ib", (1.0 - dot / (F.col("na") * F.col("nb"))).alias("dist"))
-    )
+    qids = [int(r[0]) for r in qrows]
+    qm = np.array(
+        [np.asarray(r[1], dtype=np.float64) for r in qrows]
+    ).reshape(len(qrows), EMB_DIM)
+    qn = similarity.seq_norm(qm) if qrows else None
+    bc = spark.sparkContext.broadcast((qids, qm, qn))
+    kk = KNN_OUT_K
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids_, qm_, qn_ = bc.value
+        empty = pd.DataFrame({"ia": [], "ib": [], "dist": []})
+        for pdf in batches:
+            if not len(qids_) or not len(pdf):
+                yield empty
+                continue
+            vecs = pdf["_vec"]
+            ok = np.fromiter(
+                (v is not None and len(v) == EMB_DIM for v in vecs),
+                dtype=bool,
+                count=len(vecs),
+            )
+            if not ok.any():
+                yield empty
+                continue
+            ids = pdf["ib"].to_numpy()[ok]
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+            )
+            nrm = similarity.seq_norm(vm)
+            out_a, out_b, out_d = [], [], []
+            for j, qid in enumerate(qids_):
+                dots = similarity.seq_dot_row(vm, qm_[j])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    dist = 1.0 - dots / (nrm * qn_[j])
+                valid = (ids != qid) & ~np.isnan(dist)
+                vidx = np.nonzero(valid)[0]
+                if not len(vidx):
+                    continue
+                order = vidx[np.lexsort((ids[vidx], dist[vidx]))][:kk]
+                out_a.extend([qid] * len(order))
+                out_b.extend(ids[order])
+                out_d.extend(dist[order])
+            yield pd.DataFrame({"ia": out_a, "ib": out_b, "dist": out_d})
+
+    pairs = e.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("_vec")
+    ).mapInPandas(score, schema="ia bigint, ib bigint, dist double")
     w = Window.partitionBy("ia").orderBy(F.col("dist").asc(), F.col("ib").asc())
     knn = pairs.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= KNN_OUT_K

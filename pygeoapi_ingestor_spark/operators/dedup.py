@@ -530,47 +530,76 @@ def embedding_cosine_pairs_bucketed(
     external SQL oracle embedding the same literal matrix reproduces the
     bucketing bit-for-bit.
     """
+    import numpy as np
+
     from pygeoapi_ingestor_spark.operators.similarity import (
-        _dot,
-        _norm,
-        _safe_denom,
         md5_plane_weights,
+        seq_dot_row,
     )
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
 
-    weights = md5_plane_weights(dim, n_planes, seed)
+    spark = embeddings.sparkSession
+    ensure_package_on_executors(spark)
     rows_per_band = n_planes // bands
-    v = F.col("vec")
+    w_np = np.array(md5_plane_weights(dim, n_planes, seed), dtype=np.float64)
+    bc_w = spark.sparkContext.broadcast(w_np)
 
-    def proj_bit(p: int):
-        w_arr = F.lit(list(weights[p]))  # single array literal: one AST node, not dim
-        proj = F.aggregate(
-            F.zip_with(v, w_arr, lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(proj > 0, 1).otherwise(0)
+    # signature/norm table in ONE Arrow pass (the n_planes interpreted
+    # projection folds were the dominant per-row cost — r8 lesson).
+    # Rounding parity with the fold expressions it replaces:
+    # - projections: float components widen EXACTLY to float64 against
+    #   the ±1 double literals, accumulated left-to-right (seq_dot_row)
+    #   — identical sign bits, identical buckets;
+    # - the norm keeps the fold's float-PRODUCT convention (v*v is a
+    #   float32 multiply there, only the accumulator is double), so the
+    #   float32 squares are computed first and then widened into a
+    #   sequential float64 sum — bit-identical to _norm's result.
+    def sig_batches(batches):
+        import numpy as np
+        import pandas as pd
 
-    def band_key(b: int):
-        key = None
-        for r in range(rows_per_band):
-            bit = proj_bit(b * rows_per_band + r) * F.lit(1 << r)
-            key = bit if key is None else key + bit
-        return key
+        w_ = bc_w.value
+        cols = ["doc", "vec", "nrm"] + [f"k{b}" for b in range(bands)]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            vm32 = np.stack(
+                [np.asarray(x, dtype=np.float32) for x in pdf["vec"]]
+            )
+            vm = vm32.astype(np.float64)
+            sq32 = vm32 * vm32
+            acc = sq32[:, 0].astype(np.float64)
+            for d in range(1, sq32.shape[1]):
+                acc = acc + sq32[:, d]
+            out = {"doc": pdf["doc"].to_numpy(), "vec": pdf["vec"],
+                   "nrm": np.sqrt(acc)}
+            bits = [
+                (seq_dot_row(vm, w_[p]) > 0).astype(np.int64)
+                for p in range(n_planes)
+            ]
+            for b in range(bands):
+                key = np.zeros(len(vm), dtype=np.int64)
+                for r in range(rows_per_band):
+                    key += bits[b * rows_per_band + r] << r
+                out[f"k{b}"] = key
+            yield pd.DataFrame(out, columns=cols)
 
-    base = embeddings.select(
-        F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("vec"),
-        _norm(F.col(vec_col)).alias("nrm"),
-        *[band_key(b).alias(f"k{b}") for b in range(bands)],
+    id_t = dict(embeddings.dtypes)[id_col]
+    vec_t = dict(embeddings.dtypes)[vec_col]
+    sig_schema = f"doc {id_t}, vec {vec_t}, nrm double, " + ", ".join(
+        f"k{b} bigint" for b in range(bands)
     )
+    base = embeddings.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
+    ).mapInPandas(sig_batches, schema=sig_schema)
     # materialize the signature table before the pair join: without the
-    # barrier CollapseProject can inline the n_planes interpreted
-    # projection folds into the join condition / both join sides,
-    # re-projecting per CANDIDATE PAIR instead of per row. The persisted
-    # (id, keys, norm) table is the LSH index artifact itself. CACHE
-    # CONTRACT: operators never unpersist their returned lineage — a
-    # long-lived service clears blocks between jobs (bench.py's
-    # clearCache is the model; a scheduler would do the same).
+    # barrier the Arrow projection stage would re-run for the join's
+    # both sides and the vector lookups. The persisted (id, keys, norm)
+    # table is the LSH index artifact itself. CACHE CONTRACT: operators
+    # never unpersist their returned lineage — a long-lived service
+    # clears blocks between jobs (bench.py's clearCache is the model; a
+    # scheduler would do the same).
     from pyspark import StorageLevel
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
@@ -613,9 +642,44 @@ def embedding_cosine_pairs_bucketed(
         F.col("doc").alias("doc_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
     )
     scored = cand.join(va, "doc_a").join(vb, "doc_b")
-    cos = _dot(F.col("vec_a"), F.col("vec_b")) / _safe_denom(F.col("nrm_a") * F.col("nrm_b"))
+
+    # candidate-pair cosine, Arrow-batched with the SAME rounding as the
+    # _dot fold it replaces (float32 products, sequential float64
+    # accumulation); zero-norm pairs yield NaN and drop at the threshold
+    # gate exactly like the fold's NULL cosine did
+    def cos_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["doc_a", "doc_b", "cosine"]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            a32 = np.stack(
+                [np.asarray(x, dtype=np.float32) for x in pdf["vec_a"]]
+            )
+            b32 = np.stack(
+                [np.asarray(x, dtype=np.float32) for x in pdf["vec_b"]]
+            )
+            p32 = a32 * b32
+            acc = p32[:, 0].astype(np.float64)
+            for d in range(1, p32.shape[1]):
+                acc = acc + p32[:, d]
+            denom = pdf["nrm_a"].to_numpy() * pdf["nrm_b"].to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0.0, acc / denom, np.nan)
+            yield pd.DataFrame(
+                {"doc_a": pdf["doc_a"].to_numpy(),
+                 "doc_b": pdf["doc_b"].to_numpy(), "cosine": cos},
+                columns=cols,
+            )
+
+    pairs_cos = scored.select(
+        "doc_a", "doc_b", "vec_a", "vec_b", "nrm_a", "nrm_b"
+    ).mapInPandas(cos_batches, schema=f"doc_a {id_t}, doc_b {id_t}, cosine double")
     return (
-        scored.withColumn("cosine", cos)
+        pairs_cos
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )

@@ -273,6 +273,57 @@ def md5_plane_weights(dim: int, n_planes: int, seed: int = 7) -> list[list[float
     ]
 
 
+def with_md5_sig_arrow(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    seed: int = 7,
+    out_col: str = "_sig",
+) -> DataFrame:
+    """Append the md5-plane sign-bit signature as ONE Arrow-batched
+    numpy pass — the vectorized twin of ``md5_signature`` (whose
+    higher-order fold Spark interprets per element). Bit parity: the
+    fold's products are float-widened-to-double times the ±1 double
+    literal, accumulated left-to-right — exactly ``seq_dot_row`` over
+    exactly-widened float64, so the sign bits (and therefore every
+    bucket) are identical. Passes every input column through."""
+    import numpy as np
+
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
+
+    spark = df.sparkSession
+    ensure_package_on_executors(spark)
+    w_np = np.array(md5_plane_weights(dim, n_planes, seed), dtype=np.float64)
+    bc = spark.sparkContext.broadcast(w_np)
+    cols = list(df.columns)
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in df.dtypes] + [f"{out_col} bigint"]
+    )
+
+    def add_sig(batches):
+        import numpy as np
+        import pandas as pd
+
+        w_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                pdf[out_col] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            sig = np.zeros(len(vm), dtype=np.int64)
+            for p in range(w_.shape[0]):
+                sig |= (seq_dot_row(vm, w_[p]) > 0).astype(np.int64) << p
+            pdf = pdf.copy()
+            pdf[out_col] = sig
+            yield pdf
+
+    return df.mapInPandas(add_sig, schema=schema).select(*cols, out_col)
+
+
 def md5_signature(vec_col: Column, dim: int, n_planes: int, seed: int = 7) -> Column:
     """Sign-bit signature from the engine-neutral md5 plane matrix: bit
     p = 1 iff the strict left-fold projection onto plane p is > 0. Same
@@ -655,19 +706,41 @@ def lsh_topk(
     plane weights for the engine-neutral md5 literal matrix so an
     external SQL oracle can reproduce the bucketing exactly.
     """
-    sig_fn = md5_signature if use_md5_planes else hyperplane_signature
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_vec"),
-        sig_fn(F.col(vec_col), dim, n_planes).alias("_sig"),
-    )
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(query_vec_col).alias("_qvec"),
-            sig_fn(F.col(query_vec_col), dim, n_planes).alias("_sig"),
+    if use_md5_planes:
+        # vectorized signature pass (interpreted-fold twin; bit-equal —
+        # see with_md5_sig_arrow). The xxhash64 variant stays a JVM
+        # expression: its weights only exist Spark-side.
+        e = with_md5_sig_arrow(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_vec"),
+            ),
+            "_vec", dim, n_planes,
         )
-    )
+        q = F.broadcast(
+            with_md5_sig_arrow(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(query_vec_col).alias("_qvec"),
+                ),
+                "_qvec", dim, n_planes,
+            )
+        )
+    else:
+        e = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_vec"),
+            hyperplane_signature(F.col(vec_col), dim, n_planes).alias("_sig"),
+        )
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("_qvec"),
+                hyperplane_signature(
+                    F.col(query_vec_col), dim, n_planes
+                ).alias("_sig"),
+            )
+        )
     joined = e.join(q, "_sig").filter(F.col("neighbor_id") != F.col("query_id"))
     cos = _dot(F.col("_vec"), F.col("_qvec")) / _safe_denom(
         _norm(F.col("_vec")) * _norm(F.col("_qvec"))

@@ -44,6 +44,126 @@ HEADLINE_KEYS = [
 ]
 
 
+def _batch_stats(q) -> dict:
+    """Per-batch latency profile from a finished streaming query's
+    progress events: n_batches and the trigger-execution latencies of
+    the non-empty batches (what a capacity plan needs — empty keep-alive
+    ticks would dilute the number)."""
+    lat = [
+        p["durationMs"]["triggerExecution"] / 1000.0
+        for p in q.recentProgress
+        if p.get("numInputRows", 0) > 0
+    ]
+    return {
+        "n_batches": len(lat),
+        "batch_latency_sec": {
+            "min": round(min(lat), 3),
+            "max": round(max(lat), 3),
+            "avg": round(sum(lat) / len(lat), 3),
+        }
+        if lat
+        else None,
+    }
+
+
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """Micro-bench of the three production streams (r7 verdict item 4):
+    rows/sec and per-batch latency at the bench SF, availableNow over a
+    staged file source split so each stream executes several real
+    micro-batches. Catches foreachBatch regressions the batch catalog
+    can't see (snapshot-swap cost in cdc_upsert_stream, dynamic
+    partition-overwrite cost in run_to_collection, stateful windowed
+    aggregation in danger_levels_stream)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.sinks import CollectionCatalog
+    from pygeoapi_ingestor_spark.sources.readers import read_events
+    from pygeoapi_ingestor_spark.streaming import pipeline as spipe
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    out: dict[str, dict] = {}
+    try:
+        ev = read_events(spark, sf_dir)
+        n_events = ev.count()
+        src = f"{work}/events_src"
+        # 8 staged files + maxFilesPerTrigger=2 -> 4 real micro-batches
+        ev.repartition(8).write.mode("overwrite").parquet(src)
+
+        stream = spipe.read_event_stream(
+            spark, src, fmt="parquet", max_files_per_trigger=2
+        )
+        agg = spipe.windowed_agg(stream, window_duration="1 hour")
+        cat = CollectionCatalog(f"{work}/cat.json")
+        t0 = time.perf_counter()
+        q = spipe.run_to_collection(
+            agg, "bench_coll", f"{work}/coll", f"{work}/ck_coll", cat,
+            ts_col="window_start",
+        )
+        wall = round(time.perf_counter() - t0, 3)
+        out["run_to_collection"] = {
+            "wall_sec": wall,
+            "rows_in": n_events,
+            "rows_per_sec": round(n_events / wall),
+            **_batch_stats(q),
+        }
+
+        # CDC feed: every event is an upsert keyed by (user_id,
+        # event_type), 5% deletes — the dimension/state-table shape
+        # cdc_upsert_stream documents; 4 micro-batches, each applying
+        # onto and atomically swapping the stored snapshot.
+        changes = ev.select(
+            "user_id", "event_type", "ts", "value",
+            F.when(F.col("event_id") % 20 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        cdc_src = f"{work}/cdc_src"
+        changes.repartition(4).write.mode("overwrite").parquet(cdc_src)
+        cdc_stream = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cdc_src)
+        )
+        t0 = time.perf_counter()
+        q = spipe.cdc_upsert_stream(
+            cdc_stream, f"{work}/cdc_snapshot", f"{work}/ck_cdc",
+            key_cols=["user_id", "event_type"], order_cols=["ts"],
+        )
+        wall = round(time.perf_counter() - t0, 3)
+        out["cdc_upsert_stream"] = {
+            "wall_sec": wall,
+            "rows_in": n_events,
+            "rows_per_sec": round(n_events / wall),
+            **_batch_stats(q),
+        }
+
+        stream = spipe.read_event_stream(
+            spark, src, fmt="parquet", max_files_per_trigger=2
+        )
+        feed = spipe.danger_levels_stream(
+            stream, window="7 days", watermark="1 day"
+        )
+        t0 = time.perf_counter()
+        q = spipe.run_to_memory(feed, "bench_danger", mode="complete")
+        wall = round(time.perf_counter() - t0, 3)
+        out["danger_levels_stream"] = {
+            "wall_sec": wall,
+            "rows_in": n_events,
+            "rows_per_sec": round(n_events / wall),
+            **_batch_stats(q),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView("bench_danger")
+        except Exception:
+            pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -121,14 +241,19 @@ def main() -> None:
             f"FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     oracle_timings: dict[str, float] = {}
+    # oracles that error at THIS SF are recorded, not swallowed, so the
+    # published spark/duckdb ratio's coverage is auditable (an oracle
+    # that fails only at bench SF would otherwise silently shrink the
+    # shared-key set the ratio is computed over)
+    oracle_errors: dict[str, str] = {}
     t_o0 = time.perf_counter()
     for key, sql in ORACLES.items():
         t0 = time.perf_counter()
         try:
             con.execute(sql).fetchall()
             oracle_timings[key] = round(time.perf_counter() - t0, 3)
-        except Exception:
-            pass  # an oracle that errors is the correctness gate's job
+        except Exception as exc:  # correctness is the driver gate's job
+            oracle_errors[key] = f"{type(exc).__name__}: {exc}"[:200]
     oracle_total = round(time.perf_counter() - t_o0, 3)
     con.close()
     # ratio over the keys BOTH series cover (rows-only keys have no
@@ -154,16 +279,52 @@ def main() -> None:
     # the multi-tenant number a shared cluster actually sees
     from concurrent.futures import ThreadPoolExecutor
 
-    t_c0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(lambda k: QUERIES[k](spark, sf_dir).count(), BENCH_KEYS))
-    concurrent_total = round(time.perf_counter() - t_c0, 3)
+    # the ~630 actions above leave un-collected broadcast/shuffle state
+    # that can stall the pool by 50-80% (measured: 147s in-bench vs 70s
+    # standalone for identical code); collect it so the concurrent
+    # number measures the catalog, not the session's garbage. Two reps:
+    # the second rides warmed code paths — the steady-state
+    # multi-tenant number — and damps single-rep phase noise.
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    conc_reps = []
+    for _ in range(2):
+        t_c0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(lambda k: QUERIES[k](spark, sf_dir).count(), BENCH_KEYS))
+        conc_reps.append(round(time.perf_counter() - t_c0, 3))
+        spark.catalog.clearCache()
+    concurrent_total = conc_reps[0]
+    concurrent_warm = conc_reps[1]
+
+    # streaming micro-bench (r7 verdict item 4): the D-block's three
+    # production streams, measured per-round alongside the batch catalog
+    streaming = bench_streaming(spark, sf_dir)
 
     # headline ratchet: current cold numbers for the pinned set, plus
     # the delta against the previous BENCH_FULL.json (read before this
     # run overwrites it) so regressions in the expensive tail surface
     # directly in the summary artifact
     headline = {k: timings[k] for k in HEADLINE_KEYS if k in timings}
+
+    # noise-band control (r7 verdict item 6): identical-code reruns have
+    # moved single cold numbers by +/-1.5s (JIT/GC phase). For the
+    # pinned headline set only, take ONE more cold pass and report the
+    # per-key min of the two cold runs — the stable series deltas should
+    # be adjudicated against, instead of hand-waving a manual caveat.
+    headline_stable: dict[str, float] = {}
+    for i, key in enumerate(HEADLINE_KEYS):
+        if key not in timings:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[key](spark, sf_dir).count()
+        second = round(time.perf_counter() - t0, 3)
+        headline_stable[key] = min(timings[key], second)
+        spark.catalog.clearCache()
+        _periodic_gc(i)
     headline_prev: dict[str, float] = {}
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -187,6 +348,8 @@ def main() -> None:
         "unit": "sec",
         "headline": headline,
         "headline_total": round(sum(headline.values()), 3),
+        "headline_stable": headline_stable,
+        "headline_stable_total": round(sum(headline_stable.values()), 3),
         "headline_delta_vs_prev": headline_delta,
         "queries": timings,
         "queries_warm": warm_timings,
@@ -195,9 +358,12 @@ def main() -> None:
         "queries_noop": noop_timings,
         "noop_total": noop_total,
         "queries_oracle_sec": oracle_timings,
+        "oracle_errors": oracle_errors,
         "oracle_total": oracle_total,
         "vs_oracle": vs_oracle,
         "concurrent_wall": concurrent_total,
+        "concurrent_wall_warm": concurrent_warm,
+        "streaming": streaming,
         "sf": sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
@@ -216,6 +382,7 @@ def main() -> None:
         "unit": "sec",
         "headline": headline,
         "headline_total": round(sum(headline.values()), 3),
+        "headline_stable_total": round(sum(headline_stable.values()), 3),
         "queries": line_queries,
         "n_queries": len(timings),
         "warm_total": warm_total,
@@ -223,6 +390,9 @@ def main() -> None:
         "oracle_total": oracle_total,
         "vs_oracle": vs_oracle,
         "concurrent_wall": concurrent_total,
+        "streaming_rows_per_sec": {
+            k: v["rows_per_sec"] for k, v in streaming.items()
+        },
         "full": "BENCH_FULL.json",
         "sf": sf,
     }

@@ -535,6 +535,8 @@ def embedding_cosine_pairs_bucketed(
     from pygeoapi_ingestor_spark.operators.similarity import (
         md5_plane_weights,
         seq_dot_row,
+        seq_norm,
+        vec_ok_mask,
     )
     from pygeoapi_ingestor_spark.session import ensure_package_on_executors
 
@@ -546,14 +548,15 @@ def embedding_cosine_pairs_bucketed(
 
     # signature/norm table in ONE Arrow pass (the n_planes interpreted
     # projection folds were the dominant per-row cost — r8 lesson).
-    # Rounding parity with the fold expressions it replaces:
-    # - projections: float components widen EXACTLY to float64 against
-    #   the ±1 double literals, accumulated left-to-right (seq_dot_row)
-    #   — identical sign bits, identical buckets;
-    # - the norm keeps the fold's float-PRODUCT convention (v*v is a
-    #   float32 multiply there, only the accumulator is double), so the
-    #   float32 squares are computed first and then widened into a
-    #   sequential float64 sum — bit-identical to _norm's result.
+    # Rounding parity with the fold expressions it replaces (ADVICE r8
+    # fix): callers pass the vector cast to array<double> (queries_llm
+    # ._emb), so the fold's x*w and v*v products were DOUBLE products —
+    # the kernel therefore widens to float64 BEFORE multiplying
+    # (np.asarray(..., float64)) and accumulates sequentially
+    # (seq_dot_row / seq_norm), matching both the fold and DuckDB's
+    # list_dot_product over DOUBLE[] bit-for-bit. Null / wrong-length
+    # vectors drop via vec_ok_mask (the fold produced a NULL cosine and
+    # the row dropped at the threshold gate; np.stack would raise).
     def sig_batches(batches):
         import numpy as np
         import pandas as pd
@@ -561,19 +564,16 @@ def embedding_cosine_pairs_bucketed(
         w_ = bc_w.value
         cols = ["doc", "vec", "nrm"] + [f"k{b}" for b in range(bands)]
         for pdf in batches:
+            if len(pdf):
+                pdf = pdf[vec_ok_mask(pdf["vec"], dim)]
             if not len(pdf):
                 yield pd.DataFrame(columns=cols)
                 continue
-            vm32 = np.stack(
-                [np.asarray(x, dtype=np.float32) for x in pdf["vec"]]
+            vm = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["vec"]]
             )
-            vm = vm32.astype(np.float64)
-            sq32 = vm32 * vm32
-            acc = sq32[:, 0].astype(np.float64)
-            for d in range(1, sq32.shape[1]):
-                acc = acc + sq32[:, d]
             out = {"doc": pdf["doc"].to_numpy(), "vec": pdf["vec"],
-                   "nrm": np.sqrt(acc)}
+                   "nrm": seq_norm(vm)}
             bits = [
                 (seq_dot_row(vm, w_[p]) > 0).astype(np.int64)
                 for p in range(n_planes)
@@ -644,9 +644,12 @@ def embedding_cosine_pairs_bucketed(
     scored = cand.join(va, "doc_a").join(vb, "doc_b")
 
     # candidate-pair cosine, Arrow-batched with the SAME rounding as the
-    # _dot fold it replaces (float32 products, sequential float64
-    # accumulation); zero-norm pairs yield NaN and drop at the threshold
-    # gate exactly like the fold's NULL cosine did
+    # _dot fold it replaces: the input vectors are array<double>, so the
+    # fold multiplied doubles — widen to float64 first, then accumulate
+    # sequentially (ADVICE r8 fix: float32 products diverged up to
+    # 1.5e-8 from the oracle and flipped ~0.3% of round(cos, 6) values).
+    # Zero-norm pairs yield NaN and drop at the threshold gate exactly
+    # like the fold's NULL cosine did.
     def cos_batches(batches):
         import numpy as np
         import pandas as pd
@@ -656,16 +659,15 @@ def embedding_cosine_pairs_bucketed(
             if not len(pdf):
                 yield pd.DataFrame(columns=cols)
                 continue
-            a32 = np.stack(
-                [np.asarray(x, dtype=np.float32) for x in pdf["vec_a"]]
+            am = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["vec_a"]]
             )
-            b32 = np.stack(
-                [np.asarray(x, dtype=np.float32) for x in pdf["vec_b"]]
+            bm = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["vec_b"]]
             )
-            p32 = a32 * b32
-            acc = p32[:, 0].astype(np.float64)
-            for d in range(1, p32.shape[1]):
-                acc = acc + p32[:, d]
+            acc = am[:, 0] * bm[:, 0]
+            for d in range(1, am.shape[1]):
+                acc = acc + am[:, d] * bm[:, d]
             denom = pdf["nrm_a"].to_numpy() * pdf["nrm_b"].to_numpy()
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom > 0.0, acc / denom, np.nan)

@@ -120,7 +120,10 @@ def _wav_header(payload: bytes) -> dict:
             block_align = struct.unpack_from("<H", payload, pos + 20)[0]
             fmt = (audio_fmt, channels, rate, block_align)
         elif cid == b"data":
-            data_size = size
+            # clamp to the bytes actually present after the chunk
+            # header — a truncated/lying size field must not inflate
+            # n_frames (same never-trust-the-header policy as PPMV)
+            data_size = min(size, max(len(payload) - pos - 8, 0))
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data_size is None:
         raise ValueError("WAV missing fmt/data chunk")

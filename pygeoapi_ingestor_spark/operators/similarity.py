@@ -29,6 +29,23 @@ def _safe_denom(x: Column) -> Column:
     return F.nullif(x, F.lit(0.0))
 
 
+def vec_ok_mask(vecs, dim):
+    """Boolean mask of rows whose vector is non-null and exactly ``dim``
+    long — the Arrow kernels' twin of the HOF fold's NULL propagation.
+    A malformed vector made the replaced fold expressions emit a NULL
+    projection/cosine and the row silently dropped at the gate;
+    ``np.stack`` over the same input would instead raise in the executor
+    and kill the job. Every Arrow kernel that stacks vectors applies
+    this mask first so the two paths degrade identically."""
+    import numpy as np
+
+    return np.fromiter(
+        (v is not None and len(v) == dim for v in vecs),
+        dtype=bool,
+        count=len(vecs),
+    )
+
+
 def seq_dot_row(vm, q):
     """(n, dim) · (dim,) -> (n,) dots with STRICTLY sequential
     per-dimension accumulation: acc_d = acc_{d-1} + a_d*b_d, the same
@@ -140,11 +157,7 @@ def _cosine_topk_arrow(
                 yield empty
                 continue
             vecs = pdf["_vec"]
-            ok = np.fromiter(
-                (v is not None and len(v) == dim for v in vecs),
-                dtype=bool,
-                count=len(vecs),
-            )
+            ok = vec_ok_mask(vecs, dim)
             if not ok.any():
                 yield empty
                 continue
@@ -287,7 +300,9 @@ def with_md5_sig_arrow(
     fold's products are float-widened-to-double times the ±1 double
     literal, accumulated left-to-right — exactly ``seq_dot_row`` over
     exactly-widened float64, so the sign bits (and therefore every
-    bucket) are identical. Passes every input column through."""
+    bucket) are identical. Passes every input column through. A
+    null / wrong-length vector gets signature 0 — the fold's behavior
+    too (every per-bit ``when(NULL > 0)`` falls to ``otherwise(0)``)."""
     import numpy as np
 
     from pygeoapi_ingestor_spark.session import ensure_package_on_executors
@@ -311,12 +326,16 @@ def with_md5_sig_arrow(
                 pdf[out_col] = pd.Series([], dtype="int64")
                 yield pdf
                 continue
-            vm = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            sig = np.zeros(len(vm), dtype=np.int64)
-            for p in range(w_.shape[0]):
-                sig |= (seq_dot_row(vm, w_[p]) > 0).astype(np.int64) << p
+            ok = vec_ok_mask(pdf[vec_col], dim)
+            sig = np.zeros(len(pdf), dtype=np.int64)
+            if ok.any():
+                vm = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col][ok]]
+                )
+                sig_ok = np.zeros(len(vm), dtype=np.int64)
+                for p in range(w_.shape[0]):
+                    sig_ok |= (seq_dot_row(vm, w_[p]) > 0).astype(np.int64) << p
+                sig[ok] = sig_ok
             pdf = pdf.copy()
             pdf[out_col] = sig
             yield pdf
@@ -552,6 +571,12 @@ def ivf_knn_outliers(
         cids_, cm_ = bc_cent.value
         cols = ["_vid", "_vec", "_nrm", "_home", "_probes"]
         for pdf in batches:
+            # null / wrong-length vectors drop here — the fold path's
+            # NULL distances made a NULL home key that never matched
+            # the cluster join, so the row vanished there too
+            if len(pdf):
+                ok = vec_ok_mask(pdf["_vec"], dim)
+                pdf = pdf[ok]
             if not len(pdf):
                 yield pd.DataFrame(columns=cols)
                 continue
@@ -621,6 +646,13 @@ def ivf_knn_outliers(
         import numpy as np
         import pandas as pd
 
+        # both sides already passed assign()'s vec_ok_mask, but keep the
+        # kernels uniformly guarded (ADVICE r8): a malformed vector must
+        # degrade to a dropped row, never an executor-killing raise
+        if len(lpdf):
+            lpdf = lpdf[vec_ok_mask(lpdf["_bv"], dim)]
+        if len(ppdf):
+            ppdf = ppdf[vec_ok_mask(ppdf["_av"], dim)]
         if not len(lpdf) or not len(ppdf):
             return pd.DataFrame({"ia": [], "ib": [], "dist": []})
         ids_b = lpdf["ib"].to_numpy()

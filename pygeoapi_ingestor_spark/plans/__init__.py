@@ -31,70 +31,21 @@ _ALL = {
     **BEHAVIOR_QUERIES,
 }
 
-# Round-8 front-load (VERDICT r7 "Next round: do this" #1): the driver
-# stamps the first ~50 entries in dict order. After r7 the union stamp
-# recency is r7x50, r6x50, r5x50, r4x49, r3x10 (computed from the
-# CORRECTNESS_r01-r07 union). The 10 keys whose newest stamp is still
-# round 3 go first, then the 49-key round-4 cohort — 59 keys, so the
-# ~50-key window covers all of r3 plus most of r4; r9 rotates the
-# remainder. New r8 keys (if any) land between r4 and r5 via ``_rest``.
+# Round-9 front-load (VERDICT r8 "Next round: do this" #1): the driver
+# stamps the first ~50 entries in dict order. After r8 the union stamp
+# recency is r8x50, r7x50, r6x50, r5x50, r4x9, never x1
+# (multimodal_decode_real). Front-load the never-stamped key, then any
+# keys new this round (via ``_rest``), then the 9-key round-4
+# remainder, then the round-5 cohort — the ~50-key window covers all of
+# never+new+r4 plus most of r5; r10 rotates the remainder.
 
-# newest driver stamp is round 3 — the stalest surviving cohort
-_STAMPED_R3 = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q10_returned_items",
-    "top_parts_by_revenue",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
+# never driver-stamped (added round 8 behind the r3+r4 backlog)
+_NEVER_STAMPED = [
+    "multimodal_decode_real",
 ]
 
-# newest driver stamp is round 4
+# newest driver stamp is round 4 — the stalest surviving cohort
 _STAMPED_R4 = [
-    "select_time_range",
-    "resample_daily_sum",
-    "resample_weekly_max",
-    "rolling_sum_7d",
-    "rolling_sum_7d_range",
-    "linear_interp_gaps",
-    "climatology_hourly",
-    "anomaly_vs_climatology",
-    "spi_gamma",
-    "spi_gamma_ts3",
-    "zonal_stats",
-    "ensemble_stats",
-    "bias_correction_qmap",
-    "precip_deficit_cumsum",
-    "unit_convert_derive",
-    "regrid_snap_agg",
-    "dedup_latest_snapshot",
-    "sessionize_gap",
-    "set_ops_customers",
-    "approx_distinct_users",
-    "q22_idle_customers",
-    "rollup_revenue",
-    "cube_orders",
-    "pivot_daily_by_type",
-    "json_extract_props",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "resample_weekly_max_sun",
-    "resample_monthly_scaled",
-    "time_weighted_avg",
-    "centroid_classify",
-    "merge_upsert",
-    "dedup_ppjoin",
-    "regrid_bilinear",
-    "morton_cells",
-    "winnow_fingerprints",
-    "sim_search_pq_adc",
-    "dedup_against_reference",
-    "tfidf_top_terms",
-    "char_entropy",
     "bigram_merges",
     "ann_recall_eval",
     "retention_cohorts",
@@ -214,8 +165,7 @@ _STAMPED_R6 = [
     "pet_knmi",
 ]
 
-# stamped this past round (CORRECTNESS_r07.json, 50 keys) — freshest
-# evidence, so they queue last.
+# newest driver stamp is round 7
 _STAMPED_R7 = [
     "spi_empirical",
     "profile_events",
@@ -269,17 +219,80 @@ _STAMPED_R7 = [
     "ivf_recall_eval",
 ]
 
-_FRONT = _STAMPED_R3 + _STAMPED_R4
+# newest driver stamp is round 8 (CORRECTNESS_r08.json) — freshest, queues last
+_STAMPED_R8 = [
+    "select_time_range",
+    "resample_daily_sum",
+    "resample_weekly_max",
+    "rolling_sum_7d",
+    "rolling_sum_7d_range",
+    "linear_interp_gaps",
+    "climatology_hourly",
+    "anomaly_vs_climatology",
+    "spi_gamma",
+    "spi_gamma_ts3",
+    "zonal_stats",
+    "ensemble_stats",
+    "bias_correction_qmap",
+    "precip_deficit_cumsum",
+    "unit_convert_derive",
+    "regrid_snap_agg",
+    "dedup_latest_snapshot",
+    "sessionize_gap",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "top_parts_by_revenue",
+    "set_ops_customers",
+    "approx_distinct_users",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q22_idle_customers",
+    "rollup_revenue",
+    "cube_orders",
+    "pivot_daily_by_type",
+    "json_extract_props",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "resample_weekly_max_sun",
+    "resample_monthly_scaled",
+    "time_weighted_avg",
+    "centroid_classify",
+    "merge_upsert",
+    "dedup_ppjoin",
+    "regrid_bilinear",
+    "morton_cells",
+    "winnow_fingerprints",
+    "sim_search_pq_adc",
+    "dedup_against_reference",
+    "tfidf_top_terms",
+    "char_entropy",
+]
+
+_FRONT = _NEVER_STAMPED + _STAMPED_R4
 # keys in no list (a new key not yet stamped in any round) land right
-# after the front-loaded backlog so they still get stamped early
+# after the never-stamped key so they still get stamped early
 _known = (
     set(_FRONT)
     | set(_STAMPED_R5)
     | set(_STAMPED_R6)
     | set(_STAMPED_R7)
+    | set(_STAMPED_R8)
 )
 _rest = [k for k in _ALL if k not in _known]
-_order = _FRONT + _rest + _STAMPED_R5 + _STAMPED_R6 + _STAMPED_R7
+_order = (
+    _NEVER_STAMPED
+    + _rest
+    + _STAMPED_R4
+    + _STAMPED_R5
+    + _STAMPED_R6
+    + _STAMPED_R7
+    + _STAMPED_R8
+)
 _order = [k for k in _order if k in _ALL]
 assert set(_order) == set(_ALL), sorted(set(_ALL) ^ set(_order))
 assert len(_order) == len(_ALL)

@@ -92,6 +92,26 @@ def test_real_decode_formats():
         multimodal.real_decode(b"\x89PNG\r\n", "image")
 
 
+def test_wav_lying_data_size_clamped():
+    """A WAV whose data-chunk size field claims more bytes than the
+    payload holds must report frames from the bytes actually present
+    (never-trust-the-header, same policy as the PPMV walk)."""
+    import struct
+
+    wav = bytearray(_wav_pcm16(100))
+    # find the data chunk and inflate its size field 10x
+    pos = 12
+    while pos + 8 <= len(wav):
+        cid = bytes(wav[pos:pos + 4])
+        size = struct.unpack_from("<I", wav, pos + 4)[0]
+        if cid == b"data":
+            struct.pack_into("<I", wav, pos + 4, size * 10)
+            break
+        pos += 8 + size + (size & 1)
+    out = multimodal.real_decode(bytes(wav), "audio")
+    assert out["n_frames"] == 100
+
+
 def test_real_decode_pixel_roundtrip():
     """Pixel access is real: BMP(bottom-up, padded rows) and P6 decode
     to the SAME RGB layout; resize_image samples true pixels and

@@ -113,6 +113,113 @@ def bucketed_row_number(
     )
 
 
+def bucketed_row_numbers_multi(
+    df: DataFrame,
+    series_cols: list[str],
+    value_cols: dict[str, str],
+    tiebreak_cols: list[str],
+    n_buckets: int = 32,
+    count_col: str = "n",
+) -> DataFrame:
+    """Exact per-series row_number() for SEVERAL value columns at once
+    (``value_cols`` maps value col -> output rn col), sharing one stats
+    pass and ONE stacked histogram pass across all metrics.
+
+    The sequential alternative — one ``bucketed_row_number`` per metric
+    with a persist+count barrier between passes (the r8 rfm_segments
+    shape) — pays ~4 Spark jobs per metric at ANY scale. Here:
+
+    1. one aggregate computes min/max per metric + the series count;
+    2. one ``stack``-ed pass counts rows per (series, metric, bucket) —
+       a single shuffle over metrics x rows narrow tuples;
+    3. the histogram (bounded: series x metrics x n_buckets) collects
+       to the driver, offsets prefix-sum in Python, and rejoin as one
+       broadcast literal table;
+    4. each metric's exact rn = offset + local row_number over its own
+       (series, bucket) window — independent window stages inside ONE
+       final job.
+
+    Ties broken by ``tiebreak_cols`` (must make each composite order
+    unique). Returns df + one rn column per metric + ``count_col``.
+    """
+    from pyspark.sql import types as T
+
+    metrics = list(value_cols)
+    stats = df.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.min(m).alias(f"_mn_{m}") for m in metrics],
+        *[F.max(m).alias(f"_mx_{m}") for m in metrics],
+    )
+    b = df.join(F.broadcast(stats), series_cols)
+    for m in metrics:
+        width = (F.col(f"_mx_{m}") - F.col(f"_mn_{m}")) / F.lit(float(n_buckets))
+        b = b.withColumn(
+            f"_bucket_{m}",
+            F.when(F.col(m).isNull(), F.lit(-1))
+            .when(F.col(f"_mx_{m}") == F.col(f"_mn_{m}"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col(m) - F.col(f"_mn_{m}")) / width),
+                    F.lit(n_buckets - 1),
+                )
+            )
+            .cast("int"),
+        )
+    b = b.drop(*[f"_mn_{m}" for m in metrics], *[f"_mx_{m}" for m in metrics])
+
+    stack_expr = "stack({}, {}) as (_metric, _bucket)".format(
+        len(metrics),
+        ", ".join(f"'{m}', _bucket_{m}" for m in metrics),
+    )
+    hist = (
+        b.select(*series_cols, F.expr(stack_expr))
+        .groupBy(*series_cols, "_metric", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_bcnt"))
+        .collect()
+    )
+    per = {}
+    for r in hist:
+        key = tuple(r[c] for c in series_cols)
+        per.setdefault(key, {}).setdefault(r["_metric"], []).append(
+            (r["_bucket"], r["_bcnt"])
+        )
+    off_rows = []
+    for key, by_metric in per.items():
+        for m, lst in by_metric.items():
+            lst.sort()
+            off = 0
+            for bkt, cnt in lst:
+                off_rows.append((*key, m, bkt, off))
+                off += cnt
+    key_fields = [df.schema[c] for c in series_cols]
+    off_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("_metric", T.StringType()),
+            T.StructField("_bucket", T.IntegerType()),
+            T.StructField("_offset", T.LongType()),
+        ]
+    )
+    spark = df.sparkSession
+    out = b
+    for m in metrics:
+        om = spark.createDataFrame(
+            [r for r in off_rows if r[len(series_cols)] == m], off_schema
+        ).select(
+            *series_cols,
+            F.col("_bucket").alias(f"_bucket_{m}"),
+            F.col("_offset").alias(f"_off_{m}"),
+        )
+        out = out.join(F.broadcast(om), [*series_cols, f"_bucket_{m}"])
+        w_local = Window.partitionBy(*series_cols, f"_bucket_{m}").orderBy(
+            m, *tiebreak_cols
+        )
+        out = out.withColumn(
+            value_cols[m], F.col(f"_off_{m}") + F.row_number().over(w_local)
+        ).drop(f"_bucket_{m}", f"_off_{m}")
+    return out.withColumnRenamed("_n", count_col)
+
+
 def exact_percentiles(
     df: DataFrame,
     series_cols: list[str],
@@ -144,82 +251,100 @@ def exact_percentiles(
 
     Precondition: ``value_col`` non-null (same contract as the SQL
     aggregate, which skips nulls — callers filter first).
+
+    The bucket HISTOGRAM (series x n_buckets counts — bounded and tiny
+    by the drill-down's own precondition of low-cardinality series) is
+    collected to the driver and the needed positions / surviving
+    buckets are computed in Python. The earlier all-in-plan version
+    derived `pos`, `keep` and the hit join each as a separate branch
+    off the histogram lineage: ~7 sequential Spark jobs per call and a
+    re-scan of the base per branch — a 5s constant factor at ANY scale
+    (VERDICT r8 #4). This shape is 3 jobs (stats, histogram, final
+    assembly) and exactly 3 base scans. Driver state is O(series x
+    n_buckets), the same bounded-summary-to-driver pattern as the IVF
+    centroid build; the fact table itself never moves.
+
+    Position arithmetic (``target = (n-1)*p``, floor/ceil/frac) runs in
+    Python doubles — bit-identical IEEE ops to the Spark-double
+    expressions it replaces and to the oracle SQL's mirrored formula.
     """
+    import math
+
+    from pyspark.sql import types as T
+
     b = _with_buckets(df, series_cols, value_col, n_buckets)
 
-    counts = b.groupBy(*series_cols, "_bucket").agg(
-        F.count(F.lit(1)).alias("_bcnt"), F.first("_n").alias("_n")
+    hist = (
+        b.groupBy(*series_cols, "_bucket")
+        .agg(F.count(F.lit(1)).alias("_bcnt"), F.first("_n").alias("_n"))
+        .collect()
     )
-    w = (
-        Window.partitionBy(*series_cols)
-        .orderBy("_bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    per_series: dict[tuple, list] = {}
+    for r in hist:
+        per_series.setdefault(
+            tuple(r[c] for c in series_cols), []
+        ).append((r["_bucket"], r["_bcnt"], r["_n"]))
+
+    pos_rows, keep_rows = [], []
+    for key, lst in per_series.items():
+        lst.sort()
+        n = lst[0][2]
+        needed = set()
+        for p in ps:
+            target = (n - 1) * float(p)
+            lo, hi = math.floor(target), math.ceil(target)
+            pos_rows.append((*key, float(p), lo, hi, target - math.floor(target)))
+            needed.add(lo)
+            needed.add(hi)
+        off = 0
+        for bkt, cnt, _ in lst:
+            if any(off <= q < off + cnt for q in needed):
+                keep_rows.append((*key, bkt, off))
+            off += cnt
+
+    spark = df.sparkSession
+    key_fields = [df.schema[c] for c in series_cols]
+    keep_df = spark.createDataFrame(
+        keep_rows,
+        T.StructType(
+            key_fields
+            + [
+                T.StructField("_bucket", T.IntegerType()),
+                T.StructField("_offset", T.LongType()),
+            ]
+        ),
     )
-    offsets = counts.withColumn(
-        "_offset", F.coalesce(F.sum("_bcnt").over(w), F.lit(0))
+    pos_df = spark.createDataFrame(
+        pos_rows,
+        T.StructType(
+            [T.StructField(f"_k_{f.name}", f.dataType) for f in key_fields]
+            + [
+                T.StructField(p_col, T.DoubleType()),
+                T.StructField("_lo", T.LongType()),
+                T.StructField("_hi", T.LongType()),
+                T.StructField("_frac", T.DoubleType()),
+            ]
+        ),
     )
 
-    # (series, p, lo, hi, frac): 0-based neighbour positions per series.
-    # All-double arithmetic, mirrored verbatim in the oracle SQL so the
-    # interpolation fraction is bit-identical across engines.
-    ps_df = offsets.sparkSession.createDataFrame(
-        [(float(p),) for p in ps], f"{p_col} double"
-    )
-    pos = (
-        offsets.select(*series_cols, "_n").distinct()
-        .crossJoin(F.broadcast(ps_df))
-        .withColumn("_target", (F.col("_n") - F.lit(1)) * F.col(p_col))
-        .select(
-            *series_cols,
-            p_col,
-            F.floor("_target").cast("long").alias("_lo"),
-            F.ceil("_target").cast("long").alias("_hi"),
-            (F.col("_target") - F.floor("_target")).alias("_frac"),
-        )
-    )
-    # renamed key columns break the shared lineage with `offsets`/`b`,
-    # avoiding Spark's ambiguous-self-join resolution
-    needed = (
-        pos.select(
-            *[F.col(c).alias(f"_k_{c}") for c in series_cols],
-            F.explode(F.array("_lo", "_hi")).alias("_pos"),
-        )
-        .distinct()
-    )
-
-    # buckets whose global-position range covers a needed position
-    keep = (
-        offsets.join(
-            F.broadcast(needed),
-            [
-                *[offsets[c] == needed[f"_k_{c}"] for c in series_cols],
-                needed["_pos"] >= offsets["_offset"],
-                needed["_pos"] < offsets["_offset"] + offsets["_bcnt"],
-            ],
-        )
-        .select(*series_cols, "_bucket", "_offset")
-        .distinct()
-    )
-
-    pruned = b.drop("_n").join(F.broadcast(keep), [*series_cols, "_bucket"])
+    # only buckets covering a needed position are ranked at all — the
+    # sort touches O(|ps| * n/n_buckets) rows, not n
+    pruned = b.drop("_n").join(F.broadcast(keep_df), [*series_cols, "_bucket"])
     w_local = Window.partitionBy(*series_cols, "_bucket").orderBy(
         value_col, *tiebreak_cols
     )
     ranked = pruned.withColumn(
         "_idx", F.col("_offset") + F.row_number().over(w_local) - 1
     )
-
     hits = ranked.join(
-        F.broadcast(needed),
+        F.broadcast(pos_df),
         [
-            *[ranked[c] == needed[f"_k_{c}"] for c in series_cols],
-            ranked["_idx"] == needed["_pos"],
+            *[ranked[c] == pos_df[f"_k_{c}"] for c in series_cols],
+            (ranked["_idx"] == pos_df["_lo"]) | (ranked["_idx"] == pos_df["_hi"]),
         ],
-    ).select(*series_cols, "_idx", value_col)
-    out = (
-        pos.join(hits, series_cols)
-        .filter((F.col("_idx") == F.col("_lo")) | (F.col("_idx") == F.col("_hi")))
-        .groupBy(*series_cols, p_col)
+    )
+    return (
+        hits.groupBy(*series_cols, p_col)
         .agg(
             F.min(F.when(F.col("_idx") == F.col("_lo"), F.col(value_col))).alias("_vlo"),
             F.min(F.when(F.col("_idx") == F.col("_hi"), F.col(value_col))).alias("_vhi"),
@@ -230,7 +355,6 @@ def exact_percentiles(
         )
         .drop("_vlo", "_vhi", "_frac")
     )
-    return out
 
 
 def ntile_expr(rn_col: str, count_col: str, n_tiles: int) -> Column:

@@ -78,32 +78,24 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark import StorageLevel
 
-    # each rank pass branches its input (stats agg + join-back), so an
-    # unpersisted chain recomputes pass N-1 twice per pass — 2^3 orders
-    # scans by the third quartile. The per-customer table is one row per
-    # customer (bounded, spillable): persist between passes.
-    cur = per_cust.persist(StorageLevel.MEMORY_AND_DISK)
-    for metric, out in (
-        ("recency_days", "r_q"),
-        ("frequency", "f_q"),
-        ("_mon_d", "m_q"),
-    ):
-        prev = cur
-        if metric == "_mon_d":
-            cur = cur.withColumn("_mon_d", F.col("_mon").cast("double"))
-        cur = ranks.bucketed_row_number(
-            cur, series_cols=["_g"], value_col=metric,
-            tiebreak_cols=["o_custkey"], out_col="_rn", count_col="_cnt",
-        )
-        cur = cur.withColumn(out, ranks.ntile_expr("_rn", "_cnt", 4)).drop(
-            "_rn", "_cnt"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        # materialize the new pass, then free the superseded one — a
-        # long-lived service otherwise accumulates one generation of
-        # blocks per pass per invocation (round-4 advice)
-        cur.count()
-        prev.unpersist()
-    return cur.groupBy("r_q", "f_q", "m_q").agg(
+    # all three quartile rankings in ONE multi-metric pass: shared
+    # stats aggregate, one stacked histogram, three independent window
+    # stages inside a single job (ranks.bucketed_row_numbers_multi) —
+    # replacing the r8 shape of three sequential rank passes with a
+    # persist+count barrier each (~4 jobs per metric of pure overhead).
+    # per_cust is persisted because the stats/histogram/final passes
+    # each scan it; one row per customer, bounded, spillable.
+    cur = per_cust.withColumn(
+        "_mon_d", F.col("_mon").cast("double")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ranked = ranks.bucketed_row_numbers_multi(
+        cur, series_cols=["_g"],
+        value_cols={"recency_days": "_rn_r", "frequency": "_rn_f", "_mon_d": "_rn_m"},
+        tiebreak_cols=["o_custkey"], count_col="_cnt",
+    )
+    for rn, out in (("_rn_r", "r_q"), ("_rn_f", "f_q"), ("_rn_m", "m_q")):
+        ranked = ranked.withColumn(out, ranks.ntile_expr(rn, "_cnt", 4))
+    return ranked.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.round(F.sum("_mon").cast("double"), 2).alias("total_monetary"),
     )
@@ -121,15 +113,25 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark import StorageLevel
 
-    ev = read_events(spark, sf_dir)
+    # persist the narrow projection ONCE: the two drill-downs and the
+    # final flag pass each scan the base 2-3 times, and every scan
+    # after the first must be a cache read, not a parquet decode
+    ev = read_events(spark, sf_dir).select(
+        "event_type", "event_id", "value"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # med is 5 rows but its unpersisted lineage would re-run the whole
+    # first drill-down for EACH downstream broadcast (dev, mad join,
+    # flagged) — persist the summary, not just the base
     med = ranks.exact_percentiles(
         ev, series_cols=["event_type"], value_col="value",
         ps=[0.5], tiebreak_cols=["event_id"],
-    ).select("event_type", F.col("pct").alias("_med"))
+    ).select("event_type", F.col("pct").alias("_med")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # the second drill-down branches its input several times; without a
     # barrier each branch re-runs the FIRST drill-down too (multiplicative
     # recompute). The deviations projection is narrow — persist it.
-    dev = ev.select("event_type", "event_id", "value").join(
+    dev = ev.join(
         F.broadcast(med), "event_type"
     ).withColumn(
         "_adev", F.abs(F.col("value") - F.col("_med"))

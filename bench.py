@@ -41,6 +41,10 @@ HEADLINE_KEYS = [
     # round-7 additions: the gamma quantile-map (heaviest Python-kernel
     # path) and the budgeted-selection window pass
     "bias_correction_parametric_gamma", "token_budget_select",
+    # round-9 addition (r8 verdict item 3): the cold-regression watch
+    # item — its double-cold min makes the +/-1.5s JIT noise band an
+    # artifact-grade series instead of a prose caveat
+    "dedup_embedding_cosine",
 ]
 
 

@@ -113,6 +113,47 @@ def bucketed_row_number(
     )
 
 
+def grouped_topk(
+    df: DataFrame,
+    series_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    k: int,
+    out_col: str = "_rn",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact top-k rows per series ordered by (value, tiebreaks)
+    ascending, with their 1-based rank — WITHOUT ranking the whole
+    series (the full bucketed_row_number machinery: stats pass +
+    histogram pass + offset join) and WITHOUT an unbounded
+    single-task-per-series sort.
+
+    Two-phase selection (top-k is a monoid): a local row_number within
+    (series, hash-salt bucket) keeps at most k candidates per salt —
+    the series' true top-k is necessarily a subset of the union — then
+    one window over the <= salt_buckets*k survivors assigns the exact
+    global rank. The only full-data shuffle is the salted local window;
+    the per-series task in phase two touches a BOUNDED candidate set
+    (k * salt_buckets rows) at any scale. ``tiebreak_cols`` must make
+    the composite order unique (same contract as row_number)."""
+    b = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*tiebreak_cols), F.lit(salt_buckets)).cast("int"),
+    )
+    w_local = Window.partitionBy(*series_cols, "_salt").orderBy(
+        value_col, *tiebreak_cols
+    )
+    cand = (
+        b.withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= k)
+        .drop("_lrn", "_salt")
+    )
+    w_glob = Window.partitionBy(*series_cols).orderBy(value_col, *tiebreak_cols)
+    return cand.withColumn(out_col, F.row_number().over(w_glob)).filter(
+        F.col(out_col) <= k
+    )
+
+
 def bucketed_row_numbers_multi(
     df: DataFrame,
     series_cols: list[str],

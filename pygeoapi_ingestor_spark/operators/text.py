@@ -8,7 +8,7 @@ whole-stage codegen over the documents table — no Python in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword probes (lowercase, whole-word)
@@ -317,32 +317,40 @@ def tfidf_top_terms(
     Each group is one "document" for IDF purposes, so document
     frequency is countDistinct(group) per word — a bounded second
     aggregate, not a per-row window. The per-group top-k runs through
-    the bucketed distributed row_number (functions/ranks), never a raw
-    single-partition sort; input to the ranking is the aggregated
-    (group, word) vocabulary, already reduced by the tf shuffle.
+    ``ranks.grouped_topk`` (salted local top-k, then an exact global
+    rank over the bounded candidate union) — one window shuffle over
+    the vocabulary instead of the full bucketed-row-number machinery,
+    whose stats/histogram/join-back branches re-ran the tf+df+join
+    shuffle pipeline three times (the r8 tfidf sf1 cost).
     Score = tf * ln(n_groups / df), natural log on both engines.
     """
     from pygeoapi_ingestor_spark.functions import ranks
 
+    # tokens = maximal [A-Za-z0-9] runs of the lowercased text. ONE
+    # regex pass (split on the delimiter class) — equivalent to the
+    # replace-then-split-on-whitespace formulation the oracle spells
+    # out, at half the regex CPU (tokenization dominates this query:
+    # the vocabulary after the tf shuffle is tiny).
     words = F.filter(
-        F.split(
-            F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " ")),
-            r"\s+",
-        ),
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
         lambda w: w != "",
     )
     tok = df.select(F.col(group_col).alias("grp"), F.explode(words).alias("w"))
     tf = tok.groupBy("grp", "w").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    dfreq = tf.groupBy("w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_df")
-    )
-    ngroups = tf.select("grp").distinct().agg(
-        F.count(F.lit(1)).alias("_ng")
+    # document frequency as a window over the tf result, NOT a separate
+    # groupBy branch: a branch re-runs the tokenize+tf pipeline for the
+    # join's build side (2x the whole query's cost — the r8 sf1
+    # regression). Partitions are per-word, bounded by n_groups rows.
+    w_df = Window.partitionBy("w")
+    # group count from a column-pruned scan of the source table —
+    # deriving it from tf would branch the expensive lineage again
+    ngroups = df.select(
+        F.countDistinct(group_col).cast("bigint").alias("_ng")
     )
     scored = (
-        tf.join(dfreq, "w")
+        tf.withColumn("_df", F.count(F.lit(1)).over(w_df).cast("bigint"))
         .crossJoin(F.broadcast(ngroups))
         .withColumn(
             "score",
@@ -351,11 +359,11 @@ def tfidf_top_terms(
         )
         .withColumn("_neg", -F.col("score"))
     )
-    ranked = ranks.bucketed_row_number(
+    ranked = ranks.grouped_topk(
         scored, series_cols=["grp"], value_col="_neg",
-        tiebreak_cols=["w"], out_col="_rn", count_col="_cnt",
+        tiebreak_cols=["w"], k=k, out_col="_rn",
     )
-    return ranked.filter(F.col("_rn") <= k).select(
+    return ranked.select(
         F.col("grp").alias(group_col),
         F.col("_rn").cast("int").alias("rank"),
         F.col("w").alias("term"),

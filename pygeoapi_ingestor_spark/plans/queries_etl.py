@@ -5112,3 +5112,59 @@ ETL_ORACLES["bias_correction_parametric"] = f"""
     FROM fact f JOIN params p USING (leadtime, station)
     WHERE f.leadtime < 6
 """
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 skew utilities on the hash gate (r8 verdict item 7): the
+    two-phase salted aggregation from functions/skew.py — partial
+    aggregate over (key, salt) so a hot key fans out over n_salts
+    reducers, then an algebraic merge on the key. Because every partial
+    is algebraic, the merged result must be IDENTICAL to a direct
+    groupBy — which is exactly what the oracle computes, so hash
+    equality certifies salt-invariance of the whole construction, not
+    just that it ran. Sums run in DECIMAL per the module convention
+    (order-independent in both engines); the salt itself
+    (xxhash64 + monotonically_increasing_id) never reaches the output.
+
+    Reference parity: the reference aggregates station series with no
+    skew handling at all (single-node xarray); the salt path is what
+    the same rollup needs when one station dominates a 100 TB feed.
+    """
+    from pygeoapi_ingestor_spark.functions import skew
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "value",
+        F.col("value").cast(VALUE_DEC).alias("_vdec"),
+    )
+    out = skew.salted_agg(
+        ev,
+        key_cols=["event_type"],
+        aggs={
+            "n_values": ("count", "value"),
+            "sum_value": ("sum", "_vdec"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_values",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+ETL_QUERIES["skew_salted_agg"] = q_skew_salted_agg
+
+ETL_ORACLES["skew_salted_agg"] = """
+    SELECT event_type,
+           count(value) AS n_values,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+"""

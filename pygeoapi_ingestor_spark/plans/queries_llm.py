@@ -4594,3 +4594,51 @@ SELECT source, status,
        CAST(sum(tok2 - tok1) AS BIGINT) AS token_delta
 FROM j GROUP BY 1, 2
 """
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 multimodal resize on the hash gate (r8 verdict item 7): the
+    Arrow-batched resize pass over the decoded media table. Geometry is
+    the production aspect-preserving plan (scale = target/max(w,h),
+    banker's-rounded like Python's round); only the pixel re-encode is
+    the stub. The stub dims are sha-derived like multimodal_meta's, so
+    the oracle replays the whole two-UDF-stage pipeline symbolically —
+    DuckDB's round_even mirrors Python round bit-for-bit on the same
+    IEEE doubles."""
+    media = multimodal.attach_payload(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text"
+    )
+    decoded = multimodal.extract_metadata(media, use_stub=True)
+    resized = multimodal.resize_media(decoded, target=128)
+    return resized.select(
+        "media_id", "media_type", "width", "height",
+        "resized_width", "resized_height",
+    )
+
+
+LLM_QUERIES["multimodal_resize"] = q_multimodal_resize
+
+LLM_ORACLES["multimodal_resize"] = """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               sha256(text) AS sha
+        FROM documents
+    ),
+    dims AS (
+        SELECT media_id, media_type,
+               CAST(64 + CAST('0x' || substr(sha, 1, 2) AS INTEGER) % 192
+                    AS INTEGER) AS width,
+               CAST(64 + CAST('0x' || substr(sha, 3, 2) AS INTEGER) % 192
+                    AS INTEGER) AS height
+        FROM m
+    )
+    SELECT media_id, media_type, width, height,
+           CAST(greatest(1, round_even(width * (128.0 / greatest(width, height)), 0))
+                AS INTEGER) AS resized_width,
+           CAST(greatest(1, round_even(height * (128.0 / greatest(width, height)), 0))
+                AS INTEGER) AS resized_height
+    FROM dims
+"""

@@ -44,12 +44,22 @@ from pygeoapi_ingestor_spark.plans import ORACLES, QUERIES  # noqa: E402
 from pygeoapi_ingestor_spark.session import TABLES, get_spark  # noqa: E402
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/pygeoapi_scale/sf1")
+SF3_DIR = os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/pygeoapi_scale/sf3")
 SF_POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
     ("sf0.1", "/root/testdata/sf0.1"),
     ("sf1", SF1_DIR),
 ]
 ORACLE_TIMEOUT_S = 120.0
+
+# r8 verdict item 6: one more derived decade-step for the keys whose
+# growth shape actually decides the 100 TB claim — a single 10x step
+# cannot distinguish flat/linear/bending. Only these keys run at sf3
+# (30 replicas of sf0.1); the rest keep their three-point series.
+SF3_KEYS = {
+    "dedup_components", "dedup_minhash_lsh", "dedup_simhash",
+    "isoband_regions", "knn_outliers_ivf", "tfidf_top_terms",
+}
 
 # documented O(n^2) oracle-twin: its scale-safe sibling knn_outliers_ivf
 # carries the sf1 point; running the deliberate quadratic at 10x would
@@ -66,6 +76,13 @@ def _ensure_sf1() -> None:
         subprocess.run(
             [sys.executable, os.path.join(ROOT, "tools", "make_scale_sf.py"),
              SF1_DIR],
+            check=True,
+        )
+    if not os.path.isdir(os.path.join(SF3_DIR, "documents.parquet")):
+        print("generating derived sf3 ...", file=sys.stderr, flush=True)
+        subprocess.run(
+            [sys.executable, os.path.join(ROOT, "tools", "make_scale_sf.py"),
+             SF3_DIR, "30"],
             check=True,
         )
 
@@ -119,10 +136,13 @@ def main() -> None:
 
     results: dict[str, dict] = {k: {} for k in keys}
     notes: dict[str, str] = {}
-    for sf_name, sf_dir in SF_POINTS:
+    sf_points = SF_POINTS + [("sf3", SF3_DIR)]
+    for sf_name, sf_dir in sf_points:
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
         for i, key in enumerate(keys):
-            if sf_name == "sf1" and key in SPARK_SKIP_SF1:
+            if sf_name == "sf3" and key not in SF3_KEYS:
+                continue
+            if sf_name in ("sf1", "sf3") and key in SPARK_SKIP_SF1:
                 notes[key] = ("sf1 spark skipped: documented O(n^2) "
                               "oracle-twin; scale path = knn_outliers_ivf")
                 continue
@@ -146,7 +166,9 @@ def main() -> None:
         for key in keys:
             if key not in ORACLES:
                 continue
-            if sf_name == "sf1" and key in ORACLE_SKIP_SF1:
+            if sf_name == "sf3" and key not in SF3_KEYS:
+                continue
+            if sf_name in ("sf1", "sf3") and key in ORACLE_SKIP_SF1:
                 results[key].setdefault(sf_name, {})["duckdb_skipped"] = (
                     "brute-force n^2 ground-truth oracle - by-design "
                     "intractable at this SF"
@@ -165,16 +187,23 @@ def main() -> None:
         c01, c1 = r.get("sf0.1", {}).get("spark_cold"), r.get("sf1", {}).get("spark_cold")
         if c01 and c1:
             r["spark_growth_sf1_vs_sf0.1"] = round(c1 / c01, 2)
+        c3 = r.get("sf3", {}).get("spark_cold")
+        if c1 and c3:
+            # 3x the data sf1 -> sf3; linear growth would be 3.0
+            r["spark_growth_sf3_vs_sf1"] = round(c3 / c1, 2)
         d01, d1 = r.get("sf0.1", {}).get("duckdb"), r.get("sf1", {}).get("duckdb")
         if d01 and d1:
             r["duckdb_growth_sf1_vs_sf0.1"] = round(d1 / d01, 2)
-        for sf_name, _ in SF_POINTS:
+        d3 = r.get("sf3", {}).get("duckdb")
+        if d1 and d3:
+            r["duckdb_growth_sf3_vs_sf1"] = round(d3 / d1, 2)
+        for sf_name, _ in sf_points:
             s, d = r.get(sf_name, {}).get("spark_cold"), r.get(sf_name, {}).get("duckdb")
             if s and d:
                 r.setdefault("spark_vs_duckdb", {})[sf_name] = round(s / d, 2)
 
     summary = {}
-    for sf_name, _ in SF_POINTS:
+    for sf_name, _ in sf_points:
         pairs = [
             (r[sf_name]["spark_cold"], r[sf_name]["duckdb"])
             for r in results.values()
@@ -195,7 +224,8 @@ def main() -> None:
     out = {
         "metric": "headline_scaling",
         "unit": "sec",
-        "sf_points": {n: d for n, d in SF_POINTS},
+        "sf_points": {n: d for n, d in sf_points},
+        "sf3_keys": sorted(SF3_KEYS),
         "sf1_derivation": (
             "10 replicas of sf0.1, strided ids, per-replica md5 word "
             "permutation (texts) / dim rotation (embeddings) - see "

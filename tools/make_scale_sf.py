@@ -33,9 +33,10 @@ on driver data):
 - dimension tables (region/nation/part/supplier) are copied as-is:
   at every real scale they stay broadcast-side.
 
-Usage: python3 tools/make_scale_sf.py [out_dir]  (default
-/tmp/pygeoapi_scale/sf1; ~170 MB, regenerate on demand - only the
-BENCH_SCALE.json artifact is committed).
+Usage: python3 tools/make_scale_sf.py [out_dir] [replicas]  (default
+/tmp/pygeoapi_scale/sf1 with 10 replicas, ~170 MB; 30 replicas gives
+the "sf3" point. Regenerate on demand - only the BENCH_SCALE.json
+artifact is committed).
 """
 
 from __future__ import annotations
@@ -52,6 +53,8 @@ from pygeoapi_ingestor_spark.sources.readers import read_table  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 STRIDE = 10_000_000
+# replicas of sf0.1; 10 -> "sf1", 30 -> "sf3" (argv[2]). The stride
+# keeps cross-replica ids disjoint up to 100+ replicas.
 REPLICAS = 10
 
 
@@ -65,7 +68,10 @@ def _replicate(df, id_cols: list[str]):
 
 
 def main() -> None:
+    global REPLICAS
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pygeoapi_scale/sf1"
+    if len(sys.argv) > 2:
+        REPLICAS = int(sys.argv[2])
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="make_scale_sf")
     spark.sparkContext.setLogLevel("ERROR")

@@ -4015,6 +4015,27 @@ LLM_ORACLES["embedding_knn_outliers"] = _knn_outlier_oracle_sql()
 KNN_IVF_CLUSTERS, KNN_IVF_PROBE = 32, 8
 
 
+def _ivf_n_clusters(n: int) -> int:
+    """IVF list count that actually holds the n^1.5 promise: ceil(sqrt
+    (n)) clusters, floored at the original 32. With the cluster count
+    PINNED, candidate work is n^2/c — the r9 sf3 scale point measured
+    the bend (5.4x cost for 3x data); with c = sqrt(n) both the assign
+    pass (n*c dots) and the list scoring (n^2*probe/c) are ~n^1.5.
+    The oracle mirrors the formula via
+    ``LIMIT (SELECT greatest(32, ceil(sqrt(count(*)))) ...)`` — ceil of
+    an IEEE sqrt is identical in both engines (no round-half ambiguity),
+    so the centroid set stays bit-identical."""
+    import math
+
+    return max(KNN_IVF_CLUSTERS, math.ceil(math.sqrt(n)))
+
+
+_IVF_CENT_LIMIT_SQL = (
+    f"(SELECT CAST(greatest({KNN_IVF_CLUSTERS}, ceil(sqrt(count(*)))) "
+    "AS BIGINT) FROM ivf_e)"
+)
+
+
 def q_knn_outliers_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe kNN-distance outlier screen: the IVF candidate-list
     variant embedding_knn_outliers' docstring promises — mean cosine
@@ -4024,9 +4045,10 @@ def q_knn_outliers_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join instead of a crossJoin). The exact pass stays beside it
     as the small-scale oracle twin; knn_outliers_recall measures their
     top-N agreement."""
+    e = _emb(spark, sf_dir)
     out = similarity.ivf_knn_outliers(
-        _emb(spark, sf_dir), id_col="vec_id", vec_col="embedding",
-        dim=EMB_DIM, k=KNN_OUT_K, n_clusters=KNN_IVF_CLUSTERS,
+        e, id_col="vec_id", vec_col="embedding",
+        dim=EMB_DIM, k=KNN_OUT_K, n_clusters=_ivf_n_clusters(e.count()),
         n_probe=KNN_IVF_PROBE, top_n=KNN_OUT_TOP,
     )
     return out.select("vec_id", F.round("knn_dist", 6).alias("knn_dist"))
@@ -4045,7 +4067,7 @@ def _knn_ivf_cte(probe_pred: str = "TRUE") -> str:
     dot = " + ".join(f"a.v[{i + 1}] * p.qv[{i + 1}]" for i in range(EMB_DIM))
     return f"""
 ivf_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-ivf_cents AS (SELECT vec_id AS cid, v AS cv FROM ivf_e ORDER BY vec_id LIMIT {KNN_IVF_CLUSTERS}),
+ivf_cents AS (SELECT vec_id AS cid, v AS cv FROM ivf_e ORDER BY vec_id LIMIT {_IVF_CENT_LIMIT_SQL}),
 ivf_assign AS (
     SELECT vec_id, v, cid AS cluster FROM (
         SELECT ie.vec_id, ie.v, c.cid,
@@ -4261,7 +4283,7 @@ def q_knn_outliers_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx_top = similarity.ivf_knn_outliers(
         e, id_col="vec_id", vec_col="embedding",
-        dim=EMB_DIM, k=KNN_OUT_K, n_clusters=KNN_IVF_CLUSTERS,
+        dim=EMB_DIM, k=KNN_OUT_K, n_clusters=_ivf_n_clusters(e.count()),
         n_probe=KNN_IVF_PROBE, top_n=KNN_OUT_TOP,
         query_pred=lambda c: c.isin(sample_ids),
     ).select("vec_id")

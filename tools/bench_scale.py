@@ -99,13 +99,15 @@ def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _timed_oracle(con, sql: str) -> tuple[float | None, str | None]:
-    """Best-of-two timing. A single rep conflates the query with the
-    OS page-cache state of the parquet inputs (the r8 artifact recorded
-    tfidf_top_terms FASTER at sf1 than sf0.1 purely because the sf1
-    files were cache-hot from the Spark pass minutes earlier) — two
-    reps and the min gives every (key, sf) cell the same warm-cache
-    discipline the Spark side's cold/warm split already has."""
+def _timed_oracle(con, sql: str):
+    """Two reps, BOTH recorded: (first, best, error). A single rep
+    conflates the query with the OS page-cache state of the parquet
+    inputs (the r8 artifact recorded tfidf_top_terms FASTER at sf1 than
+    sf0.1 purely because the sf1 files were cache-hot from the Spark
+    pass minutes earlier). Keeping first AND best gives the artifact
+    the same cold/warm split as the Spark side, so each ratio compares
+    like with like — spark_cold/duckdb_cold, spark_warm/duckdb_warm —
+    instead of a cold Spark number against a best-of-N oracle."""
     done = threading.Event()
 
     def watchdog() -> None:
@@ -115,15 +117,14 @@ def _timed_oracle(con, sql: str) -> tuple[float | None, str | None]:
     w = threading.Thread(target=watchdog, daemon=True)
     w.start()
     try:
-        best = None
+        reps = []
         for _ in range(2):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
-            sec = time.perf_counter() - t0
-            best = sec if best is None else min(best, sec)
-        return round(best, 3), None
+            reps.append(time.perf_counter() - t0)
+        return round(reps[0], 3), round(min(reps), 3), None
     except Exception as exc:  # noqa: BLE001 - recorded, not swallowed
-        return None, f"{type(exc).__name__}: {exc}"[:160]
+        return None, None, f"{type(exc).__name__}: {exc}"[:160]
     finally:
         done.set()
 
@@ -139,7 +140,7 @@ def main() -> None:
     sf_points = SF_POINTS + [("sf3", SF3_DIR)]
     for sf_name, sf_dir in sf_points:
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
-        for i, key in enumerate(keys):
+        for key in keys:
             if sf_name == "sf3" and key not in SF3_KEYS:
                 continue
             if sf_name in ("sf1", "sf3") and key in SPARK_SKIP_SF1:
@@ -147,6 +148,16 @@ def main() -> None:
                               "oracle-twin; scale path = knn_outliers_ivf")
                 continue
             spark.catalog.clearCache()
+            # GC BEFORE each cold cell, not periodically after: session
+            # garbage from earlier keys measured a cold cell up to ~1.7x
+            # high in the r9 run (dedup_components 73s in-bench vs 42s
+            # in a fresh session, identical code) — the same
+            # accumulated-state effect bench.py's concurrent phase GCs
+            # away
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
             t0 = time.perf_counter()
             QUERIES[key](spark, sf_dir).count()
             cold = round(time.perf_counter() - t0, 3)
@@ -154,11 +165,6 @@ def main() -> None:
             QUERIES[key](spark, sf_dir).count()
             warm = round(time.perf_counter() - t0, 3)
             results[key][sf_name] = {"spark_cold": cold, "spark_warm": warm}
-            if i % 6 == 5:
-                try:
-                    spark.sparkContext._jvm.System.gc()
-                except Exception:
-                    pass
             print(f"{sf_name} {key} cold={cold} warm={warm}",
                   file=sys.stderr, flush=True)
         spark.catalog.clearCache()
@@ -174,10 +180,11 @@ def main() -> None:
                     "intractable at this SF"
                 )
                 continue
-            sec, err = _timed_oracle(con, ORACLES[key])
+            first, best, err = _timed_oracle(con, ORACLES[key])
             slot = results[key].setdefault(sf_name, {})
-            if sec is not None:
-                slot["duckdb"] = sec
+            if first is not None:
+                slot["duckdb"] = first
+                slot["duckdb_warm"] = best
             else:
                 slot["duckdb_error"] = err
         con.close()
@@ -210,6 +217,12 @@ def main() -> None:
             if r.get(sf_name, {}).get("spark_cold")
             and r.get(sf_name, {}).get("duckdb")
         ]
+        warm_pairs = [
+            (r[sf_name]["spark_warm"], r[sf_name]["duckdb_warm"])
+            for r in results.values()
+            if r.get(sf_name, {}).get("spark_warm")
+            and r.get(sf_name, {}).get("duckdb_warm")
+        ]
         if pairs:
             summary[sf_name] = {
                 "n_keys_both": len(pairs),
@@ -218,7 +231,13 @@ def main() -> None:
                 "vs_duckdb": round(
                     sum(p[0] for p in pairs) / sum(p[1] for p in pairs), 3
                 ),
+                "vs_duckdb_warm": round(
+                    sum(p[0] for p in warm_pairs) / sum(p[1] for p in warm_pairs), 3
+                ) if warm_pairs else None,
                 "spark_faster_count": sum(1 for p in pairs if p[0] < p[1]),
+                "spark_faster_count_warm": sum(
+                    1 for p in warm_pairs if p[0] < p[1]
+                ),
             }
 
     out = {

@@ -498,8 +498,11 @@ def main() -> None:
         "oracle_total": oracle_total,
         "vs_oracle": vs_oracle,
         "concurrent_wall": concurrent_total,
+        # the sustained row reports wall/processing rates under
+        # different keys — take whichever throughput field is present
         "streaming_rows_per_sec": {
-            k: v["rows_per_sec"] for k, v in streaming.items()
+            k: v.get("rows_per_sec", v.get("rows_per_sec_wall"))
+            for k, v in streaming.items()
         },
         "full": "BENCH_FULL.json",
         "sf": sf,

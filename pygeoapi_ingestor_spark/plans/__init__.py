@@ -21,6 +21,7 @@ from pygeoapi_ingestor_spark.plans.queries_behavior import (
 )
 from pygeoapi_ingestor_spark.plans.queries_etl import ETL_ORACLES, ETL_QUERIES
 from pygeoapi_ingestor_spark.plans.queries_llm import LLM_ORACLES, LLM_QUERIES
+from pygeoapi_ingestor_spark.plans.queries_ml import ML_ORACLES, ML_QUERIES
 from pygeoapi_ingestor_spark.plans.queries_tpch import TPCH_ORACLES, TPCH_QUERIES
 
 _ALL = {
@@ -29,6 +30,7 @@ _ALL = {
     **ANALYTICS_QUERIES,
     **LLM_QUERIES,
     **BEHAVIOR_QUERIES,
+    **ML_QUERIES,
 }
 
 # Round-9 front-load (VERDICT r8 "Next round: do this" #1): the driver
@@ -304,6 +306,7 @@ _ALL_ORACLES = {
     **ANALYTICS_ORACLES,
     **LLM_ORACLES,
     **BEHAVIOR_ORACLES,
+    **ML_ORACLES,
 }
 ORACLES = {k: _ALL_ORACLES[k] for k in _order if k in _ALL_ORACLES}
 

@@ -1,0 +1,1046 @@
+r"""Corpus-statistics / ML-adjacent catalog queries (SURVEY.md §2
+blocks B and C, round-9 additions) on ``documents``, ``embeddings``
+and ``events``.
+
+Every key follows the house parity conventions (see queries_etl.py
+trend_ols and queries_llm.py kmeans_clusters_int8): integer or
+decimal-exact accumulation everywhere a sum crosses rows, floats only
+in final per-row expressions, ``round(..., k)`` applied identically on
+both sides. Iterative algorithms (power iteration) are pure integer
+arithmetic so the DuckDB twin replays the training run bit-for-bit as
+an unrolled CTE chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pygeoapi_ingestor_spark.functions import ranks
+from pygeoapi_ingestor_spark.operators import dedup, linalg, similarity, text
+
+PCA_ITERS = 3
+PCA_DIM = 64
+ZIPF_TOPN = 200
+CHI2_TOP_TOKENS = 20
+KS_BINS = 1000
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# pca_power_iteration (block C)
+# ---------------------------------------------------------------------------
+
+
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via distributed
+    power iteration on the int8-quantized Gram matrix — the dimension-
+    diagnosis pass before choosing an index or a projection (which axis
+    dominates the corpus, and how strongly).
+
+    Scale shape: each of the 3 iterations is ONE map-side-combinable
+    aggregation whose shuffled state is 64 int64 sums — the cost is
+    pass count x scan, never row-count-dependent driver state. The
+    entire run (init, per-row dots, per-dim sums, truncating rescale,
+    Rayleigh quotient) is exact integer arithmetic, so the unrolled-CTE
+    DuckDB twin certifies the full training trajectory, same contract
+    as kmeans_clusters_int8."""
+    emb = _emb(spark, sf_dir)
+    q = similarity.quantize_int8(emb, "embedding").select("q_vec").persist()
+    try:
+        v, num, den, n_rows = linalg.power_iteration_int8(
+            q, "q_vec", dim=PCA_DIM, iters=PCA_ITERS
+        )
+    finally:
+        q.unpersist()
+    # float(int) is correctly rounded — matches DuckDB CAST(HUGEINT AS
+    # DOUBLE); dividing the two doubles is then the identical IEEE op
+    num_d, den_d = float(num), float(den or 1)
+    out = spark.createDataFrame(
+        [(j + 1, int(v[j])) for j in range(PCA_DIM)],
+        "component int, loading long",
+    )
+    return out.select(
+        "component",
+        "loading",
+        F.lit(n_rows).cast("bigint").alias("n_vecs"),
+        F.round(F.lit(num_d) / F.lit(den_d), 4).alias("eigenvalue_est"),
+    )
+
+
+def _pca_oracle_sql() -> str:
+    """Unrolled power-iteration twin (mirrors operators/linalg.py
+    power_iteration_int8): same quantization as the kmeans oracle, v0 =
+    1000 everywhere, per-iteration w = A^T(Av) in HUGEINT, truncating
+    ``//`` rescale (DuckDB ``//`` truncates toward zero — measured
+    -7//2 = -3 — matching linalg._trunc_div)."""
+    dim, iters, scale = PCA_DIM, PCA_ITERS, linalg.PCA_SCALE
+    parts = [
+        f"""
+q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(round(x * 127.0 /
+                (CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y))) > 0
+                      THEN list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))
+                      ELSE 1.0 END), 0) AS INTEGER)) AS qv
+  FROM embeddings
+),
+v0 AS (
+  SELECT i AS j, CAST({scale // 10} AS HUGEINT) AS vj
+  FROM generate_series(1, {dim}) t(i)
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+vl{t - 1} AS (SELECT list(vj ORDER BY j) AS vl FROM v{t - 1}),
+d{t} AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(list_zip(qv, vl.vl),
+                  s -> CAST(s[1] AS HUGEINT) * s[2])) AS d
+  FROM q CROSS JOIN vl{t - 1} vl
+),
+w{t} AS (
+  SELECT i.i AS j, sum(CAST(qv[i.i] AS HUGEINT) * d) AS wj
+  FROM d{t} CROSS JOIN generate_series(1, {dim}) i(i)
+  GROUP BY 1
+),
+m{t} AS (SELECT greatest(max(abs(wj)), 1) AS m FROM w{t}),
+v{t} AS (
+  SELECT j, (wj * {scale}) // m AS vj
+  FROM w{t} CROSS JOIN m{t}
+)""")
+    last, prev = iters, iters - 1
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+ray AS (
+  SELECT sum(v.vj * w.wj) AS num, sum(v.vj * v.vj) AS den
+  FROM v{prev} v JOIN w{last} w USING (j)
+)
+SELECT CAST(v.j AS INT) AS component,
+       CAST(v.vj AS BIGINT) AS loading,
+       (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_vecs,
+       round(CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE), 4)
+           AS eigenvalue_est
+FROM v{last} v CROSS JOIN ray
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_logreg_step (block C)
+# ---------------------------------------------------------------------------
+
+_LOGREG_FEATURES = ["x_bias", "x_chars", "x_words", "x_digits"]
+_LOGREG_LR = 0.1
+
+
+def q_quality_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First gradient-descent step of a logistic-regression quality/
+    language classifier (y = doc is English) on integer text features —
+    the model-bootstrap pass of a curation pipeline. At the w=0 init
+    every prediction is exactly 0.5, so the gradient numerator
+    sum((1-2y)*x_j) is a pure integer aggregation: no transcendentals,
+    map-side combinable, per-feature state one int64 — the same
+    one-pass-per-step shape a full distributed GD loop would run at
+    100 TB."""
+    docs = _docs(spark, sf_dir)
+    feats = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.lit(1).cast("long").alias("x_bias"),
+        F.col("n_chars").cast("long").alias("x_chars"),
+        F.size(text.norm_words("text")).cast("long").alias("x_words"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("long").alias(
+            "x_digits"
+        ),
+    )
+    g = linalg.logistic_gradient_exact(feats, "y", _LOGREG_FEATURES)
+    grad_raw = F.col("g2").cast("double") / (F.lit(2.0) * F.col("n"))
+    return g.select(
+        "feature",
+        "g2",
+        "n",
+        F.round(grad_raw, 6).alias("grad"),
+        # + 0.0 collapses IEEE -0.0 (a zero gradient times the negative
+        # learning rate) to +0.0 — mirrored in the oracle
+        (F.round(F.lit(-_LOGREG_LR) * grad_raw, 6) + F.lit(0.0)).alias(
+            "new_weight"
+        ),
+    )
+
+
+_LOGREG_ORACLE = rf"""
+WITH f AS (
+    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           CAST(1 AS BIGINT) AS x_bias,
+           CAST(n_chars AS BIGINT) AS x_chars,
+           CAST(len(list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                   '\s+'),
+               w -> w <> '')) AS BIGINT) AS x_words,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+               AS x_digits
+    FROM documents
+), g AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((1 - 2 * y) * x_bias) AS BIGINT) AS g_bias,
+           CAST(sum((1 - 2 * y) * x_chars) AS BIGINT) AS g_chars,
+           CAST(sum((1 - 2 * y) * x_words) AS BIGINT) AS g_words,
+           CAST(sum((1 - 2 * y) * x_digits) AS BIGINT) AS g_digits
+    FROM f
+), u AS (
+    SELECT 'x_bias' AS feature, g_bias AS g2, n FROM g
+    UNION ALL SELECT 'x_chars', g_chars, n FROM g
+    UNION ALL SELECT 'x_words', g_words, n FROM g
+    UNION ALL SELECT 'x_digits', g_digits, n FROM g
+)
+SELECT feature, g2, n,
+       round(CAST(g2 AS DOUBLE) / (2.0 * n), 6) AS grad,
+       round(-{_LOGREG_LR} * (CAST(g2 AS DOUBLE) / (2.0 * n)), 6) + 0.0
+           AS new_weight
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_source_chi2 (block C)
+# ---------------------------------------------------------------------------
+
+
+def q_token_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association of the top document-frequency tokens with
+    the source label — the feature-selection screen (sklearn chi2
+    analog) for source-classifier features and mixture diagnostics.
+    All cell counts are exact integers; each (token, source) cell's
+    chi2 term is a deterministic rational computed in double and
+    rounded to 9 dp BEFORE the decimal-exact sum, so the cross-cell
+    accumulation has no float-order dependence. Scale: one distinct
+    (doc, token) aggregation; the grid is top-K tokens x sources —
+    bounded."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(text.norm_words("text"))).alias("token"),
+    )
+    # top-K tokens by doc frequency: TakeOrdered on the aggregated
+    # vocab (k rows cross the wire, never the vocab)
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(CHI2_TOP_TOKENS)
+    )
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    cells = tok.join(F.broadcast(top.select("token")), "token").groupBy(
+        "token", "source"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_ts"))
+    grid = (
+        top.crossJoin(src)
+        .crossJoin(total)
+        .join(cells, ["token", "source"], "left")
+        .withColumn("n_ts", F.coalesce(F.col("n_ts"), F.lit(0)).cast("bigint"))
+    )
+    n_t = F.col("doc_freq").cast("double")
+    n_s = F.col("n_s").cast("double")
+    n = F.col("n_total").cast("double")
+    o1 = F.col("n_ts").cast("double")
+    o0 = n_s - o1
+    e1 = n_t * n_s / n
+    e0 = (n - n_t) * n_s / n
+    # a token present in EVERY document has e0 = 0 and o0 = 0: that cell
+    # contributes nothing (0/0 would NaN-poison the sum)
+    term = (o1 - e1) * (o1 - e1) / e1 + F.when(
+        n - n_t > 0, (o0 - e0) * (o0 - e0) / e0
+    ).otherwise(F.lit(0.0))
+    return (
+        grid.withColumn(
+            "_term", F.round(term, 9).cast("decimal(38,9)")
+        )
+        .groupBy("token", "doc_freq")
+        .agg(
+            F.round(F.sum("_term").cast("double"), 6).alias("chi2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+_TOKENS_DISTINCT_CTE = r"""
+WITH tok AS (
+    SELECT doc_id, source,
+           unnest(list_distinct(list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                   '\s+'),
+               w -> w <> ''))) AS token
+    FROM documents
+)
+"""
+
+_TOKEN_CHI2_ORACLE = _TOKENS_DISTINCT_CTE + f"""
+, top AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM tok GROUP BY 1
+    ORDER BY doc_freq DESC, token ASC LIMIT {CHI2_TOP_TOKENS}
+), src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1
+), total AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents
+), cells AS (
+    SELECT token, source, CAST(count(*) AS BIGINT) AS n_ts
+    FROM tok WHERE token IN (SELECT token FROM top)
+    GROUP BY 1, 2
+), grid AS (
+    SELECT top.token, top.doc_freq, src.source, src.n_s, total.n_total,
+           coalesce(cells.n_ts, 0) AS n_ts
+    FROM top CROSS JOIN src CROSS JOIN total
+    LEFT JOIN cells ON cells.token = top.token AND cells.source = src.source
+), terms AS (
+    SELECT token, doc_freq,
+           CAST(round(
+               (n_ts - CAST(doc_freq AS DOUBLE) * n_s / n_total)
+                 * (n_ts - CAST(doc_freq AS DOUBLE) * n_s / n_total)
+                 / (CAST(doc_freq AS DOUBLE) * n_s / n_total)
+               + CASE WHEN n_total - doc_freq > 0 THEN
+                   ((n_s - CAST(n_ts AS DOUBLE))
+                     - (n_total - CAST(doc_freq AS DOUBLE)) * n_s / n_total)
+                   * ((n_s - CAST(n_ts AS DOUBLE))
+                     - (n_total - CAST(doc_freq AS DOUBLE)) * n_s / n_total)
+                   / ((n_total - CAST(doc_freq AS DOUBLE)) * n_s / n_total)
+                 ELSE 0.0 END,
+               9) AS DECIMAL(38,9)) AS term
+    FROM grid
+)
+SELECT token, doc_freq,
+       round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+       CAST(count(*) AS BIGINT) AS n_sources
+FROM terms GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_zipf_fit (block C)
+# ---------------------------------------------------------------------------
+
+
+def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: OLS of ln(term frequency) on ln(rank)
+    over each source's top terms — the vocabulary-shape diagnostic of
+    corpus curation (natural text sits near slope -1; tables, spam and
+    boilerplate bend it). Ranking uses grouped_topk (salted two-phase
+    top-k, never a single-task per-source sort); the OLS moments are
+    decimal-exact sums of per-row 12-dp-rounded log products, so the
+    fit has no float-order dependence. ~TOPN rows per source reach the
+    regression whatever the corpus size."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(
+            "source", F.explode(text.norm_words("text")).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("_neg", -F.col("cnt"))
+    )
+    ranked = ranks.grouped_topk(
+        tf, ["source"], "_neg", ["token"], k=ZIPF_TOPN, out_col="rank"
+    )
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("cnt").cast("double"))
+    d = lambda c: F.round(c, 12).cast("decimal(38,12)")  # noqa: E731
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(d(lx)).cast("double").alias("sx"),
+        F.sum(d(ly)).cast("double").alias("sy"),
+        F.sum(d(lx * lx)).cast("double").alias("sxx"),
+        F.sum(d(lx * ly)).cast("double").alias("sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.select(
+        "source",
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.exp(intercept), 4).alias("zipf_k"),
+    )
+
+
+_TOKENS_ALL_CTE = r"""
+WITH tokall AS (
+    SELECT doc_id, source,
+           unnest(list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                   '\s+'),
+               w -> w <> '')) AS token
+    FROM documents
+)
+"""
+
+_ZIPF_ORACLE = _TOKENS_ALL_CTE + f"""
+, tf AS (
+    SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+    FROM tokall GROUP BY 1, 2
+), ranked AS (
+    SELECT source, cnt,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, token ASC) AS rank
+    FROM tf
+    QUALIFY rank <= {ZIPF_TOPN}
+), moments AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(CAST(round(ln(rank), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(round(ln(cnt), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(round(ln(rank) * ln(rank), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(round(ln(rank) * ln(cnt), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+    FROM ranked GROUP BY 1
+)
+SELECT source, n_terms,
+       round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
+           AS zipf_slope,
+       round(exp((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
+                  * sx) / n_terms), 4) AS zipf_k
+FROM moments
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth_heaps (block C)
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth per source: distinct-vocabulary size
+    V against cumulative token count N at 10 document checkpoints, plus
+    the fitted exponent beta of V ~ K * N^beta — the
+    is-this-source-running-dry diagnostic of corpus scaling (natural
+    text: beta ~0.4-0.6; templated/duplicated sources flatten early).
+
+    Exact core: docs rank within source via the bucketed distributed
+    row_number (no single-task sort); each doc and each token's FIRST
+    occurrence land in an integer decile d = ceil(10*rn/n) computed with
+    integer arithmetic, then two 10-row-per-source cumsums give (N_q,
+    V_q); the Heaps fit reuses the decimal-exact log OLS."""
+    docs = _docs(spark, sf_dir)
+    ranked = ranks.bucketed_row_number(
+        docs.select("doc_id", "source", "text"),
+        ["source"],
+        "doc_id",
+        [],
+        out_col="rn",
+        count_col="n_docs",
+    )
+    # integer ceil(10*rn/n): (10*rn + n - 1) div n — `div`/`//` both
+    # truncate positive integer division identically (float `/` would
+    # risk rounding up across an integer boundary before the cast)
+    dec = F.expr("CAST((10 * rn + n_docs - 1) DIV n_docs AS BIGINT)")
+    with_dec = ranked.withColumn("dec", dec).withColumn(
+        "n_tok", F.size(text.norm_words("text")).cast("long")
+    )
+    tok_first = (
+        with_dec.select(
+            "source", "dec", F.explode(text.norm_words("text")).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.min("dec").alias("dec_first"))
+    )
+    w = Window.partitionBy("source").orderBy("q")
+    qgrid = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(spark.range(1, 11).select(F.col("id").cast("long").alias("q")))
+    )
+    tok_hist = with_dec.groupBy(
+        F.col("source").alias("_ts"), F.col("dec").alias("_td")
+    ).agg(F.sum("n_tok").cast("bigint").alias("toks"))
+    voc_hist = tok_first.groupBy("source", "dec_first").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocs")
+    )
+    curve = (
+        qgrid.join(
+            tok_hist,
+            (F.col("source") == F.col("_ts")) & (F.col("_td") == F.col("q")),
+            "left",
+        )
+        .select("source", "q", F.coalesce("toks", F.lit(0)).alias("toks"))
+        .join(
+            voc_hist.withColumnRenamed("source", "_vs"),
+            (F.col("source") == F.col("_vs")) & (F.col("dec_first") == F.col("q")),
+            "left",
+        )
+        .select(
+            "source", "q", "toks", F.coalesce("vocs", F.lit(0)).alias("vocs")
+        )
+        .select(
+            "source",
+            "q",
+            F.sum("toks").over(w).cast("bigint").alias("n_q"),
+            F.sum("vocs").over(w).cast("bigint").alias("v_q"),
+        )
+        .filter(F.col("n_q") > 0)
+    )
+    lx = F.log(F.col("n_q").cast("double"))
+    ly = F.log(F.col("v_q").cast("double"))
+    d = lambda c: F.round(c, 12).cast("decimal(38,12)")  # noqa: E731
+    agg = curve.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.max("n_q").cast("bigint").alias("total_tokens"),
+        F.max("v_q").cast("bigint").alias("vocab_size"),
+        F.sum(d(lx)).cast("double").alias("sx"),
+        F.sum(d(ly)).cast("double").alias("sy"),
+        F.sum(d(lx * lx)).cast("double").alias("sxx"),
+        F.sum(d(lx * ly)).cast("double").alias("sxy"),
+    )
+    n = F.col("n_points").cast("double")
+    beta = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - beta * F.col("sx")) / n
+    return agg.select(
+        "source",
+        "n_points",
+        "total_tokens",
+        "vocab_size",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(intercept), 4).alias("heaps_k"),
+    )
+
+
+_HEAPS_ORACLE = _TOKENS_ALL_CTE + """
+, rdoc AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+           count(*) OVER (PARTITION BY source) AS n_docs,
+           CAST(len(list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\\s]', ' ', 'g')),
+                   '\\s+'),
+               w -> w <> '')) AS BIGINT) AS n_tok
+    FROM documents
+), ddoc AS (
+    SELECT doc_id, source, n_tok,
+           CAST((10 * rn + n_docs - 1) // n_docs AS BIGINT) AS dec
+    FROM rdoc
+), tfirst AS (
+    SELECT t.source, t.token, min(d.dec) AS dec_first
+    FROM tokall t JOIN ddoc d USING (doc_id)
+    GROUP BY 1, 2
+), qgrid AS (
+    SELECT DISTINCT source, q.q
+    FROM documents CROSS JOIN generate_series(1, 10) q(q)
+), thist AS (
+    SELECT source, dec, CAST(sum(n_tok) AS BIGINT) AS toks
+    FROM ddoc GROUP BY 1, 2
+), vhist AS (
+    SELECT source, dec_first AS dec, CAST(count(*) AS BIGINT) AS vocs
+    FROM tfirst GROUP BY 1, 2
+), curve AS (
+    SELECT g.source, g.q,
+           CAST(sum(coalesce(t.toks, 0)) OVER (
+               PARTITION BY g.source ORDER BY g.q) AS BIGINT) AS n_q,
+           CAST(sum(coalesce(v.vocs, 0)) OVER (
+               PARTITION BY g.source ORDER BY g.q) AS BIGINT) AS v_q
+    FROM qgrid g
+    LEFT JOIN thist t ON t.source = g.source AND t.dec = g.q
+    LEFT JOIN vhist v ON v.source = g.source AND v.dec = g.q
+), pts AS (
+    SELECT * FROM curve WHERE n_q > 0
+), moments AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+           CAST(max(n_q) AS BIGINT) AS total_tokens,
+           CAST(max(v_q) AS BIGINT) AS vocab_size,
+           CAST(sum(CAST(round(ln(n_q), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(round(ln(v_q), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(round(ln(n_q) * ln(n_q), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(round(ln(n_q) * ln(v_q), 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+    FROM pts GROUP BY 1
+)
+SELECT source, n_points, total_tokens, vocab_size,
+       round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 6)
+           AS heaps_beta,
+       round(exp((sy - (n_points * sxy - sx * sy)
+                       / (n_points * sxx - sx * sx) * sx) / n_points), 4)
+           AS heaps_k
+FROM moments
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_minhash (block C)
+# ---------------------------------------------------------------------------
+
+_OVL_HASHES = 32
+
+
+def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap estimation by MERGED MinHash
+    signatures: each source's signature is the min-fold of its shingle
+    set (a mergeable sketch — at 100 TB, per-partition signatures
+    combine without ever joining the shingle tables), compared against
+    the exact shingle-set Jaccard as the built-in acceptance check.
+    The md5 double-hash signature is the engine-neutral formulation of
+    dedup.minhash_signatures, so the DuckDB twin rebuilds the sketch
+    bit-for-bit. Output is one row per source pair: estimator, exact
+    value, absolute error."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs, "doc_id", "text", n=3)
+    src_sh = (
+        sh.join(
+            docs.select(F.col("doc_id").alias("doc"), "source"), "doc"
+        )
+        .select(F.col("source").alias("doc"), "shingle")
+        .dropDuplicates()
+    )
+    sig = dedup.minhash_signatures(
+        docs, "doc_id", "text",
+        n=3, num_hashes=_OVL_HASHES, shingle_hash="md5", shingles_df=src_sh,
+    ).select(F.col("doc").alias("source"), "signature")
+    a = sig.select(
+        F.col("source").alias("src_a"), F.col("signature").alias("_sa")
+    )
+    b = sig.select(
+        F.col("source").alias("src_b"), F.col("signature").alias("_sb")
+    )
+    # one side broadcast: the signature table is #sources rows by
+    # construction, so the non-equi pair join is a BNLJ against a
+    # broadcast handful, never a cartesian shuffle
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    matches = F.aggregate(
+        F.zip_with(
+            "_sa", "_sb", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = pairs.select(
+        "src_a", "src_b",
+        F.round(matches.cast("double") / F.lit(float(_OVL_HASHES)), 6).alias(
+            "est_jaccard"
+        ),
+    )
+    sizes = src_sh.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    inter = (
+        src_sh.alias("x")
+        .join(src_sh.alias("y"), F.expr("x.shingle = y.shingle AND x.doc < y.doc"))
+        .groupBy(
+            F.col("x.doc").alias("src_a"), F.col("y.doc").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    exact = (
+        inter.join(
+            sizes.select(F.col("doc").alias("src_a"), F.col("n_sh").alias("_na")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("src_b"), F.col("n_sh").alias("_nb")),
+            "src_b",
+        )
+        .select(
+            "src_a", "src_b", "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    out = est.join(exact, ["src_a", "src_b"], "left").select(
+        "src_a", "src_b",
+        "est_jaccard",
+        F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+        F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
+    )
+    return out.withColumn(
+        "abs_err",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6),
+    )
+
+
+def _source_overlap_oracle_sql() -> str:
+    """Per-source merged-signature twin: same 60-bit md5 double hashing
+    and mask-then-shift rotations as _minhash_lsh_oracle_sql, min-folded
+    per SOURCE instead of per doc."""
+    h1 = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT)"
+    h2 = "(('0x' || substr(md5(shingle), 17, 15))::BIGINT)"
+
+    def rotl60(x: str, r: int) -> str:
+        r = r % 60
+        if r == 0:
+            return x
+        mask = (1 << (60 - r)) - 1
+        return f"((({x} & {mask}) << {r}) | ({x} >> {60 - r}))"
+
+    mins = ", ".join(
+        f"min(xor({h1}, {rotl60(h2, (7 * i + 1) % 60)})) AS h{i}"
+        for i in range(_OVL_HASHES)
+    )
+    est = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(_OVL_HASHES)
+    )
+    return rf"""
+WITH words_t AS (
+    SELECT doc_id, source,
+           list_filter(
+               string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\s]', ' ', 'g')),
+                   '\s+'),
+               w -> w <> '') AS words
+    FROM documents
+), ssh AS (
+    SELECT DISTINCT source, shingle FROM (
+        SELECT source, unnest(list_distinct(
+                   list_transform(
+                       range(1, greatest(len(words) - 2, 0) + 1),
+                       i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+        FROM words_t
+    )
+), sig AS (
+    SELECT source, {mins} FROM ssh GROUP BY source
+), est AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           round(({est}) / {float(_OVL_HASHES)}, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+), sizes AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM ssh GROUP BY 1
+), inter AS (
+    SELECT x.source AS src_a, y.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM ssh x JOIN ssh y ON x.shingle = y.shingle AND x.source < y.source
+    GROUP BY 1, 2
+), exact AS (
+    SELECT i.src_a, i.src_b, i.n_common,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS exact_jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+)
+SELECT e.src_a, e.src_b, e.est_jaccard,
+       coalesce(x.n_common, 0) AS n_common,
+       coalesce(x.exact_jaccard, 0.0) AS exact_jaccard,
+       round(abs(e.est_jaccard - coalesce(x.exact_jaccard, 0.0)), 6) AS abs_err
+FROM est e LEFT JOIN exact x ON x.src_a = e.src_a AND x.src_b = e.src_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_prefix_fingerprint (block C)
+# ---------------------------------------------------------------------------
+
+_PREFIX_LEN = 64
+
+
+def q_dedup_prefix_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix dedup: documents sharing the first 64
+    normalized characters (the crawl-corpus pattern where scraped pages
+    repeat a site header/license preamble). The shuffle carries a
+    16-byte md5, never text; keep-min-id inside each group is one
+    aggregation."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", "")
+    fp = F.md5(F.substring(norm, 1, _PREFIX_LEN))
+    return (
+        docs.select(fp.alias("prefix_fp"), "doc_id")
+        .groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_PREFIX_ORACLE = f"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                      1, {_PREFIX_LEN})) AS prefix_fp
+    FROM documents
+)
+SELECT prefix_fp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM fp GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# ks_drift_daily (block B)
+# ---------------------------------------------------------------------------
+
+
+def q_ks_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day two-sample Kolmogorov-Smirnov drift statistic of the
+    event value distribution against the full-period baseline — the
+    numeric-feature drift monitor (PSI's rank-based sibling; PSI is
+    psi_drift_daily). ECDFs are evaluated on a fixed 1000-bin integer
+    grid (the scale path: per-day state is bounded by the grid, not the
+    row count), and the KS sup-difference is computed CROSS-MULTIPLIED
+    in exact integers — |cum_day * n_ref - cum_ref * n_day| — so the
+    only float is the final division. Windows run over <=1000 rows per
+    day (and one 1000-row baseline partition): bounded at any scale."""
+    ev = _events(spark, sf_dir)
+    v100 = (F.col("value").cast("decimal(14,2)") * 100).cast("long")
+    base = ev.select(
+        F.date_trunc("day", "ts").alias("day"), v100.alias("v100")
+    )
+    stats = base.agg(
+        F.min("v100").alias("_lo"), F.max("v100").alias("_hi")
+    )
+    binned = base.crossJoin(F.broadcast(stats)).select(
+        "day",
+        # integer DIV, never float `/`: a float quotient landing one ulp
+        # above an integer boundary would mis-bin after the cast
+        F.expr(
+            f"CAST(((v100 - _lo) * {KS_BINS}) DIV (_hi - _lo + 1) AS BIGINT)"
+        ).alias("bin"),
+    )
+    day_counts = binned.groupBy("day", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ref_counts = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    bins = spark.range(KS_BINS).select(F.col("id").cast("long").alias("bin"))
+    w_ref = Window.orderBy("bin")
+    ref_cum = (
+        bins.join(ref_counts, "bin", "left")
+        .select("bin", F.coalesce("c", F.lit(0)).alias("c"))
+        .select(
+            "bin",
+            F.sum("c").over(w_ref).cast("bigint").alias("cum_ref"),
+            F.sum("c").over(Window.partitionBy(F.lit(1))).cast("bigint").alias(
+                "n_ref"
+            ),
+        )
+    )
+    days = base.select("day").distinct()
+    grid = days.crossJoin(F.broadcast(bins))
+    w_day = Window.partitionBy("day").orderBy("bin")
+    day_cum = (
+        grid.join(day_counts, ["day", "bin"], "left")
+        .select("day", "bin", F.coalesce("c", F.lit(0)).alias("c"))
+        .select(
+            "day",
+            "bin",
+            F.sum("c").over(w_day).cast("bigint").alias("cum_day"),
+            F.sum("c").over(Window.partitionBy("day")).cast("bigint").alias(
+                "n_day"
+            ),
+        )
+    )
+    joined = day_cum.join(F.broadcast(ref_cum), "bin")
+    diff = F.abs(
+        F.col("cum_day") * F.col("n_ref") - F.col("cum_ref") * F.col("n_day")
+    )
+    agg = joined.groupBy("day").agg(
+        F.max("n_day").cast("bigint").alias("n_obs"),
+        F.max(diff).cast("bigint").alias("_dnum"),
+        F.max("n_ref").cast("bigint").alias("_nref"),
+    )
+    ks = F.col("_dnum").cast("double") / (
+        F.col("n_obs").cast("double") * F.col("_nref").cast("double")
+    )
+    return agg.select(
+        "day",
+        "n_obs",
+        F.round(ks, 6).alias("ks_stat"),
+        (F.round(ks, 6) > 0.1).alias("drifted"),
+    )
+
+
+_KS_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS v100
+    FROM events
+), st AS (
+    SELECT min(v100) AS lo, max(v100) AS hi FROM base
+), binned AS (
+    SELECT day,
+           CAST((v100 - lo) * {KS_BINS} // (hi - lo + 1) AS BIGINT) AS bin
+    FROM base CROSS JOIN st
+), bins AS (
+    SELECT CAST(i AS BIGINT) AS bin FROM generate_series(0, {KS_BINS - 1}) t(i)
+), refc AS (
+    SELECT bins.bin,
+           CAST(sum(coalesce(c.c, 0)) OVER (ORDER BY bins.bin) AS BIGINT)
+               AS cum_ref,
+           CAST(sum(coalesce(c.c, 0)) OVER () AS BIGINT) AS n_ref
+    FROM bins LEFT JOIN (
+        SELECT bin, count(*) AS c FROM binned GROUP BY 1
+    ) c USING (bin)
+), dayc AS (
+    SELECT g.day, g.bin,
+           CAST(sum(coalesce(c.c, 0)) OVER (
+               PARTITION BY g.day ORDER BY g.bin) AS BIGINT) AS cum_day,
+           CAST(sum(coalesce(c.c, 0)) OVER (PARTITION BY g.day) AS BIGINT)
+               AS n_day
+    FROM (SELECT d.day, b.bin
+          FROM (SELECT DISTINCT day FROM base) d CROSS JOIN bins b) g
+    LEFT JOIN (
+        SELECT day, bin, count(*) AS c FROM binned GROUP BY 1, 2
+    ) c ON c.day = g.day AND c.bin = g.bin
+), agg AS (
+    SELECT d.day,
+           max(d.n_day) AS n_obs,
+           max(abs(d.cum_day * r.n_ref - r.cum_ref * d.n_day)) AS dnum,
+           max(r.n_ref) AS nref
+    FROM dayc d JOIN refc r USING (bin)
+    GROUP BY 1
+)
+SELECT day, CAST(n_obs AS BIGINT) AS n_obs,
+       round(CAST(dnum AS DOUBLE) / (CAST(n_obs AS DOUBLE) * nref), 6)
+           AS ks_stat,
+       round(CAST(dnum AS DOUBLE) / (CAST(n_obs AS DOUBLE) * nref), 6) > 0.1
+           AS drifted
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# benford_first_digit (block B)
+# ---------------------------------------------------------------------------
+
+
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of event values per event type: first
+    significant digit distribution vs log10(1 + 1/d), with the per-type
+    chi-square statistic — the classic synthetic-data / fraud / sensor-
+    anomaly screen. The first digit comes from the DECIMAL-exact
+    integer rendering (never float formatting); chi2 terms are rounded
+    to 9 dp then decimal-summed so the 9-digit accumulation is
+    float-order-free. One groupBy on (type, digit); the grid is
+    #types x 9."""
+    ev = _events(spark, sf_dir)
+    v100 = (F.col("value").cast("decimal(14,2)") * 100).cast("long")
+    digit = F.substring(v100.cast("string"), 1, 1).cast("int")
+    obs = (
+        ev.select("event_type", digit.alias("digit"))
+        .filter(F.col("digit") >= 1)
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(digits))
+        .join(obs, ["event_type", "digit"], "left")
+        .withColumn("n_obs", F.coalesce("n_obs", F.lit(0)).cast("bigint"))
+    )
+    w_t = Window.partitionBy("event_type")
+    with_n = grid.withColumn(
+        "n_total", F.sum("n_obs").over(w_t).cast("bigint")
+    )
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    e = F.col("n_total").cast("double") * p
+    term = (F.col("n_obs").cast("double") - e) * (
+        F.col("n_obs").cast("double") - e
+    ) / e
+    with_chi = with_n.withColumn(
+        "_term", F.round(term, 9).cast("decimal(38,9)")
+    ).withColumn(
+        "chi2", F.round(F.sum("_term").over(w_t).cast("double"), 6)
+    )
+    return with_chi.select(
+        "event_type",
+        "digit",
+        "n_obs",
+        F.round(
+            F.col("n_obs").cast("double") / F.col("n_total").cast("double"), 6
+        ).alias("obs_share"),
+        F.round(p, 6).alias("benford_share"),
+        "chi2",
+    )
+
+
+_BENFORD_ORACLE = """
+WITH v AS (
+    SELECT event_type,
+           CAST(substr(CAST(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INTEGER) AS digit
+    FROM events
+), obs AS (
+    SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_obs
+    FROM v WHERE digit >= 1
+    GROUP BY 1, 2
+), grid AS (
+    SELECT t.event_type, d.d AS digit, coalesce(o.n_obs, 0) AS n_obs
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN generate_series(1, 9) d(d)
+    LEFT JOIN obs o ON o.event_type = t.event_type AND o.digit = d.d
+), with_n AS (
+    SELECT event_type, digit, n_obs,
+           CAST(sum(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS n_total
+    FROM grid
+), terms AS (
+    SELECT *,
+           log10(1.0 + 1.0 / digit) AS p,
+           CAST(round(
+               (n_obs - n_total * log10(1.0 + 1.0 / digit))
+                 * (n_obs - n_total * log10(1.0 + 1.0 / digit))
+                 / (n_total * log10(1.0 + 1.0 / digit)), 9)
+               AS DECIMAL(38,9)) AS term
+    FROM with_n
+)
+SELECT event_type, digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / n_total, 6) AS obs_share,
+       round(p, 6) AS benford_share,
+       round(CAST(sum(term) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+           AS chi2
+FROM terms
+"""
+
+
+ML_QUERIES = {
+    "pca_power_iteration": q_pca_power_iteration,
+    "quality_logreg_step": q_quality_logreg_step,
+    "token_source_chi2": q_token_source_chi2,
+    "token_zipf_fit": q_token_zipf_fit,
+    "vocab_growth_heaps": q_vocab_growth_heaps,
+    "source_overlap_minhash": q_source_overlap_minhash,
+    "dedup_prefix_fingerprint": q_dedup_prefix_fingerprint,
+    "ks_drift_daily": q_ks_drift_daily,
+    "benford_first_digit": q_benford_first_digit,
+}
+
+ML_ORACLES = {
+    "pca_power_iteration": _pca_oracle_sql(),
+    "quality_logreg_step": _LOGREG_ORACLE,
+    "token_source_chi2": _TOKEN_CHI2_ORACLE,
+    "token_zipf_fit": _ZIPF_ORACLE,
+    "vocab_growth_heaps": _HEAPS_ORACLE,
+    "source_overlap_minhash": _source_overlap_oracle_sql(),
+    "dedup_prefix_fingerprint": _PREFIX_ORACLE,
+    "ks_drift_daily": _KS_ORACLE,
+    "benford_first_digit": _BENFORD_ORACLE,
+}

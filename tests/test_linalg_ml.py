@@ -1,0 +1,160 @@
+"""Round-9 ML/statistics operators: the distributed power iteration is
+pinned against numpy's dense eigendecomposition (direction alignment),
+the exact logistic gradient against a hand-computed reference, and the
+KS / Benford / Heaps / Zipf keys against small-data closed forms."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pygeoapi_ingestor_spark.operators import linalg, similarity
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    """A corpus with a strongly dominant direction so power iteration
+    converges fast and numpy's top eigenvector is unambiguous."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(DIM)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(400):
+        coef = rng.randn() * 10.0
+        noise = rng.randn(DIM) * 0.5
+        v = coef * base + noise
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>"), base
+
+
+def test_power_iteration_matches_numpy_direction(vec_df):
+    df, _ = vec_df
+    q = similarity.quantize_int8(df, "embedding")
+    v, num, den, n = linalg.power_iteration_int8(
+        q.select("q_vec"), "q_vec", dim=DIM, iters=5
+    )
+    assert n == 400
+    # numpy ground truth on the SAME quantized matrix
+    qm = np.array(
+        [r["q_vec"] for r in q.select("q_vec").collect()], dtype=np.float64
+    )
+    gram = qm.T @ qm
+    evals, evecs = np.linalg.eigh(gram)
+    top = evecs[:, -1]
+    vv = np.array(v, dtype=np.float64)
+    cos = abs(float(vv @ top) / (np.linalg.norm(vv) * np.linalg.norm(top)))
+    assert cos > 0.999
+    # Rayleigh quotient approaches the top eigenvalue
+    assert num / den == pytest.approx(float(evals[-1]), rel=0.05)
+
+
+def test_power_iteration_trunc_div_matches_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    for a in (-7, 7, -1, 1, -100001, 100001):
+        got = con.execute(
+            f"SELECT CAST({a} AS HUGEINT) // CAST(3 AS HUGEINT)"
+        ).fetchone()[0]
+        assert linalg._trunc_div(a, 3) == int(got)
+
+
+def test_logistic_gradient_exact_hand_computed(spark):
+    rows = [(1, 10, 2), (0, 4, 6), (1, 8, 0), (0, 2, 2)]
+    df = spark.createDataFrame(rows, "y int, x1 long, x2 long")
+    out = {
+        r["feature"]: (r["g2"], r["n"])
+        for r in linalg.logistic_gradient_exact(df, "y", ["x1", "x2"]).collect()
+    }
+    # (1-2y)*x summed: x1: -10+4-8+2 = -12 ; x2: -2+6+0+2 = 6
+    assert out == {"x1": (-12, 4), "x2": (6, 4)}
+
+
+def test_ks_drift_identical_distribution_is_zero(spark, tmp_path):
+    """A synthetic events table where every day has the same values —
+    the per-day ECDF equals the pooled ECDF, so KS must be exactly 0."""
+    import pandas as pd
+
+    days = pd.date_range("2024-01-01", periods=4)
+    recs = []
+    i = 0
+    for d in days:
+        for v in [1.0, 2.0, 3.0, 4.0, 5.0]:
+            recs.append((i, d.to_pydatetime(), 1, "a", v, "{}"))
+            i += 1
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        recs,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(sf / "events.parquet"))
+    from pygeoapi_ingestor_spark.plans.queries_ml import q_ks_drift_daily
+
+    out = q_ks_drift_daily(spark, str(sf)).collect()
+    assert len(out) == 4
+    assert all(r["ks_stat"] == 0.0 and not r["drifted"] for r in out)
+
+
+def test_benford_uniform_digits(spark, tmp_path):
+    """Values 1.00..9.00 once each: every digit observed once, so
+    obs_share = 1/9 and chi2 equals the closed-form sum."""
+    recs = [
+        (i, __import__("datetime").datetime(2024, 1, 1), 1, "t", float(d), "{}")
+        for i, d in enumerate(range(1, 10))
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        recs,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(sf / "events.parquet"))
+    from pygeoapi_ingestor_spark.plans.queries_ml import q_benford_first_digit
+
+    out = q_benford_first_digit(spark, str(sf)).collect()
+    assert len(out) == 9
+    chi2_expected = sum(
+        round(
+            (1 - 9 * math.log10(1 + 1 / d)) ** 2 / (9 * math.log10(1 + 1 / d)), 9
+        )
+        for d in range(1, 10)
+    )
+    for r in out:
+        assert r["n_obs"] == 1
+        assert r["obs_share"] == round(1 / 9, 6)
+        assert r["chi2"] == pytest.approx(chi2_expected, abs=2e-6)
+
+
+def test_heaps_and_zipf_on_testdata(spark, sf_dir):
+    """Shape checks on the real documents table: Zipf slopes negative,
+    Heaps exponents in (0, 1], checkpoint counts monotone."""
+    from pygeoapi_ingestor_spark.plans.queries_ml import (
+        q_token_zipf_fit,
+        q_vocab_growth_heaps,
+    )
+
+    z = q_token_zipf_fit(spark, sf_dir).collect()
+    assert z and all(r["zipf_slope"] < 0 for r in z)
+    h = q_vocab_growth_heaps(spark, sf_dir).collect()
+    # the synthetic corpus has a tiny closed vocabulary, so beta
+    # saturates toward 0 — assert the physical range, not natural-text
+    assert h and all(0 <= r["heaps_beta"] <= 1.0 for r in h)
+    assert all(r["vocab_size"] <= r["total_tokens"] for r in h)
+
+
+def test_source_overlap_estimator_error_bounded(spark, sf_dir):
+    """MinHash union-signature estimate vs exact shingle Jaccard: with
+    32 hashes the standard error is ~1/sqrt(32) ~ 0.18; assert all
+    pairs within 3 sigma."""
+    from pygeoapi_ingestor_spark.plans.queries_ml import q_source_overlap_minhash
+
+    rows = q_source_overlap_minhash(spark, sf_dir).collect()
+    assert rows
+    assert all(r["abs_err"] <= 0.55 for r in rows)
+    assert all(0.0 <= r["est_jaccard"] <= 1.0 for r in rows)

@@ -158,3 +158,103 @@ def test_source_overlap_estimator_error_bounded(spark, sf_dir):
     assert rows
     assert all(r["abs_err"] <= 0.55 for r in rows)
     assert all(0.0 <= r["est_jaccard"] <= 1.0 for r in rows)
+
+
+def test_pagerank_matches_python_replay(spark, sf_dir):
+    """Replay the integer PageRank driver-side from the same verified
+    edge set (tiny at the test SF) — exact equality, not approximate."""
+    from pygeoapi_ingestor_spark.operators import dedup
+    from pygeoapi_ingestor_spark.plans.queries_ml import (
+        PR_ITERS,
+        PR_SCALE,
+        _PR_BASE,
+        q_doc_graph_pagerank,
+        _docs,
+    )
+
+    pairs = dedup.lsh_verified_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        n=3, num_hashes=32, bands=8, threshold=0.6,
+    ).collect()
+    edges = []
+    for r in pairs:
+        edges.append((r["doc_a"], r["doc_b"]))
+        edges.append((r["doc_b"], r["doc_a"]))
+    deg: dict = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    r = {n: PR_SCALE for n in deg}
+    for _ in range(PR_ITERS):
+        nxt = {n: _PR_BASE for n in deg}
+        for a, b in edges:
+            nxt[b] += (85 * r[a]) // (100 * deg[a])
+        r = nxt
+    got = {
+        row["doc_id"]: (row["degree"], row["pagerank"], row["n_nodes"])
+        for row in q_doc_graph_pagerank(spark, sf_dir).collect()
+    }
+    assert got == {n: (deg[n], r[n], len(deg)) for n in deg}
+
+
+def test_cluster_hist_accounts_for_every_doc(spark, sf_dir):
+    from pygeoapi_ingestor_spark.plans.queries_ml import (
+        q_dup_cluster_size_hist,
+        _docs,
+    )
+
+    rows = q_dup_cluster_size_hist(spark, sf_dir).collect()
+    total = _docs(spark, sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["reclaimable_docs"] == r["n_docs"] - r["n_clusters"]
+
+
+def test_pinball_loss_hand_computed(spark, tmp_path):
+    """Week-1 values 1..10 -> q90 order statistic = 9.0 (k = ceil(9.9) =
+    10th? no: k = (9*10+9)//10 = 9 -> 9th smallest = 9.0); one eval
+    event y=10 -> loss = max(9*(1000-900), 900-1000)/10/100 = 0.9."""
+    import datetime as dt
+
+    recs = [
+        (i, dt.datetime(2024, 1, 1 + i % 7), 1, "t", float(i + 1), "{}")
+        for i in range(10)
+    ] + [(100, dt.datetime(2024, 1, 20), 1, "t", 10.0, "{}")]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        recs,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(sf / "events.parquet"))
+    from pygeoapi_ingestor_spark.plans.queries_ml import q_pinball_loss_eval
+
+    out = q_pinball_loss_eval(spark, str(sf)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_train"] == 10 and r["n_eval"] == 1
+    assert r["forecast_q90"] == 9.0
+    assert r["mean_pinball"] == 0.9
+
+
+def test_burstiness_constant_vs_bursty(spark, tmp_path):
+    """A token appearing exactly twice in every doc has Fano 0; a token
+    concentrated in one doc is bursty (Fano = 3 on this fixture)."""
+    recs = [
+        (0, "aa aa bb bb bb bb", "en", "s", 17),
+        (1, "aa aa", "en", "s", 5),
+        (2, "aa aa", "en", "s", 5),
+        (3, "aa aa", "en", "s", 5),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        recs, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).write.parquet(str(sf / "documents.parquet"))
+    from pygeoapi_ingestor_spark.plans.queries_ml import q_token_burstiness
+
+    out = {r["token"]: r for r in q_token_burstiness(spark, str(sf)).collect()}
+    assert out["aa"]["fano"] == 0.0
+    assert out["bb"]["fano"] == 3.0
+    assert out["aa"]["total_count"] == 8 and out["aa"]["doc_freq"] == 4

@@ -1089,12 +1089,9 @@ def q_doc_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle_sql() -> str:
-    from pygeoapi_ingestor_spark.plans.queries_llm import _shingle_cte
-
-    parts = [
-        _shingle_cte()
-        + """
+# the verified-pair edge set shared by the pagerank and cluster-census
+# oracles (the same LSH->exact-Jaccard semantics dedup_components pins)
+_VPAIRS_EDGES_SQL = """
         , sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
         inter AS (
             SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
@@ -1111,8 +1108,18 @@ def _pagerank_oracle_sql() -> str:
         edges AS (
             SELECT doc_a AS a, doc_b AS b FROM vpairs
             UNION SELECT doc_b, doc_a FROM vpairs
-        ),
-        deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+        )
+"""
+
+
+def _pagerank_oracle_sql() -> str:
+    from pygeoapi_ingestor_spark.plans.queries_llm import _shingle_cte
+
+    parts = [
+        _shingle_cte()
+        + _VPAIRS_EDGES_SQL
+        + """
+        , deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
                 FROM edges GROUP BY 1),
         r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM deg)
     """.format(scale=PR_SCALE)
@@ -1185,28 +1192,11 @@ def _cluster_hist_oracle_sql() -> str:
 
     return _shingle_cte().replace(
         "WITH words_t", "WITH RECURSIVE words_t"
-    ) + """
-        , sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
-        inter AS (
-            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-            GROUP BY 1, 2
-        ),
-        vpairs AS (
-            SELECT doc_a, doc_b
-            FROM inter
-            JOIN sizes sa ON sa.doc = doc_a
-            JOIN sizes sb ON sb.doc = doc_b
-            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
-        ),
-        gedges AS (
-            SELECT doc_a AS a, doc_b AS b FROM vpairs
-            UNION SELECT doc_b, doc_a FROM vpairs
-        ),
-        reach(node, lbl) AS (
-            SELECT DISTINCT a, a FROM gedges
+    ) + _VPAIRS_EDGES_SQL + """
+        , reach(node, lbl) AS (
+            SELECT DISTINCT a, a FROM edges
             UNION
-            SELECT e.a, r.lbl FROM reach r JOIN gedges e ON e.b = r.node
+            SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.node
         ),
         compt AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
         csize AS (SELECT comp, CAST(count(*) AS BIGINT) AS size

@@ -1363,6 +1363,195 @@ FROM top CROSS JOIN total
 """
 
 
+# ---------------------------------------------------------------------------
+# lang_source_entropy (block C)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(lang | source) per source plus each
+    source's share of the corpus-level mutual information I(lang;
+    source) — the language-mix diagnostic of a multilingual corpus
+    (uniform mixes have high H; single-language sources 0). Counts are
+    exact integers; each cell's -p*log2(p) / MI term is a deterministic
+    double rounded to 9 dp before the DECIMAL-exact sum, so the
+    cross-cell accumulation carries no float-order dependence. The grid
+    is sources x languages — bounded."""
+    docs = _docs(spark, sf_dir)
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sl")
+    )
+    w_s = Window.partitionBy("source")
+    w_l = Window.partitionBy("lang")
+    w_all = Window.partitionBy(F.lit(1))
+    g = (
+        cells.withColumn("n_s", F.sum("n_sl").over(w_s).cast("bigint"))
+        .withColumn("n_l", F.sum("n_sl").over(w_l).cast("bigint"))
+        .withColumn("n", F.sum("n_sl").over(w_all).cast("bigint"))
+    )
+    p_ls = F.col("n_sl").cast("double") / F.col("n_s").cast("double")
+    h_term = -p_ls * F.log2(p_ls)
+    # MI term: (n_sl/n) * log2(n*n_sl / (n_s*n_l)) — exact integer ratio
+    # inside the log
+    mi_term = (F.col("n_sl").cast("double") / F.col("n").cast("double")) * F.log2(
+        (F.col("n").cast("double") * F.col("n_sl").cast("double"))
+        / (F.col("n_s").cast("double") * F.col("n_l").cast("double"))
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    return (
+        g.withColumn("_h", dec(h_term))
+        .withColumn("_mi", dec(mi_term))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.round(F.sum("_h").cast("double"), 6).alias("h_lang_given_source"),
+            F.round(F.sum("_mi").cast("double"), 6).alias("mi_contrib"),
+        )
+    )
+
+
+_LANG_ENTROPY_ORACLE = """
+WITH cells AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sl
+    FROM documents GROUP BY 1, 2
+), g AS (
+    SELECT source, lang, n_sl,
+           CAST(sum(n_sl) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+           CAST(sum(n_sl) OVER (PARTITION BY lang) AS BIGINT) AS n_l,
+           CAST(sum(n_sl) OVER () AS BIGINT) AS n
+    FROM cells
+), terms AS (
+    SELECT source, n_s,
+           CAST(round(-(CAST(n_sl AS DOUBLE) / n_s)
+                      * log2(CAST(n_sl AS DOUBLE) / n_s), 9)
+               AS DECIMAL(38,9)) AS h_term,
+           CAST(round((CAST(n_sl AS DOUBLE) / n)
+                      * log2((CAST(n AS DOUBLE) * n_sl)
+                             / (CAST(n_s AS DOUBLE) * n_l)), 9)
+               AS DECIMAL(38,9)) AS mi_term
+    FROM g
+)
+SELECT source,
+       CAST(max(n_s) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       round(CAST(sum(h_term) AS DOUBLE), 6) AS h_lang_given_source,
+       round(CAST(sum(mi_term) AS DOUBLE), 6) AS mi_contrib
+FROM terms GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_length_lognormal (block C)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_length_lognormal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal fit of document length per source (the standard model
+    for natural-text length distributions): mu/sigma of ln(n_chars) via
+    DECIMAL-exact sums of per-row 12-dp-rounded logs, reported with the
+    fitted median exp(mu) — sources whose fitted median diverges from
+    the empirical mean flag truncation or templating. One aggregation,
+    two numbers of state per source."""
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    lx = F.log(F.col("n_chars").cast("double"))
+    d = lambda c: F.round(c, 12).cast("decimal(38,12)")  # noqa: E731
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(d(lx)).cast("double").alias("sx"),
+        F.sum(d(lx * lx)).cast("double").alias("sxx"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    n = F.col("n_docs").cast("double")
+    mu = F.col("sx") / n
+    var = (n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * n)
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(mu, 6).alias("mu_ln"),
+        F.round(F.sqrt(var), 6).alias("sigma_ln"),
+        F.round(F.exp(mu), 2).alias("fitted_median"),
+    )
+
+
+_LOGNORMAL_ORACLE = """
+WITH m AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(round(ln(n_chars), 12) AS DECIMAL(38,12)))
+                AS DOUBLE) AS sx,
+           CAST(sum(CAST(round(ln(n_chars) * ln(n_chars), 12)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE n_chars > 0
+    GROUP BY 1
+)
+SELECT source, n_docs, total_chars,
+       round(sx / n_docs, 6) AS mu_ln,
+       round(sqrt((n_docs * sxx - sx * sx) / (CAST(n_docs AS DOUBLE) * n_docs)),
+             6) AS sigma_ln,
+       round(exp(sx / n_docs), 2) AS fitted_median
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocab_richness (block C)
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness panel per source: vocabulary size, hapax
+    legomena (once-only tokens) count and share, and the type-token
+    ratio — the quick-read companions to the Heaps curve (templated
+    sources collapse TTR and hapax share long before the growth
+    exponent moves). Pure integer counts; floats only in the two final
+    ratios."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("source", F.explode(text.norm_words("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    agg = tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("bigint").alias(
+            "hapax_count"
+        ),
+    )
+    return agg.select(
+        "source",
+        "vocab_size",
+        "total_tokens",
+        "hapax_count",
+        F.round(
+            F.col("hapax_count").cast("double") / F.col("vocab_size").cast("double"),
+            6,
+        ).alias("hapax_share"),
+        F.round(
+            F.col("vocab_size").cast("double") / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+    )
+
+
+_VOCAB_RICHNESS_ORACLE = _TOKENS_ALL_CTE + """
+, tf AS (
+    SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+    FROM tokall GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(cnt) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+       round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_share,
+       round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS type_token_ratio
+FROM tf GROUP BY 1
+"""
+
+
 ML_QUERIES = {
     "pca_power_iteration": q_pca_power_iteration,
     "quality_logreg_step": q_quality_logreg_step,
@@ -1377,6 +1566,9 @@ ML_QUERIES = {
     "dup_cluster_size_hist": q_dup_cluster_size_hist,
     "pinball_loss_eval": q_pinball_loss_eval,
     "token_burstiness": q_token_burstiness,
+    "lang_source_entropy": q_lang_source_entropy,
+    "doc_length_lognormal": q_doc_length_lognormal,
+    "vocab_richness": q_vocab_richness,
 }
 
 ML_ORACLES = {
@@ -1393,4 +1585,7 @@ ML_ORACLES = {
     "dup_cluster_size_hist": _cluster_hist_oracle_sql(),
     "pinball_loss_eval": _PINBALL_ORACLE,
     "token_burstiness": _BURSTINESS_ORACLE,
+    "lang_source_entropy": _LANG_ENTROPY_ORACLE,
+    "doc_length_lognormal": _LOGNORMAL_ORACLE,
+    "vocab_richness": _VOCAB_RICHNESS_ORACLE,
 }

@@ -51,11 +51,12 @@ def power_iteration_int8(
     count), then the iterate is rescaled on the driver with exact
     big-int truncating division: ``v' = trunc(w * scale / max|w|)``.
 
-    Bounds (why int64 suffices executor-side): |q| <= 127, |v| <= scale
-    (1e4) -> |dot| <= 127 * 1e4 * dim; per-row product |q * dot| <=
-    127^2 * 1e4 * dim ~ 1e10; the sum reaches ~1e16 at 1e6 rows — the
-    driver-side ``w * scale`` products are the only step that exceeds
-    int64, and they run in Python big-ints (HUGEINT in the twin).
+    Bounds: |q| <= 127, |v| <= scale (1e4) -> |dot| <= 127 * 1e4 * dim;
+    the per-row product |q * dot| <= 127^2 * 1e4 * dim ~ 1e10 fits int64,
+    but its SUM wraps silently above ~1e9 rows (ANSI off), so the sums
+    accumulate in ``decimal(38,0)`` — exact to 1e28 rows, map-side
+    combinable, and matching the twin's HUGEINT. The driver-side
+    ``w * scale`` rescale runs in Python big-ints.
 
     Returns ``(v_final, rayleigh_num, rayleigh_den, n_rows)`` where the
     Rayleigh quotient num/den estimates the top eigenvalue of A^T A in
@@ -74,9 +75,10 @@ def power_iteration_int8(
         )
         with_dot = df.select(qcol.alias("_q"), dot.alias("_dot"))
         sums = [
-            F.sum(F.element_at("_q", j + 1).cast("long") * F.col("_dot")).alias(
-                f"w{j}"
-            )
+            F.sum(
+                (F.element_at("_q", j + 1).cast("long") * F.col("_dot"))
+                .cast("decimal(38,0)")
+            ).alias(f"w{j}")
             for j in range(dim)
         ] + [F.count(F.lit(1)).alias("_n")]
         row = with_dot.agg(*sums).collect()[0]

@@ -18,7 +18,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pygeoapi_ingestor_spark.functions import ranks
-from pygeoapi_ingestor_spark.operators import dedup, linalg, similarity, text
+from pygeoapi_ingestor_spark.operators import (
+    dedup,
+    linalg,
+    similarity,
+    temporal,
+    text,
+)
 
 PCA_ITERS = 3
 PCA_DIM = 64
@@ -811,7 +817,8 @@ def q_ks_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     v100 = (F.col("value").cast("decimal(14,2)") * 100).cast("long")
     base = ev.select(
-        F.date_trunc("day", "ts").alias("day"), v100.alias("v100")
+        temporal.wall_trunc("day", F.col("ts")).alias("day"),
+        v100.alias("v100"),
     )
     stats = base.agg(
         F.min("v100").alias("_lo"), F.max("v100").alias("_hi")
@@ -986,7 +993,7 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BENFORD_ORACLE = """
 WITH v AS (
     SELECT event_type,
-           CAST(substr(CAST(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+           TRY_CAST(substr(CAST(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
                             AS VARCHAR), 1, 1) AS INTEGER) AS digit
     FROM events
 ), obs AS (
@@ -1041,11 +1048,14 @@ def q_doc_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies it. Scale shape: classic distributed PageRank — per
     iteration ONE shuffle keyed on node id; the edge table (both
     directions + degree) is built once and persisted."""
-    docs = _docs(spark, sf_dir)
-    pairs = dedup.lsh_verified_pairs(
-        docs, id_col="doc_id", text_col="text",
-        n=3, num_hashes=32, bands=8, threshold=0.6,
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        shared_verified_pairs,
     )
+
+    # verify-once shared artifact (VERDICT r9 item 3): the LSH->verify
+    # edge set is built once per corpus and shared with
+    # dedup_lsh_verified / dedup_components / dup_cluster_size_hist
+    pairs = shared_verified_pairs(spark, sf_dir)
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     # persisted index artifacts; the harness clears cache between keys
     # (the catalog-wide cache contract, see operators/dedup.py).
@@ -1090,7 +1100,17 @@ def q_doc_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the verified-pair edge set shared by the pagerank and cluster-census
-# oracles (the same LSH->exact-Jaccard semantics dedup_components pins)
+# oracles (the same LSH->exact-Jaccard semantics dedup_components pins).
+#
+# DATA ASSUMPTION (ADVICE r9): this oracle enumerates ALL exact pairs
+# with jaccard >= 0.6, while the Spark side only verifies LSH
+# candidates — at 32 hashes / 8 bands the capture probability of a
+# borderline jaccard~0.6 pair is only ~0.67, so the two sides agree
+# only because the synthetic corpus's duplicate pairs all sit at
+# jaccard >= ~0.889 (capture probability > 0.9999 there; pinned by
+# tests/test_linalg_ml.py::test_lsh_capture_at_high_jaccard). A corpus
+# with borderline-similarity pairs would need more bands (or fewer
+# rows/band) before this oracle remains a valid twin.
 _VPAIRS_EDGES_SQL = """
         , sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
         inter AS (
@@ -1154,13 +1174,16 @@ def q_dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     table a dedup POLICY decision reads (how much of the corpus sits in
     2-doc mirror pairs vs 50-doc template families, and what keep-one
     deletion would reclaim). Composition over the components fixpoint;
-    the histogram aggregation is bounded by distinct cluster sizes."""
-    docs = _docs(spark, sf_dir)
-    pairs = dedup.lsh_verified_pairs(
-        docs, id_col="doc_id", text_col="text",
-        n=3, num_hashes=32, bands=8, threshold=0.6,
+    the histogram aggregation is bounded by distinct cluster sizes.
+    Reads the verify-once shared artifacts (queries_llm.
+    shared_dup_components): the census rides the fixpoint the
+    dedup_components key materialized, never re-verifying the corpus."""
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        shared_dup_components,
     )
-    comps = dedup.connected_components(pairs, a_col="doc_a", b_col="doc_b")
+
+    docs = _docs(spark, sf_dir)
+    comps = shared_dup_components(spark, sf_dir)
     # two consumers (hist, members) — persist per the cache contract
     sizes = comps.groupBy("comp").agg(
         F.count(F.lit(1)).cast("bigint").alias("size")
@@ -1238,7 +1261,11 @@ def q_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "event_id", "event_type", "ts", v100.alias("v100")
     )
-    train = base.filter(F.col("ts") < F.lit(_TRAIN_END).cast("timestamp"))
+    # NTZ literal (house form, temporal.py conventions): a plain
+    # `lit(str).cast('timestamp')` would be interpreted in the session
+    # zone and force an NTZ->LTZ coercion on the comparison
+    split_ntz = F.expr(f"TIMESTAMP_NTZ '{_TRAIN_END} 00:00:00'")
+    train = base.filter(F.col("ts") < split_ntz)
     ranked = ranks.bucketed_row_number(
         train, ["event_type"], "v100", ["event_id"],
         out_col="rn", count_col="n_train",
@@ -1246,7 +1273,7 @@ def q_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = ranked.filter(
         F.col("rn") == F.expr("CAST((9 * n_train + 9) DIV 10 AS BIGINT)")
     ).select("event_type", F.col("v100").alias("f100"), "n_train")
-    ev2 = base.filter(F.col("ts") >= F.lit(_TRAIN_END).cast("timestamp"))
+    ev2 = base.filter(F.col("ts") >= split_ntz)
     scored = ev2.join(F.broadcast(f), "event_type").select(
         "event_type",
         "n_train",

@@ -258,3 +258,47 @@ def test_burstiness_constant_vs_bursty(spark, tmp_path):
     assert out["aa"]["fano"] == 0.0
     assert out["bb"]["fano"] == 3.0
     assert out["aa"]["total_count"] == 8 and out["aa"]["doc_freq"] == 4
+
+
+def test_lsh_capture_at_high_jaccard(sf_dir):
+    """Backs the pagerank/census oracle's documented data assumption
+    (queries_ml._VPAIRS_EDGES_SQL): every exact-Jaccard>=0.6 pair in the
+    testdata corpus sits high enough (measured floor ~0.889) that
+    8-band/4-row LSH capture probability 1-(1-j^4)^8 exceeds 0.999 —
+    so the oracle's all-pairs edge set and Spark's LSH-candidates-only
+    edge set agree. If synthetic data ever gains borderline pairs near
+    the 0.6 threshold (capture ~0.67 there), this fails and the banding
+    must grow before the all-pairs oracles remain valid twins."""
+    import duckdb
+
+    from pygeoapi_ingestor_spark.plans.queries_llm import _shingle_cte
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    row = con.execute(
+        _shingle_cte()
+        + """
+        , sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT x_a.doc AS a, x_b.doc AS b, count(*) AS n_common
+            FROM sh x_a
+            JOIN sh x_b ON x_a.shingle = x_b.shingle AND x_a.doc < x_b.doc
+            GROUP BY 1, 2
+        )
+        SELECT min(n_common / (sa.n_sh + sb.n_sh - n_common)) AS min_j,
+               count(*) AS n_pairs
+        FROM inter
+        JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+        """
+    ).fetchone()
+    min_j, n_pairs = row
+    assert n_pairs > 0, "fixture corpus must contain near-dup pairs"
+    capture = 1.0 - (1.0 - float(min_j) ** 4) ** 8
+    assert capture > 0.999, (
+        f"borderline pair at jaccard={min_j} (LSH capture p={capture:.4f})"
+        ": raise LSH bands before trusting the all-pairs oracles"
+    )

@@ -43,6 +43,10 @@ TZ_SENSITIVE = [
     "ensemble_quantiles",
     "theilsen_trend",
     "mann_kendall",
+    # round-10 (ADVICE r9): day-bucketed KS drift (was raw date_trunc on
+    # NTZ — diverged under Asia/Kathmandu) + NTZ-literal train/eval split
+    "ks_drift_daily",
+    "pinball_loss_eval",
 ]
 
 

@@ -212,22 +212,35 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         }
 
         # stream-stream interval join (purchases x same-user clicks in
-        # the preceding hour); both sides watermarked so join state GCs
-        stream = spipe.read_event_stream(
-            spark, src, fmt="parquet", max_files_per_trigger=2
-        )
-        corr = spipe.correlate_streams(
-            stream.filter(F.col("event_type") == "purchase"),
-            stream.filter(F.col("event_type") == "click"),
-            max_lag="1 hour", watermark="2 hours",
-        )
-        t0 = time.perf_counter()
-        q = spipe.run_to_sink(corr, f"{work}/corr_out", f"{work}/ck_corr")
-        wall = round(time.perf_counter() - t0, 3)
+        # the preceding hour); both sides watermarked so join state GCs.
+        # State-partition sizing (r9 verdict item 6, see
+        # correlate_streams docstring): the join runs FOUR state stores
+        # per shuffle partition, so the analytic session width (32) put
+        # a dominating per-batch store-commit term on every trigger —
+        # measured 4.2k rows/s at 32 partitions vs 16.3k at 8 on this
+        # exact feed. Size the query's state partitions to its state
+        # volume; the conf is restored for the later sections.
+        _prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            stream = spipe.read_event_stream(
+                spark, src, fmt="parquet", max_files_per_trigger=2
+            )
+            corr = spipe.correlate_streams(
+                stream.filter(F.col("event_type") == "purchase"),
+                stream.filter(F.col("event_type") == "click"),
+                max_lag="1 hour", watermark="2 hours",
+            )
+            t0 = time.perf_counter()
+            q = spipe.run_to_sink(corr, f"{work}/corr_out", f"{work}/ck_corr")
+            wall = round(time.perf_counter() - t0, 3)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", _prev_parts)
         out["correlate_streams"] = {
             "wall_sec": wall,
             "rows_in": n_events,
             "rows_per_sec": round(n_events / wall),
+            "state_partitions": 8,
             **_batch_stats(q),
         }
 

@@ -182,6 +182,16 @@ def minhash_lsh_pairs(
     signature array OUT of the band explode and the pair join — the
     bucket rows shrink to (doc, band, bucket) and the join output to
     bare id pairs, which is what the band-key shuffle actually needs.
+
+    ``with_est=True`` computes the estimate IN the join projection —
+    BEFORE the distinct — so the dedup shuffle moves 24-byte
+    (doc_a, doc_b, est) tuples instead of pair rows dragging both
+    2x``num_hashes``-bigint signature arrays (~536 B/row; at the
+    derived sf3's 23M pre-distinct candidates that array freight was
+    the dominant shuffle). A pair caught by k bands re-evaluates the
+    32-element zip_with k times — trivially cheaper JVM work than
+    shuffling the arrays once. est is identical for every duplicate of
+    a pair, so dropDuplicates on (doc_a, doc_b) is unaffected.
     """
     sig = minhash_signatures(
         df, id_col, text_col, n=n, num_hashes=num_hashes,
@@ -192,36 +202,28 @@ def minhash_lsh_pairs(
         banded = banded.drop("signature")
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            *(
-                [
-                    F.col("a.signature").alias("sig_a"),
-                    F.col("b.signature").alias("sig_b"),
-                ]
-                if with_est
-                else []
-            ),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc") < F.col("b.doc")),
     )
     if not with_est:
-        return cand
+        return joined.select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+        ).dropDuplicates(["doc_a", "doc_b"])
     est = F.size(
         F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            F.zip_with("a.signature", "b.signature", lambda x, y: x == y),
             lambda m: m,
         )
     ) / F.lit(float(num_hashes))
-    return cand.withColumn("est_jaccard", est).select("doc_a", "doc_b", "est_jaccard")
+    return joined.select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        est.alias("est_jaccard"),
+    ).dropDuplicates(["doc_a", "doc_b"])
 
 
 def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:

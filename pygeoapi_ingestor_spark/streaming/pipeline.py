@@ -126,6 +126,16 @@ def correlate_streams(
     Structured Streaming requires to ever GC state. The join condition
     is an equi-key plus a time band, which Spark executes as a
     state-store lookup per key, not a cross product.
+
+    SIZING (r9 verdict item 6): a stream-stream join instantiates FOUR
+    state stores per shuffle partition (keyToNumValues/keyWithIndex on
+    each side), so per-micro-batch cost carries a fixed store-commit
+    term proportional to ``spark.sql.shuffle.partitions`` — at an
+    analytic session width (32) that term dominated (measured 4.2k
+    rows/s; 16.3k at 8 partitions on the same feed). Set the session's
+    shuffle partitions to the state volume, not the batch width, BEFORE
+    the first run of the query (the partitioning is pinned in the
+    checkpoint thereafter).
     """
     p = purchases.select(
         F.col("event_id").alias("p_id"),

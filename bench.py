@@ -316,6 +316,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm_timings: dict[str, float] = {}
+    warm2_timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for i, key in enumerate(BENCH_KEYS):
         t0 = time.perf_counter()
@@ -324,12 +325,25 @@ def main() -> None:
         t1 = time.perf_counter()
         QUERIES[key](spark, sf_dir).count()
         warm_timings[key] = round(time.perf_counter() - t1, 3)
+        # second warm rep (r9 verdict item 7 — the double-run discipline
+        # applied to the warm series): both reps ride the same persisted
+        # artifacts, so their per-key spread IS the warm-phase noise
+        # band, and `warm_stable` (the min) is the series a
+        # round-over-round warm comparison should be adjudicated against
+        t2 = time.perf_counter()
+        QUERIES[key](spark, sf_dir).count()
+        warm2_timings[key] = round(time.perf_counter() - t2, 3)
         # drop per-query persisted index tables so later queries aren't
         # timed under the accumulated memory pressure of earlier ones
         spark.catalog.clearCache()
         _periodic_gc(i)
     total = round(sum(timings.values()), 3)
     warm_total = round(sum(warm_timings.values()), 3)
+    warm_stable = {
+        k: min(warm_timings[k], warm2_timings[k]) for k in warm_timings
+    }
+    warm_stable_total = round(sum(warm_stable.values()), 3)
+    warm2_total = round(sum(warm2_timings.values()), 3)
     cold_warm_wall = round(time.perf_counter() - t_total0, 3)
 
     # count() lets Catalyst prune computed columns (a projection-heavy
@@ -475,6 +489,10 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm_timings,
         "warm_total": warm_total,
+        "queries_warm2": warm2_timings,
+        "warm2_total": warm2_total,
+        "queries_warm_stable": warm_stable,
+        "warm_stable_total": warm_stable_total,
         "cold_warm_wall": cold_warm_wall,
         "queries_noop": noop_timings,
         "noop_total": noop_total,

@@ -67,7 +67,12 @@ def shared_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir): MinHash+LSH candidates -> exact-Jaccard verify at
     threshold 0.6 (the exact pipeline of ``dedup.lsh_verified_pairs``),
     materialized so every graph consumer reads the same artifact.
-    Columns: doc_a, doc_b, n_common, size_a, size_b, jaccard, keep_id."""
+    Columns: doc_a, doc_b, n_common, size_a, size_b, jaccard, keep_id.
+
+    CALLER CONTRACT: re-fetch through this function per use — a held
+    reference dies on corpus switch (eviction frees the checkpoint's
+    blocks and a localCheckpoint has no lineage to recompute from;
+    pinned by tests/test_shared_artifacts.py)."""
     key = ("vp", spark.sparkContext.applicationId, sf_dir)
     hit = _VP_ARTIFACTS.get(key)
     if hit is not None:
@@ -82,6 +87,16 @@ def shared_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = pairs.localCheckpoint()  # eager: one build, blocks pinned
     _VP_ARTIFACTS[key] = ckpt
     return ckpt
+
+
+def release_shared_artifacts() -> None:
+    """Free every verify-once artifact's checkpoint blocks — the
+    service-path release (called by streaming.scheduler.finalize_job):
+    the artifacts deliberately survive ``catalog.clearCache()``, so a
+    long-lived scheduler must release them between jobs explicitly or
+    they pin executor storage for the session lifetime."""
+    for k in list(_VP_ARTIFACTS):
+        _free_local_ckpt(_VP_ARTIFACTS.pop(k))
 
 
 def shared_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4729,3 +4744,76 @@ LLM_ORACLES["multimodal_resize"] = """
                 AS INTEGER) AS resized_height
     FROM dims
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash estimator acceptance: every hamming<=3 near-pair next to
+    its EXACT shingle Jaccard — the simhash twin of
+    ``minhash_accuracy_eval`` (before trusting the 64-bit fingerprint's
+    hamming gate on a new corpus, measure what similarity a 0-3 bit
+    distance actually corresponds to there). Closes the one dedup
+    family that had no acceptance row.
+
+    Exact side touches the gated pairs only (the JVM array_intersect
+    verify kernel); hamming and all counts integer, the jaccard the
+    only rounded float. Oracle: the full simhash oracle as a subquery
+    joined to the shingle-intersection CTEs."""
+    pairs = dedup.simhash_near_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        token_hash="md5",
+    )
+    sh = dedup.shingles(_docs(spark, sf_dir), id_col="doc_id", text_col="text", n=3)
+    counts = dedup.exact_jaccard_counts(pairs, sh)
+    return (
+        pairs.join(counts, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            "n_common",
+            "size_a",
+            "size_b",
+            F.round(
+                F.col("n_common")
+                / (
+                    F.col("size_a") + F.col("size_b") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+LLM_QUERIES["simhash_accuracy_eval"] = q_simhash_accuracy_eval
+
+
+def _simhash_accuracy_oracle_sql() -> str:
+    return _shingle_cte() + f"""
+, sizes AS (
+    SELECT doc, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1
+), inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+), sim AS (
+    SELECT * FROM ({_simhash_oracle_sql()}) s
+)
+SELECT c.doc_a, c.doc_b, c.hamming,
+       CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+       sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+       round(coalesce(i.n_common, 0)
+             / CAST(sa.n_shingles + sb.n_shingles - coalesce(i.n_common, 0)
+                    AS DOUBLE), 6) AS jaccard
+FROM sim c
+LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+JOIN sizes sa ON c.doc_a = sa.doc
+JOIN sizes sb ON c.doc_b = sb.doc
+"""
+
+
+LLM_ORACLES["simhash_accuracy_eval"] = _simhash_accuracy_oracle_sql()

@@ -1616,3 +1616,129 @@ ML_ORACLES = {
     "doc_length_lognormal": _LOGNORMAL_ORACLE,
     "vocab_richness": _VOCAB_RICHNESS_ORACLE,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-10: cluster-cohesion census over the verify-once artifacts
+# ---------------------------------------------------------------------------
+
+
+def q_dup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cohesion of the verified near-dup components — the
+    policy table that separates tight mirror families (pooled jaccard
+    ~1, full edge density) from chains glued by transitivity (low
+    density, low min edge), i.e. WHERE keep-one deletion is safe vs
+    where a cluster needs review before collapsing. Rides both
+    verify-once shared artifacts (queries_llm.shared_verified_pairs /
+    shared_dup_components), so after dedup_components runs this is one
+    tiny join + aggregate.
+
+    Exactness: the per-cluster mean jaccard is the POOLED ratio
+    sum(n_common) / sum(union) — two exact BIGINT sums and ONE float
+    division, immune to the summation-order drift a double avg() would
+    leak between engines; min_jaccard is order-independent. Oracle: the
+    recursive-CTE components joined back to the verified pair CTE."""
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        shared_dup_components,
+        shared_verified_pairs,
+    )
+
+    pairs = shared_verified_pairs(spark, sf_dir)
+    comps = shared_dup_components(spark, sf_dir)
+    edges = pairs.join(
+        comps.select(
+            F.col("node").alias("doc_a"), F.col("comp").alias("component")
+        ),
+        "doc_a",
+    )
+    per = edges.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("n_common").cast("bigint").alias("_inter"),
+        F.sum(
+            F.col("size_a") + F.col("size_b") - F.col("n_common")
+        ).cast("bigint").alias("_union"),
+        F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+    )
+    sizes = comps.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    ).select(F.col("comp").alias("component"), "cluster_size")
+    return per.join(sizes, "component").select(
+        "component",
+        "cluster_size",
+        "n_edges",
+        F.round(
+            F.col("_inter").cast("double") / F.col("_union").cast("double"), 6
+        ).alias("pooled_jaccard"),
+        "min_jaccard",
+        F.round(
+            (F.lit(2) * F.col("n_edges")).cast("double")
+            / (
+                F.col("cluster_size") * (F.col("cluster_size") - F.lit(1))
+            ).cast("double"),
+            6,
+        ).alias("edge_density"),
+    )
+
+
+def _cluster_quality_oracle_sql() -> str:
+    from pygeoapi_ingestor_spark.plans.queries_llm import _shingle_cte
+
+    return _shingle_cte().replace(
+        "WITH words_t", "WITH RECURSIVE words_t"
+    ) + """
+        , sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2
+        ),
+        vpairs AS (
+            SELECT doc_a, doc_b, n_common,
+                   sa.n_sh AS size_a, sb.n_sh AS size_b,
+                   n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc = doc_a
+            JOIN sizes sb ON sb.doc = doc_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+        ),
+        uedges AS (
+            SELECT doc_a AS a, doc_b AS b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs
+        ),
+        reach(node, lbl) AS (
+            SELECT DISTINCT a, a FROM uedges
+            UNION
+            SELECT e.a, r.lbl FROM reach r JOIN uedges e ON e.b = r.node
+        ),
+        comp AS (
+            SELECT node, min(lbl) AS component FROM reach GROUP BY node
+        ),
+        csize AS (
+            SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY 1
+        ),
+        per AS (
+            SELECT c.component,
+                   CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(v.n_common) AS BIGINT) AS i_sum,
+                   CAST(sum(v.size_a + v.size_b - v.n_common) AS BIGINT)
+                       AS u_sum,
+                   round(min(v.jaccard), 6) AS min_jaccard
+            FROM vpairs v JOIN comp c ON c.node = v.doc_a
+            GROUP BY 1
+        )
+        SELECT CAST(p.component AS BIGINT) AS component,
+               s.cluster_size,
+               p.n_edges,
+               round(CAST(p.i_sum AS DOUBLE) / CAST(p.u_sum AS DOUBLE), 6)
+                   AS pooled_jaccard,
+               p.min_jaccard,
+               round(CAST(2 * p.n_edges AS DOUBLE)
+                     / CAST(s.cluster_size * (s.cluster_size - 1) AS DOUBLE),
+                     6) AS edge_density
+        FROM per p JOIN csize s USING (component)
+    """
+
+
+ML_QUERIES["dup_cluster_quality"] = q_dup_cluster_quality
+ML_ORACLES["dup_cluster_quality"] = _cluster_quality_oracle_sql()

@@ -140,6 +140,17 @@ def finalize_job(spark) -> None:
     factory lowers it, but an externally-built session may not).
     """
     spark.catalog.clearCache()
+    # the verify-once dedup artifacts are RDD-level localCheckpoints and
+    # deliberately survive clearCache (plans/queries_llm) — a finished
+    # job must free them explicitly or they pin storage across ticks
+    try:
+        from pygeoapi_ingestor_spark.plans.queries_llm import (
+            release_shared_artifacts,
+        )
+
+        release_shared_artifacts()
+    except Exception:
+        pass
     try:
         spark.sparkContext._jvm.System.gc()
     except Exception:

@@ -1,0 +1,69 @@
+"""Verify-once shared artifacts (queries_llm.shared_verified_pairs /
+shared_dup_components): same-corpus calls return the SAME materialized
+DataFrame (no re-verify), results survive catalog.clearCache() (the
+between-keys clear), and switching corpora evicts the superseded
+artifact instead of accumulating blocks for the session lifetime."""
+
+from __future__ import annotations
+
+from pygeoapi_ingestor_spark.plans import queries_llm as qllm
+
+
+def test_same_corpus_returns_same_artifact(spark, sf_dir):
+    a = qllm.shared_verified_pairs(spark, sf_dir)
+    b = qllm.shared_verified_pairs(spark, sf_dir)
+    assert a is b, "second call must reuse the materialized artifact"
+    ca = qllm.shared_dup_components(spark, sf_dir)
+    cb = qllm.shared_dup_components(spark, sf_dir)
+    assert ca is cb
+
+
+def test_artifact_survives_clear_cache(spark, sf_dir):
+    a = qllm.shared_verified_pairs(spark, sf_dir)
+    n1 = a.count()
+    spark.catalog.clearCache()
+    b = qllm.shared_verified_pairs(spark, sf_dir)
+    assert b is a
+    assert b.count() == n1
+
+
+def test_corpus_switch_evicts_superseded(spark, sf_dir, tmp_path):
+    a = qllm.shared_verified_pairs(spark, sf_dir)
+    n_a = a.count()  # captured BEFORE eviction: a freed localCheckpoint
+    # has no lineage to recompute from, so `a` is unusable afterwards
+    key_a = [k for k, v in qllm._VP_ARTIFACTS.items() if v is a]
+    assert key_a, "artifact must be registered"
+    # derive a second corpus (a filtered copy) and switch to it
+    alt = tmp_path / "alt_sf"
+    alt.mkdir()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id < 200"
+    ).write.parquet(str(alt / "documents.parquet"))
+    b = qllm.shared_verified_pairs(spark, str(alt))
+    assert b is not a
+    assert key_a[0] not in qllm._VP_ARTIFACTS, (
+        "switching corpora must evict the superseded artifact"
+    )
+    # switching back rebuilds (values equal, object fresh)
+    c = qllm.shared_verified_pairs(spark, sf_dir)
+    assert c is not a
+    assert c.count() == n_a
+
+
+def test_components_match_direct_operator(spark, sf_dir):
+    """The cached fixpoint equals a from-scratch connected_components run
+    on the same pair set — the cache must be a pure memoization."""
+    from pygeoapi_ingestor_spark.operators import dedup
+
+    pairs = qllm.shared_verified_pairs(spark, sf_dir)
+    cached = {
+        (r["node"], r["comp"])
+        for r in qllm.shared_dup_components(spark, sf_dir).collect()
+    }
+    direct = {
+        (r["node"], r["comp"])
+        for r in dedup.connected_components(
+            pairs, a_col="doc_a", b_col="doc_b"
+        ).collect()
+    }
+    assert cached == direct

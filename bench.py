@@ -334,7 +334,16 @@ def main() -> None:
         QUERIES[key](spark, sf_dir).count()
         warm2_timings[key] = round(time.perf_counter() - t2, 3)
         # drop per-query persisted index tables so later queries aren't
-        # timed under the accumulated memory pressure of earlier ones
+        # timed under the accumulated memory pressure of earlier ones.
+        # The verify-once dedup artifacts (plans/queries_llm) survive
+        # this by DESIGN: the catalog is benched as one pipeline run, so
+        # the first graph consumer (dedup_components in sorted order)
+        # pays the LSH->verify build and later consumers
+        # (dedup_lsh_verified, doc_graph_pagerank, dup_cluster_quality,
+        # dup_cluster_size_hist) read the shared artifact — their cold
+        # cells ARE artifact-read numbers. The headline_stable pass
+        # below releases the artifacts so the ratchet series stays
+        # genuinely cold.
         spark.catalog.clearCache()
         _periodic_gc(i)
     total = round(sum(timings.values()), 3)
@@ -451,6 +460,15 @@ def main() -> None:
     # per-key min of the two cold runs — the stable series deltas should
     # be adjudicated against, instead of hand-waving a manual caveat.
     headline_stable: dict[str, float] = {}
+    # the verify-once dedup artifacts survive clearCache by design
+    # (plans/queries_llm localCheckpoints) — release them so the stable
+    # rerun stays genuinely COLD for artifact-backed keys instead of
+    # silently measuring the artifact-read path
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        release_shared_artifacts,
+    )
+
+    release_shared_artifacts()
     for i, key in enumerate(HEADLINE_KEYS):
         if key not in timings:
             continue
@@ -459,6 +477,7 @@ def main() -> None:
         second = round(time.perf_counter() - t0, 3)
         headline_stable[key] = min(timings[key], second)
         spark.catalog.clearCache()
+        release_shared_artifacts()
         _periodic_gc(i)
     headline_prev: dict[str, float] = {}
     full_path = os.path.join(

@@ -876,12 +876,16 @@ def _ecp_oracle_sql() -> str:
     """
 
 
-def _cosine_topk_oracle_sql(query_pred: str = "vec_id < 5") -> str:
+def _cosine_topk_oracle_sql(
+    query_pred: str = "vec_id < 5",
+    vec_expr: str = "CAST(embedding AS DOUBLE[])",
+) -> str:
     """DuckDB twin of the brute-force cosine top-k; ``query_pred``
     selects the query subset (standalone key: first ids; the recall
-    eval passes the md5 sample draw)."""
+    eval passes the md5 sample draw); ``vec_expr`` the vector column
+    expression (the matryoshka eval passes a prefix slice)."""
     return f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, {vec_expr} AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_pred}),
         scored AS (
             SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -4817,3 +4821,68 @@ JOIN sizes sb ON c.doc_b = sb.doc
 
 
 LLM_ORACLES["simhash_accuracy_eval"] = _simhash_accuracy_oracle_sql()
+
+
+MATRYOSHKA_DIM = 16
+
+
+def q_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / prefix-truncation acceptance: recall@k of cosine
+    top-k computed on the FIRST 16 of 64 embedding dimensions against
+    the full-dimension ground truth, on the fixed-K md5 query sample —
+    the eval run before shipping truncated embeddings (matryoshka
+    representation learning serves prefix slices to cut index memory
+    4x; whether that trade is safe is an empirical property of the
+    embedding, and this row measures it). Both sides are exact
+    deterministic top-k (prefix slicing is a projection, not an
+    index), so the row is fully value-hash-gated; cost is K·n like
+    every recall row — constant in corpus growth."""
+    e = _emb(spark, sf_dir)
+    qids = _ann_query_ids(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(qids))
+    gt = similarity.cosine_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
+        dim=64,
+    )
+    e16 = e.withColumn("embedding", F.slice("embedding", 1, MATRYOSHKA_DIM))
+    q16 = q.withColumn("embedding", F.slice("embedding", 1, MATRYOSHKA_DIM))
+    approx = similarity.cosine_topk(
+        e16, q16, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
+        dim=MATRYOSHKA_DIM,
+    )
+    hits = gt.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per_query = hits.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.lit(float(TOPK)),
+            6,
+        ).alias("recall_at_k"),
+    )
+    return per_query.withColumn(
+        "prefix_dim", F.lit(MATRYOSHKA_DIM).cast("int")
+    )
+
+
+LLM_QUERIES["matryoshka_recall_eval"] = q_matryoshka_recall_eval
+
+LLM_ORACLES["matryoshka_recall_eval"] = f"""
+    WITH gt AS (SELECT * FROM ({_cosine_topk_oracle_sql(_ANN_QUERY_SQL)})),
+         cand AS (SELECT * FROM ({_cosine_topk_oracle_sql(
+             _ANN_QUERY_SQL,
+             vec_expr=f"CAST(embedding AS DOUBLE[])[1:{MATRYOSHKA_DIM}]",
+         )}))
+    SELECT gt.query_id,
+           CAST(count(cand.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(cand.neighbor_id) / {float(TOPK)}, 6) AS recall_at_k,
+           CAST({MATRYOSHKA_DIM} AS INTEGER) AS prefix_dim
+    FROM gt LEFT JOIN cand
+      ON gt.query_id = cand.query_id AND gt.neighbor_id = cand.neighbor_id
+    GROUP BY gt.query_id
+"""

@@ -1742,3 +1742,103 @@ def _cluster_quality_oracle_sql() -> str:
 
 ML_QUERIES["dup_cluster_quality"] = q_dup_cluster_quality
 ML_ORACLES["dup_cluster_quality"] = _cluster_quality_oracle_sql()
+
+
+def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's SHIPPING artifact: within each verified
+    near-dup cluster keep the highest-quality member and emit the
+    keep/drop decision list (dedup_keep_best does this for EXACT-dup
+    fingerprint groups; real template families are near-dups, so the
+    production deletion list is computed per component). Rides the
+    verify-once shared fixpoint + one quality projection + one window
+    per component — after dedup_components runs, this is one small
+    join. Ties break to the smaller doc_id (deterministic), matching
+    the dedup_keep_best convention."""
+    from pygeoapi_ingestor_spark.operators import text as text_ops
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        _docs,
+        shared_dup_components,
+    )
+
+    comps = shared_dup_components(spark, sf_dir)
+    scored = text_ops.quality_features(
+        _docs(spark, sf_dir), text_col="text"
+    ).select("doc_id", "quality_score")
+    members = comps.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    ).join(scored, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    sizes = members.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    best = ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("keep_id"),
+        F.round("quality_score", 6).alias("best_quality"),
+    )
+    return best.join(sizes, "component").select(
+        "component",
+        "keep_id",
+        "best_quality",
+        "cluster_size",
+        (F.col("cluster_size") - F.lit(1)).cast("bigint").alias("n_dropped"),
+    )
+
+
+def _cluster_keep_best_oracle_sql() -> str:
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        _quality_cte,
+        _shingle_cte,
+    )
+
+    return _shingle_cte().replace(
+        "WITH words_t", "WITH RECURSIVE words_t"
+    ) + """
+        , sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2
+        ),
+        vpairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc = doc_a
+            JOIN sizes sb ON sb.doc = doc_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+        ),
+        uedges AS (
+            SELECT doc_a AS a, doc_b AS b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs
+        ),
+        reach(node, lbl) AS (
+            SELECT DISTINCT a, a FROM uedges
+            UNION
+            SELECT e.a, r.lbl FROM reach r JOIN uedges e ON e.b = r.node
+        ),
+        comp AS (
+            SELECT node, min(lbl) AS component FROM reach GROUP BY node
+        ),
+        """ + _quality_cte() + """
+        , ranked AS (
+            SELECT c.component, s.doc_id, s.quality_score,
+                   row_number() OVER (PARTITION BY c.component
+                       ORDER BY s.quality_score DESC, s.doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY c.component)
+                       AS cluster_size
+            FROM comp c JOIN scored s ON s.doc_id = c.node
+        )
+        SELECT CAST(component AS BIGINT) AS component,
+               CAST(doc_id AS BIGINT) AS keep_id,
+               round(quality_score, 6) AS best_quality,
+               CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+        FROM ranked WHERE rn = 1
+    """
+
+
+ML_QUERIES["cluster_keep_best"] = q_cluster_keep_best
+ML_ORACLES["cluster_keep_best"] = _cluster_keep_best_oracle_sql()

@@ -45,6 +45,11 @@ HEADLINE_KEYS = [
     # item — its double-cold min makes the +/-1.5s JIT noise band an
     # artifact-grade series instead of a prose caveat
     "dedup_embedding_cosine",
+    # round-10 addition: the verify-once artifact BUILD carrier — in
+    # sorted catalog order cluster_keep_best is the first graph
+    # consumer, so its cold cell carries the LSH->verify+fixpoint cost
+    # the other graph keys ride; the ratchet must watch the build
+    "cluster_keep_best",
 ]
 
 
@@ -460,10 +465,14 @@ def main() -> None:
     # per-key min of the two cold runs — the stable series deltas should
     # be adjudicated against, instead of hand-waving a manual caveat.
     headline_stable: dict[str, float] = {}
-    # the verify-once dedup artifacts survive clearCache by design
-    # (plans/queries_llm localCheckpoints) — release them so the stable
-    # rerun stays genuinely COLD for artifact-backed keys instead of
-    # silently measuring the artifact-read path
+    # SELF-CONTAINED double-cold: the stable series takes the min of
+    # TWO fresh runs measured here, never reusing the main-loop cold —
+    # in catalog order that cold is artifact-READ for every verify-once
+    # consumer after the first (cluster_keep_best pays the build), so
+    # min(main_cold, rerun) would silently ratchet on the artifact
+    # path. The verify-once artifacts survive clearCache by design
+    # (plans/queries_llm localCheckpoints) — release them around every
+    # run so each stable cell is genuinely cold.
     from pygeoapi_ingestor_spark.plans.queries_llm import (
         release_shared_artifacts,
     )
@@ -472,12 +481,14 @@ def main() -> None:
     for i, key in enumerate(HEADLINE_KEYS):
         if key not in timings:
             continue
-        t0 = time.perf_counter()
-        QUERIES[key](spark, sf_dir).count()
-        second = round(time.perf_counter() - t0, 3)
-        headline_stable[key] = min(timings[key], second)
-        spark.catalog.clearCache()
-        release_shared_artifacts()
+        reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[key](spark, sf_dir).count()
+            reps.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+            release_shared_artifacts()
+        headline_stable[key] = min(reps)
         _periodic_gc(i)
     headline_prev: dict[str, float] = {}
     full_path = os.path.join(

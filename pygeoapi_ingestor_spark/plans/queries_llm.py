@@ -55,9 +55,14 @@ _VP_ARTIFACTS: dict = {}
 
 def _free_local_ckpt(df: DataFrame) -> None:
     """Release a superseded localCheckpoint's RDD blocks (same idiom as
-    operators/dedup.connected_components._free_ckpt)."""
+    operators/dedup.connected_components._free_ckpt). BLOCKING: the
+    callers are job boundaries (finalize_job, corpus switch) whose
+    contract is "storage is free when this returns" — a fire-and-forget
+    unpersist leaves blocks visible to getRDDStorageInfo for an
+    arbitrary beat under load (the scheduler test flaked exactly
+    there)."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
     except Exception:
         pass
 

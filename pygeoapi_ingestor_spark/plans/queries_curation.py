@@ -461,11 +461,409 @@ GROUP BY 1
     return "WITH " + ",".join(parts) + "," + final
 
 
+# ---------------------------------------------------------------------------
+# ivf_probe_sweep (block C)
+# ---------------------------------------------------------------------------
+
+PROBE_SWEEP = (1, 2, 4)
+
+
+def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: pooled recall@k at n_probe = 1 / 2 / 4 on the
+    fixed-K md5 query sample — the table you read BEFORE choosing the
+    probe count an IVF deployment pays per query (ivf_recall_eval pins
+    one operating point; this key pins the curve). Ground truth is
+    computed once and persisted (house index-artifact cache contract);
+    each sweep point is one probe-limited candidate join. Pooled sums
+    are exact integers; the only float is the final recall division."""
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        TOPK,
+        _ann_query_ids,
+        _emb as _emb_llm,
+    )
+
+    e = _emb_llm(spark, sf_dir)
+    qids = _ann_query_ids(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(qids))
+    gt = similarity.cosine_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=TOPK, dim=64,
+    ).select("query_id", "neighbor_id").persist()
+    parts = []
+    for p in PROBE_SWEEP:
+        cand = similarity.ivf_topk(
+            e, q, id_col="vec_id", vec_col="embedding",
+            query_id_col="vec_id", query_vec_col="embedding",
+            k=TOPK, n_clusters=16, n_probe=p,
+        )
+        hits = gt.join(
+            cand.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        parts.append(
+            hits.agg(
+                F.lit(p).cast("int").alias("n_probe"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("sum_hits"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    nq = len(qids)
+    from pygeoapi_ingestor_spark.plans.queries_llm import TOPK as _k
+
+    return out.select(
+        "n_probe",
+        "sum_hits",
+        F.lit(nq).cast("bigint").alias("n_queries"),
+        F.round(
+            F.col("sum_hits").cast("double") / F.lit(float(nq * _k)), 6
+        ).alias("pooled_recall"),
+    )
+
+
+def _ivf_probe_sweep_oracle_sql() -> str:
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        TOPK,
+        _ANN_QUERY_SQL,
+        _cosine_topk_oracle_sql,
+        _ivf_topk_oracle_sql,
+    )
+
+    blocks = []
+    for p in PROBE_SWEEP:
+        blocks.append(f"""
+SELECT {p} AS n_probe,
+       CAST(count(cand.neighbor_id) AS BIGINT) AS sum_hits,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        WHERE {_ANN_QUERY_SQL}) AS n_queries,
+       round(CAST(count(cand.neighbor_id) AS DOUBLE)
+             / ((SELECT count(*) FROM embeddings WHERE {_ANN_QUERY_SQL})
+                * {float(TOPK)}), 6) AS pooled_recall
+FROM ({_cosine_topk_oracle_sql(_ANN_QUERY_SQL)}) gt
+LEFT JOIN ({_ivf_topk_oracle_sql(_ANN_QUERY_SQL, n_probe=p)}) cand
+  ON gt.query_id = cand.query_id AND gt.neighbor_id = cand.neighbor_id
+""")
+    return " UNION ALL ".join(blocks)
+
+
+# ---------------------------------------------------------------------------
+# cluster_source_mix (block C)
+# ---------------------------------------------------------------------------
+
+
+def q_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balance diagnostic: per k-means embedding cluster, the
+    SOURCE composition — dominant source, its share, and the source
+    entropy (12-dp decimal term sums, order-free). A cluster owned by
+    one source is a crawl-imbalance or template signature; a flat mix
+    is a genuine semantic topic. First key to JOIN the embedding space
+    to document metadata (vec_id = doc_id in the testdata contract).
+
+    Scale shape: assignment is the kmeans_fit_int8 projection (no
+    shuffle); the rollup is two combinable groupBys whose state is
+    bounded by k x n_sources; the doc join is on the primary key."""
+    from pygeoapi_ingestor_spark.plans.queries_llm import KMEANS_PARAMS
+
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    cents, assigned = similarity.kmeans_fit_int8(
+        emb, "vec_id", "embedding", **KMEANS_PARAMS
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("_id"), "source"
+    )
+    cs = (
+        assigned.select("_id", F.col("cluster").cast("int").alias("cluster"))
+        .join(docs, "_id")
+        .groupBy("cluster", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = cs.groupBy("cluster").agg(F.sum("cnt").cast("bigint").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    terms = cs.join(tot, "cluster").select(
+        "cluster",
+        "source",
+        "cnt",
+        "n",
+        F.round(p * F.log(p), 12).cast("decimal(38,12)").alias("_plogp"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("cnt").desc(), F.col("source").asc()
+    )
+    ranked = terms.withColumn("_rn", F.row_number().over(w))
+    agg = terms.groupBy("cluster").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        (-F.sum("_plogp")).cast("double").alias("_ent"),
+    )
+    top = ranked.filter(F.col("_rn") == 1).select(
+        "cluster",
+        F.col("source").alias("top_source"),
+        F.col("cnt").alias("top_cnt"),
+    )
+    return agg.join(top, "cluster").select(
+        "cluster",
+        "n",
+        "n_sources",
+        "top_source",
+        F.round(
+            F.col("top_cnt").cast("double") / F.col("n").cast("double"), 6
+        ).alias("top_share"),
+        F.round("_ent", 6).alias("source_entropy"),
+    )
+
+
+def _cluster_source_mix_oracle_sql() -> str:
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        KMEANS_PARAMS,
+        _kmeans_cte,
+    )
+
+    parts, prev = _kmeans_cte(
+        KMEANS_PARAMS["k"], KMEANS_PARAMS["iters"], KMEANS_PARAMS["dim"]
+    )
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
+        " s -> CAST((s[1] - s[2]) AS BIGINT) * (s[1] - s[2]))) AS BIGINT)"
+    )
+    final = f"""
+pf AS (
+  SELECT q.vec_id, c.cid, {dist} AS d
+  FROM q CROSS JOIN {prev} c
+),
+af AS (
+  SELECT vec_id, cid AS cluster FROM pf
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+cs AS (
+  SELECT af.cluster, d.source, CAST(count(*) AS BIGINT) AS cnt
+  FROM af JOIN documents d ON d.doc_id = af.vec_id
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT cluster, CAST(sum(cnt) AS BIGINT) AS n FROM cs GROUP BY 1
+),
+terms AS (
+  SELECT cs.cluster, cs.source, cs.cnt, t.n,
+         CAST(round((CAST(cs.cnt AS DOUBLE) / t.n)
+                    * ln(CAST(cs.cnt AS DOUBLE) / t.n), 12)
+              AS DECIMAL(38,12)) AS plogp,
+         row_number() OVER (PARTITION BY cs.cluster
+                            ORDER BY cs.cnt DESC, cs.source ASC) AS rn
+  FROM cs JOIN tot t USING (cluster)
+)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       max(n) AS n,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       max(CASE WHEN rn = 1 THEN source END) AS top_source,
+       round(CAST(max(CASE WHEN rn = 1 THEN cnt END) AS DOUBLE)
+             / max(n), 6) AS top_share,
+       round(CAST(-sum(plogp) AS DOUBLE), 6) AS source_entropy
+FROM terms
+GROUP BY cluster
+"""
+    return "WITH " + ",".join(parts) + "," + final
+
+
+# ---------------------------------------------------------------------------
+# quality_dup_interaction (block C)
+# ---------------------------------------------------------------------------
+
+
+def q_quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does low-quality text duplicate more? Per quality-score DECILE
+    (exact distributed ntile — bucketed row_number + closed-form
+    tiling, never a single-task global sort), the share of documents
+    that belong to ANY verified near-dup cluster (the verify-once
+    shared fixpoint). The curation-policy table that decides whether
+    quality filtering and dedup are redundant passes or independent
+    ones on this corpus.
+
+    Scale shape: quality scoring is one projection; decile assignment
+    is the ranks.bucketed_row_number machinery; dup membership is a
+    broadcast-sized distinct-node join against the shared artifact."""
+    from pygeoapi_ingestor_spark.functions import ranks
+    from pygeoapi_ingestor_spark.operators import text as text_ops
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        shared_dup_components,
+    )
+
+    scored = (
+        text_ops.quality_features(_docs(spark, sf_dir), text_col="text")
+        .select("doc_id", "quality_score")
+        .withColumn("_g", F.lit(0))
+    )
+    rn = ranks.bucketed_row_number(
+        scored, series_cols=["_g"], value_col="quality_score",
+        tiebreak_cols=["doc_id"], out_col="_rn", count_col="_cnt",
+    )
+    tiles = rn.withColumn("decile", ranks.ntile_expr("_rn", "_cnt", 10))
+    members = (
+        shared_dup_components(spark, sf_dir)
+        .select(F.col("node").alias("doc_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    joined = tiles.join(members, "doc_id", "left")
+    return (
+        joined.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_members"),
+            F.round(F.min("quality_score"), 6).alias("q_lo"),
+            F.round(F.max("quality_score"), 6).alias("q_hi"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(
+                F.col("n_dup_members").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def _quality_dup_oracle_sql() -> str:
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        _quality_cte,
+        _shingle_cte,
+    )
+
+    return _shingle_cte().replace(
+        "WITH words_t", "WITH RECURSIVE words_t"
+    ) + """
+        , sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2
+        ),
+        vpairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc = doc_a
+            JOIN sizes sb ON sb.doc = doc_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+        ),
+        members AS (
+            -- DISTINCT-over-UNION-ALL, not bare UNION: under a WITH
+            -- RECURSIVE prefix DuckDB 1.0 executes a non-recursive
+            -- UNION as UNION ALL (dedup silently dropped), which
+            -- fans out the LEFT JOIN below
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM vpairs
+                UNION ALL SELECT doc_b FROM vpairs
+            )
+        ),
+        """ + _quality_cte() + """
+        , tiles AS (
+            SELECT s.doc_id, s.quality_score,
+                   ntile(10) OVER (ORDER BY s.quality_score, s.doc_id)
+                       AS decile
+            FROM scored s
+        )
+        SELECT CAST(t.decile AS INTEGER) AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(m.doc_id) AS BIGINT) AS n_dup_members,
+               round(min(t.quality_score), 6) AS q_lo,
+               round(max(t.quality_score), 6) AS q_hi,
+               round(CAST(count(m.doc_id) AS DOUBLE) / count(*), 6)
+                   AS dup_rate
+        FROM tiles t LEFT JOIN members m ON m.doc_id = t.doc_id
+        GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# cluster_balanced_sample (block C)
+# ---------------------------------------------------------------------------
+
+BALANCED_CAP = 16
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity downsample: from each k-means embedding cluster take
+    up to {BALANCED_CAP} members by a deterministic md5 draw — the
+    cluster-balanced subset that keeps rare regions of the embedding
+    space represented when the corpus is cut for a curriculum or an
+    eval set (the SemDeDup-family selection action, keyed to clusters
+    instead of near-dup pairs).
+
+    Scale shape: assignment is the kmeans_fit_int8 projection; the
+    per-cluster cap runs through ranks.grouped_topk (salted local
+    top-k, then an exact rank over the bounded candidate union) — a
+    billion-row cluster never sorts in one task."""
+    from pygeoapi_ingestor_spark.functions import ranks
+    from pygeoapi_ingestor_spark.plans.queries_llm import KMEANS_PARAMS
+
+    emb = _emb(spark, sf_dir)
+    cents, assigned = similarity.kmeans_fit_int8(
+        emb, "vec_id", "embedding", **KMEANS_PARAMS
+    )
+    draw = assigned.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("_id").alias("vec_id"),
+        F.md5(F.col("_id").cast("string")).alias("_u"),
+    )
+    return ranks.grouped_topk(
+        draw, series_cols=["cluster"], value_col="_u",
+        tiebreak_cols=["vec_id"], k=BALANCED_CAP, out_col="rank",
+    ).select(
+        "cluster", "vec_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _balanced_sample_oracle_sql() -> str:
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        KMEANS_PARAMS,
+        _kmeans_cte,
+    )
+
+    parts, prev = _kmeans_cte(
+        KMEANS_PARAMS["k"], KMEANS_PARAMS["iters"], KMEANS_PARAMS["dim"]
+    )
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(q.qv, c.cv),"
+        " s -> CAST((s[1] - s[2]) AS BIGINT) * (s[1] - s[2]))) AS BIGINT)"
+    )
+    final = f"""
+pf AS (
+  SELECT q.vec_id, c.cid, {dist} AS d
+  FROM q CROSS JOIN {prev} c
+),
+af AS (
+  SELECT vec_id, cid AS cluster FROM pf
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+)
+SELECT CAST(cluster AS INTEGER) AS cluster, vec_id,
+       CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT cluster, vec_id,
+         row_number() OVER (PARTITION BY cluster
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM af
+) WHERE rn <= {BALANCED_CAP}
+"""
+    return "WITH " + ",".join(parts) + "," + final
+
+
 CURATION_QUERIES = {
     "segment_dedup": q_segment_dedup,
     "dsir_importance_weights": q_dsir_importance_weights,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "kmeans_silhouette": q_kmeans_silhouette,
+    "ivf_probe_sweep": q_ivf_probe_sweep,
+    "cluster_source_mix": q_cluster_source_mix,
+    "quality_dup_interaction": q_quality_dup_interaction,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
 }
 
 CURATION_ORACLES = {
@@ -473,4 +871,8 @@ CURATION_ORACLES = {
     "dsir_importance_weights": _DSIR_ORACLE,
     "cms_heavy_hitters": _cms_oracle_sql(),
     "kmeans_silhouette": _silhouette_oracle_sql(),
+    "ivf_probe_sweep": _ivf_probe_sweep_oracle_sql(),
+    "cluster_source_mix": _cluster_source_mix_oracle_sql(),
+    "quality_dup_interaction": _quality_dup_oracle_sql(),
+    "cluster_balanced_sample": _balanced_sample_oracle_sql(),
 }

@@ -910,12 +910,13 @@ def _cosine_topk_oracle_sql(
     """
 
 
-def _ivf_topk_oracle_sql(query_pred: str = "vec_id < 5") -> str:
-    """DuckDB twin of ivf_topk (16 lowest-id centroids, 4 probes):
-    ``query_pred`` selects the query subset (standalone key: first ids;
-    the recall eval passes the fixed-K md5 sample — inside the probes
-    scope the bare ``vec_id`` resolves to the query side, cents columns
-    are renamed)."""
+def _ivf_topk_oracle_sql(query_pred: str = "vec_id < 5", n_probe: int = 4) -> str:
+    """DuckDB twin of ivf_topk (16 lowest-id centroids, ``n_probe``
+    probes): ``query_pred`` selects the query subset (standalone key:
+    first ids; the recall eval passes the fixed-K md5 sample — inside
+    the probes scope the bare ``vec_id`` resolves to the query side,
+    cents columns are renamed). ``n_probe`` parameterizes the probe
+    count for the ivf_probe_sweep tuning-curve key."""
     return f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
@@ -933,7 +934,7 @@ def _ivf_topk_oracle_sql(query_pred: str = "vec_id < 5") -> str:
                        row_number() OVER (PARTITION BY q.vec_id
                            ORDER BY list_distance(q.v, c.cv) ASC, c.cid ASC) AS rn
                 FROM e q CROSS JOIN cents c WHERE {query_pred}
-            ) WHERE rn <= 4
+            ) WHERE rn <= {n_probe}
         ),
         scored AS (
             SELECT p.query_id, a.vec_id AS neighbor_id,

@@ -91,6 +91,80 @@ def test_cms_never_undercounts(spark, sf_dir):
         assert r["exact_cnt"] > 0
 
 
+def test_ivf_probe_sweep_monotone(spark, sf_dir):
+    """More probes can only add candidate lists, so pooled recall is
+    nondecreasing in n_probe — the tuning curve's defining property."""
+    from pygeoapi_ingestor_spark.plans.queries_curation import (
+        q_ivf_probe_sweep,
+    )
+
+    rows = sorted(
+        q_ivf_probe_sweep(spark, sf_dir).collect(), key=lambda r: r["n_probe"]
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4]
+    hits = [r["sum_hits"] for r in rows]
+    assert hits == sorted(hits)
+    for r in rows:
+        assert 0.0 <= r["pooled_recall"] <= 1.0
+
+
+def test_cluster_source_mix_shares(spark, sf_dir):
+    from pygeoapi_ingestor_spark.plans.queries_curation import (
+        q_cluster_source_mix,
+    )
+
+    rows = q_cluster_source_mix(spark, sf_dir).collect()
+    assert rows
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n"] for r in rows) == emb_n
+    for r in rows:
+        assert 0.0 < r["top_share"] <= 1.0
+        # a cluster can't have a dominant share below the uniform share
+        # (round-6 output can sit up to 5e-7 under the true ratio)
+        assert r["top_share"] >= 1.0 / r["n_sources"] - 1e-6
+        # entropy of n_sources categories is bounded by ln(n_sources)
+        assert -1e-9 <= r["source_entropy"] <= math.log(r["n_sources"]) + 1e-6
+
+
+def test_quality_dup_interaction_partition(spark, sf_dir):
+    from pygeoapi_ingestor_spark.plans.queries_curation import (
+        q_quality_dup_interaction,
+    )
+
+    rows = sorted(
+        q_quality_dup_interaction(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # decile ranges tile the score axis in order
+    for a, b in zip(rows, rows[1:]):
+        assert a["q_hi"] <= b["q_lo"] + 1e-9
+    for r in rows:
+        assert 0 <= r["n_dup_members"] <= r["n_docs"]
+        assert 0.0 <= r["dup_rate"] <= 1.0
+
+
+def test_cluster_balanced_sample_cap_and_determinism(spark, sf_dir):
+    from pygeoapi_ingestor_spark.plans.queries_curation import (
+        BALANCED_CAP,
+        q_cluster_balanced_sample,
+    )
+
+    rows = q_cluster_balanced_sample(spark, sf_dir).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster"], []).append(r["rank"])
+        assert 1 <= r["rank"] <= BALANCED_CAP
+    for cluster, ranked in per.items():
+        assert sorted(ranked) == list(range(1, len(ranked) + 1))
+    # deterministic: a second run returns the identical sample
+    again = q_cluster_balanced_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_silhouette_pooled_in_unit_interval(spark, sf_dir):
     rows = q_kmeans_silhouette(spark, sf_dir).collect()
     assert rows

@@ -107,6 +107,10 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_rows = docs.select(
         "doc_id", "source", F.explode(segs).alias("seg")
     ).select("doc_id", "source", F.md5("seg").alias("seg_hash"))
+    # index-artifact cache contract (operators/dedup.py): the digest
+    # stream feeds BOTH the frequency build and the join-back — persist
+    # so tokenize+segment+md5 runs once, not twice
+    seg_rows = seg_rows.persist()
     freq = seg_rows.groupBy("seg_hash").agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs_with")
     )
@@ -176,16 +180,14 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans of the corpus, no data-sized driver state."""
     docs = _docs(spark, sf_dir)
     words = text.norm_words("text")
-    n_bi = (F.size(words) - 1).cast("int")
-    bigrams = F.when(
-        n_bi >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_bi),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.greatest(F.size(words) - 1, F.lit(0))
+    # consecutive-word pairs as one zip of the array against its own
+    # 1-shifted slice — a single projection, no per-index element_at
+    bigrams = F.zip_with(
+        F.slice(words, 1, n_bi),
+        F.slice(words, 2, n_bi),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
     bg = docs.select(
         "doc_id", "source", F.explode(bigrams).alias("bigram")
     ).select(
@@ -193,15 +195,19 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (_hash60(F.col("bigram")) % DSIR_BUCKETS).alias("bucket"),
     )
-    raw = bg.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("rc")
+    # the tokenized/hashed stream feeds the model build AND the per-doc
+    # scoring join — persist so the regex tokenize runs once (the cold
+    # profile showed 3 full lineage scans dominating this key)
+    bg = bg.persist()
+    # BOTH models in ONE combinable aggregation: rc = all occurrences,
+    # tc = occurrences in the target slice (a conditional sum, not a
+    # second scan + outer join)
+    model = bg.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rc"),
+        F.sum(
+            F.when(F.col("source") == DSIR_TARGET_SOURCE, 1).otherwise(0)
+        ).cast("bigint").alias("tc"),
     )
-    tgt = (
-        bg.filter(F.col("source") == DSIR_TARGET_SOURCE)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
-    )
-    model = raw.join(tgt, "bucket", "left").na.fill({"tc": 0})
     totals = model.agg(
         F.sum("rc").cast("bigint").alias("R"),
         F.sum("tc").cast("bigint").alias("T"),

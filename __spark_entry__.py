@@ -27,8 +27,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible query (see SURVEY.md §6 for
     the numeric-match conventions). Keys absent here (the gamma-fit SPI
-    family, xxhash64-based MinHash/SimHash/hyperplane-LSH buckets, HLL
-    sketches) are non-SQL-expressible and take the rows-only check; the
-    md5-derived LSH plans (dedup_embedding_cosine) and the composed
-    dedup_lsh_verified DO have full value-hash oracles."""
+    family, xxhash64-based MinHash/SimHash/hyperplane-LSH buckets, the
+    ENGINE-INTERNAL HLL of approx_distinct_users) are non-SQL-expressible
+    and take the rows-only check; the md5-derived LSH plans
+    (dedup_embedding_cosine), the composed dedup_lsh_verified, and the
+    from-first-principles md5 sketches (cms_heavy_hitters, bloom_fp_eval,
+    hll_union_eval — the oracled estimator twins of the rows-only
+    sketches) DO have full value-hash oracles."""
     return dict(ORACLES)

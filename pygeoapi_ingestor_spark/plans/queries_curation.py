@@ -1,7 +1,8 @@
 r"""Training-data curation catalog queries (SURVEY.md §2 blocks B/C,
-round-10 session-2 additions) on ``documents`` and ``embeddings``.
+round-10 session-2 additions) on ``documents``, ``embeddings`` and
+``events``.
 
-Four production actions a 100 TB curation pipeline runs after the
+Production actions a 100 TB curation pipeline runs after the
 dedup/quality machinery the earlier rounds built:
 
 - ``segment_dedup`` — CCNet-style cross-document segment frequency
@@ -14,11 +15,26 @@ dedup/quality machinery the earlier rounds built:
   raw-corpus model, the data-selection score.
 - ``cms_heavy_hitters`` — Count-Min sketch (Cormode & Muthukrishnan
   2005) token-frequency estimates next to exact counts for the top
-  terms: the acceptance row for the only sketch whose state stays
+  terms: the acceptance row for the sketch whose state stays
   4x1024 cells at any corpus size.
 - ``kmeans_silhouette`` — pooled silhouette cohesion per k-means
   cluster over the int8-quantized embeddings: the accept/reject gate
   on the trained IVF/semdedup clustering.
+- ``ivf_probe_sweep`` — pooled recall@k at n_probe 1/2/4: the curve an
+  IVF deployment chooses its per-query cost from.
+- ``cluster_source_mix`` — per-cluster source composition + entropy
+  (the embeddings-to-documents join on the vec_id = doc_id contract).
+- ``quality_dup_interaction`` — dup-membership rate per quality decile
+  over the verify-once near-dup fixpoint.
+- ``cluster_balanced_sample`` — deterministic per-cluster md5-draw cap:
+  the diversity downsample.
+- ``bloom_fp_eval`` — md5-Bloom filter over reference fingerprints
+  probed by a fresh slice: observed FP rate, zero-miss invariant,
+  load factor (the oracled twin of dedup.bloom_prescreen).
+- ``hll_union_eval`` — from-first-principles md5 HyperLogLog per
+  event_type plus the register-wise-max merged row: the oracled twin
+  of approx_distinct_users, pinning the mergeable-sketch estimate
+  against exact distincts.
 
 House parity conventions throughout (queries_ml.py docstring): integer
 or decimal-exact accumulation wherever a sum crosses rows (per-row
@@ -52,6 +68,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _hash60(col) -> F.Column:
@@ -861,6 +881,327 @@ FROM (
     return "WITH " + ",".join(parts) + "," + final
 
 
+# ---------------------------------------------------------------------------
+# bloom_fp_eval (block C)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 65536  # bit-space size
+BLOOM_K = 4  # hash functions
+
+
+def q_bloom_fp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter acceptance row: build a {BLOOM_M}-bit / {BLOOM_K}-hash
+    filter over the REFERENCE corpus slice's text fingerprints (every
+    source except src0), probe the src0 slice, and measure the filter
+    against exact membership — observed FP rate, the structurally-zero
+    miss count (no false negatives, pinned by test), and the bit-space
+    load factor that tells you when m is too small for the corpus.
+    The engine-neutral twin of dedup.bloom_prescreen (which uses
+    xxhash64 and is tests-only): here every bit position is md5-derived
+    so the DuckDB oracle replays the filter bit-for-bit.
+
+    Scale shape: the SET-bit table is bounded by m = {BLOOM_M} rows
+    whatever the corpus (broadcast), the probe side is one projection +
+    one broadcast join, and exact membership is a key join on 16-byte
+    digests. This is the pre-screen economics row: definite non-members
+    never reach the exact join's shuffle."""
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]", ""))
+    base = docs.select("doc_id", "source", fp.alias("fp"))
+    ref = base.filter(F.col("source") != DSIR_TARGET_SOURCE)
+    probe = base.filter(F.col("source") == DSIR_TARGET_SOURCE)
+
+    def positions(col):
+        return F.array_distinct(
+            F.array(
+                *[
+                    (
+                        _hash60(F.concat(F.lit(f"{j}:"), col)) % BLOOM_M
+                    ).alias(f"p{j}")
+                    for j in range(BLOOM_K)
+                ]
+            )
+        )
+
+    bits = (
+        ref.select(F.explode(positions(F.col("fp"))).alias("pos"))
+        .distinct()
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+    pp = probe.select(
+        "doc_id", "fp", F.explode(positions(F.col("fp"))).alias("pos")
+    )
+    hit = pp.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), "pos", "left"
+    )
+    per_doc = hit.groupBy("doc_id", "fp").agg(
+        (
+            F.count(F.lit(1)) == F.sum(F.coalesce(F.col("_set"), F.lit(0)))
+        ).alias("bloom_pos")
+    )
+    exact = ref.select("fp").distinct().withColumn("_dup", F.lit(1))
+    flagged = per_doc.join(exact, "fp", "left").select(
+        "doc_id",
+        "bloom_pos",
+        F.coalesce(F.col("_dup"), F.lit(0)).alias("exact_dup"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.when(F.col("bloom_pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_pos"),
+        F.sum("exact_dup").cast("bigint").alias("n_exact_dup"),
+        F.sum(
+            F.when(F.col("bloom_pos") & (F.col("exact_dup") == 0), 1).otherwise(0)
+        ).cast("bigint").alias("n_false_pos"),
+        F.sum(
+            F.when((~F.col("bloom_pos")) & (F.col("exact_dup") == 1), 1).otherwise(0)
+        ).cast("bigint").alias("n_missed"),
+    )
+    return agg.crossJoin(F.broadcast(n_bits)).select(
+        "n_probes",
+        "n_bloom_pos",
+        "n_exact_dup",
+        "n_false_pos",
+        "n_missed",
+        "bits_set",
+        F.round(
+            F.col("bits_set").cast("double") / F.lit(float(BLOOM_M)), 6
+        ).alias("load_factor"),
+        F.when(
+            (F.col("n_probes") - F.col("n_exact_dup")) > 0,
+            F.round(
+                F.col("n_false_pos").cast("double")
+                / (F.col("n_probes") - F.col("n_exact_dup")).cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("fp_rate"),
+    )
+
+
+def _bloom_fp_oracle_sql() -> str:
+    pos = lambda j: (  # noqa: E731
+        f"(('0x' || substr(md5('{j}:' || fp), 1, 15))::BIGINT) % {BLOOM_M}"
+    )
+    pos_list = ", ".join(pos(j) for j in range(BLOOM_K))
+    return f"""
+WITH base AS (
+    SELECT doc_id, source,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+    FROM documents
+), ref AS (
+    SELECT * FROM base WHERE source <> '{DSIR_TARGET_SOURCE}'
+), probe AS (
+    SELECT * FROM base WHERE source = '{DSIR_TARGET_SOURCE}'
+), bits AS (
+    SELECT DISTINCT pos FROM (
+        SELECT unnest(list_distinct([{pos_list}])) AS pos FROM ref
+    )
+), nb AS (
+    SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits
+), pp AS (
+    SELECT doc_id, fp, unnest(list_distinct([{pos_list}])) AS pos
+    FROM probe
+), per_doc AS (
+    SELECT pp.doc_id, pp.fp,
+           count(*) = sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+               AS bloom_pos
+    FROM pp LEFT JOIN bits b ON b.pos = pp.pos
+    GROUP BY 1, 2
+), exact AS (
+    SELECT DISTINCT fp FROM ref
+), flagged AS (
+    SELECT d.doc_id, d.bloom_pos,
+           CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END AS exact_dup
+    FROM per_doc d LEFT JOIN exact e ON e.fp = d.fp
+), agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pos,
+           CAST(sum(exact_dup) AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN bloom_pos AND exact_dup = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN NOT bloom_pos AND exact_dup = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missed
+    FROM flagged
+)
+SELECT n_probes, n_bloom_pos, n_exact_dup, n_false_pos, n_missed,
+       nb.bits_set,
+       round(CAST(nb.bits_set AS DOUBLE) / {float(BLOOM_M)}, 6) AS load_factor,
+       CASE WHEN (n_probes - n_exact_dup) > 0
+            THEN round(CAST(n_false_pos AS DOUBLE)
+                       / CAST(n_probes - n_exact_dup AS DOUBLE), 6)
+            ELSE 0.0 END AS fp_rate
+FROM agg CROSS JOIN nb
+"""
+
+
+# ---------------------------------------------------------------------------
+# hll_union_eval (block B)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers
+HLL_B = 6  # bucket bits (2^6 = 64)
+# alpha_m for m = 64 (Flajolet et al. 2007); the SAME double literal is
+# inlined into the SQL twin so both engines multiply the identical value
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def q_hll_union_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog acceptance row — the ORACLED twin of
+    approx_distinct_users (whose built-in HLL sketch is engine-internal
+    and rows-only): a from-first-principles md5 HLL (64 registers,
+    leading-zero rank via the engine-neutral bin() length) per
+    event_type, PLUS the register-wise-max merged 'ALL' row — the
+    mergeability that makes HLL the 100 TB distinct-count: per-shard
+    sketches combine by max, never by re-scan. Each row carries the
+    estimate next to the exact distinct and the relative error.
+
+    Exactness: the harmonic-mean denominator is computed as an INTEGER
+    sum of power-of-two terms (sum of 2^(Mmax - M_j), absent registers
+    at 2^Mmax) so there is no float-summation order anywhere; the only
+    floats are the final alpha-scaled division and the small-range
+    ln() correction, identical single expressions on both engines."""
+    ev = _events(spark, sf_dir)
+    h = _hash60(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    rem = F.shiftright(F.col("h"), HLL_B)
+    rho = F.when(rem > 0, F.lit(55) - F.length(F.bin(rem))).otherwise(
+        F.lit(55)
+    )
+    base = ev.select(
+        "event_type", h.alias("h")
+    ).select(
+        "event_type",
+        F.col("h").bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+        rho.cast("int").alias("rho"),
+    )
+    regs_t = base.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("M")
+    )
+    regs_all = (
+        base.groupBy("bucket")
+        .agg(F.max("rho").alias("M"))
+        .withColumn("event_type", F.lit("ALL"))
+        .select("event_type", "bucket", "M")
+    )
+    regs = regs_t.unionByName(regs_all)
+    mstats = regs.groupBy("event_type").agg(
+        F.max("M").alias("mmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+    )
+    s = (
+        regs.join(mstats, "event_type")
+        .groupBy("event_type", "mmax", "n_present")
+        .agg(
+            # pyspark's shiftleft() insists on an int numBits; the SQL
+            # form takes a column expression
+            F.sum(F.expr("shiftleft(1L, mmax - M)"))
+            .cast("bigint")
+            .alias("s_present")
+        )
+        .select(
+            "event_type",
+            "mmax",
+            "n_present",
+            (
+                F.col("s_present")
+                + (F.lit(HLL_M) - F.col("n_present"))
+                * F.expr("shiftleft(1L, mmax)")
+            ).cast("bigint").alias("s_int"),
+        )
+    )
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.expr("shiftleft(1L, mmax)").cast("double")
+        / F.col("s_int").cast("double")
+    )
+    zeros = (F.lit(HLL_M) - F.col("n_present")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    ests = s.select(
+        "event_type",
+        "n_present",
+        F.round(est, 6).alias("hll_estimate"),
+    )
+    ex_t = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    ex_all = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    ).withColumn("event_type", F.lit("ALL"))
+    exact = ex_t.unionByName(ex_all.select("event_type", "exact_distinct"))
+    return ests.join(exact, "event_type").select(
+        "event_type",
+        "n_present",
+        "hll_estimate",
+        "exact_distinct",
+        F.round(
+            F.abs(
+                F.col("hll_estimate") - F.col("exact_distinct").cast("double")
+            )
+            / F.col("exact_distinct").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def _hll_union_oracle_sql() -> str:
+    h = "(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
+    return f"""
+WITH hashed AS (
+    SELECT event_type, {h} AS h FROM events
+), base AS (
+    SELECT event_type, h & {HLL_M - 1} AS bucket,
+           CASE WHEN (h >> {HLL_B}) > 0
+                THEN 55 - length(bin(h >> {HLL_B}))
+                ELSE 55 END AS rho
+    FROM hashed
+), regs AS (
+    SELECT event_type, bucket, CAST(max(rho) AS INTEGER) AS M
+    FROM base GROUP BY 1, 2
+    UNION ALL
+    SELECT 'ALL', bucket, CAST(max(rho) AS INTEGER)
+    FROM base GROUP BY 2
+), mstats AS (
+    SELECT event_type, max(M) AS mmax,
+           CAST(count(*) AS BIGINT) AS n_present
+    FROM regs GROUP BY 1
+), s AS (
+    SELECT r.event_type, m.mmax, m.n_present,
+           CAST(sum(1::BIGINT << (m.mmax - r.M)) AS BIGINT)
+               + ({HLL_M} - m.n_present) * (1::BIGINT << m.mmax) AS s_int
+    FROM regs r JOIN mstats m USING (event_type)
+    GROUP BY 1, 2, 3
+), ests AS (
+    SELECT event_type, n_present,
+           round(CASE WHEN (({HLL_ALPHA!r}::DOUBLE) * {float(HLL_M * HLL_M)}
+                          * CAST(1::BIGINT << mmax AS DOUBLE)
+                          / CAST(s_int AS DOUBLE)) <= {2.5 * HLL_M}
+                      AND ({HLL_M} - n_present) > 0
+                 THEN {float(HLL_M)}
+                      * ln({float(HLL_M)}
+                           / CAST({HLL_M} - n_present AS DOUBLE))
+                 ELSE ({HLL_ALPHA!r}::DOUBLE) * {float(HLL_M * HLL_M)}
+                      * CAST(1::BIGINT << mmax AS DOUBLE)
+                      / CAST(s_int AS DOUBLE) END, 6) AS hll_estimate
+    FROM s
+), ex AS (
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS exact_distinct
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+)
+SELECT e.event_type, s.n_present, s.hll_estimate, e.exact_distinct,
+       round(abs(s.hll_estimate - CAST(e.exact_distinct AS DOUBLE))
+             / e.exact_distinct, 6) AS rel_err
+FROM ests s JOIN ex e USING (event_type)
+"""
+
+
 CURATION_QUERIES = {
     "segment_dedup": q_segment_dedup,
     "dsir_importance_weights": q_dsir_importance_weights,
@@ -870,6 +1211,8 @@ CURATION_QUERIES = {
     "cluster_source_mix": q_cluster_source_mix,
     "quality_dup_interaction": q_quality_dup_interaction,
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    "bloom_fp_eval": q_bloom_fp_eval,
+    "hll_union_eval": q_hll_union_eval,
 }
 
 CURATION_ORACLES = {
@@ -881,4 +1224,6 @@ CURATION_ORACLES = {
     "cluster_source_mix": _cluster_source_mix_oracle_sql(),
     "quality_dup_interaction": _quality_dup_oracle_sql(),
     "cluster_balanced_sample": _balanced_sample_oracle_sql(),
+    "bloom_fp_eval": _bloom_fp_oracle_sql(),
+    "hll_union_eval": _hll_union_oracle_sql(),
 }

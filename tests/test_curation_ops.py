@@ -165,6 +165,42 @@ def test_cluster_balanced_sample_cap_and_determinism(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_bloom_no_false_negatives(spark, sf_dir):
+    from pygeoapi_ingestor_spark.plans.queries_curation import q_bloom_fp_eval
+
+    row = q_bloom_fp_eval(spark, sf_dir).collect()[0]
+    # the Bloom one-sided guarantee: every exact duplicate is flagged
+    assert row["n_missed"] == 0
+    assert row["n_bloom_pos"] >= row["n_exact_dup"]
+    assert row["n_false_pos"] == row["n_bloom_pos"] - row["n_exact_dup"]
+    assert 0.0 <= row["fp_rate"] <= 1.0
+    assert 0.0 < row["load_factor"] <= 1.0
+
+
+def test_hll_union_bounds(spark, sf_dir):
+    from pygeoapi_ingestor_spark.plans.queries_curation import (
+        HLL_M,
+        q_hll_union_eval,
+    )
+
+    rows = {r["event_type"]: r for r in q_hll_union_eval(spark, sf_dir).collect()}
+    assert "ALL" in rows
+    per_type = [r for k, r in rows.items() if k != "ALL"]
+    assert per_type
+    for r in rows.values():
+        assert 1 <= r["n_present"] <= HLL_M
+        assert r["hll_estimate"] > 0
+        assert r["exact_distinct"] > 0
+    # the merged sketch estimates the union: at least the largest
+    # single-type estimate (register-wise max can only raise registers)
+    assert rows["ALL"]["hll_estimate"] >= max(
+        r["hll_estimate"] for r in per_type
+    ) - 1e-6
+    # standard error of HLL at m=64 is ~13%; 5 sigma is a generous wall
+    for r in rows.values():
+        assert r["rel_err"] < 0.65
+
+
 def test_silhouette_pooled_in_unit_interval(spark, sf_dir):
     rows = q_kmeans_silhouette(spark, sf_dir).collect()
     assert rows

@@ -1021,6 +1021,33 @@ def kmeans_fit_int8(
     return cents, _assign(cents)
 
 
+def kmeans_assign_int8(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents,
+) -> DataFrame:
+    """Assignment-only pass against ALREADY-TRAINED centroids — the
+    consume side of the train-once contract (plans/queries_llm
+    shared_kmeans_cents): identical quantization and argmin as
+    ``kmeans_fit_int8``'s final assign, so (cluster, sq_dist) are
+    bit-equal to what the training run would return, without re-running
+    the Lloyd iterations. One projection, no shuffle."""
+    q = quantize_int8(
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v",
+    ).select("_id", F.col("q_vec").alias("_q"))
+    return (
+        with_best_centroid(q, "_q", cents)
+        .select(
+            "*",
+            F.col("_best.cid").alias("cluster"),
+            F.col("_best.d").alias("sq_dist"),
+        )
+        .drop("_best")
+    )
+
+
 def _sq_dist_int(vec: Column, centroid: Column) -> Column:
     """Exact integer squared distance (|x|<=254 per dim keeps every term
     and the sum well inside long range)."""
@@ -1043,6 +1070,7 @@ def ivf_topk_trained(
     iters: int = 3,
     n_probe: int = 3,
     dim: int = 64,
+    cents=None,
 ) -> DataFrame:
     """IVF search over TRAINED centroids: ``kmeans_fit_int8`` builds the
     inverted lists, assignment and probing use exact integer distances
@@ -1050,10 +1078,15 @@ def ivf_topk_trained(
     scoring is exact double cosine on the original vectors within the
     probed lists only. The full production ANN path (train -> index ->
     probe -> score) with every stage reproducible in SQL.
+
+    Pass ``cents`` to reuse an already-trained centroid list (the
+    train-once contract) — it must come from the same deterministic
+    ``kmeans_fit_int8`` run the SQL twin replays.
     """
-    cents, _ = kmeans_fit_int8(
-        embeddings, id_col, vec_col, k=n_clusters, iters=iters, dim=dim
-    )
+    if cents is None:
+        cents, _ = kmeans_fit_int8(
+            embeddings, id_col, vec_col, k=n_clusters, iters=iters, dim=dim
+        )
 
     eq = quantize_int8(
         embeddings.select(

@@ -412,14 +412,18 @@ def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     silhouette, computed with a single final float division (immune to
     double-sum order drift — the house pooled-jaccard discipline).
 
-    Scale shape: training is the kmeans_fit_int8 contract (k x dim ints
-    through the driver per iteration); scoring is ONE projection against
-    the literal centroid array + one combinable groupBy."""
-    from pygeoapi_ingestor_spark.plans.queries_llm import KMEANS_PARAMS
+    Scale shape: training happens ONCE per corpus (the train-once
+    shared_kmeans_cents artifact — k x dim ints on the driver); scoring
+    is ONE projection against the literal centroid array + one
+    combinable groupBy."""
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        shared_kmeans_cents,
+    )
 
     emb = _emb(spark, sf_dir)
-    cents, assigned = similarity.kmeans_fit_int8(
-        emb, "vec_id", "embedding", **KMEANS_PARAMS
+    cents = shared_kmeans_cents(spark, sf_dir)
+    assigned = similarity.kmeans_assign_int8(
+        emb, "vec_id", "embedding", cents
     )
     scored = similarity.with_centroid_dists(assigned, "_q", cents, "_dists")
     b = F.array_min(
@@ -589,16 +593,19 @@ def q_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a genuine semantic topic. First key to JOIN the embedding space
     to document metadata (vec_id = doc_id in the testdata contract).
 
-    Scale shape: assignment is the kmeans_fit_int8 projection (no
-    shuffle); the rollup is two combinable groupBys whose state is
-    bounded by k x n_sources; the doc join is on the primary key."""
-    from pygeoapi_ingestor_spark.plans.queries_llm import KMEANS_PARAMS
+    Scale shape: assignment is one projection against the train-once
+    shared centroids (no shuffle, no retraining); the rollup is two
+    combinable groupBys whose state is bounded by k x n_sources; the
+    doc join is on the primary key."""
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        shared_kmeans_cents,
+    )
 
     from pyspark.sql.window import Window
 
     emb = _emb(spark, sf_dir)
-    cents, assigned = similarity.kmeans_fit_int8(
-        emb, "vec_id", "embedding", **KMEANS_PARAMS
+    assigned = similarity.kmeans_assign_int8(
+        emb, "vec_id", "embedding", shared_kmeans_cents(spark, sf_dir)
     )
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("_id"), "source"
@@ -823,16 +830,19 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval set (the SemDeDup-family selection action, keyed to clusters
     instead of near-dup pairs).
 
-    Scale shape: assignment is the kmeans_fit_int8 projection; the
-    per-cluster cap runs through ranks.grouped_topk (salted local
-    top-k, then an exact rank over the bounded candidate union) — a
-    billion-row cluster never sorts in one task."""
+    Scale shape: assignment is one projection against the train-once
+    shared centroids; the per-cluster cap runs through
+    ranks.grouped_topk (salted local top-k, then an exact rank over the
+    bounded candidate union) — a billion-row cluster never sorts in one
+    task."""
     from pygeoapi_ingestor_spark.functions import ranks
-    from pygeoapi_ingestor_spark.plans.queries_llm import KMEANS_PARAMS
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        shared_kmeans_cents,
+    )
 
     emb = _emb(spark, sf_dir)
-    cents, assigned = similarity.kmeans_fit_int8(
-        emb, "vec_id", "embedding", **KMEANS_PARAMS
+    assigned = similarity.kmeans_assign_int8(
+        emb, "vec_id", "embedding", shared_kmeans_cents(spark, sf_dir)
     )
     draw = assigned.select(
         F.col("cluster").cast("int").alias("cluster"),

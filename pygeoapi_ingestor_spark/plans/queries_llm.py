@@ -99,9 +99,41 @@ def release_shared_artifacts() -> None:
     service-path release (called by streaming.scheduler.finalize_job):
     the artifacts deliberately survive ``catalog.clearCache()``, so a
     long-lived scheduler must release them between jobs explicitly or
-    they pin executor storage for the session lifetime."""
+    they pin executor storage for the session lifetime. Also drops the
+    memoized trained-centroid lists (driver-side Python state — nothing
+    to unpersist, but a stale corpus's centroids must not leak into the
+    next job)."""
     for k in list(_VP_ARTIFACTS):
         _free_local_ckpt(_VP_ARTIFACTS.pop(k))
+    _KM_CENTS.clear()
+
+
+_KM_CENTS: dict = {}
+
+
+def shared_kmeans_cents(spark: SparkSession, sf_dir: str):
+    """The corpus's trained k-means centroids (KMEANS_PARAMS), built
+    once per (session, sf_dir) — the TRAIN-ONCE half of the shared-
+    artifact contract (the verify-once half is shared_verified_pairs):
+    in production you train the clustering once and every consumer
+    (census, silhouette, IVF lists, balanced sample, source mix) reads
+    the model artifact; retraining per report is the anti-pattern.
+    State is k x dim ints on the driver — bounded, nothing to persist;
+    consumers re-derive assignments with ONE projection
+    (similarity.kmeans_assign_int8). Deterministic training means the
+    shared run is bit-identical to what each key trained standalone,
+    so every unrolled-CTE oracle is unchanged."""
+    key = ("km", spark.sparkContext.applicationId, sf_dir)
+    hit = _KM_CENTS.get(key)
+    if hit is not None:
+        return hit
+    for k in [k for k in _KM_CENTS if k[1:] != key[1:]]:
+        _KM_CENTS.pop(k)
+    cents, _ = similarity.kmeans_fit_int8(
+        _emb(spark, sf_dir), "vec_id", "embedding", **KMEANS_PARAMS
+    )
+    _KM_CENTS[key] = cents
+    return cents
 
 
 def shared_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,7 +583,7 @@ def q_sim_search_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, q, id_col="vec_id", vec_col="embedding",
         query_id_col="vec_id", query_vec_col="embedding",
         k=TOPK, n_clusters=KMEANS_PARAMS["k"], iters=KMEANS_PARAMS["iters"],
-        n_probe=3,
+        n_probe=3, cents=shared_kmeans_cents(spark, sf_dir),
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
@@ -569,12 +601,16 @@ def q_kmeans_clusters_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact integer sums, floor means) and the final inertia are exact
     integer arithmetic, so the UNROLLED-iteration SQL twin reproduces
     the whole training run bit-for-bit. Output: per-cluster size,
-    inertia, and centroid L1 checksum (pins the centroid values)."""
+    inertia, and centroid L1 checksum (pins the centroid values). Reads
+    the train-once shared centroids (shared_kmeans_cents) and re-derives
+    the assignment with one projection — bit-identical to training
+    in-place (deterministic Lloyd), so the unrolled oracle is unchanged."""
     from pygeoapi_ingestor_spark.operators import similarity
 
     emb = _emb(spark, sf_dir)
-    cents, assigned = similarity.kmeans_fit_int8(
-        emb, "vec_id", "embedding", **KMEANS_PARAMS
+    cents = shared_kmeans_cents(spark, sf_dir)
+    assigned = similarity.kmeans_assign_int8(
+        emb, "vec_id", "embedding", cents
     )
     l1_map = F.create_map(
         *[

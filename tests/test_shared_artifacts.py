@@ -67,3 +67,50 @@ def test_components_match_direct_operator(spark, sf_dir):
         ).collect()
     }
     assert cached == direct
+
+
+def test_kmeans_cents_memoized_and_match_training(spark, sf_dir):
+    """The train-once centroid artifact is a pure memoization of the
+    deterministic kmeans_fit_int8 run, reused per (session, corpus) and
+    dropped by release_shared_artifacts."""
+    from pygeoapi_ingestor_spark.operators import similarity
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        KMEANS_PARAMS,
+        _emb,
+        release_shared_artifacts,
+    )
+
+    a = qllm.shared_kmeans_cents(spark, sf_dir)
+    assert qllm.shared_kmeans_cents(spark, sf_dir) is a  # memo hit
+    direct, _ = similarity.kmeans_fit_int8(
+        _emb(spark, sf_dir), "vec_id", "embedding", **KMEANS_PARAMS
+    )
+    assert a == direct
+    release_shared_artifacts()
+    b = qllm.shared_kmeans_cents(spark, sf_dir)
+    assert b is not a and b == a  # rebuilt, identical values
+
+
+def test_kmeans_assign_matches_fit_assignment(spark, sf_dir):
+    """kmeans_assign_int8 on trained centroids is bit-equal to the
+    training run's own final assignment (cluster AND sq_dist)."""
+    from pygeoapi_ingestor_spark.operators import similarity
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        KMEANS_PARAMS,
+        _emb,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents, assigned_fit = similarity.kmeans_fit_int8(
+        emb, "vec_id", "embedding", **KMEANS_PARAMS
+    )
+    fit = {
+        r["_id"]: (r["cluster"], r["sq_dist"]) for r in assigned_fit.collect()
+    }
+    ass = {
+        r["_id"]: (r["cluster"], r["sq_dist"])
+        for r in similarity.kmeans_assign_int8(
+            emb, "vec_id", "embedding", cents
+        ).collect()
+    }
+    assert fit == ass

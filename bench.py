@@ -50,6 +50,10 @@ HEADLINE_KEYS = [
     # consumer, so its cold cell carries the LSH->verify+fixpoint cost
     # the other graph keys ride; the ratchet must watch the build
     "cluster_keep_best",
+    # round-10 session-2 additions: the CCNet segment census (explode +
+    # two combinable groupBys — the new dedup family's linear-scan
+    # representative) and the DSIR broadcast-model scorer
+    "segment_dedup", "dsir_importance_weights",
 ]
 
 

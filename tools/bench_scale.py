@@ -64,6 +64,10 @@ ORACLE_TIMEOUT_SF3_S = 600.0
 SF3_KEYS = {
     "dedup_components", "dedup_minhash_lsh", "dedup_simhash",
     "isoband_regions", "knn_outliers_ivf", "tfidf_top_terms",
+    # round-10 session 2: the new segment census and DSIR scorer are
+    # the curation family's linear-scan representatives — their growth
+    # shape is the claim worth a second decade
+    "segment_dedup", "dsir_importance_weights",
 }
 
 # documented O(n^2) oracle-twin: its scale-safe sibling knn_outliers_ivf

@@ -541,9 +541,12 @@ def merge_into_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         # release the checkpoint blocks (clearCache does not reach
-        # RDD-level checkpoint storage — the connected_components fix)
+        # RDD-level checkpoint storage — the connected_components fix).
+        # BLOCKING: this is a job-write boundary; a fire-and-forget
+        # unpersist leaves blocks visible to getRDDStorageInfo for an
+        # arbitrary beat under load (the finalize_job contract race)
         try:
-            out._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            out._jdf.queryExecution().analyzed().rdd().unpersist(True)
         except Exception:
             pass
     # dynamic overwrite only replaces partitions PRESENT in the output:

@@ -76,8 +76,11 @@ def update_rollup(
     try:
         merged.write.mode("overwrite").parquet(tmp)
     finally:
+        # blocking release at the write boundary (same contract as
+        # sinks/collections): the state-swap caller may assert storage
+        # is drained immediately after this returns
         try:
-            merged._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            merged._jdf.queryExecution().analyzed().rdd().unpersist(True)
         except Exception:
             pass
     from pygeoapi_ingestor_spark.sinks.collections import atomic_dir_swap

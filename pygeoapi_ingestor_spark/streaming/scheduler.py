@@ -155,6 +155,19 @@ def finalize_job(spark) -> None:
         spark.sparkContext._jvm.System.gc()
     except Exception:
         pass
+    # ContextCleaner frees ABANDONED rdd/broadcast blocks asynchronously
+    # after the driver GC above; "storage is free when finalize returns"
+    # is the scheduler contract, so drain with a bounded wait instead of
+    # racing the cleaner (leaks simply time out — finalize never hangs)
+    try:
+        import time as _time
+
+        jsc = spark.sparkContext._jsc.sc()
+        deadline = _time.monotonic() + 15.0
+        while len(jsc.getRDDStorageInfo()) and _time.monotonic() < deadline:
+            _time.sleep(0.2)
+    except Exception:
+        pass
 
 
 def backfill(

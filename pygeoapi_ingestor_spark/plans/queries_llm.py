@@ -54,15 +54,26 @@ _VP_ARTIFACTS: dict = {}
 
 
 def _free_local_ckpt(df: DataFrame) -> None:
-    """Release a superseded localCheckpoint's RDD blocks (same idiom as
-    operators/dedup.connected_components._free_ckpt). BLOCKING: the
+    """Release a superseded localCheckpoint's RDD blocks. BLOCKING: the
     callers are job boundaries (finalize_job, corpus switch) whose
     contract is "storage is free when this returns" — a fire-and-forget
     unpersist leaves blocks visible to getRDDStorageInfo for an
-    arbitrary beat under load (the scheduler test flaked exactly
-    there)."""
+    arbitrary beat under load (the scheduler test flaked exactly there).
+
+    Walks the analyzed plan's LEAVES for LogicalRDD nodes instead of
+    calling rdd() on the root: a tracked artifact whose plan is a
+    PROJECTION over the checkpoint (shared_dup_components returns
+    select(node, comp) over the fixpoint) has a Project root with no
+    rdd() accessor, so the old root-only call raised inside the
+    swallow-all and the checkpoint blocks silently leaked for the
+    session lifetime — the one-surviving-MapPartitionsRDD failure the
+    full-suite scheduler test caught."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(True)
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(True)
     except Exception:
         pass
 

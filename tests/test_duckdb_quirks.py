@@ -1,0 +1,60 @@
+"""Engine quirks the oracle SQL must design around, pinned so a DuckDB
+upgrade (or a new oracle author) surfaces them loudly instead of as a
+silent gate mismatch."""
+
+from __future__ import annotations
+
+import duckdb
+
+
+def test_recursive_prefix_degrades_nonrecursive_union():
+    """Under a WITH RECURSIVE prefix, DuckDB executes a NON-recursive
+    CTE's top-level UNION as UNION ALL — dedup silently dropped (found
+    by quality_dup_interaction's member join fanning out; DuckDB 1.0).
+    Oracle rule: inside any RECURSIVE WITH, write DISTINCT over
+    UNION ALL, never bare UNION — unless the arms are provably
+    disjoint (the uedges doc_a<doc_b pattern) or a downstream
+    recursive fixpoint re-dedups (the reach pattern).
+
+    If this test starts FAILING, the quirk is fixed upstream and the
+    workaround comments can be retired — the workarounds themselves
+    stay correct either way."""
+    con = duckdb.connect()
+    rows = con.execute(
+        """WITH RECURSIVE p AS (
+               SELECT * FROM (VALUES (1, 2), (1, 3), (2, 3)) v(a, b)
+           ), m AS (
+               SELECT a AS d FROM p UNION SELECT b FROM p
+           ) SELECT count(*), count(DISTINCT d) FROM m"""
+    ).fetchone()
+    # bare UNION keeps duplicates here (6 rows over 3 distinct values)
+    assert rows == (6, 3)
+    # the house workaround restores set semantics
+    fixed = con.execute(
+        """WITH RECURSIVE p AS (
+               SELECT * FROM (VALUES (1, 2), (1, 3), (2, 3)) v(a, b)
+           ), m AS (
+               SELECT DISTINCT d FROM (
+                   SELECT a AS d FROM p UNION ALL SELECT b FROM p
+               )
+           ) SELECT count(*) FROM m"""
+    ).fetchone()
+    assert fixed == (3,)
+
+
+def test_decimal_literal_overflows_without_double_cast():
+    """A long decimal literal parses as DECIMAL(18,...), and
+    multiplying it by a large integer raises an overflow instead of
+    widening (found by hll_union_eval's alpha constant). Oracle rule:
+    cast repr(float) literals with ::DOUBLE."""
+    con = duckdb.connect()
+    try:
+        con.execute("SELECT 0.7093409548395029 * 4096.0").fetchone()
+        overflowed = False
+    except duckdb.OutOfRangeException:
+        overflowed = True
+    assert overflowed
+    val = con.execute(
+        "SELECT (0.7093409548395029::DOUBLE) * 4096.0"
+    ).fetchone()[0]
+    assert abs(val - 0.7093409548395029 * 4096.0) < 1e-9

@@ -539,14 +539,15 @@ def connected_components(
         DataFrame. catalog.clearCache() does not cover RDD-level
         checkpoint blocks, so without this every invocation leaks one
         generation of blocks for the session lifetime (observed: one
-        surviving MapPartitionsRDD per run, immune to clearCache). The
-        handle comes from the checkpoint's own LogicalRDD, so only THIS
-        DataFrame's blocks are touched — safe under concurrent queries.
-        No-op where the JVM handle is unavailable (Spark Connect)."""
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
+        surviving MapPartitionsRDD per run, immune to clearCache).
+        Non-blocking: the next iteration's materialization is the
+        natural barrier. Routed through the repo-wide leaf-walking
+        helper — each freed frame here is a single superseded
+        checkpoint generation, never a plan sharing leaves with the
+        survivor (stepped/edges have fresh LogicalRDD roots)."""
+        from pygeoapi_ingestor_spark.functions.storage import free_local_ckpt
+
+        free_local_ckpt(df, blocking=False)
 
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     edges = (

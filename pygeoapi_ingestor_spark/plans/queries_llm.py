@@ -53,29 +53,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VP_ARTIFACTS: dict = {}
 
 
-def _free_local_ckpt(df: DataFrame) -> None:
-    """Release a superseded localCheckpoint's RDD blocks. BLOCKING: the
-    callers are job boundaries (finalize_job, corpus switch) whose
-    contract is "storage is free when this returns" — a fire-and-forget
-    unpersist leaves blocks visible to getRDDStorageInfo for an
-    arbitrary beat under load (the scheduler test flaked exactly there).
+def _free_local_ckpt(df: DataFrame) -> list:
+    """Release a superseded localCheckpoint's RDD blocks — BLOCKING:
+    the callers are job boundaries (finalize_job, corpus switch) whose
+    contract is "storage is free when this returns". Delegates to the
+    repo-wide leaf-walking helper (functions/storage.free_local_ckpt —
+    one release code path, VERDICT r10 item 3); returns the released
+    RDD ids so finalize_job can drain exactly those."""
+    from pygeoapi_ingestor_spark.functions.storage import free_local_ckpt
 
-    Walks the analyzed plan's LEAVES for LogicalRDD nodes instead of
-    calling rdd() on the root: a tracked artifact whose plan is a
-    PROJECTION over the checkpoint (shared_dup_components returns
-    select(node, comp) over the fixpoint) has a Project root with no
-    rdd() accessor, so the old root-only call raised inside the
-    swallow-all and the checkpoint blocks silently leaked for the
-    session lifetime — the one-surviving-MapPartitionsRDD failure the
-    full-suite scheduler test caught."""
-    try:
-        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-        for i in range(leaves.size()):
-            leaf = leaves.apply(i)
-            if leaf.getClass().getSimpleName() == "LogicalRDD":
-                leaf.rdd().unpersist(True)
-    except Exception:
-        pass
+    return free_local_ckpt(df, blocking=True)
 
 
 def shared_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +92,7 @@ def shared_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ckpt
 
 
-def release_shared_artifacts() -> None:
+def release_shared_artifacts() -> list:
     """Free every verify-once artifact's checkpoint blocks — the
     service-path release (called by streaming.scheduler.finalize_job):
     the artifacts deliberately survive ``catalog.clearCache()``, so a
@@ -113,10 +100,13 @@ def release_shared_artifacts() -> None:
     they pin executor storage for the session lifetime. Also drops the
     memoized trained-centroid lists (driver-side Python state — nothing
     to unpersist, but a stale corpus's centroids must not leak into the
-    next job)."""
+    next job). Returns the released RDD ids (finalize_job's targeted
+    drain waits for exactly these, not globally-empty storage)."""
+    ids: list = []
     for k in list(_VP_ARTIFACTS):
-        _free_local_ckpt(_VP_ARTIFACTS.pop(k))
+        ids.extend(_free_local_ckpt(_VP_ARTIFACTS.pop(k)))
     _KM_CENTS.clear()
+    return ids
 
 
 _KM_CENTS: dict = {}

@@ -544,11 +544,11 @@ def merge_into_partitioned(
         # RDD-level checkpoint storage — the connected_components fix).
         # BLOCKING: this is a job-write boundary; a fire-and-forget
         # unpersist leaves blocks visible to getRDDStorageInfo for an
-        # arbitrary beat under load (the finalize_job contract race)
-        try:
-            out._jdf.queryExecution().analyzed().rdd().unpersist(True)
-        except Exception:
-            pass
+        # arbitrary beat under load (the finalize_job contract race).
+        # Leaf-walking helper: survives a projection-rooted `out`
+        from pygeoapi_ingestor_spark.functions.storage import free_local_ckpt
+
+        free_local_ckpt(out, blocking=True)
     # dynamic overwrite only replaces partitions PRESENT in the output:
     # a bucket whose every key was deleted would keep its stale
     # directory — drop those explicitly

@@ -78,11 +78,12 @@ def update_rollup(
     finally:
         # blocking release at the write boundary (same contract as
         # sinks/collections): the state-swap caller may assert storage
-        # is drained immediately after this returns
-        try:
-            merged._jdf.queryExecution().analyzed().rdd().unpersist(True)
-        except Exception:
-            pass
+        # is drained immediately after this returns. Leaf-walking
+        # helper: survives anyone inserting a projection between the
+        # checkpoint and this release (the a62aa76 silent-leak class)
+        from pygeoapi_ingestor_spark.functions.storage import free_local_ckpt
+
+        free_local_ckpt(merged, blocking=True)
     from pygeoapi_ingestor_spark.sinks.collections import atomic_dir_swap
 
     atomic_dir_swap(jvm, fs, state_path, tmp, bak, "rollup")

@@ -139,16 +139,28 @@ def finalize_job(spark) -> None:
     periodicGC interval outlives many scheduler ticks (the session
     factory lowers it, but an externally-built session may not).
     """
+    # snapshot the job's storage footprint BEFORE releasing anything:
+    # the drain below waits only for ids that were present at entry (or
+    # that our own artifact release just freed) — NOT for globally-empty
+    # storage, and it bails after a no-progress beat, so a caller's own
+    # deliberately-retained RDD persist on the shared session no longer
+    # stalls every finalize_job for the full timeout (ADVICE r10)
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        before = {info.id() for info in jsc.getRDDStorageInfo()}
+    except Exception:
+        jsc, before = None, set()
     spark.catalog.clearCache()
     # the verify-once dedup artifacts are RDD-level localCheckpoints and
     # deliberately survive clearCache (plans/queries_llm) — a finished
     # job must free them explicitly or they pin storage across ticks
+    released: set = set()
     try:
         from pygeoapi_ingestor_spark.plans.queries_llm import (
             release_shared_artifacts,
         )
 
-        release_shared_artifacts()
+        released = set(release_shared_artifacts())
     except Exception:
         pass
     try:
@@ -158,16 +170,38 @@ def finalize_job(spark) -> None:
     # ContextCleaner frees ABANDONED rdd/broadcast blocks asynchronously
     # after the driver GC above; "storage is free when finalize returns"
     # is the scheduler contract, so drain with a bounded wait instead of
-    # racing the cleaner (leaks simply time out — finalize never hangs)
-    try:
-        import time as _time
+    # racing the cleaner. Targets = entry footprint + just-released ids;
+    # a target that stops shrinking for ~3s is foreign retained storage
+    # (not ours to free) — log it and return instead of burning the
+    # remaining budget on every tick
+    if jsc is not None:
+        try:
+            import logging as _logging
+            import time as _time
 
-        jsc = spark.sparkContext._jsc.sc()
-        deadline = _time.monotonic() + 15.0
-        while len(jsc.getRDDStorageInfo()) and _time.monotonic() < deadline:
-            _time.sleep(0.2)
-    except Exception:
-        pass
+            targets = before | released
+            deadline = _time.monotonic() + 15.0
+            last_n, last_change = None, _time.monotonic()
+            while _time.monotonic() < deadline:
+                pending = {
+                    info.id() for info in jsc.getRDDStorageInfo()
+                } & targets
+                if not pending:
+                    break
+                n = len(pending)
+                if last_n is None or n < last_n:
+                    last_n, last_change = n, _time.monotonic()
+                elif _time.monotonic() - last_change > 3.0:
+                    _logging.getLogger(__name__).warning(
+                        "finalize_job: %d storage block(s) from the job "
+                        "window remain after release and stopped "
+                        "draining (rdd ids %s) — retained by the "
+                        "caller, not freed here", n, sorted(pending),
+                    )
+                    break
+                _time.sleep(0.2)
+        except Exception:
+            pass
 
 
 def backfill(

@@ -1,10 +1,17 @@
 """Engine quirks the oracle SQL must design around, pinned so a DuckDB
 upgrade (or a new oracle author) surfaces them loudly instead of as a
-silent gate mismatch."""
+silent gate mismatch.
+
+Structure (ADVICE r10): the HOUSE WORKAROUND is asserted
+unconditionally — it is correct whether or not the quirk exists. The
+quirk-presence assertion is gated: if an upgrade fixes the upstream
+bug, the test SKIPS with a 'quirk retired' message (retire the
+workaround comments at leisure) instead of failing CI red."""
 
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 
 def test_recursive_prefix_degrades_nonrecursive_union():
@@ -14,22 +21,9 @@ def test_recursive_prefix_degrades_nonrecursive_union():
     Oracle rule: inside any RECURSIVE WITH, write DISTINCT over
     UNION ALL, never bare UNION — unless the arms are provably
     disjoint (the uedges doc_a<doc_b pattern) or a downstream
-    recursive fixpoint re-dedups (the reach pattern).
-
-    If this test starts FAILING, the quirk is fixed upstream and the
-    workaround comments can be retired — the workarounds themselves
-    stay correct either way."""
+    recursive fixpoint re-dedups (the reach pattern)."""
     con = duckdb.connect()
-    rows = con.execute(
-        """WITH RECURSIVE p AS (
-               SELECT * FROM (VALUES (1, 2), (1, 3), (2, 3)) v(a, b)
-           ), m AS (
-               SELECT a AS d FROM p UNION SELECT b FROM p
-           ) SELECT count(*), count(DISTINCT d) FROM m"""
-    ).fetchone()
-    # bare UNION keeps duplicates here (6 rows over 3 distinct values)
-    assert rows == (6, 3)
-    # the house workaround restores set semantics
+    # the house workaround restores set semantics — always required
     fixed = con.execute(
         """WITH RECURSIVE p AS (
                SELECT * FROM (VALUES (1, 2), (1, 3), (2, 3)) v(a, b)
@@ -40,6 +34,21 @@ def test_recursive_prefix_degrades_nonrecursive_union():
            ) SELECT count(*) FROM m"""
     ).fetchone()
     assert fixed == (3,)
+    rows = con.execute(
+        """WITH RECURSIVE p AS (
+               SELECT * FROM (VALUES (1, 2), (1, 3), (2, 3)) v(a, b)
+           ), m AS (
+               SELECT a AS d FROM p UNION SELECT b FROM p
+           ) SELECT count(*), count(DISTINCT d) FROM m"""
+    ).fetchone()
+    if rows == (3, 3):
+        pytest.skip(
+            f"quirk RETIRED in duckdb {duckdb.__version__}: UNION under "
+            "WITH RECURSIVE now deduplicates — the DISTINCT-over-UNION-ALL "
+            "workarounds in the oracles stay correct but can be simplified"
+        )
+    # bare UNION keeps duplicates here (6 rows over 3 distinct values)
+    assert rows == (6, 3)
 
 
 def test_decimal_literal_overflows_without_double_cast():
@@ -48,13 +57,17 @@ def test_decimal_literal_overflows_without_double_cast():
     widening (found by hll_union_eval's alpha constant). Oracle rule:
     cast repr(float) literals with ::DOUBLE."""
     con = duckdb.connect()
-    try:
-        con.execute("SELECT 0.7093409548395029 * 4096.0").fetchone()
-        overflowed = False
-    except duckdb.OutOfRangeException:
-        overflowed = True
-    assert overflowed
+    # the house workaround — always required, always correct
     val = con.execute(
         "SELECT (0.7093409548395029::DOUBLE) * 4096.0"
     ).fetchone()[0]
     assert abs(val - 0.7093409548395029 * 4096.0) < 1e-9
+    try:
+        con.execute("SELECT 0.7093409548395029 * 4096.0").fetchone()
+    except duckdb.OutOfRangeException:
+        return  # quirk still present — pinned
+    pytest.skip(
+        f"quirk RETIRED in duckdb {duckdb.__version__}: decimal-literal "
+        "multiply now widens — the ::DOUBLE casts in the oracles stay "
+        "correct but are no longer load-bearing"
+    )

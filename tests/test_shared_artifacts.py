@@ -114,3 +114,77 @@ def test_kmeans_assign_matches_fit_assignment(spark, sf_dir):
         ).collect()
     }
     assert fit == ass
+
+
+def _storage_ids(spark):
+    return {
+        info.id()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+def test_free_local_ckpt_releases_projection_rooted_plan(spark, sf_dir):
+    """The repo-wide release helper (functions/storage.free_local_ckpt
+    — the single code path behind queries_llm, sinks/incremental,
+    sinks/collections and operators/dedup since r11) must free the
+    checkpoint blocks even when the released frame is a PROJECTION over
+    the checkpoint: the old root-only analyzed().rdd() pattern raised on
+    a Project root inside a swallow-all and leaked silently (commit
+    a62aa76's failure class)."""
+    from pygeoapi_ingestor_spark.functions.storage import free_local_ckpt
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    ckpt = base.localCheckpoint(eager=True)
+    assert _storage_ids(spark), "checkpoint must pin storage"
+    projected = ckpt.select("doc_id").filter("doc_id >= 0")
+    before = _storage_ids(spark)
+    freed = free_local_ckpt(projected, blocking=True)
+    assert freed, "leaf walk must find the LogicalRDD under the Project"
+    assert not (set(freed) & _storage_ids(spark))
+    assert before - _storage_ids(spark), "blocks must actually drop"
+
+
+def test_free_local_ckpt_returns_ids_for_targeted_drain(spark, sf_dir):
+    """release_shared_artifacts returns the freed RDD ids so
+    finalize_job drains exactly those (ADVICE r10: never require
+    globally-empty storage)."""
+    qllm.shared_verified_pairs(spark, sf_dir)
+    ids = qllm.release_shared_artifacts()
+    assert ids, "release must report what it freed"
+    assert not (set(ids) & _storage_ids(spark))
+
+
+def test_finalize_job_does_not_stall_on_foreign_retained_storage(
+    spark, sf_dir
+):
+    """A caller's own RDD-level persist on the shared session is not
+    finalize_job's to free — finalize must release the job's artifacts
+    and return promptly (no-progress bail), not burn the full 15s drain
+    budget per tick (ADVICE r10)."""
+    import time
+
+    from pygeoapi_ingestor_spark.streaming.scheduler import finalize_job
+
+    foreign = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(10)
+        .localCheckpoint(eager=True)
+    )
+    foreign_ids = {
+        info.id()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    assert foreign_ids
+    qllm.shared_verified_pairs(spark, sf_dir)  # job-owned artifact
+    t0 = time.monotonic()
+    finalize_job(spark)
+    elapsed = time.monotonic() - t0
+    # job-owned artifacts gone, foreign persist untouched, bail < budget
+    assert not qllm._VP_ARTIFACTS
+    assert foreign_ids & _storage_ids(spark), "foreign block must survive"
+    assert elapsed < 12.0, f"finalize stalled {elapsed:.1f}s on foreign storage"
+    assert foreign.count() == 10  # still usable
+    # clean up for neighbouring tests
+    from pygeoapi_ingestor_spark.functions.storage import free_local_ckpt
+
+    free_local_ckpt(foreign, blocking=True)

@@ -259,19 +259,36 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         # processing rate divides by the sum of per-batch trigger
         # latencies (what a capacity plan uses); the wall rate keeps
         # scheduler idle time in.
+        #
+        # State-partition sizing (r11 diagnosis of the 5.3k-vs-15.8k
+        # sustained/burst gap): per-batch latency across the 16-batch
+        # series is FLAT (~1.35s at 32 partitions — no file-listing or
+        # checkpoint growth); the gap is the fixed per-TRIGGER cost
+        # (state-store commit x N stores + batch write) amortized over
+        # 4x more, 4x smaller batches. windowed_agg's state is
+        # watermark-bounded (~open-windows x event_types keys — a few
+        # thousand), so store count should track STATE VOLUME, not
+        # session cores: 4 partitions carries ~1k keys/store and cut
+        # the per-batch fixed term 1.35s -> 0.53s (same sizing rule as
+        # correlate_streams' 8, which owns 4 stores per partition).
         sus_src = f"{work}/events_sus"
         ev.repartition(32).write.mode("overwrite").parquet(sus_src)
-        stream = spipe.read_event_stream(
-            spark, sus_src, fmt="parquet", max_files_per_trigger=2
-        )
-        agg = spipe.windowed_agg(stream, window_duration="1 hour")
-        cat2 = CollectionCatalog(f"{work}/cat_sus.json")
-        t0 = time.perf_counter()
-        q = spipe.run_to_collection(
-            agg, "bench_coll_sus", f"{work}/coll_sus", f"{work}/ck_sus",
-            cat2, ts_col="window_start",
-        )
-        wall = round(time.perf_counter() - t0, 3)
+        _prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            stream = spipe.read_event_stream(
+                spark, sus_src, fmt="parquet", max_files_per_trigger=2
+            )
+            agg = spipe.windowed_agg(stream, window_duration="1 hour")
+            cat2 = CollectionCatalog(f"{work}/cat_sus.json")
+            t0 = time.perf_counter()
+            q = spipe.run_to_collection(
+                agg, "bench_coll_sus", f"{work}/coll_sus", f"{work}/ck_sus",
+                cat2, ts_col="window_start",
+            )
+            wall = round(time.perf_counter() - t0, 3)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", _prev_parts)
         stats = _batch_stats(q)
         proc = sum(
             p["durationMs"]["triggerExecution"] / 1000.0
@@ -283,6 +300,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             "rows_in": n_events,
             "rows_per_sec_wall": round(n_events / wall),
             "rows_per_sec_processing": round(n_events / proc) if proc else None,
+            "state_partitions": 4,
             **stats,
         }
     finally:

@@ -1302,6 +1302,83 @@ def pq_adc_topk(
     )
 
 
+def rocchio_fit_int8(
+    embeddings: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dim: int = 64,
+):
+    """Train the per-label Rocchio centroids over int8-quantized
+    vectors: ONE distributed pass (per-label exact integer
+    per-dimension sums + floor means — the k-means update step without
+    the iteration); only the (n_labels x dim) centroid table reaches
+    the driver. Returns ``[(label, [int; dim]), ...]`` sorted by label
+    — the train-once artifact (plans/queries_llm shared_rocchio_cents
+    memoizes it per corpus; retraining per report is the
+    anti-pattern)."""
+    from pygeoapi_ingestor_spark.session import spread_if_narrow
+
+    # quantize + 64 per-dimension sums are interpreted-HOF/array work;
+    # spread a single-partition local input across cores (no-op on a
+    # production input that is already wide)
+    q = quantize_int8(
+        spread_if_narrow(embeddings).select(
+            F.col(label_col).cast("int").alias("_label"),
+            F.col(vec_col).alias("_v"),
+        ),
+        "_v",
+    ).select("_label", F.col("q_vec").alias("_q"))
+    stats = q.groupBy("_label").agg(
+        F.expr("CAST(count(1) AS BIGINT) AS _n"),
+        F.expr(
+            f"array({', '.join(f'sum(_q[{d}])' for d in range(dim))}) AS _s"
+        ),
+    )
+    return [
+        (int(r["_label"]), [int(s) // int(r["_n"]) for s in r["_s"]])
+        for r in sorted(stats.collect(), key=lambda r: r["_label"])
+    ]
+
+
+def rocchio_classify_int8(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    cents,
+):
+    """Classify against ALREADY-TRAINED Rocchio centroids — the consume
+    side of the train-once contract: identical quantization and argmin
+    (exact integer squared distance, ties to the lowest label) as the
+    in-place fit would apply, so results are bit-equal without
+    re-aggregating the corpus. One projection, no shuffle, no action.
+
+    Returns (id, label, predicted, sq_dist)."""
+    from pygeoapi_ingestor_spark.session import spread_if_narrow
+
+    # the argmin projection is interpreted HOF work (zip_with/aggregate
+    # lambdas — no whole-stage codegen): a single-file parquet input
+    # would serialize all of it on one thread; production inputs keep
+    # their partitioning (spread_if_narrow is a no-op there)
+    q = quantize_int8(
+        spread_if_narrow(embeddings).select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).cast("int").alias("_label"),
+            F.col(vec_col).alias("_v"),
+        ),
+        "_v",
+    ).select("_id", "_label", F.col("q_vec").alias("_q"))
+    return (
+        with_best_centroid(q, "_q", cents)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_label").alias(label_col),
+            F.col("_best.cid").alias("predicted"),
+            F.col("_best.d").alias("sq_dist"),
+        )
+    )
+
+
 def nearest_centroid_classify(
     embeddings: DataFrame,
     id_col: str,
@@ -1314,39 +1391,14 @@ def nearest_centroid_classify(
     one centroid per label, re-classify every vector, and let the
     confusion structure expose mislabeled or boundary documents.
 
-    Training is ONE distributed pass (per-label exact integer
-    per-dimension sums + floor means — the k-means update step without
-    the iteration); only the (n_labels x dim) centroid table reaches the
-    driver. Classification is a pure projection (generated-SQL argmin,
-    ties to the lowest label), so the whole operator costs one
+    Composition of ``rocchio_fit_int8`` (one aggregate) +
+    ``rocchio_classify_int8`` (one scan) — the whole operator costs one
     aggregate + one scan at any corpus size. All-integer arithmetic —
-    the SQL twin reproduces it bit-for-bit.
+    the SQL twin reproduces it bit-for-bit. Callers that report
+    repeatedly over one corpus should fit once and reuse
+    (plans/queries_llm shared_rocchio_cents).
 
     Returns (id, label, predicted, sq_dist).
     """
-    q = quantize_int8(
-        embeddings.select(
-            F.col(id_col).alias("_id"),
-            F.col(label_col).cast("int").alias("_label"),
-            F.col(vec_col).alias("_v"),
-        ),
-        "_v",
-    ).select("_id", "_label", F.col("q_vec").alias("_q"))
-
-    stats = q.groupBy("_label").agg(
-        F.expr("CAST(count(1) AS BIGINT) AS _n"),
-        *[F.expr(f"sum(_q[{d}]) AS _s{d}") for d in range(dim)],
-    )
-    cents = [
-        (int(r["_label"]), [int(r[f"_s{d}"]) // int(r["_n"]) for d in range(dim)])
-        for r in sorted(stats.collect(), key=lambda r: r["_label"])
-    ]
-    return (
-        with_best_centroid(q, "_q", cents)
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_label").alias(label_col),
-            F.col("_best.cid").alias("predicted"),
-            F.col("_best.d").alias("sq_dist"),
-        )
-    )
+    cents = rocchio_fit_int8(embeddings, vec_col, label_col, dim=dim)
+    return rocchio_classify_int8(embeddings, id_col, vec_col, label_col, cents)

@@ -137,6 +137,31 @@ def shared_kmeans_cents(spark: SparkSession, sf_dir: str):
     return cents
 
 
+def shared_rocchio_cents(spark: SparkSession, sf_dir: str):
+    """The corpus's per-label Rocchio centroids, built once per
+    (session, sf_dir) — the same train-once contract as
+    ``shared_kmeans_cents`` (VERDICT r10 item 1b: the label-centroid
+    build was the one trained artifact still rebuilt per invocation,
+    a 48x constant factor on ``centroid_classify``). State is
+    n_labels x dim ints on the driver; consumers classify with ONE
+    projection (similarity.rocchio_classify_int8). Deterministic
+    training => bit-identical to fitting in place, so the unrolled-CTE
+    oracle is unchanged."""
+    key = ("rc", spark.sparkContext.applicationId, sf_dir)
+    hit = _KM_CENTS.get(key)
+    if hit is not None:
+        return hit
+    # corpus switch evicts every stale-corpus centroid set (km AND rc),
+    # matching shared_kmeans_cents' eviction rule
+    for k in [k for k in _KM_CENTS if k[1:] != key[1:]]:
+        _KM_CENTS.pop(k)
+    cents = similarity.rocchio_fit_int8(
+        _emb(spark, sf_dir), "embedding", "label", dim=64
+    )
+    _KM_CENTS[key] = cents
+    return cents
+
+
 def shared_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The components fixpoint over ``shared_verified_pairs`` — cached
     the same way (cluster once; census/policy tables read the labels).
@@ -2192,10 +2217,14 @@ LLM_ORACLES["dedup_ppjoin"] = _shingle_cte() + """
 def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label QA via nearest-centroid re-classification: the confusion
     matrix of stored labels vs centroid-predicted labels over the
-    embeddings table (off-diagonal mass = mislabeled / boundary docs)."""
-    out = similarity.nearest_centroid_classify(
+    embeddings table (off-diagonal mass = mislabeled / boundary docs).
+    The Rocchio centroids are a train-once shared artifact
+    (shared_rocchio_cents) — classification is one projection + one
+    tiny groupBy; the corpus is aggregated once per (session, corpus),
+    not per report."""
+    out = similarity.rocchio_classify_int8(
         _emb(spark, sf_dir), id_col="vec_id", vec_col="embedding",
-        label_col="label", dim=64,
+        label_col="label", cents=shared_rocchio_cents(spark, sf_dir),
     )
     return out.groupBy(
         F.col("label").cast("int").alias("label"),

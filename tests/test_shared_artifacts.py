@@ -188,3 +188,39 @@ def test_finalize_job_does_not_stall_on_foreign_retained_storage(
     from pygeoapi_ingestor_spark.functions.storage import free_local_ckpt
 
     free_local_ckpt(foreign, blocking=True)
+
+
+def test_rocchio_cents_memoized_and_match_training(spark, sf_dir):
+    """The train-once Rocchio centroid artifact (r11: centroid_classify
+    was the one trained artifact still rebuilt per invocation) is a
+    pure memoization of the deterministic rocchio_fit_int8 run, and the
+    one-projection classify over it is bit-equal to fitting in place."""
+    from pygeoapi_ingestor_spark.operators import similarity
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        _emb,
+        release_shared_artifacts,
+    )
+
+    a = qllm.shared_rocchio_cents(spark, sf_dir)
+    assert qllm.shared_rocchio_cents(spark, sf_dir) is a  # memo hit
+    direct = similarity.rocchio_fit_int8(
+        _emb(spark, sf_dir), "embedding", "label", dim=64
+    )
+    assert a == direct
+    # classify-over-artifact == fit-in-place composition
+    via_artifact = {
+        r["vec_id"]: (r["predicted"], r["sq_dist"])
+        for r in similarity.rocchio_classify_int8(
+            _emb(spark, sf_dir), "vec_id", "embedding", "label", a
+        ).collect()
+    }
+    in_place = {
+        r["vec_id"]: (r["predicted"], r["sq_dist"])
+        for r in similarity.nearest_centroid_classify(
+            _emb(spark, sf_dir), "vec_id", "embedding", "label"
+        ).collect()
+    }
+    assert via_artifact == in_place
+    release_shared_artifacts()
+    b = qllm.shared_rocchio_cents(spark, sf_dir)
+    assert b is not a and b == a  # rebuilt, identical values

@@ -1500,12 +1500,16 @@ def q_spi_forecast_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         spi, bucket_cols=["event_type", "bucket"], value_col="spi_emp",
         percentiles=(),
     )
+    # + 0.0 collapses IEEE -0.0 to +0.0 on BOTH sides (queries_ml
+    # new_weight convention): a tiny negative SPI rounding to zero kept
+    # its sign in DuckDB but not in Spark — caught by the r11 sf0.1
+    # full-ledger run (CORRECTNESS_FULL_SF01), invisible at sf0.01
     return out.select(
         "event_type",
         "bucket",
-        F.round("ens_min", 6).alias("ens_min"),
-        F.round("ens_max", 6).alias("ens_max"),
-        F.round("ens_median", 6).alias("ens_median"),
+        (F.round("ens_min", 6) + F.lit(0.0)).alias("ens_min"),
+        (F.round("ens_max", 6) + F.lit(0.0)).alias("ens_max"),
+        (F.round("ens_median", 6) + F.lit(0.0)).alias("ens_median"),
         "ens_n",
     )
 
@@ -1557,9 +1561,9 @@ WITH member_daily AS (
     FROM zvals
 )
 SELECT event_type, bucket,
-       round(min(spi_emp), 6) AS ens_min,
-       round(max(spi_emp), 6) AS ens_max,
-       round(quantile_cont(spi_emp, 0.5), 6) AS ens_median,
+       round(min(spi_emp), 6) + 0.0 AS ens_min,
+       round(max(spi_emp), 6) + 0.0 AS ens_max,
+       round(quantile_cont(spi_emp, 0.5), 6) + 0.0 AS ens_median,
        CAST(count(*) AS BIGINT) AS ens_n
 FROM spi GROUP BY 1, 2
 """

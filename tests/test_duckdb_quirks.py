@@ -71,3 +71,32 @@ def test_decimal_literal_overflows_without_double_cast():
         "multiply now widens — the ::DOUBLE casts in the oracles stay "
         "correct but are no longer load-bearing"
     )
+
+
+def test_negative_zero_collapse_convention(spark):
+    """round() of a tiny negative keeps IEEE -0.0 in DuckDB but not in
+    Spark, so a rounded float column that can cross zero hash-splits
+    the gate (caught live by the r11 sf0.1 full ledger on
+    spi_forecast_blend's ens_median — invisible at sf0.01). House rule:
+    `+ 0.0` after the final round on BOTH sides (queries_ml new_weight
+    precedent) — IEEE addition collapses -0.0 + 0.0 to +0.0 in every
+    engine."""
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    raw_d = con.execute("SELECT round(-1e-9, 6)").fetchone()[0]
+    fixed_d = con.execute("SELECT round(-1e-9, 6) + 0.0").fetchone()[0]
+    assert repr(fixed_d) == "0.0"
+    row = spark.range(1).select(
+        F.round(F.lit(-1e-9), 6).alias("raw"),
+        (F.round(F.lit(-1e-9), 6) + F.lit(0.0)).alias("fixed"),
+    ).collect()[0]
+    assert repr(row["fixed"]) == "0.0"
+    # the quirk itself: engines disagree on the UNfixed repr
+    if repr(raw_d) == repr(row["raw"]):
+        pytest.skip(
+            f"quirk RETIRED in duckdb {duckdb.__version__}: round() now "
+            "agrees with Spark on signed zero — the + 0.0 collapses stay "
+            "correct but are no longer load-bearing"
+        )
+    assert {repr(raw_d), repr(row["raw"])} == {"-0.0", "0.0"}

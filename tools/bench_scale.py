@@ -45,6 +45,7 @@ from pygeoapi_ingestor_spark.session import TABLES, get_spark  # noqa: E402
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/pygeoapi_scale/sf1")
 SF3_DIR = os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/pygeoapi_scale/sf3")
+SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/pygeoapi_scale/sf10")
 SF_POINTS = [
     ("sf0.01", "/root/testdata/sf0.01"),
     ("sf0.1", "/root/testdata/sf0.1"),
@@ -70,6 +71,16 @@ SF3_KEYS = {
     "segment_dedup", "dsir_importance_weights",
 }
 
+# r10 verdict item 9: one more decade (sf10 = 100 replicas, ~540k docs
+# equivalent) for the two dedup flagships — sf10 is where band-bucket
+# skew or components fixpoint depth would actually show; their sf3
+# growth (1.81/2.25 for 3x data) says nothing about the next decade.
+# DuckDB is NOT re-run at sf10: both twins already forfeited at the
+# raised 600s cap on 3.3x LESS data, and the scan-monotone queries can
+# only get slower — the artifact records the inherited cost bound
+# explicitly instead of burning 20 minutes re-proving a forfeit.
+SF10_KEYS = {"dedup_components", "dedup_minhash_lsh"}
+
 # documented O(n^2) oracle-twin: its scale-safe sibling knn_outliers_ivf
 # carries the sf1 point; running the deliberate quadratic at 10x would
 # only restate its docstring
@@ -92,6 +103,13 @@ def _ensure_sf1() -> None:
         subprocess.run(
             [sys.executable, os.path.join(ROOT, "tools", "make_scale_sf.py"),
              SF3_DIR, "30"],
+            check=True,
+        )
+    if not os.path.isdir(os.path.join(SF10_DIR, "documents.parquet")):
+        print("generating derived sf10 ...", file=sys.stderr, flush=True)
+        subprocess.run(
+            [sys.executable, os.path.join(ROOT, "tools", "make_scale_sf.py"),
+             SF10_DIR, "100"],
             check=True,
         )
 
@@ -146,11 +164,13 @@ def main() -> None:
 
     results: dict[str, dict] = {k: {} for k in keys}
     notes: dict[str, str] = {}
-    sf_points = SF_POINTS + [("sf3", SF3_DIR)]
+    sf_points = SF_POINTS + [("sf3", SF3_DIR), ("sf10", SF10_DIR)]
     for sf_name, sf_dir in sf_points:
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
         for key in keys:
             if sf_name == "sf3" and key not in SF3_KEYS:
+                continue
+            if sf_name == "sf10" and key not in SF10_KEYS:
                 continue
             if sf_name in ("sf1", "sf3") and key in SPARK_SKIP_SF1:
                 notes[key] = ("sf1 spark skipped: documented O(n^2) "
@@ -180,6 +200,19 @@ def main() -> None:
         con = _duck_con(sf_dir)
         for key in keys:
             if key not in ORACLES:
+                continue
+            if sf_name == "sf10":
+                if key in SF10_KEYS:
+                    # inherited forfeit: both sf10 twins already blew
+                    # the raised cap at sf3 on 3.3x less data; the
+                    # scan-monotone oracle can only be slower here —
+                    # record the bound explicitly, never re-run
+                    slot = results[key].setdefault(sf_name, {})
+                    slot["duckdb_error"] = (
+                        "not run: forfeited at sf3 under the 600s cap "
+                        "on 3.3x less data (scan-monotone query)"
+                    )
+                    slot["duckdb_cost_bound_s"] = ORACLE_TIMEOUT_SF3_S
                 continue
             if sf_name == "sf3" and key not in SF3_KEYS:
                 continue
@@ -211,6 +244,10 @@ def main() -> None:
         if c1 and c3:
             # 3x the data sf1 -> sf3; linear growth would be 3.0
             r["spark_growth_sf3_vs_sf1"] = round(c3 / c1, 2)
+        c10 = r.get("sf10", {}).get("spark_cold")
+        if c3 and c10:
+            # 3.33x the data sf3 -> sf10; linear growth would be 3.33
+            r["spark_growth_sf10_vs_sf3"] = round(c10 / c3, 2)
         d01, d1 = r.get("sf0.1", {}).get("duckdb"), r.get("sf1", {}).get("duckdb")
         if d01 and d1:
             r["duckdb_growth_sf1_vs_sf0.1"] = round(d1 / d01, 2)
@@ -258,6 +295,7 @@ def main() -> None:
         "unit": "sec",
         "sf_points": {n: d for n, d in sf_points},
         "sf3_keys": sorted(SF3_KEYS),
+        "sf10_keys": sorted(SF10_KEYS),
         "sf1_derivation": (
             "10 replicas of sf0.1, strided ids, per-replica md5 word "
             "permutation (texts) / dim rotation (embeddings) - see "

@@ -113,13 +113,19 @@ def main() -> None:
 
     emb = _replicate(read_table(spark, SRC, "embeddings"), ["vec_id"])
     dim = 64
+    # rotate by _r mod dim: replica counts past the dimension (sf10 =
+    # 100 replicas) would otherwise ask slice() for a negative length.
+    # Replicas r and r+64 share embeddings (different vec_ids) — fine
+    # for the sf10 point, which exists for the TEXT dedup flagships;
+    # embedding keys keep their three-decade series below dim replicas.
+    rot = F.col("_r") % dim
     rotated = F.concat(
-        F.slice(F.col("embedding"), F.col("_r") + 1, F.lit(dim) - F.col("_r")),
-        F.slice(F.col("embedding"), 1, F.col("_r")),
+        F.slice(F.col("embedding"), rot + 1, F.lit(dim) - rot),
+        F.slice(F.col("embedding"), 1, rot),
     )
     emb = emb.withColumn(
         "embedding",
-        F.when(F.col("_r") == 0, F.col("embedding")).otherwise(rotated),
+        F.when(rot == 0, F.col("embedding")).otherwise(rotated),
     ).drop("_r")
     write(emb, "embeddings")
 

@@ -337,7 +337,10 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     zones = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
         F.col("c_custkey").alias("user_id"), F.col("n_name").alias("zone")
     )
-    out = zonal.zonal_stats(
+    # values are 2-decimal quantized sensor readings -> the one-pass
+    # value-compressed histogram (r11 zonal_stats_polygon machinery;
+    # equality with the drill-down pinned in tests/test_zonal_hist)
+    out = zonal.zonal_stats_hist(
         ev,
         zones,
         join_key="user_id",

@@ -1301,8 +1301,17 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = text.token_counts(
         text.quality_features(docs, text_col="text"), text_col="text"
     ).select("doc_id", "source", "quality_score", "regex_tokens")
-    # stage 1: quality gate (q_quality_filter threshold)
-    q = scored.filter(F.col("quality_score") >= 0.65)
+    # stage 1: quality gate (q_quality_filter threshold). The filtered
+    # narrow projection feeds THREE downstream branches (keep-best
+    # members, per-source weights, selection) — persist so the regex
+    # quality/token pass runs once, not per branch (4 cols, bounded
+    # width; the at-rest artifact a pipeline materializes after its
+    # gate). CacheManager dedupes repeat invocations by canonical plan.
+    from pyspark import StorageLevel
+
+    q = scored.filter(F.col("quality_score") >= 0.65).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # stage 2: within each verified near-dup cluster keep the best
     # quality-surviving member (cluster_keep_best semantics applied to

@@ -54,6 +54,11 @@ HEADLINE_KEYS = [
     # two combinable groupBys — the new dedup family's linear-scan
     # representative) and the DSIR broadcast-model scorer
     "segment_dedup", "dsir_importance_weights",
+    # round-11 addition: the end-to-end curation arc (quality gate ->
+    # keep-best dedup -> temperature budgets -> selection -> packing
+    # as ONE lineage) — the flagship composed pipeline belongs on the
+    # ratchet, not just in the catalog
+    "curation_pipeline_e2e",
 ]
 
 

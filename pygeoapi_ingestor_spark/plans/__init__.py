@@ -298,6 +298,48 @@ _STAMP_ORDER = [
     "lang_id_heuristic",
 ]
 
+# ---------------------------------------------------------------------------
+# Prepared-plan allowlist (r11, plans/prepared.py): these keys' warm
+# cost was dominated by Catalyst re-planning of an identical plan
+# (measured ~1-2s/invocation vs 0.2-0.5s of data work at bench SF), so
+# the catalog serves them as PREPARED STATEMENTS — the DataFrame is
+# built once per (session, corpus) and re-executed; nothing is cached,
+# every execution rescans the inputs. Eligibility (enforced by review,
+# documented in prepared.py): no released-on-finalize checkpoint in the
+# plan; immutable per-corpus inputs. Keys that read the verify-once
+# artifacts (dedup graph family, words-checkpoint consumers) re-fetch
+# through their registry accessors per call and MUST NOT appear here.
+# zonal_stats_polygon routes through the same helper inside its own
+# builder (it predates the list).
+_PREPARED_KEYS = [
+    "rfm_segments",
+    "mad_outliers",
+    "zonal_stats",
+    "regrid_bilinear",
+    "q4_order_priority",
+    "triplet_mining",
+    "acf_lags",
+    "ccf_lags",
+    "fuzzy_match_names",
+    "sim_search_int8",
+    "corpus_token_stats",
+]
+
+
+def _as_prepared(name, fn):
+    from pygeoapi_ingestor_spark.plans.prepared import prepared_plan
+
+    def wrapper(spark, sf_dir, _n=name, _f=fn):
+        return prepared_plan(_n, spark, sf_dir, lambda: _f(spark, sf_dir))
+
+    wrapper.__name__ = f"prepared_{name}"
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
+for _k in _PREPARED_KEYS:
+    _ALL[_k] = _as_prepared(_k, _ALL[_k])
+
 # any key not in the generated list (added after generation) stamps first
 _rest = [k for k in _ALL if k not in set(_STAMP_ORDER)]
 _order = _rest + [k for k in _STAMP_ORDER if k in _ALL]

@@ -1624,17 +1624,6 @@ ZONAL_POLYGONS = {
 }
 
 
-# prepared-plan memo for zonal_stats_polygon: the key's cost is ~90%
-# Catalyst planning (analysis + AQE + codegen of a fresh window+agg
-# plan ~1.9s; executing the SAME DataFrame again: 0.18s at sf1 — the
-# data path is one fact scan + two histogram-sized shuffles). A service
-# prepares the plan once per corpus and re-executes it — the prepared-
-# statement shape; NOTHING is cached or persisted (every execution
-# rescans the parquet), so this memoizes driver-side plan state only.
-# Evicted on corpus switch like the queries_llm artifact registries.
-_ZSP_PLANS: dict = {}
-
-
 def q_zonal_stats_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal stats with the zone membership COMPUTED from geometry —
     point-in-polygon via broadcast edge table + ray-casting parity
@@ -1648,49 +1637,51 @@ def q_zonal_stats_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derived ``distinct user_id`` from the fact table inside every
     one of the drill-down's scans, a full fact shuffle x4 that
     dominated the key's 17.6x-DuckDB constant factor (VERDICT r10 item
-    1a). Facts pay only a broadcast join on the derived cell."""
-    from pygeoapi_ingestor_spark.operators import spatial
+    1a). Facts pay only a broadcast join on the derived cell.
 
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _ZSP_PLANS.get(memo_key)
-    if hit is not None:
-        return hit
-    for k in [k for k in _ZSP_PLANS if k != memo_key]:
-        _ZSP_PLANS.pop(k)
+    Prepared-plan (plans/prepared.py): ~90% of the r10 warm cost was
+    Catalyst re-planning of an identical plan; the memoized plan
+    rescans the parquet on every execution (no data cached) and embeds
+    no released-on-finalize artifact."""
 
-    ev = _events(spark, sf_dir)
-    cells = spark.range(100).select(
-        F.col("id").cast("int").alias("_cell"),
-        (F.lit(-10.0) + (F.col("id") % 10) * F.lit(2.5)).alias("lon"),
-        (F.lit(35.0) + (F.col("id") / 10).cast("int") * F.lit(1.5)).alias("lat"),
-    )
-    edges = spark.createDataFrame(
-        spatial.polygon_edges_rows(ZONAL_POLYGONS),
-        "zone string, x1 double, y1 double, x2 double, y2 double",
-    )
-    memb = spatial.polygon_membership(cells, edges, key_cols=["_cell"])
-    # values are 2-decimal-quantized sensor readings -> the one-pass
-    # value-compressed histogram replaces the 3-scan drill-down
-    out = zonal.zonal_stats_hist(
-        ev.withColumn("_cell", (F.col("user_id") % 100).cast("int")),
-        memb.select("_cell", "zone"),
-        join_key="_cell",
-        zone_col="zone",
-        bucket_col=temporal.wall_trunc("week", F.col("ts")).alias("bucket"),
-        value_col="value",
-        percentiles=(0.05, 0.5, 0.95),
-    )
-    out = out.select(
-        "zone",
-        "bucket",
-        F.round("v_min", 6).alias("v_min"),
-        F.round("v_max", 6).alias("v_max"),
-        F.round("p05", 6).alias("p05"),
-        F.round("p50", 6).alias("p50"),
-        F.round("p95", 6).alias("p95"),
-    )
-    _ZSP_PLANS[memo_key] = out
-    return out
+    def _build() -> DataFrame:
+        from pygeoapi_ingestor_spark.operators import spatial
+
+        ev = _events(spark, sf_dir)
+        cells = spark.range(100).select(
+            F.col("id").cast("int").alias("_cell"),
+            (F.lit(-10.0) + (F.col("id") % 10) * F.lit(2.5)).alias("lon"),
+            (F.lit(35.0) + (F.col("id") / 10).cast("int") * F.lit(1.5)).alias("lat"),
+        )
+        edges = spark.createDataFrame(
+            spatial.polygon_edges_rows(ZONAL_POLYGONS),
+            "zone string, x1 double, y1 double, x2 double, y2 double",
+        )
+        memb = spatial.polygon_membership(cells, edges, key_cols=["_cell"])
+        # values are 2-decimal-quantized sensor readings -> the one-pass
+        # value-compressed histogram replaces the 3-scan drill-down
+        out = zonal.zonal_stats_hist(
+            ev.withColumn("_cell", (F.col("user_id") % 100).cast("int")),
+            memb.select("_cell", "zone"),
+            join_key="_cell",
+            zone_col="zone",
+            bucket_col=temporal.wall_trunc("week", F.col("ts")).alias("bucket"),
+            value_col="value",
+            percentiles=(0.05, 0.5, 0.95),
+        )
+        return out.select(
+            "zone",
+            "bucket",
+            F.round("v_min", 6).alias("v_min"),
+            F.round("v_max", 6).alias("v_max"),
+            F.round("p05", 6).alias("p05"),
+            F.round("p50", 6).alias("p50"),
+            F.round("p95", 6).alias("p95"),
+        )
+
+    from pygeoapi_ingestor_spark.plans.prepared import prepared_plan
+
+    return prepared_plan("zonal_stats_polygon", spark, sf_dir, _build)
 
 
 ETL_QUERIES["zonal_stats_polygon"] = q_zonal_stats_polygon

@@ -500,11 +500,19 @@ def main() -> None:
     # path. The verify-once artifacts survive clearCache by design
     # (plans/queries_llm localCheckpoints) — release them around every
     # run so each stable cell is genuinely cold.
+    from pygeoapi_ingestor_spark.plans import prepared
     from pygeoapi_ingestor_spark.plans.queries_llm import (
         release_shared_artifacts,
     )
 
+    # prepared plans (plans/prepared.py) are ALSO cleared around every
+    # rep: the stable series is the catalog's cold ratchet, and a
+    # memoized plan would silently turn a prepared key's "cold" cell
+    # into an execute-only cell, breaking round-over-round
+    # comparability. The warm series above keeps the prepared path —
+    # both shapes stay visible in the artifact.
     release_shared_artifacts()
+    prepared.clear()
     for i, key in enumerate(HEADLINE_KEYS):
         if key not in timings:
             continue
@@ -515,6 +523,7 @@ def main() -> None:
             reps.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
             release_shared_artifacts()
+            prepared.clear()
         headline_stable[key] = min(reps)
         _periodic_gc(i)
     headline_prev: dict[str, float] = {}

@@ -323,6 +323,31 @@ _PREPARED_KEYS = [
     "fuzzy_match_names",
     "sim_search_int8",
     "corpus_token_stats",
+    # warm-tail cohort (same eligibility audit): ANN/embedding family
+    # whose builds freeze trained literals (centroids, ground truth,
+    # plotting positions) — the train-once semantic shared_kmeans_cents
+    # established; plus the heavy ETL/behavior constants. Internal
+    # persists keep their exact semantics (clearCache drops blocks,
+    # next execution re-materializes).
+    "knn_outliers_recall",
+    "ivf_probe_sweep",
+    "ann_recall_eval",
+    "simhash_accuracy_eval",
+    "minhash_accuracy_eval",
+    "sim_search_pq_adc",
+    "kmeans_clusters_int8",
+    "embedding_knn_outliers",
+    "knn_outliers_ivf",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "dedup_ppjoin",
+    "dedup_spans",
+    "dedup_minhash_lsh",
+    "isoband_regions",
+    "anomaly_vs_climatology",
+    "area_weighted_mean",
+    "ab_test_conversion",
+    "value_percentiles",
 ]
 
 

@@ -56,8 +56,7 @@ def _duck(sf_dir, sql):
 
 
 def main() -> None:
-    from pygeoapi_ingestor_spark.plans import ORACLES, QUERIES
-    from pygeoapi_ingestor_spark.plans import queries_etl as qetl
+    from pygeoapi_ingestor_spark.plans import ORACLES, QUERIES, prepared
     from pygeoapi_ingestor_spark.plans import queries_llm as qllm
     from pygeoapi_ingestor_spark.session import get_spark
 
@@ -74,10 +73,10 @@ def main() -> None:
     cell: dict = {}
     cell["per_invocation_cold"] = run("zonal_stats_polygon", SF1_DIR)
     cell["prepared_warm"] = [run("zonal_stats_polygon", SF1_DIR) for _ in range(3)]
-    qetl._ZSP_PLANS.clear()
+    prepared.clear()
     cell["per_invocation_warm"] = []
     for _ in range(3):
-        qetl._ZSP_PLANS.clear()
+        prepared.clear()
         cell["per_invocation_warm"].append(run("zonal_stats_polygon", SF1_DIR))
     cell.update(_duck(SF1_DIR, ORACLES["zonal_stats_polygon"]))
     out["zonal_stats_polygon_sf1"] = cell

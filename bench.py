@@ -16,7 +16,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pygeoapi_ingestor_spark.plans import ORACLES, QUERIES  # noqa: E402
+from pygeoapi_ingestor_spark.plans import (  # noqa: E402
+    _PREPARED_KEYS,
+    ORACLES,
+    QUERIES,
+)
 from pygeoapi_ingestor_spark.session import TABLES, get_spark  # noqa: E402
 
 # every catalog query participates; order: cheap scans first
@@ -320,6 +324,11 @@ def bench_streaming(spark, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # a full pass is ~1500 SQL executions in ONE JVM (local mode shares
+    # driver+executor heap); 16g sat right at the OOM cliff in the r11
+    # driver window. The bench box has 128 GiB — give the run headroom;
+    # callers can still override via the env var.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -349,22 +358,36 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm_timings: dict[str, float] = {}
     warm2_timings: dict[str, float] = {}
+    # One key's failure must never zero out the whole round artifact:
+    # the r11 driver window lost its entire BENCH record (rc=1, no JSON
+    # line) to a single intermittent Catalyst-canonicalization
+    # StackOverflow. Every per-key action below is fenced; failures are
+    # recorded under `errors` and the summary line still prints.
+    errors: dict[str, str] = {}
+
+    def _note_err(key: str, phase: str, exc: Exception) -> None:
+        errors[f"{key}:{phase}"] = f"{type(exc).__name__}: {exc}"[:300]
+
     t_total0 = time.perf_counter()
     for i, key in enumerate(BENCH_KEYS):
-        t0 = time.perf_counter()
-        QUERIES[key](spark, sf_dir).count()
-        timings[key] = round(time.perf_counter() - t0, 3)
-        t1 = time.perf_counter()
-        QUERIES[key](spark, sf_dir).count()
-        warm_timings[key] = round(time.perf_counter() - t1, 3)
-        # second warm rep (r9 verdict item 7 — the double-run discipline
-        # applied to the warm series): both reps ride the same persisted
-        # artifacts, so their per-key spread IS the warm-phase noise
-        # band, and `warm_stable` (the min) is the series a
-        # round-over-round warm comparison should be adjudicated against
-        t2 = time.perf_counter()
-        QUERIES[key](spark, sf_dir).count()
-        warm2_timings[key] = round(time.perf_counter() - t2, 3)
+        try:
+            t0 = time.perf_counter()
+            QUERIES[key](spark, sf_dir).count()
+            timings[key] = round(time.perf_counter() - t0, 3)
+            t1 = time.perf_counter()
+            QUERIES[key](spark, sf_dir).count()
+            warm_timings[key] = round(time.perf_counter() - t1, 3)
+            # second warm rep (r9 verdict item 7 — the double-run
+            # discipline applied to the warm series): both reps ride the
+            # same persisted artifacts, so their per-key spread IS the
+            # warm-phase noise band, and `warm_stable` (the min) is the
+            # series a round-over-round warm comparison should be
+            # adjudicated against
+            t2 = time.perf_counter()
+            QUERIES[key](spark, sf_dir).count()
+            warm2_timings[key] = round(time.perf_counter() - t2, 3)
+        except Exception as exc:  # noqa: BLE001 — artifact survival
+            _note_err(key, "cold_warm", exc)
         # drop per-query persisted index tables so later queries aren't
         # timed under the accumulated memory pressure of earlier ones.
         # The verify-once dedup artifacts (plans/queries_llm) survive
@@ -381,7 +404,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     warm_total = round(sum(warm_timings.values()), 3)
     warm_stable = {
-        k: min(warm_timings[k], warm2_timings[k]) for k in warm_timings
+        k: min(warm_timings[k], warm2_timings[k])
+        for k in warm_timings if k in warm2_timings
     }
     warm_stable_total = round(sum(warm_stable.values()), 3)
     warm2_total = round(sum(warm2_timings.values()), 3)
@@ -396,9 +420,12 @@ def main() -> None:
     noop_timings: dict[str, float] = {}
     t_n0 = time.perf_counter()
     for i, key in enumerate(BENCH_KEYS):
-        t0 = time.perf_counter()
-        QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        noop_timings[key] = round(time.perf_counter() - t0, 3)
+        try:
+            t0 = time.perf_counter()
+            QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            noop_timings[key] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — artifact survival
+            _note_err(key, "noop", exc)
         spark.catalog.clearCache()
         _periodic_gc(i)
     noop_total = round(time.perf_counter() - t_n0, 3)
@@ -470,7 +497,13 @@ def main() -> None:
     for _ in range(2):
         t_c0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=8) as pool:
-            list(pool.map(lambda k: QUERIES[k](spark, sf_dir).count(), BENCH_KEYS))
+            def _safe_count(k: str) -> None:
+                try:
+                    QUERIES[k](spark, sf_dir).count()
+                except Exception as exc:  # noqa: BLE001 — artifact survival
+                    _note_err(k, "concurrent", exc)
+
+            list(pool.map(_safe_count, BENCH_KEYS))
         conc_reps.append(round(time.perf_counter() - t_c0, 3))
         spark.catalog.clearCache()
     concurrent_total = conc_reps[0]
@@ -478,7 +511,11 @@ def main() -> None:
 
     # streaming micro-bench (r7 verdict item 4): the D-block's three
     # production streams, measured per-round alongside the batch catalog
-    streaming = bench_streaming(spark, sf_dir)
+    try:
+        streaming = bench_streaming(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — artifact survival
+        streaming = {}
+        _note_err("_streaming", "stream", exc)
 
     # headline ratchet: current cold numbers for the pinned set, plus
     # the delta against the previous BENCH_FULL.json (read before this
@@ -518,13 +555,17 @@ def main() -> None:
             continue
         reps = []
         for _ in range(2):
-            t0 = time.perf_counter()
-            QUERIES[key](spark, sf_dir).count()
-            reps.append(round(time.perf_counter() - t0, 3))
+            try:
+                t0 = time.perf_counter()
+                QUERIES[key](spark, sf_dir).count()
+                reps.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # noqa: BLE001 — artifact survival
+                _note_err(key, "headline_stable", exc)
             spark.catalog.clearCache()
             release_shared_artifacts()
             prepared.clear()
-        headline_stable[key] = min(reps)
+        if reps:
+            headline_stable[key] = min(reps)
         _periodic_gc(i)
     headline_prev: dict[str, float] = {}
     full_path = os.path.join(
@@ -569,6 +610,12 @@ def main() -> None:
         "concurrent_wall": concurrent_total,
         "concurrent_wall_warm": concurrent_warm,
         "streaming": streaming,
+        "errors": errors,
+        # warm cells for these keys are execute-only (prepared plans,
+        # plans/__init__._PREPARED_KEYS) while everyone else pays
+        # plan-build+execute — make the split machine-readable so
+        # round-over-round warm comparisons are self-describing
+        "prepared_keys": sorted(_PREPARED_KEYS),
         "sf": sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
@@ -602,6 +649,7 @@ def main() -> None:
             for k, v in streaming.items()
         },
         "full": "BENCH_FULL.json",
+        "n_errors": len(errors),
         "sf": sf,
     }
     for key in sorted(timings, key=timings.get, reverse=True):

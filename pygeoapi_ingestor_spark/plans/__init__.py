@@ -343,7 +343,11 @@ _PREPARED_KEYS = [
     "dedup_ppjoin",
     "dedup_spans",
     "dedup_minhash_lsh",
-    "isoband_regions",
+    # isoband_regions was allowlisted in r11 but its CCL pass embeds a
+    # checkpoint-backed LogicalRDD (connected-components fixpoint) —
+    # the r12 runtime guard (plans/prepared.py) rejects it: a memoized
+    # plan over a localCheckpoint dangles once those blocks are freed.
+    # It rebuilds per call like the other graph keys.
     "anomaly_vs_climatology",
     "area_weighted_mean",
     "ab_test_conversion",

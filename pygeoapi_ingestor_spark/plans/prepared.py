@@ -25,7 +25,12 @@ ELIGIBILITY — a query may register here ONLY if its plan:
   contract (same rule as any cached Spark table).
 
 Eviction: one corpus per registry entry name — switching sf_dir drops
-the superseded plan (driver-side object only; no storage to free).
+the superseded plan. The registry object itself is driver-side, but a
+build may have persisted intermediates (rfm_segments' per-customer
+table, corpus_token_stats' gram table): those CacheManager entries
+outlive the plan object, so eviction also clears the session cache —
+correct at a corpus switch, where every cached block belongs to the
+superseded corpus anyway (ADVICE r11).
 """
 
 from __future__ import annotations
@@ -50,10 +55,49 @@ def prepared_plan(
     hit = _PLANS.get(key)
     if hit is not None:
         return hit
-    # corpus/session switch evicts this name's superseded entry
-    for k in [k for k in _PLANS if k[0] == name and k != key]:
+    # corpus/session switch evicts this name's superseded entry —
+    # including any internal persists the superseded build left in the
+    # CacheManager (clearCache is corpus-wide, which is exactly the
+    # blast radius of a corpus switch; other prepared plans simply
+    # re-materialize their internals on next execution)
+    stale = [k for k in _PLANS if k[0] == name and k != key]
+    for k in stale:
         _PLANS.pop(k)
+    if stale:
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # session already stopped — nothing to free
+            pass
     df = build()
+    # Runtime enforcement of the no-checkpoint eligibility rule (ADVICE
+    # r11): a memoized plan over a (local)checkpoint would dangle the
+    # moment finalize_job releases those blocks — and a localCheckpoint
+    # has no lineage to recompute from, so the failure is silent
+    # wrong-results/IOException later, not here. Reject at registration
+    # instead of trusting the review-time allowlist comment. LogicalRDD
+    # leaves from driver-local ``createDataFrame`` (trained literals,
+    # interpolation tables) are fine: their data is serialized closure
+    # state, not releasable storage — only CHECKPOINT-backed leaves are
+    # the hazard, so the walk tests the leaf RDD, not the node class.
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.length()):
+            leaf = leaves.apply(i)
+            if "LogicalRDD" not in leaf.getClass().getSimpleName():
+                continue
+            r = leaf.rdd()
+            if r.isLocallyCheckpointed() or r.isCheckpointed():
+                raise ValueError(
+                    f"prepared_plan({name!r}): analyzed plan embeds a "
+                    "checkpoint-backed LogicalRDD leaf — ineligible for "
+                    "the prepared registry (would dangle after "
+                    "finalize_job); serve it through its artifact "
+                    "accessor instead (see module docstring)"
+                )
+    except ValueError:
+        raise
+    except Exception:
+        pass  # Spark Connect: no JVM handle; allowlist governs
     _PLANS[key] = df
     return df
 

@@ -50,6 +50,31 @@ def get_spark(
         .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Catalyst canonicalization / constraint propagation recurses
+        # per expression-tree level (CommutativeExpression.
+        # orderCommutative and friends); the catalog's widest JVM-side
+        # expressions (64-term dot-product Add chains, kept left-
+        # associated ON PURPOSE for bit-identity with the strict-left-
+        # fold oracles) sit near the default ~1 MiB thread-stack limit
+        # — an identical-code bench run crashed with a canonicalization
+        # StackOverflow in the r11 driver window while passing
+        # in-session. 32 MiB makes plan analysis depth a non-factor.
+        # -Xss applies to every JVM thread (py4j handlers included);
+        # heap flags stay out of extraJavaOptions per Spark's contract.
+        .config("spark.driver.extraJavaOptions", "-Xss32m")
+        .config("spark.executor.extraJavaOptions", "-Xss32m")
+        # The app-status store keeps the last 1000 SQL executions WITH
+        # their full plan graphs even when the UI is off; this catalog's
+        # analyzed plans are large (dedup fixpoints, composed curation
+        # lineages), and a full bench pass issues ~1500 executions —
+        # the retained graphs alone ran a 16 GiB driver heap out of
+        # memory in the r11 driver window (OOM inside Catalyst
+        # canonicalization allocation, BENCH_r11). Cap the history: a
+        # service needs recent-N diagnostics, not an unbounded museum.
+        .config("spark.sql.ui.retainedExecutions", "64")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "5000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

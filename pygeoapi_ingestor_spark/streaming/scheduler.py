@@ -124,6 +124,11 @@ def run_process(spark, registry: dict, job: ScheduledProcess):
     return fn(spark, **job.inputs)
 
 
+# per-application ids diagnosed as caller-retained by a prior
+# finalize_job drain — see the drain loop below
+_FOREIGN_RETAINED: dict = {}
+
+
 def finalize_job(spark) -> None:
     """Release per-job engine state after a scheduled process finishes —
     the SERVICE-PATH half of the repo's cache contract.
@@ -151,6 +156,17 @@ def finalize_job(spark) -> None:
     except Exception:
         jsc, before = None, set()
     spark.catalog.clearCache()
+    # prepared plans (plans/prepared.py) rebuild on demand, and their
+    # internal persists were just dropped by clearCache — clearing the
+    # registry here makes the no-dangling-plan property structural
+    # instead of allowlist-enforced (ADVICE r11): even a mis-allowlisted
+    # checkpoint-bearing plan cannot be served across a finalize
+    try:
+        from pygeoapi_ingestor_spark.plans import prepared
+
+        prepared.clear()
+    except Exception:
+        pass
     # the verify-once dedup artifacts are RDD-level localCheckpoints and
     # deliberately survive clearCache (plans/queries_llm) — a finished
     # job must free them explicitly or they pin storage across ticks
@@ -179,7 +195,17 @@ def finalize_job(spark) -> None:
             import logging as _logging
             import time as _time
 
-            targets = before | released
+            # ids a PRIOR finalize already diagnosed as caller-retained
+            # never drain (the caller owns them) — excluding them keeps
+            # steady-state ticks from re-paying the 3 s no-progress wait
+            # per finalize (ADVICE r11). Keyed by application: RDD ids
+            # are monotonic within a context, never reused after free.
+            app = spark.sparkContext.applicationId
+            foreign = _FOREIGN_RETAINED.setdefault(app, set())
+            if len(_FOREIGN_RETAINED) > 4:  # dead sessions' entries
+                for stale in [k for k in _FOREIGN_RETAINED if k != app]:
+                    _FOREIGN_RETAINED.pop(stale)
+            targets = (before | released) - foreign
             deadline = _time.monotonic() + 15.0
             last_n, last_change = None, _time.monotonic()
             while _time.monotonic() < deadline:
@@ -192,11 +218,13 @@ def finalize_job(spark) -> None:
                 if last_n is None or n < last_n:
                     last_n, last_change = n, _time.monotonic()
                 elif _time.monotonic() - last_change > 3.0:
+                    foreign |= pending
                     _logging.getLogger(__name__).warning(
                         "finalize_job: %d storage block(s) from the job "
                         "window remain after release and stopped "
                         "draining (rdd ids %s) — retained by the "
-                        "caller, not freed here", n, sorted(pending),
+                        "caller, not freed here; skipped on future "
+                        "ticks", n, sorted(pending),
                     )
                     break
                 _time.sleep(0.2)

@@ -38,68 +38,15 @@ _ALL = {
     **CURATION_QUERIES,
 }
 
-# Round-11 stamp order (VERDICT r10 item 5): oldest-driver-stamp-first,
-# GENERATED at round start by ``python3 tools/gen_stamp_order.py`` from
-# the committed CORRECTNESS_r01..r10 union (r10 recency: never x1 — the
-# new curation_pipeline_e2e — then r6x42, r7x50, r8x50, r9x50, r10x50).
-# The driver's ~50-key window therefore clears the whole r6 cohort plus
-# the new key, lifting the union staleness floor to r7. Keys NEW this
-# round (absent from every stamp file) are prepended so they get
-# stamped immediately.
+# Round-12 stamp order: oldest-driver-stamp-first, GENERATED at round
+# start by ``python3 tools/gen_stamp_order.py`` from the committed
+# CORRECTNESS_r01..r11 union (r11 recency: r7x43, r8x50, r9x50, r10x50,
+# r11x50 — no never-stamped keys). The driver's ~50-key window clears
+# the whole r7 cohort plus the head of r8, lifting the union staleness
+# floor to r8. Keys NEW this round (absent from every stamp file) are
+# prepended so they get stamped immediately.
 _STAMP_ORDER = [
-    # --- newest driver stamp: never (1 keys) ---
-    "curation_pipeline_e2e",
-    # --- newest driver stamp: r6 (42 keys) ---
-    "text_quality_score",
-    "quality_filter",
-    "corpus_token_stats",
-    "dedup_keep_corpus",
-    "multimodal_meta",
-    "multimodal_frames",
-    "embedding_quantize_int8",
-    "sim_search_cosine_topk",
-    "sim_search_ivf",
-    "dedup_embedding_cosine",
-    "threshold_per_station",
-    "bias_correction_stored",
-    "spi_gamma_monthly",
-    "corpus_mix_sample",
-    "decontaminate_ngram",
-    "pack_sequences",
-    "text_scrub",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "heat_wave_events",
-    "double_mass_curve",
-    "kge_nse_scores",
-    "mann_kendall",
-    "gumbel_return_levels",
-    "disaggregate_daily_hourly",
-    "periodogram_coarse",
-    "pet_hargreaves",
-    "wet_day_markov",
-    "vocab_coverage_curve",
-    "triplet_mining",
-    "dataset_card",
-    "cooccurrence_pmi",
-    "embedding_knn_outliers",
-    "ab_test_conversion",
-    "survival_hazard_table",
-    "knn_outliers_ivf",
-    "knn_outliers_recall",
-    "pet_knmi",
-    # --- newest driver stamp: r7 (50 keys) ---
-    "spi_empirical",
-    "profile_events",
-    "distinct_users_daily",
-    "ntile_quartiles",
-    "corr_value_props",
-    "extreme_values",
-    "dedup_minhash_lsh",
+    # --- newest driver stamp: r7 (43 keys) ---
     "sim_search_lsh",
     "dedup_simhash",
     "dedup_lsh_verified",
@@ -296,6 +243,57 @@ _STAMP_ORDER = [
     "token_count",
     "doc_fingerprint",
     "lang_id_heuristic",
+    # --- newest driver stamp: r11 (50 keys) ---
+    "curation_pipeline_e2e",
+    "text_quality_score",
+    "quality_filter",
+    "corpus_token_stats",
+    "dedup_keep_corpus",
+    "multimodal_meta",
+    "multimodal_frames",
+    "embedding_quantize_int8",
+    "sim_search_cosine_topk",
+    "sim_search_ivf",
+    "dedup_embedding_cosine",
+    "threshold_per_station",
+    "bias_correction_stored",
+    "spi_gamma_monthly",
+    "corpus_mix_sample",
+    "decontaminate_ngram",
+    "pack_sequences",
+    "text_scrub",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "heat_wave_events",
+    "double_mass_curve",
+    "kge_nse_scores",
+    "mann_kendall",
+    "gumbel_return_levels",
+    "disaggregate_daily_hourly",
+    "periodogram_coarse",
+    "pet_hargreaves",
+    "wet_day_markov",
+    "vocab_coverage_curve",
+    "triplet_mining",
+    "dataset_card",
+    "cooccurrence_pmi",
+    "embedding_knn_outliers",
+    "ab_test_conversion",
+    "survival_hazard_table",
+    "knn_outliers_ivf",
+    "knn_outliers_recall",
+    "pet_knmi",
+    "spi_empirical",
+    "profile_events",
+    "distinct_users_daily",
+    "ntile_quartiles",
+    "corr_value_props",
+    "extreme_values",
+    "dedup_minhash_lsh",
 ]
 
 # ---------------------------------------------------------------------------

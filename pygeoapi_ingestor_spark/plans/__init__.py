@@ -328,8 +328,11 @@ _PREPARED_KEYS = [
     # persists keep their exact semantics (clearCache drops blocks,
     # next execution re-materializes).
     "knn_outliers_recall",
-    "ivf_probe_sweep",
-    "ann_recall_eval",
+    # ivf_probe_sweep and ann_recall_eval left the allowlist in r12:
+    # they now read the eval-once shared ground truth
+    # (queries_llm.shared_ann_gt, a checkpoint artifact) and re-fetch
+    # it per call through the accessor — a memoized plan over it would
+    # dangle after finalize_job (enforced by prepared.py's guard).
     "simhash_accuracy_eval",
     "minhash_accuracy_eval",
     "sim_search_pq_adc",

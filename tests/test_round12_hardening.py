@@ -73,7 +73,8 @@ def test_corpus_switch_eviction_clears_cache(spark, sf_dir, tmp_path):
     persists (CacheManager entries), not just the driver-side plan
     object (ADVICE r11)."""
     prepared.clear()
-    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before_ids = {i.id() for i in jsc.getRDDStorageInfo()}
 
     def build_with_internal_persist():
         df = spark.read.parquet(f"{sf_dir}/region.parquet").persist()
@@ -84,14 +85,17 @@ def test_corpus_switch_eviction_clears_cache(spark, sf_dir, tmp_path):
         "evict_me", spark, str(tmp_path / "corpusA"),
         build_with_internal_persist,
     )
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getRDDStorageInfo(), "internal persist must be cached"
+    new_ids = {i.id() for i in jsc.getRDDStorageInfo()} - before_ids
+    assert new_ids, "internal persist must be cached"
     # corpus switch for the same name -> eviction path -> clearCache
+    # (other suites' verify-once CHECKPOINT artifacts survive by design
+    # — assert on the build's own cache entries, not global emptiness)
     prepared.prepared_plan(
         "evict_me", spark, str(tmp_path / "corpusB"),
         lambda: spark.read.parquet(f"{sf_dir}/region.parquet"),
     )
-    assert not jsc.getRDDStorageInfo(), (
+    after_ids = {i.id() for i in jsc.getRDDStorageInfo()}
+    assert not (new_ids & after_ids), (
         "eviction must clear the superseded build's cached blocks"
     )
     prepared.clear()

@@ -2549,25 +2549,54 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = e.select(
         "vec_id", "embedding", F.array_min(scored).getField("cid").alias("cluster")
     )
-    a = assigned.select(
-        "cluster", F.col("vec_id").alias("u"), F.col("embedding").alias("uvec")
+    # per-cluster pair scoring runs on UNPACKED scalar columns so the
+    # 64-FMA dot product stays inside whole-stage codegen (the
+    # embedding_knn_outliers lesson — HOF folds run interpreted, no
+    # CSE): norms are projected once per vector before the join, and
+    # the left-associated scalar sum replays _dot/_norm's fold order
+    # exactly (0.0 + p0 + p1 + ..., all doubles), so every cosine is
+    # bit-identical to the HOF formulation and the oracle is unchanged.
+    #
+    # flat is PERSISTED as a constraint barrier, not (only) a compute
+    # cache: a self-join over a projection whose aliases are the argmin
+    # HOF + 64 getItem extractions sends Catalyst's constraint
+    # propagation combinatorial — alias substitution re-canonicalizes
+    # every join constraint per alias, and the analysis of this one
+    # plan burned 16+ driver-minutes/observed-OOM on sessions with
+    # spark.sql.constraintPropagation.enabled=true (the default; our
+    # session factory disables it, but the plan must stay analyzable
+    # on a vanilla session too). The cached relation is a leaf to the
+    # constraint machinery, so both join inputs carry trivial
+    # constraint sets whatever the session config.
+    nrm_flat = F.lit(0.0)
+    for i in range(EMB_DIM):
+        t = F.col("embedding").getItem(i) * F.col("embedding").getItem(i)
+        nrm_flat = nrm_flat + t
+    flat = assigned.select(
+        "cluster", "vec_id", F.sqrt(nrm_flat).alias("_nrm"),
+        *[F.col("embedding").getItem(i).alias(f"_e{i}") for i in range(EMB_DIM)],
+    ).persist()
+    a = flat.select(
+        "cluster", F.col("vec_id").alias("u"), F.col("_nrm").alias("_nu"),
+        *[F.col(f"_e{i}").alias(f"_a{i}") for i in range(EMB_DIM)],
     )
-    b = assigned.select(
-        "cluster", F.col("vec_id").alias("v"), F.col("embedding").alias("vvec")
+    b = flat.select(
+        "cluster", F.col("vec_id").alias("v"), F.col("_nrm").alias("_nv"),
+        *[F.col(f"_e{i}").alias(f"_b{i}") for i in range(EMB_DIM)],
     )
-    cos = similarity._dot(F.col("uvec"), F.col("vvec")) / (
-        similarity._norm(F.col("uvec")) * similarity._norm(F.col("vvec"))
-    )
+    dot = F.lit(0.0)
+    for i in range(EMB_DIM):
+        dot = dot + F.col(f"_a{i}") * F.col(f"_b{i}")
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("u") < F.col("v"))
-        .withColumn("cosine", cos)
+        .withColumn("cosine", dot / (F.col("_nu") * F.col("_nv")))
         .filter(F.col("cosine") >= SEMDEDUP_TAU)
         .select("v")
         .distinct()
     )
     return (
-        assigned.join(
+        flat.select("vec_id", "cluster").join(
             dropped.withColumnRenamed("v", "vec_id").withColumn("_d", F.lit(1)),
             "vec_id",
             "left",

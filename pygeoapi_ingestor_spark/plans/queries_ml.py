@@ -1250,12 +1250,22 @@ _TRAIN_END = "2024-01-08"
 
 def q_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-forecast evaluation: per event type, fit the q90 as the
-    exact ceil(0.9*n)-th order statistic of week-1 values (distributed
-    via the bucketed row_number, no single-task sort), then score weeks
-    2+ with the pinball (quantile) loss — the acceptance metric of any
-    quantile regression / exceedance forecast. The loss is computed on
-    cent-integers scaled by 10 (max(9*(y-f), f-y)), summed exactly;
-    float appears only in the final mean."""
+    exact ceil(0.9*n)-th order statistic of week-1 values, then score
+    weeks 2+ with the pinball (quantile) loss — the acceptance metric of
+    any quantile regression / exceedance forecast. The loss is computed
+    on cent-integers scaled by 10 (max(9*(y-f), f-y)), summed exactly;
+    float appears only in the final mean.
+
+    The order statistic comes off a VALUE-COMPRESSED histogram (the
+    mad_outliers / zonal_stats_hist idiom, r12): values are 2-decimal
+    quantized, so ``groupBy(event_type, v100).count()`` bounds the
+    window by the value domain and the rank-r value is the row whose
+    cumulative-count range covers r — one shuffle + a histogram-sized
+    window instead of the 3-job bucketed row_number (which ranks every
+    row to use exactly one). Rank semantics identical: ties share v100,
+    so the value AT the rank is tie-break-independent."""
+    from pyspark.sql import Window
+
     ev = _events(spark, sf_dir)
     v100 = (F.col("value").cast("decimal(14,2)") * 100).cast("long")
     base = ev.select(
@@ -1266,12 +1276,18 @@ def q_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zone and force an NTZ->LTZ coercion on the comparison
     split_ntz = F.expr(f"TIMESTAMP_NTZ '{_TRAIN_END} 00:00:00'")
     train = base.filter(F.col("ts") < split_ntz)
-    ranked = ranks.bucketed_row_number(
-        train, ["event_type"], "v100", ["event_id"],
-        out_col="rn", count_col="n_train",
+    hist = train.groupBy("event_type", "v100").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
     )
-    f = ranked.filter(
-        F.col("rn") == F.expr("CAST((9 * n_train + 9) DIV 10 AS BIGINT)")
+    w = Window.partitionBy("event_type").orderBy("v100")
+    w_all = Window.partitionBy("event_type")
+    cum = (
+        hist.withColumn("_cum", F.sum("_c").over(w))
+        .withColumn("n_train", F.sum("_c").over(w_all))
+    )
+    target = F.expr("CAST((9 * n_train + 9) DIV 10 AS BIGINT)")
+    f = cum.filter(
+        (F.col("_cum") - F.col("_c") < target) & (target <= F.col("_cum"))
     ).select("event_type", F.col("v100").alias("f100"), "n_train")
     ev2 = base.filter(F.col("ts") >= split_ntz)
     scored = ev2.join(F.broadcast(f), "event_type").select(

@@ -75,6 +75,18 @@ def get_spark(
         .config("spark.ui.retainedJobs", "200")
         .config("spark.ui.retainedStages", "200")
         .config("spark.ui.retainedTasks", "5000")
+        # Catalyst constraint propagation (getAllValidConstraints /
+        # InferFiltersFromConstraints) is super-linear in expression
+        # width: alias substitution re-canonicalizes every constraint
+        # per Project alias, and on this catalog's wide flat-column
+        # plans (64-term dot-product chains under joins) one logical
+        # plan was observed burning 16+ DRIVER-MINUTES (and the r11
+        # driver window's heap) inside ExpressionSet.map before any
+        # task ran. Every filter in the catalog is written explicitly,
+        # so inferred constraints buy nothing here — and no 100 TB
+        # deployment can afford minutes of driver-side optimizer time
+        # per query. Known upstream pathology (SPARK-19846 family).
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -334,6 +334,26 @@ def main() -> None:
 
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # ALSO boot the Python/Arrow worker pool and the shuffle/codegen
+    # paths before any timed cell: the stamp-rotated catalog order can
+    # put a pandas-UDF key in the first positions, where its cold cell
+    # otherwise absorbs the one-time worker fork + Arrow init + C2 JIT
+    # ramp (measured: bigram_lm_score 28.9s at position 18 vs 1.2s
+    # steady — pure startup, not plan cost). Untimed, tiny inputs.
+    try:
+        import pandas as _pd
+
+        def _boot(it):
+            for b in it:
+                yield b
+
+        spark.range(256).repartition(8).mapInPandas(
+            _boot, "id long"
+        ).count()
+        w = spark.range(1024).selectExpr("id", "id % 7 AS k")
+        w.groupBy("k").count().join(w, "k").count()
+    except Exception:
+        pass  # warmup is best-effort; timing proceeds regardless
 
     # DUAL SERIES per query (round-4 verdict item 7): cold = first run
     # after clearCache (parquet scan + any index build); warm = an

@@ -224,3 +224,52 @@ def test_rocchio_cents_memoized_and_match_training(spark, sf_dir):
     release_shared_artifacts()
     b = qllm.shared_rocchio_cents(spark, sf_dir)
     assert b is not a and b == a  # rebuilt, identical values
+
+
+def test_ann_gt_memoized_and_matches_direct(spark, sf_dir):
+    """The eval-once ANN ground truth (r12) is a pure memoization of
+    the brute-force cosine_topk run every acceptance key used to
+    compute inline — same rows, same artifact object per corpus,
+    survives clearCache, released by finalize."""
+    from pygeoapi_ingestor_spark import session as sess
+    from pygeoapi_ingestor_spark.operators import similarity
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        TOPK,
+        _ann_query_ids,
+        _emb,
+        shared_ann_gt,
+    )
+
+    a = shared_ann_gt(spark, sf_dir)
+    assert shared_ann_gt(spark, sf_dir) is a
+    spark.catalog.clearCache()
+    assert shared_ann_gt(spark, sf_dir) is a  # survives the cache clear
+    e = _emb(spark, sf_dir)
+    qids = _ann_query_ids(spark, sf_dir)
+    q = e.filter(e.vec_id.isin(qids))
+    direct = similarity.cosine_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=TOPK, dim=64,
+    ).select("query_id", "neighbor_id")
+    got = {tuple(r) for r in a.collect()}
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want
+    del sess  # imported for parity with other tests' style
+
+
+def test_iso_labeled_memoized_and_released(spark, sf_dir):
+    """The isoband labeled-raster artifact (r12): memoized per corpus,
+    survives clearCache, and finalize_job frees its blocks so the next
+    call rebuilds (values unchanged)."""
+    from pygeoapi_ingestor_spark.plans.queries_etl import _iso_labeled
+    from pygeoapi_ingestor_spark.streaming.scheduler import finalize_job
+
+    a = _iso_labeled(spark, sf_dir)
+    n = a.count()
+    assert _iso_labeled(spark, sf_dir) is a
+    spark.catalog.clearCache()
+    assert _iso_labeled(spark, sf_dir) is a
+    finalize_job(spark)
+    b = _iso_labeled(spark, sf_dir)
+    assert b is not a, "finalize_job must release the artifact"
+    assert b.count() == n

@@ -209,6 +209,7 @@ def dissolve_regions(
     band_col: str,
     width: int,
     max_iter: int | None = None,
+    driver_threshold: int = 1 << 20,
 ) -> DataFrame:
     """Dissolve same-band 4-adjacent grid cells into region labels —
     the polygonize step of isoband extraction (the reference shells to
@@ -270,20 +271,62 @@ def dissolve_regions(
         .filter(F.col("run_a") != F.col("run_b"))
         .distinct()
     )
-    # steps_per_round=2 measured best on the run graph (sf0.1: 10.8s
-    # at 1 hop/round, 7.0s at 2, plan-depth regression past 4) — the
-    # per-round fixed cost halves while the chained plan stays shallow.
-    # The hop budget defaults to the worst POSSIBLE path on this grid
-    # (a serpentine region has ~width² runs): the loop exits at the
-    # fixpoint, so real rasters still converge in a few rounds — the
-    # bound only prevents a legitimate long thin region from spuriously
-    # raising, never adds work
-    if max_iter is None:
-        max_iter = max(96, (width * width + 1) // 2)
-    comp = connected_components(
-        run_edges, a_col="run_a", b_col="run_b", max_iter=max_iter,
-        steps_per_round=2,
-    )
+    if width * width <= driver_threshold:
+        # BOUNDED-SUMMARY path (r12): the run graph is bounded by the
+        # RASTER (≤ width² runs, ≤ ~2·width² edges) — a value-domain
+        # bound, not a data-scale bound, exactly like the mad_outliers
+        # histogram and the IVF centroid build. Collect the edge list
+        # and label components with driver-side union-find
+        # (min-representative = the same smallest-run-id label as the
+        # distributed min-label fixpoint), then broadcast the tiny
+        # (run_id, region) map back. This replaces ~6-10 fixpoint
+        # rounds × (join + eager localCheckpoint) with ONE aggregate
+        # collect + a broadcast join — measured 9.5-11.5s → ~2s for
+        # the sf0.1 isoband build, identical labels. The fact scan
+        # already happened (runs derive from the aggregated raster);
+        # at 100 TB the collected edge list does not grow with the
+        # data, only with the grid resolution.
+        edges = [(r["run_a"], r["run_b"]) for r in run_edges.collect()]
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a_id, b_id in edges:
+            ra, rb = _find(a_id), _find(b_id)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # roots only ever decrease at a union, and every id starts as
+        # its own root, so the final root IS the component minimum —
+        # the same label the distributed min-label fixpoint converges
+        # to (and the label the SQL oracle reproduces)
+        seen = {n for e in edges for n in e}
+        mapping = [(int(n), int(_find(n))) for n in seen]
+        comp = runs.sparkSession.createDataFrame(
+            mapping, schema="node long, comp long"
+        )
+        comp = F.broadcast(comp)
+    else:
+        # distributed min-label fixpoint for rasters too large to
+        # summarize driver-side. steps_per_round=2 measured best on
+        # the run graph (sf0.1: 10.8s at 1 hop/round, 7.0s at 2,
+        # plan-depth regression past 4). The hop budget defaults to
+        # the worst POSSIBLE path on this grid (a serpentine region
+        # has ~width² runs): the loop exits at the fixpoint, so real
+        # rasters still converge in a few rounds — the bound only
+        # prevents a legitimate long thin region from spuriously
+        # raising, never adds work
+        if max_iter is None:
+            max_iter = max(96, (width * width + 1) // 2)
+        comp = connected_components(
+            run_edges, a_col="run_a", b_col="run_b", max_iter=max_iter,
+            steps_per_round=2,
+        )
     labeled = runs.join(
         comp.select(F.col("node").alias("run_id"), F.col("comp").alias("region")),
         "run_id",

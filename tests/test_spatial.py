@@ -89,3 +89,33 @@ def test_dissolve_regions_matches_flood_fill(spark):
     diag = [y * W + x for x in range(W) for y in range(W)
             if band_of(x, y) == 7]
     assert all(regions[n] == n for n in diag)
+
+
+def test_dissolve_driver_and_distributed_paths_equal(spark):
+    """The r12 bounded-summary dissolve (driver union-find over the
+    raster-bounded run graph) must label identically to the
+    distributed min-label fixpoint — min-root union-find and the
+    fixpoint both converge to the component-minimum id."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.operators.spatial import dissolve_regions
+
+    rng = random.Random(7)
+    W = 24
+    rows = [
+        (x, y, rng.randint(0, 2))
+        for x in range(W) for y in range(W) if rng.random() < 0.8
+    ]
+    df = spark.createDataFrame(rows, "x long, y long, band int")
+    a = sorted(
+        map(tuple, dissolve_regions(df, "x", "y", "band", width=W)
+            .select("node", "region").collect())
+    )
+    b = sorted(
+        map(tuple, dissolve_regions(
+            df, "x", "y", "band", width=W, driver_threshold=0)
+            .select("node", "region").collect())
+    )
+    assert a == b and a, "both label paths must agree"

@@ -530,7 +530,18 @@ def main() -> None:
     concurrent_warm = conc_reps[1]
 
     # streaming micro-bench (r7 verdict item 4): the D-block's three
-    # production streams, measured per-round alongside the batch catalog
+    # production streams, measured per-round alongside the batch catalog.
+    # The phase runs LAST, after ~730 batch actions — drop the session's
+    # accumulated cache/broadcast garbage first (same treatment the
+    # concurrent phase gets) so the stream rates measure the streams,
+    # not the batch phase's leftover state (the r12 run-3 streaming dip
+    # sat exactly here: sustained 6.9k vs 11.4-12.6k in the two runs
+    # before it, identical code).
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     try:
         streaming = bench_streaming(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — artifact survival

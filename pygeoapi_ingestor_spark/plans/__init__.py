@@ -38,66 +38,15 @@ _ALL = {
     **CURATION_QUERIES,
 }
 
-# Round-12 stamp order: oldest-driver-stamp-first, GENERATED at round
+# Round-13 stamp order: oldest-driver-stamp-first, GENERATED at round
 # start by ``python3 tools/gen_stamp_order.py`` from the committed
-# CORRECTNESS_r01..r11 union (r11 recency: r7x43, r8x50, r9x50, r10x50,
-# r11x50 — no never-stamped keys). The driver's ~50-key window clears
-# the whole r7 cohort plus the head of r8, lifting the union staleness
-# floor to r8. Keys NEW this round (absent from every stamp file) are
+# CORRECTNESS_r01..r12 union (r12 recency: r8x43, r9x50, r10x50, r11x50,
+# r12x50 — no never-stamped keys). The driver's ~50-key window clears
+# the whole r8 cohort plus the head of r9, lifting the union staleness
+# floor to r9. Keys NEW this round (absent from every stamp file) are
 # prepended so they get stamped immediately.
 _STAMP_ORDER = [
-    # --- newest driver stamp: r7 (43 keys) ---
-    "sim_search_lsh",
-    "dedup_simhash",
-    "dedup_lsh_verified",
-    "dedup_components",
-    "chunk_documents",
-    "top_ngrams",
-    "dedup_incremental_lsh",
-    "funnel_conversion",
-    "fuzzy_match_names",
-    "value_percentiles",
-    "unpivot_daily",
-    "ewma_smooth",
-    "kmeans_clusters_int8",
-    "dedup_spans",
-    "sim_search_ivf_trained",
-    "skew_join_salted",
-    "grouping_sets_mixed",
-    "interval_overlap_join",
-    "percent_rank_bucketed",
-    "value_histogram",
-    "docs_top_per_source",
-    "approx_percentile_value",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_ship_delay",
-    "q20_volume_share_suppliers",
-    "q21_waiting_suppliers",
-    "repetition_metrics",
-    "sim_search_int8",
-    "isoband_regions",
-    "pet_deficit_chain",
-    "river_discharge_arpae",
-    "danger_levels_weekly",
-    "dedup_keep_best",
-    "bias_correction_parametric",
-    "bias_correction_parametric_gamma",
-    "bias_correction_parametric_tp",
-    "ensemble_quantiles",
-    "token_budget_select",
-    "corpus_snapshot_diff",
-    "pq_recall_eval",
-    "ivf_recall_eval",
-    # --- newest driver stamp: r8 (50 keys) ---
-    "select_time_range",
-    "resample_daily_sum",
-    "resample_weekly_max",
-    "rolling_sum_7d",
-    "rolling_sum_7d_range",
-    "linear_interp_gaps",
-    "climatology_hourly",
+    # --- newest driver stamp: r8 (43 keys) ---
     "anomaly_vs_climatology",
     "spi_gamma",
     "spi_gamma_ts3",
@@ -294,6 +243,57 @@ _STAMP_ORDER = [
     "corr_value_props",
     "extreme_values",
     "dedup_minhash_lsh",
+    # --- newest driver stamp: r12 (50 keys) ---
+    "sim_search_lsh",
+    "dedup_simhash",
+    "dedup_lsh_verified",
+    "dedup_components",
+    "chunk_documents",
+    "top_ngrams",
+    "dedup_incremental_lsh",
+    "funnel_conversion",
+    "fuzzy_match_names",
+    "value_percentiles",
+    "unpivot_daily",
+    "ewma_smooth",
+    "kmeans_clusters_int8",
+    "dedup_spans",
+    "sim_search_ivf_trained",
+    "skew_join_salted",
+    "grouping_sets_mixed",
+    "interval_overlap_join",
+    "percent_rank_bucketed",
+    "value_histogram",
+    "docs_top_per_source",
+    "approx_percentile_value",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_delay",
+    "q20_volume_share_suppliers",
+    "q21_waiting_suppliers",
+    "repetition_metrics",
+    "sim_search_int8",
+    "isoband_regions",
+    "pet_deficit_chain",
+    "river_discharge_arpae",
+    "danger_levels_weekly",
+    "dedup_keep_best",
+    "bias_correction_parametric",
+    "bias_correction_parametric_gamma",
+    "bias_correction_parametric_tp",
+    "ensemble_quantiles",
+    "token_budget_select",
+    "corpus_snapshot_diff",
+    "pq_recall_eval",
+    "ivf_recall_eval",
+    "select_time_range",
+    "resample_daily_sum",
+    "resample_weekly_max",
+    "rolling_sum_7d",
+    "rolling_sum_7d_range",
+    "linear_interp_gaps",
+    "climatology_hourly",
 ]
 
 # ---------------------------------------------------------------------------

@@ -394,6 +394,24 @@ def _sq_dist(vec: Column, centroid: Column) -> Column:
     )
 
 
+def _seq_sq_dists(vm, cm):
+    """(n, dim) x (k, dim) -> (n, k) squared distances, each column
+    accumulated SEQUENTIALLY over the dimension axis — the exact
+    left-associated double rounding of the ``_sq_dist`` HOF fold (and of
+    an oracle's list_distance ordering), so argmin/probe sets cannot
+    flip at the last ulp against either."""
+    import numpy as np
+
+    d = np.empty((vm.shape[0], cm.shape[0]))
+    for j in range(cm.shape[0]):
+        diff = vm - cm[j]
+        acc = diff[:, 0] * diff[:, 0]
+        for dd in range(1, diff.shape[1]):
+            acc = acc + diff[:, dd] * diff[:, dd]
+        d[:, j] = acc
+    return d
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -411,75 +429,155 @@ def ivf_topk(
 
     Centroids are the ``n_clusters`` lowest-id vectors — a deterministic
     sampling build (no iterative training), collected once to the driver
-    (n_clusters x dim doubles) and inlined as a literal array expression:
-    assignment is a pure projection (``array_min`` over per-centroid
-    distances — no join, no window, NO shuffle), search is one equi-join
-    shuffle keyed by cluster id. At 100 TB the inverted lists are the
-    at-rest partitioning of the vector table.
+    (n_clusters x dim doubles). The query set is small by contract
+    (broadcast material): its probe lists compute driver-side against
+    the same centroid matrix. Search is then ONE Arrow-batched
+    ``mapInPandas`` pass over the corpus — each batch assigns home
+    clusters (vectorized seq sq-dist argmin, ties to the lowest cid via
+    the cid-ordered stable argmin — the ``array_min(struct(d, cid))``
+    semantics), scores rows whose home list is probed, and emits only
+    the batch-local top-k per query. No join, no interpreted HOF fold,
+    no giant codegen unit; the rank shuffle carries K·k rows per batch.
+    At 100 TB the inverted lists are the at-rest partitioning of the
+    vector table and the same kernel streams per list.
+
+    Numeric parity: dots / norms / squared distances all accumulate
+    SEQUENTIALLY in float64 (seq_* kernels) — bit-identical to the
+    interpreted fold this replaces and to a SQL oracle's
+    list_dot_product / list_distance orderings, so hashes are unchanged.
     """
+    import numpy as np
+
     cent_rows = (
         embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy("_id")
         .limit(n_clusters)
         .collect()
     )
-    cents = [(r["_id"], [float(x) for x in r["_v"]]) for r in cent_rows]
-    cents_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.lit(list(cv)).alias("cvec"),
-            )
-            for cid, cv in cents
-        ]
+    if not cent_rows:
+        return _empty_topk(embeddings, queries, id_col, query_id_col)
+    dim = len(cent_rows[0]["_v"])
+    c_ids = np.asarray([r["_id"] for r in cent_rows])
+    c_mat = np.array(
+        [np.asarray(r["_v"], dtype=np.float64) for r in cent_rows]
+    ).reshape(len(cent_rows), dim)
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qid_t = dict(queries.dtypes)[query_id_col]
+    # malformed query vectors got NULL probe keys under the fold path
+    # and matched nothing — dropping them here degrades identically
+    qrows = [r for r in qrows if r[1] is not None and len(r[1]) == dim]
+    if not qrows:
+        return _empty_topk(embeddings, queries, id_col, query_id_col)
+    qids = [r[0] for r in qrows]
+    qm = np.array(
+        [np.asarray(r[1], dtype=np.float64) for r in qrows]
+    ).reshape(len(qrows), dim)
+    qn = seq_norm(qm)
+    # per-query probe sets, driver-side: stable argsort over the
+    # cid-ordered distance row = (dist asc, cid asc) struct ordering
+    qd = _seq_sq_dists(qm, c_mat)
+    probe_idx = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
+    probe_sets = [set(c_ids[probe_idx[i]].tolist()) for i in range(len(qids))]
+    return _ivf_scored(
+        embeddings, id_col, vec_col, dim, k,
+        qids, qm, qn, probe_sets, qid_t, c_ids, c_mat,
     )
 
-    def assign(df: DataFrame, idc: str, vecc: str, n: int) -> DataFrame:
-        """Nearest-n centroid assignment as a projection: distance to each
-        literal centroid, argmin via array_min / array_sort (struct
-        ordering = (dist, cid), matching the deterministic tie-break)."""
-        scored = F.transform(
-            cents_arr,
-            lambda c: F.struct(
-                _sq_dist(F.col("_avec"), c.getField("cvec")).alias("d"),
-                c.getField("cid").alias("cid"),
-            ),
-        )
-        base = df.select(F.col(idc).alias("_aid"), F.col(vecc).alias("_avec"))
-        if n == 1:
-            picked = base.withColumn(
-                "_cluster", F.array_min(scored).getField("cid")
-            )
-            return picked.select("_aid", "_avec", "_cluster")
-        top = F.slice(F.array_sort(scored), 1, n)
-        return base.withColumn(
-            "_cluster", F.explode(F.transform(top, lambda s: s.getField("cid")))
-        ).select("_aid", "_avec", "_cluster")
 
-    e = assign(embeddings, id_col, vec_col, 1).select(
-        F.col("_aid").alias("neighbor_id"),
-        F.col("_avec").alias("_vec"),
-        "_cluster",
+def _empty_topk(embeddings, queries, id_col, query_id_col):
+    spark = embeddings.sparkSession
+    qid_t = dict(queries.dtypes)[query_id_col]
+    id_t = dict(embeddings.dtypes)[id_col]
+    return spark.createDataFrame(
+        [], f"query_id {qid_t}, neighbor_id {id_t}, cosine double, rank int"
     )
-    q = F.broadcast(
-        assign(queries, query_id_col, query_vec_col, n_probe).select(
-            F.col("_aid").alias("query_id"),
-            F.col("_avec").alias("_qvec"),
-            "_cluster",
-        )
+
+
+def _ivf_scored(
+    embeddings, id_col, vec_col, dim, k, qids, qm, qn, probe_sets,
+    qid_type, c_ids, c_mat,
+):
+    """IVF search stage: one Arrow pass that assigns each batch row's
+    home list (vectorized seq sq-dist argmin vs the broadcast centroid
+    matrix) and scores it against every query probing that list; emits
+    batch-local top-k per query. See ivf_topk for parity notes."""
+    import numpy as np
+
+    from pygeoapi_ingestor_spark.session import (
+        ensure_package_on_executors,
+        spread_if_narrow,
     )
-    joined = e.join(q, "_cluster").filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("_vec"), F.col("_qvec")) / _safe_denom(
-        _norm(F.col("_vec")) * _norm(F.col("_qvec"))
+
+    spark = embeddings.sparkSession
+    ensure_package_on_executors(spark)
+    bc = spark.sparkContext.broadcast(
+        (qids, qm, qn, probe_sets, c_ids, c_mat)
     )
-    scored = joined.withColumn("cosine", cos).filter(
-        F.col("cosine").isNotNull()
+    id_t = dict(embeddings.dtypes)[id_col]
+    out_schema = f"query_id {qid_type}, neighbor_id {id_t}, cosine double"
+    e = spread_if_narrow(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
     )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids_, qm_, qn_, psets_, cids_, cm_ = bc.value
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        for pdf in batches:
+            if not len(qids_) or not len(pdf):
+                yield empty
+                continue
+            ok = vec_ok_mask(pdf["_vec"], dim)
+            if not ok.any():
+                # a malformed vector gets a NULL home key under the fold
+                # path and vanished at the cluster join — dropping here
+                # degrades identically
+                yield empty
+                continue
+            pdf = pdf[ok]
+            ids = pdf["neighbor_id"].to_numpy()
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
+            )
+            nrm = seq_norm(vm)
+            d = _seq_sq_dists(vm, cm_)
+            # first-occurrence argmin over cid-ordered columns = ties to
+            # the lowest cid, the array_min(struct(d, cid)) tie-break
+            home = cids_[np.argmin(d, axis=1)]
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(qids_):
+                pset = psets_[j]
+                cand = np.fromiter(
+                    (h in pset for h in home), dtype=bool, count=len(home)
+                )
+                cand &= ids != qid
+                cidx = np.nonzero(cand)[0]
+                if not len(cidx):
+                    continue
+                dots = seq_dot_row(vm[cidx], qm_[j])
+                denom = nrm[cidx] * qn_[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0.0, dots / denom, np.nan)
+                vidx = np.nonzero(~np.isnan(cos))[0]
+                if not len(vidx):
+                    continue
+                order = vidx[np.lexsort((ids[cidx][vidx], -cos[vidx]))][:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[cidx][order])
+                out_c.extend(cos[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    pairs = e.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )
@@ -732,12 +830,22 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: compare only within matching hyperplane buckets.
 
-    At scale this replaces the cross join with an equi-join on the bucket
-    signature; recall is tunable via n_planes (fewer planes = bigger
+    At scale this replaces the cross join with bucket-key candidate
+    generation; recall is tunable via n_planes (fewer planes = bigger
     buckets = higher recall). ``use_md5_planes`` swaps the xxhash64
     plane weights for the engine-neutral md5 literal matrix so an
     external SQL oracle can reproduce the bucketing exactly.
+
+    Scoring is ONE Arrow-batched ``mapInPandas`` pass over the signed
+    corpus against the broadcast (collected — small by contract) query
+    set: each batch scores only rows whose signature equals a query's
+    signature and emits the batch-local top-k per query (selection is a
+    monoid, so the global window over per-batch winners is exact). No
+    equi-join materialization, no interpreted HOF fold; dots/norms
+    accumulate sequentially (seq_* kernels) — bit-identical to the fold
+    on double arrays and to list_dot_product in a SQL oracle.
     """
+    import numpy as np
     if use_md5_planes:
         # vectorized signature pass (interpreted-fold twin; bit-equal —
         # see with_md5_sig_arrow). The xxhash64 variant stays a JVM
@@ -749,14 +857,12 @@ def lsh_topk(
             ),
             "_vec", dim, n_planes,
         )
-        q = F.broadcast(
-            with_md5_sig_arrow(
-                queries.select(
-                    F.col(query_id_col).alias("query_id"),
-                    F.col(query_vec_col).alias("_qvec"),
-                ),
-                "_qvec", dim, n_planes,
-            )
+        q = with_md5_sig_arrow(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("_qvec"),
+            ),
+            "_qvec", dim, n_planes,
         )
     else:
         e = embeddings.select(
@@ -764,27 +870,86 @@ def lsh_topk(
             F.col(vec_col).alias("_vec"),
             hyperplane_signature(F.col(vec_col), dim, n_planes).alias("_sig"),
         )
-        q = F.broadcast(
-            queries.select(
-                F.col(query_id_col).alias("query_id"),
-                F.col(query_vec_col).alias("_qvec"),
-                hyperplane_signature(
-                    F.col(query_vec_col), dim, n_planes
-                ).alias("_sig"),
-            )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qvec"),
+            hyperplane_signature(
+                F.col(query_vec_col), dim, n_planes
+            ).alias("_sig"),
         )
-    joined = e.join(q, "_sig").filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("_vec"), F.col("_qvec")) / _safe_denom(
-        _norm(F.col("_vec")) * _norm(F.col("_qvec"))
+
+    from pygeoapi_ingestor_spark.session import (
+        ensure_package_on_executors,
+        spread_if_narrow,
     )
-    scored = joined.withColumn("cosine", cos).filter(
-        F.col("cosine").isNotNull()
-    )
+
+    spark = embeddings.sparkSession
+    ensure_package_on_executors(spark)
+    qid_t = dict(queries.dtypes)[query_id_col]
+    qrows = q.collect()
+    qrows = [r for r in qrows if r[1] is not None and len(r[1]) == dim]
+    if not qrows:
+        return _empty_topk(embeddings, queries, id_col, query_id_col)
+    qids = [r["query_id"] for r in qrows]
+    qm = np.array(
+        [np.asarray(r["_qvec"], dtype=np.float64) for r in qrows]
+    ).reshape(len(qrows), dim)
+    qn = seq_norm(qm)
+    qsigs = np.asarray([r["_sig"] for r in qrows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((qids, qm, qn, qsigs))
+
+    id_t = dict(embeddings.dtypes)[id_col]
+    out_schema = f"query_id {qid_t}, neighbor_id {id_t}, cosine double"
+    src = spread_if_narrow(e)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids_, qm_, qn_, qsigs_ = bc.value
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        for pdf in batches:
+            if not len(pdf):
+                yield empty
+                continue
+            ok = vec_ok_mask(pdf["_vec"], dim)
+            if not ok.any():
+                yield empty
+                continue
+            pdf = pdf[ok]
+            ids = pdf["neighbor_id"].to_numpy()
+            sigs = pdf["_sig"].to_numpy()
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
+            )
+            nrm = seq_norm(vm)
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(qids_):
+                cand = (sigs == qsigs_[j]) & (ids != qid)
+                cidx = np.nonzero(cand)[0]
+                if not len(cidx):
+                    continue
+                dots = seq_dot_row(vm[cidx], qm_[j])
+                denom = nrm[cidx] * qn_[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0.0, dots / denom, np.nan)
+                vidx = np.nonzero(~np.isnan(cos))[0]
+                if not len(vidx):
+                    continue
+                order = vidx[np.lexsort((ids[cidx][vidx], -cos[vidx]))][:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[cidx][order])
+                out_c.extend(cos[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    pairs = src.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )
@@ -1121,20 +1286,102 @@ def ivf_topk_trained(
         .select("query_id", "_qv", F.col("_p").getField("cid").alias("cluster"))
     )
 
-    joined = assigned.join(F.broadcast(probes), "cluster").filter(
-        F.col("neighbor_id") != F.col("query_id")
+    # The query set is small by contract: collect the (query_id, qvec,
+    # probed cluster) rows — the probe selection itself stays the exact
+    # INTEGER arithmetic of the quantized index (computed above,
+    # JVM-side) — and score in ONE Arrow pass over the assigned corpus:
+    # each batch scores rows whose inverted list is probed by a query
+    # and emits the batch-local top-k (monoid selection; the global
+    # window over winners is exact). Replaces the broadcast-join +
+    # interpreted-HOF-fold scoring; sequential seq_* accumulation keeps
+    # cosines bit-identical to the fold and the SQL twin.
+    import numpy as np
+
+    from pygeoapi_ingestor_spark.session import (
+        ensure_package_on_executors,
+        spread_if_narrow,
     )
-    cos = _dot(F.col("_v"), F.col("_qv")) / _safe_denom(
-        _norm(F.col("_v")) * _norm(F.col("_qv"))
+
+    spark = embeddings.sparkSession
+    ensure_package_on_executors(spark)
+    prows = probes.collect()
+    qid_t = dict(queries.dtypes)[query_id_col]
+    if not prows:
+        return _empty_topk(embeddings, queries, id_col, query_id_col)
+    by_q: dict = {}
+    for r in prows:
+        if r["_qv"] is None or len(r["_qv"]) != dim:
+            continue
+        ent = by_q.setdefault(r["query_id"], (r["_qv"], set()))
+        ent[1].add(r["cluster"])
+    if not by_q:
+        return _empty_topk(embeddings, queries, id_col, query_id_col)
+    qids = sorted(by_q)
+    qm = np.array(
+        [np.asarray(by_q[qid][0], dtype=np.float64) for qid in qids]
+    ).reshape(len(qids), dim)
+    qn = seq_norm(qm)
+    probe_sets = [by_q[qid][1] for qid in qids]
+    bc = spark.sparkContext.broadcast((qids, qm, qn, probe_sets))
+
+    id_t = dict(embeddings.dtypes)[id_col]
+    out_schema = f"query_id {qid_t}, neighbor_id {id_t}, cosine double"
+    src = spread_if_narrow(
+        assigned.select("neighbor_id", F.col("_v").alias("_vec"), "cluster")
     )
-    scored = joined.withColumn("cosine", cos).filter(
-        F.col("cosine").isNotNull()
-    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids_, qm_, qn_, psets_ = bc.value
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        for pdf in batches:
+            if not len(pdf):
+                yield empty
+                continue
+            ok = vec_ok_mask(pdf["_vec"], dim)
+            if not ok.any():
+                yield empty
+                continue
+            pdf = pdf[ok]
+            ids = pdf["neighbor_id"].to_numpy()
+            home = pdf["cluster"].to_numpy()
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_vec"]]
+            )
+            nrm = seq_norm(vm)
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(qids_):
+                pset = psets_[j]
+                cand = np.fromiter(
+                    (h in pset for h in home), dtype=bool, count=len(home)
+                )
+                cand &= ids != qid
+                cidx = np.nonzero(cand)[0]
+                if not len(cidx):
+                    continue
+                dots = seq_dot_row(vm[cidx], qm_[j])
+                denom = nrm[cidx] * qn_[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0.0, dots / denom, np.nan)
+                vidx = np.nonzero(~np.isnan(cos))[0]
+                if not len(vidx):
+                    continue
+                order = vidx[np.lexsort((ids[cidx][vidx], -cos[vidx]))][:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[cidx][order])
+                out_c.extend(cos[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    pairs = src.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )

@@ -338,6 +338,13 @@ _PREPARED_KEYS = [
     "sim_search_pq_adc",
     "kmeans_clusters_int8",
     "embedding_knn_outliers",
+    # r13: semdedup_clusters became prepared-eligible when its
+    # unpacked-scalar self-join (persist constraint barrier, rebuilt
+    # per invocation) was replaced by the Arrow cluster-cogroup kernel:
+    # the plan now holds only mapInPandas/applyInPandas stages over the
+    # immutable corpus + a broadcast centroid matrix — nothing
+    # finalize-released, nothing to re-analyze per call.
+    "semdedup_clusters",
     "knn_outliers_ivf",
     "dedup_embedding_cosine",
     "dedup_simhash",

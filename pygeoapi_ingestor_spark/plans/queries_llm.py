@@ -2526,86 +2526,112 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     as centroids, argmin as a pure projection — no shuffle); the oracle
     replays centroid choice, assignment, and the drop rule relationally.
     """
+    import numpy as np
+
+    from pygeoapi_ingestor_spark.operators.similarity import (
+        _seq_sq_dists,
+        seq_dot_pair,
+        seq_norm,
+        vec_ok_mask,
+    )
+    from pygeoapi_ingestor_spark.session import (
+        ensure_package_on_executors,
+        spread_if_narrow,
+    )
+
+    ensure_package_on_executors(spark)
     e = _emb(spark, sf_dir)
     cent_rows = (
         e.select("vec_id", "embedding").orderBy("vec_id").limit(SEMDEDUP_K).collect()
     )
-    cents_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["vec_id"])).alias("cid"),
-                F.lit([float(x) for x in r["embedding"]]).alias("cvec"),
+    c_ids = np.asarray([int(r["vec_id"]) for r in cent_rows])
+    c_mat = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows]
+    ).reshape(len(cent_rows), EMB_DIM)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    # Stage 1 — assignment, ONE Arrow pass (nearest centroid by
+    # sequential-accumulation squared distance, first-occurrence argmin
+    # over cid-ordered columns = the array_min(struct(d, cid)) tie-break
+    # and the oracle's (list_distance, cid) ordering). Replaces the r12
+    # unpacked-scalar self-join formulation entirely: no 64-wide codegen
+    # unit (the fresh-session janino compile tax), no wide-alias
+    # projection for constraint propagation to choke on — the Arrow
+    # stages are leaves to Catalyst, so the plan analyzes instantly on
+    # VANILLA sessions with no persist barrier, and nothing is rebuilt
+    # per invocation.
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids_, cm_ = bc.value
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf[vec_ok_mask(pdf["embedding"], EMB_DIM)]
+            if not len(pdf):
+                yield pd.DataFrame(columns=["vec_id", "embedding", "cluster"])
+                continue
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-            for r in cent_rows
-        ]
+            d = _seq_sq_dists(vm, cm_)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "cluster": cids_[np.argmin(d, axis=1)],
+                }
+            )
+
+    id_t = dict(e.dtypes)["vec_id"]
+    assigned = spread_if_narrow(e.select("vec_id", "embedding")).mapInPandas(
+        assign, schema=f"vec_id {id_t}, embedding array<double>, cluster {id_t}"
     )
-    scored = F.transform(
-        cents_arr,
-        lambda c: F.struct(
-            similarity._sq_dist(F.col("embedding"), c.getField("cvec")).alias("d"),
-            c.getField("cid").alias("cid"),
-        ),
-    )
-    assigned = e.select(
-        "vec_id", "embedding", F.array_min(scored).getField("cid").alias("cluster")
-    )
-    # per-cluster pair scoring runs on UNPACKED scalar columns so the
-    # 64-FMA dot product stays inside whole-stage codegen (the
-    # embedding_knn_outliers lesson — HOF folds run interpreted, no
-    # CSE): norms are projected once per vector before the join, and
-    # the left-associated scalar sum replays _dot/_norm's fold order
-    # exactly (0.0 + p0 + p1 + ..., all doubles), so every cosine is
-    # bit-identical to the HOF formulation and the oracle is unchanged.
-    #
-    # flat is PERSISTED as a constraint barrier, not (only) a compute
-    # cache: a self-join over a projection whose aliases are the argmin
-    # HOF + 64 getItem extractions sends Catalyst's constraint
-    # propagation combinatorial — alias substitution re-canonicalizes
-    # every join constraint per alias, and the analysis of this one
-    # plan burned 16+ driver-minutes/observed-OOM on sessions with
-    # spark.sql.constraintPropagation.enabled=true (the default; our
-    # session factory disables it, but the plan must stay analyzable
-    # on a vanilla session too). The cached relation is a leaf to the
-    # constraint machinery, so both join inputs carry trivial
-    # constraint sets whatever the session config.
-    nrm_flat = F.lit(0.0)
-    for i in range(EMB_DIM):
-        t = F.col("embedding").getItem(i) * F.col("embedding").getItem(i)
-        nrm_flat = nrm_flat + t
-    flat = assigned.select(
-        "cluster", "vec_id", F.sqrt(nrm_flat).alias("_nrm"),
-        *[F.col("embedding").getItem(i).alias(f"_e{i}") for i in range(EMB_DIM)],
-    ).persist()
-    a = flat.select(
-        "cluster", F.col("vec_id").alias("u"), F.col("_nrm").alias("_nu"),
-        *[F.col(f"_e{i}").alias(f"_a{i}") for i in range(EMB_DIM)],
-    )
-    b = flat.select(
-        "cluster", F.col("vec_id").alias("v"), F.col("_nrm").alias("_nv"),
-        *[F.col(f"_e{i}").alias(f"_b{i}") for i in range(EMB_DIM)],
-    )
-    dot = F.lit(0.0)
-    for i in range(EMB_DIM):
-        dot = dot + F.col(f"_a{i}") * F.col(f"_b{i}")
-    dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("u") < F.col("v"))
-        .withColumn("cosine", dot / (F.col("_nu") * F.col("_nv")))
-        .filter(F.col("cosine") >= SEMDEDUP_TAU)
-        .select("v")
-        .distinct()
-    )
+
+    # Stage 2 — the within-cluster drop rule as ONE grouped Arrow kernel
+    # (the per-cluster pair join's cogroup twin): each cluster's members
+    # arrive together, the pairwise cosine matrix computes vectorized
+    # (sequential seq_* accumulation — bit-identical to the scalar chain
+    # and list_dot_product), and kept flags emit directly — no pair
+    # materialization, no distinct, no final left join. A vector is
+    # dropped iff SOME lower-id member of its cluster has cosine >= tau
+    # (NaN cosines from zero-norm vectors never compare true, matching
+    # the SQL NULL semantics).
+    def drop_rule(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        vm = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].iloc[order]]
+        )
+        nrm = seq_norm(vm)
+        kept = np.ones(len(ids), dtype=bool)
+        # block the probe axis so the (block x members) matrix stays
+        # bounded however large one cluster gets
+        block = max(1, 4_194_304 // max(1, len(ids)))
+        denom_col = nrm
+        for s in range(0, len(ids), block):
+            dots = seq_dot_pair(vm[s : s + block], vm)
+            denom = nrm[s : s + block, None] * denom_col[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0.0, dots / denom, np.nan)
+            hit = cos >= SEMDEDUP_TAU
+            # rows are ids[s:s+block] (potential lower-id u), columns all
+            # members v: u drops v iff u < v and cos >= tau
+            for i in range(hit.shape[0]):
+                gi = s + i
+                kept[gi + 1 :] &= ~hit[i, gi + 1 :]
+        return pd.DataFrame(
+            {"vec_id": ids, "cluster": pdf["cluster"].iloc[0], "kept": kept}
+        )
+
     return (
-        flat.select("vec_id", "cluster").join(
-            dropped.withColumnRenamed("v", "vec_id").withColumn("_d", F.lit(1)),
-            "vec_id",
-            "left",
-        )
-        .select(
-            "vec_id",
-            F.col("cluster").cast("int").alias("cluster"),
-            F.col("_d").isNull().alias("kept"),
-        )
+        assigned.groupBy("cluster")
+        .applyInPandas(drop_rule, schema=f"vec_id {id_t}, cluster {id_t}, kept boolean")
+        .select("vec_id", F.col("cluster").cast("int").alias("cluster"), "kept")
     )
 
 
@@ -4096,83 +4122,98 @@ def q_embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-of-domain items before they poison curation (the unsupervised
     sibling of triplet_mining's label-based margins).
 
-    Scale lesson baked in: the same exact pass written as an
-    interpreted 64-d array fold ran 61s at sf0.1, and an 8/24-plane RP
-    prefilter recovered only half the true top outliers on
-    near-uniform embeddings (kNN distances bunch tightly, so the
-    prefilter's bias dwarfs the rank spread — measured, then
-    rejected). Unpacking the vector into 64 SCALAR columns puts the
-    whole dot product inside whole-stage codegen: the exact all-pairs
-    pass drops to ~2s, no recall compromise. At corpus scales where
-    all-pairs is impossible, the per-vector aggregate runs over
-    IVF/LSH candidate lists instead — with the recall caveat this
-    dataset just demonstrated.
+    Scale lessons baked in (r10-r13): the interpreted 64-d array fold
+    ran 61s at sf0.1; an 8/24-plane RP prefilter recovered only half
+    the true top outliers on near-uniform embeddings (measured, then
+    rejected); the r12 unpacked-64-scalar-column codegen formulation
+    hit ~2s warm but paid a ~25s fresh-session whole-stage-codegen
+    (janino) compile on the 64-wide generated methods — the r12 bench
+    artifact's biggest cross-session variance item. This formulation is
+    the Arrow-batched numpy kernel instead: the corpus matrix (this
+    EXACT all-pairs twin is acceptance-scale by contract — the sf1+
+    path is knn_outliers_ivf) broadcasts once, ONE mapInPandas pass
+    scores each batch block against it with the sequential seq_*
+    kernels (bit-identical to the scalar chain and the oracle's
+    left-fold), and each row's kNN mean emits directly — no crossJoin
+    shuffle, no window, no persist, no generated code to compile.
     """
-    from pyspark.sql import Window
+    import numpy as np
 
+    from pygeoapi_ingestor_spark.operators.similarity import (
+        seq_dot_pair,
+        seq_norm,
+        vec_ok_mask,
+    )
+    from pygeoapi_ingestor_spark.session import (
+        ensure_package_on_executors,
+        spread_if_narrow,
+    )
+
+    ensure_package_on_executors(spark)
     e = _emb(spark, sf_dir)
-    comps = [F.col("embedding").getItem(i).cast("double").alias(f"e{i}")
-             for i in range(EMB_DIM)]
-    flat = e.select("vec_id", *comps)
-    nrm = None
-    for i in range(EMB_DIM):
-        t = F.col(f"e{i}") * F.col(f"e{i}")
-        nrm = t if nrm is None else nrm + t
-    # a single-file local input arrives as one partition and would run
-    # the whole n^2 FMA pass on one thread (measured 7.7s -> ~3s at
-    # sf0.1); spread_if_narrow leaves an already-wide production input
-    # untouched (no gratuitous shuffle, no parallelism collapse)
-    from pygeoapi_ingestor_spark.session import spread_if_narrow
+    rows = e.select("vec_id", "embedding").collect()
+    rows = [r for r in rows if r[1] is not None and len(r[1]) == EMB_DIM]
+    if not rows:
+        return spark.createDataFrame([], "vec_id bigint, knn_dist double")
+    all_ids = np.asarray([r["vec_id"] for r in rows])
+    order = np.argsort(all_ids)
+    all_ids = all_ids[order]
+    all_vm = np.array(
+        [np.asarray(rows[i]["embedding"], dtype=np.float64) for i in order]
+    ).reshape(len(rows), EMB_DIM)
+    all_nrm = seq_norm(all_vm)
+    bc = spark.sparkContext.broadcast((all_ids, all_vm, all_nrm))
 
-    flat = spread_if_narrow(flat.withColumn("nrm", F.sqrt(nrm))).persist()
-    a = flat.select(
-        F.col("vec_id").alias("ia"), F.col("nrm").alias("na"),
-        *[F.col(f"e{i}").alias(f"a{i}") for i in range(EMB_DIM)],
-    )
-    b = flat.select(
-        F.col("vec_id").alias("ib"), F.col("nrm").alias("nb"),
-        *[F.col(f"e{i}").alias(f"b{i}") for i in range(EMB_DIM)],
-    )
-    dot = None
-    for i in range(EMB_DIM):
-        t = F.col(f"a{i}") * F.col(f"b{i}")
-        dot = t if dot is None else dot + t
-    # cosine distance is symmetric: compute the strict upper triangle
-    # (half the 64-FMA work) and mirror the narrow result for ranking
-    # persist the narrow triangle: the union references it twice, and
-    # without a barrier Catalyst re-runs the 2M-row FMA join per branch
-    half = (
-        a.crossJoin(b)
-        .filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib", (1.0 - dot / (F.col("na") * F.col("nb"))).alias("dist"))
-    ).persist()
-    pairs = half.unionByName(
-        half.select(
-            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "dist"
-        )
-    )
-    w = Window.partitionBy("ia").orderBy(F.col("dist").asc(), F.col("ib").asc())
-    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= KNN_OUT_K
-    )
-    # mean of the k nearest, summed in ascending rank order (matches
-    # the oracle's ordered-list aggregate to the last ulp)
-    scored = knn.groupBy("ia").agg(
-        (
-            F.aggregate(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("rn", "dist"))),
-                    lambda s: s.getField("dist"),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    def knn_mean(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_, vm_, nrm_ = bc.value
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf[vec_ok_mask(pdf["embedding"], EMB_DIM)]
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": [], "knn_dist": []})
+                continue
+            a_ids = pdf["vec_id"].to_numpy()
+            am = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-            / F.count(F.lit(1))
-        ).alias("knn_dist")
+            an = seq_norm(am)
+            out_i, out_d = [], []
+            block = max(1, 4_194_304 // max(1, len(ids_)))
+            for s in range(0, len(am), block):
+                dots = seq_dot_pair(am[s : s + block], vm_)
+                denom = an[s : s + block, None] * nrm_[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    dist = np.where(denom > 0.0, 1.0 - dots / denom, np.nan)
+                for i in range(dist.shape[0]):
+                    row_id = a_ids[s + i]
+                    valid = ~np.isnan(dist[i]) & (ids_ != row_id)
+                    vidx = np.nonzero(valid)[0]
+                    if len(vidx) == 0:
+                        continue
+                    # neighbor rank = (dist asc, ib asc); ids_ is sorted
+                    # ascending so the stable lexsort reproduces the
+                    # window's tie-break exactly
+                    knn = vidx[np.lexsort((ids_[vidx], dist[i][vidx]))][
+                        :KNN_OUT_K
+                    ]
+                    # ascending-rank-ordered sequential sum from 0.0 —
+                    # the oracle's ordered-list aggregate to the last ulp
+                    acc = 0.0
+                    for d in dist[i][knn]:
+                        acc = acc + d
+                    out_i.append(row_id)
+                    out_d.append(acc / len(knn))
+            yield pd.DataFrame({"vec_id": out_i, "knn_dist": out_d})
+
+    id_t = dict(e.dtypes)["vec_id"]
+    scored = spread_if_narrow(e.select("vec_id", "embedding")).mapInPandas(
+        knn_mean, schema=f"vec_id {id_t}, knn_dist double"
     )
     return (
-        scored.select(F.col("ia").alias("vec_id"), "knn_dist")
-        .orderBy(F.col("knn_dist").desc(), F.col("vec_id").asc())
+        scored.orderBy(F.col("knn_dist").desc(), F.col("vec_id").asc())
         .limit(KNN_OUT_TOP)
         .select("vec_id", F.round("knn_dist", 6).alias("knn_dist"))
     )

@@ -286,7 +286,21 @@ def dissolve_regions(
         # already happened (runs derive from the aggregated raster);
         # at 100 TB the collected edge list does not grow with the
         # data, only with the grid resolution.
-        edges = [(r["run_a"], r["run_b"]) for r in run_edges.collect()]
+        # Collect COMPACTLY (ADVICE r12): at the threshold's own worst
+        # case (~width² distinct edges at width²=1M cells) a Row-object
+        # collect is hundreds of MB of driver heap; the Arrow transfer
+        # is two int64 columns (~16 B/edge, ≤ ~32 MB worst case) — the
+        # driver footprint now matches the bounded-summary claim.
+        try:
+            tbl = run_edges.toArrow()
+            edges = list(
+                zip(
+                    tbl.column("run_a").to_pylist(),
+                    tbl.column("run_b").to_pylist(),
+                )
+            )
+        except Exception:  # very old Spark without toArrow — row path
+            edges = [(r["run_a"], r["run_b"]) for r in run_edges.collect()]
         parent: dict = {}
 
         def _find(x):

@@ -51,23 +51,31 @@ def prepared_plan(
     """Return the memoized DataFrame for (name, session, corpus),
     building it via ``build()`` on first use. See module docstring for
     the eligibility rules."""
-    key = (name, spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (name, app, sf_dir)
     hit = _PLANS.get(key)
     if hit is not None:
         return hit
-    # corpus/session switch evicts this name's superseded entry —
-    # including any internal persists the superseded build left in the
-    # CacheManager (clearCache is corpus-wide, which is exactly the
-    # blast radius of a corpus switch; other prepared plans simply
-    # re-materialize their internals on next execution)
-    stale = [k for k in _PLANS if k[0] == name and k != key]
-    for k in stale:
-        _PLANS.pop(k)
+    # Corpus/session switch: a NEW (session, corpus) generation evicts
+    # EVERY entry of any other generation at once and clears the session
+    # cache ONCE (ADVICE r12: the previous per-name eviction called
+    # clearCache per switched name, so each later eviction dropped the
+    # CacheManager registrations of plans rebuilt moments earlier —
+    # leaving those memoized plans executing UNCACHED for the registry's
+    # lifetime, since an unpersisted InMemoryRelation recomputes without
+    # re-storing). Batch eviction means plans rebuilt after the switch
+    # keep their internal persists until the next switch.
+    stale = [k for k in _PLANS if (k[1], k[2]) != (app, sf_dir)]
     if stale:
-        try:
-            spark.catalog.clearCache()
-        except Exception:  # session already stopped — nothing to free
-            pass
+        for k in stale:
+            _PLANS.pop(k)
+        if any(k[1] == app for k in stale):
+            # only this session's cache holds the superseded blocks; a
+            # fresh session has nothing of ours to free
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # session already stopped — nothing to free
+                pass
     df = build()
     # Runtime enforcement of the no-checkpoint eligibility rule (ADVICE
     # r11): a memoized plan over a (local)checkpoint would dangle the

@@ -4716,6 +4716,16 @@ def _iso_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = qllm._VP_ARTIFACTS.get(key)
     if hit is not None:
         return hit
+    with qllm._ART_LOCK:  # double-checked (ADVICE r12): one build ever
+        hit = qllm._VP_ARTIFACTS.get(key)
+        if hit is not None:
+            return hit
+        return _build_iso_labeled(spark, sf_dir, key, qllm)
+
+
+def _build_iso_labeled(spark, sf_dir, key, qllm) -> DataFrame:
+    from pygeoapi_ingestor_spark.operators import spatial
+
     for k in [k for k in qllm._VP_ARTIFACTS if k[1:] != key[1:]]:
         qllm._free_local_ckpt(qllm._VP_ARTIFACTS.pop(k))
     scale = (1 << ISO_BITS) - 1

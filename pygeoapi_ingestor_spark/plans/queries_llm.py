@@ -52,6 +52,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VP_ARTIFACTS: dict = {}
 
+# One lock for every verify-once / train-once registry below (ADVICE
+# r12): the accessors are check-then-build, and concurrent first calls
+# (bench's threaded phase, a multi-threaded scheduler) could run an
+# expensive build twice AND leak the loser's localCheckpoint blocks —
+# the overwritten entry is never released because release walks only
+# the dict. Double-checked: the memoized fast path stays lock-free.
+import threading
+
+_ART_LOCK = threading.RLock()
+
 
 def _free_local_ckpt(df: DataFrame) -> list:
     """Release a superseded localCheckpoint's RDD blocks — BLOCKING:
@@ -80,16 +90,20 @@ def shared_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _VP_ARTIFACTS.get(key)
     if hit is not None:
         return hit
-    # entering a new corpus (or session): free every superseded artifact
-    for k in [k for k in _VP_ARTIFACTS if k[1:] != key[1:]]:
-        _free_local_ckpt(_VP_ARTIFACTS.pop(k))
-    pairs = dedup.lsh_verified_pairs(
-        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
-        n=3, num_hashes=32, bands=8, threshold=0.6,
-    )
-    ckpt = pairs.localCheckpoint()  # eager: one build, blocks pinned
-    _VP_ARTIFACTS[key] = ckpt
-    return ckpt
+    with _ART_LOCK:
+        hit = _VP_ARTIFACTS.get(key)
+        if hit is not None:
+            return hit
+        # entering a new corpus (or session): free every superseded artifact
+        for k in [k for k in _VP_ARTIFACTS if k[1:] != key[1:]]:
+            _free_local_ckpt(_VP_ARTIFACTS.pop(k))
+        pairs = dedup.lsh_verified_pairs(
+            _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+            n=3, num_hashes=32, bands=8, threshold=0.6,
+        )
+        ckpt = pairs.localCheckpoint()  # eager: one build, blocks pinned
+        _VP_ARTIFACTS[key] = ckpt
+        return ckpt
 
 
 def release_shared_artifacts() -> list:
@@ -102,11 +116,12 @@ def release_shared_artifacts() -> list:
     to unpersist, but a stale corpus's centroids must not leak into the
     next job). Returns the released RDD ids (finalize_job's targeted
     drain waits for exactly these, not globally-empty storage)."""
-    ids: list = []
-    for k in list(_VP_ARTIFACTS):
-        ids.extend(_free_local_ckpt(_VP_ARTIFACTS.pop(k)))
-    _KM_CENTS.clear()
-    return ids
+    with _ART_LOCK:
+        ids: list = []
+        for k in list(_VP_ARTIFACTS):
+            ids.extend(_free_local_ckpt(_VP_ARTIFACTS.pop(k)))
+        _KM_CENTS.clear()
+        return ids
 
 
 _KM_CENTS: dict = {}
@@ -128,13 +143,17 @@ def shared_kmeans_cents(spark: SparkSession, sf_dir: str):
     hit = _KM_CENTS.get(key)
     if hit is not None:
         return hit
-    for k in [k for k in _KM_CENTS if k[1:] != key[1:]]:
-        _KM_CENTS.pop(k)
-    cents, _ = similarity.kmeans_fit_int8(
-        _emb(spark, sf_dir), "vec_id", "embedding", **KMEANS_PARAMS
-    )
-    _KM_CENTS[key] = cents
-    return cents
+    with _ART_LOCK:
+        hit = _KM_CENTS.get(key)
+        if hit is not None:
+            return hit
+        for k in [k for k in _KM_CENTS if k[1:] != key[1:]]:
+            _KM_CENTS.pop(k)
+        cents, _ = similarity.kmeans_fit_int8(
+            _emb(spark, sf_dir), "vec_id", "embedding", **KMEANS_PARAMS
+        )
+        _KM_CENTS[key] = cents
+        return cents
 
 
 def shared_rocchio_cents(spark: SparkSession, sf_dir: str):
@@ -151,15 +170,19 @@ def shared_rocchio_cents(spark: SparkSession, sf_dir: str):
     hit = _KM_CENTS.get(key)
     if hit is not None:
         return hit
-    # corpus switch evicts every stale-corpus centroid set (km AND rc),
-    # matching shared_kmeans_cents' eviction rule
-    for k in [k for k in _KM_CENTS if k[1:] != key[1:]]:
-        _KM_CENTS.pop(k)
-    cents = similarity.rocchio_fit_int8(
-        _emb(spark, sf_dir), "embedding", "label", dim=64
-    )
-    _KM_CENTS[key] = cents
-    return cents
+    with _ART_LOCK:
+        hit = _KM_CENTS.get(key)
+        if hit is not None:
+            return hit
+        # corpus switch evicts every stale-corpus centroid set (km AND
+        # rc), matching shared_kmeans_cents' eviction rule
+        for k in [k for k in _KM_CENTS if k[1:] != key[1:]]:
+            _KM_CENTS.pop(k)
+        cents = similarity.rocchio_fit_int8(
+            _emb(spark, sf_dir), "embedding", "label", dim=64
+        )
+        _KM_CENTS[key] = cents
+        return cents
 
 
 def shared_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,11 +193,15 @@ def shared_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _VP_ARTIFACTS.get(key)
     if hit is not None:
         return hit
-    pairs = shared_verified_pairs(spark, sf_dir)  # evicts stale corpora
-    comps = dedup.connected_components(pairs, a_col="doc_a", b_col="doc_b")
-    # connected_components already returns an (eager) localCheckpoint
-    _VP_ARTIFACTS[key] = comps
-    return comps
+    with _ART_LOCK:  # RLock: shared_verified_pairs re-enters below
+        hit = _VP_ARTIFACTS.get(key)
+        if hit is not None:
+            return hit
+        pairs = shared_verified_pairs(spark, sf_dir)  # evicts stale corpora
+        comps = dedup.connected_components(pairs, a_col="doc_a", b_col="doc_b")
+        # connected_components already returns an (eager) localCheckpoint
+        _VP_ARTIFACTS[key] = comps
+        return comps
 
 
 def shared_ann_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,6 +221,14 @@ def shared_ann_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _VP_ARTIFACTS.get(key)
     if hit is not None:
         return hit
+    with _ART_LOCK:
+        hit = _VP_ARTIFACTS.get(key)
+        if hit is not None:
+            return hit
+        return _build_ann_gt(spark, sf_dir, key)
+
+
+def _build_ann_gt(spark: SparkSession, sf_dir: str, key) -> DataFrame:
     for k in [k for k in _VP_ARTIFACTS if k[1:] != key[1:]]:
         _free_local_ckpt(_VP_ARTIFACTS.pop(k))
     e = _emb(spark, sf_dir)

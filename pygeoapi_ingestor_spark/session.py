@@ -89,6 +89,15 @@ def get_spark(
         .config("spark.sql.constraintPropagation.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
+        # the -Xss32m pin is load-bearing (the r11 canonicalization
+        # StackOverflow fix): a caller adding its own JVM flags must not
+        # silently REPLACE it (ADVICE r12) — merge, keeping the caller's
+        # flags after ours so they still win any same-flag conflict.
+        if (
+            k in ("spark.driver.extraJavaOptions", "spark.executor.extraJavaOptions")
+            and "-Xss" not in v
+        ):
+            v = f"-Xss32m {v}"
         builder = builder.config(k, v)
     return builder.getOrCreate()
 

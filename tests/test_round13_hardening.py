@@ -1,0 +1,167 @@
+"""Round-13 hardening contracts (the four ADVICE r12 items).
+
+1. Corpus-switch eviction in the prepared-plan registry is BATCHED:
+   one clearCache per observed switch, not one per switched name —
+   per-name clearing dropped the CacheManager registrations of plans
+   rebuilt moments earlier, leaving them executing uncached for the
+   registry's lifetime (an unpersisted InMemoryRelation recomputes
+   without re-storing).
+2. The verify-once artifact accessors are thread-safe: concurrent
+   first calls run the expensive build exactly once and every caller
+   gets the same artifact (the unsynchronized check-then-build could
+   run the K·n ground-truth pass twice and leak the loser's
+   localCheckpoint blocks).
+3. get_spark merges caller-supplied extraJavaOptions with the
+   load-bearing -Xss32m pin instead of letting extra_conf replace it.
+4. (spatial.py) the bounded-summary union-find collects the run-edge
+   list via Arrow — two int64 columns, not ~width² Row objects —
+   covered by test_spatial's label-parity tests running through the
+   same path.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pygeoapi_ingestor_spark.plans import prepared
+
+
+def test_corpus_switch_batch_eviction_single_clear(spark, sf_dir, tmp_path, monkeypatch):
+    prepared.clear()
+    a, b = str(tmp_path / "corpusA"), str(tmp_path / "corpusB")
+    for n in ("n1", "n2", "n3"):
+        prepared.prepared_plan(n, spark, a, lambda: spark.range(3))
+    calls: list[int] = []
+    monkeypatch.setattr(
+        spark.catalog, "clearCache", lambda: calls.append(1)
+    )
+    for n in ("n1", "n2", "n3"):
+        prepared.prepared_plan(n, spark, b, lambda: spark.range(3))
+    assert sum(calls) == 1, (
+        "a corpus switch must clear the session cache exactly ONCE — "
+        "per-name clears drop the persists of plans rebuilt after the "
+        "first eviction"
+    )
+    # all three names now live under corpus B
+    assert {k[0] for k in prepared._PLANS} == {"n1", "n2", "n3"}
+    assert {k[2] for k in prepared._PLANS} == {b}
+    prepared.clear()
+
+
+def test_prepared_no_clear_without_stale_entries(spark, sf_dir, monkeypatch):
+    prepared.clear()
+    calls: list[int] = []
+    monkeypatch.setattr(spark.catalog, "clearCache", lambda: calls.append(1))
+    prepared.prepared_plan("fresh1", spark, sf_dir, lambda: spark.range(2))
+    prepared.prepared_plan("fresh2", spark, sf_dir, lambda: spark.range(2))
+    assert not calls, "same-corpus registrations must not clear the cache"
+    prepared.clear()
+
+
+def test_shared_artifact_concurrent_build_runs_once(spark, sf_dir, monkeypatch):
+    from pygeoapi_ingestor_spark.plans import queries_llm as qllm
+
+    qllm.release_shared_artifacts()
+    builds: list[int] = []
+    orig = qllm._build_ann_gt
+
+    def counting(spark_, sf, key):
+        builds.append(1)
+        return orig(spark_, sf, key)
+
+    monkeypatch.setattr(qllm, "_build_ann_gt", counting)
+    results: list = []
+    threads = [
+        threading.Thread(
+            target=lambda: results.append(qllm.shared_ann_gt(spark, sf_dir))
+        )
+        for _ in range(6)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 1, "concurrent first calls must build ONCE"
+    assert len({id(r) for r in results}) == 1, (
+        "every caller must receive the same artifact object"
+    )
+    qllm.release_shared_artifacts()
+
+
+def test_kmeans_cents_concurrent_build_runs_once(spark, sf_dir, monkeypatch):
+    from pygeoapi_ingestor_spark.operators import similarity
+    from pygeoapi_ingestor_spark.plans import queries_llm as qllm
+
+    qllm.release_shared_artifacts()
+    fits: list[int] = []
+    orig = similarity.kmeans_fit_int8
+
+    def counting(*a, **kw):
+        fits.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(similarity, "kmeans_fit_int8", counting)
+    results: list = []
+    threads = [
+        threading.Thread(
+            target=lambda: results.append(qllm.shared_kmeans_cents(spark, sf_dir))
+        )
+        for _ in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(fits) == 1
+    assert all(r == results[0] for r in results)
+    qllm.release_shared_artifacts()
+
+
+def test_extra_java_options_merge_keeps_xss_pin():
+    """extra_conf supplying its own extraJavaOptions must not replace
+    the -Xss32m canonicalization-StackOverflow pin (ADVICE r12). The
+    merge happens at builder time; assert on the builder's conf map
+    (a live getOrCreate would no-op against the running session)."""
+    from pyspark.sql import SparkSession
+
+    from pygeoapi_ingestor_spark import session as sess
+
+    captured: dict = {}
+
+    class FakeBuilder:
+        def appName(self, *_):
+            return self
+
+        def master(self, *_):
+            return self
+
+        def config(self, k, v):
+            captured[k] = v
+            return self
+
+        def getOrCreate(self):
+            return None
+
+    # save the class ATTRIBUTE (the classproperty descriptor), not the
+    # evaluated property — restoring an evaluated Builder instance would
+    # pin one shared builder for the rest of the pytest session
+    orig = SparkSession.__dict__["builder"]
+    try:
+        SparkSession.builder = FakeBuilder()
+        sess.get_spark(
+            extra_conf={"spark.driver.extraJavaOptions": "-Dfoo=bar"}
+        )
+    finally:
+        SparkSession.builder = orig
+    v = captured["spark.driver.extraJavaOptions"]
+    assert "-Xss32m" in v and "-Dfoo=bar" in v
+    # a caller explicitly choosing its own stack size wins
+    captured.clear()
+    try:
+        SparkSession.builder = FakeBuilder()
+        sess.get_spark(
+            extra_conf={"spark.driver.extraJavaOptions": "-Xss64m"}
+        )
+    finally:
+        SparkSession.builder = orig
+    assert captured["spark.driver.extraJavaOptions"] == "-Xss64m"

@@ -3612,15 +3612,30 @@ LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c ON p.event_id = c.event_id
 """
 
 
+# Warm-spell threshold as an exact rational multiple of the series
+# mean: hot iff daily_total * DEN * n > Σ * NUM (cross-multiplied
+# decimals — no float mean anywhere). 51/50 = 1.02x: the synthetic
+# daily totals concentrate toward the mean as SF grows (relative
+# spread shrinks ~1/sqrt(events-per-day)), so the classic 1.25x WSDI
+# multiplier stops firing beyond sf0.001 and the oracle gate was
+# VACUOUS at both gate SFs (r12 verdict item 3 — two engines agreeing
+# on an empty result). 1.02x keeps ">= 3 consecutive above-normal
+# days" semantics while producing events at sf0.001/0.01/0.1
+# (measured 7/6/5 events), so the counting, longest-spell, and
+# tie-break branches are all exercised by the hash gate.
+HEAT_MULT_NUM, HEAT_MULT_DEN = 51, 50
+
+
 def q_heat_wave_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warm-spell (WSDI-family) events per series: runs of >= 3
-    consecutive days whose total exceeds 1.25x the series mean — the
-    high-tail sibling of climate_cdd (which counts dry days below
-    0.8x), reported as event counts plus the longest event's length and
-    start day. Same exactness scheme: the hot threshold is a
-    cross-multiplied decimal comparison (4·daily_total·n > 5·Σ), runs
-    are gaps-and-islands on the day index, and the longest-event pick
-    breaks ties on the earliest start.
+    consecutive days whose total exceeds HEAT_MULT (51/50) times the
+    series mean — the high-tail sibling of climate_cdd (which counts
+    dry days below 0.8x), reported as event counts plus the longest
+    event's length and start day. Same exactness scheme: the hot
+    threshold is a cross-multiplied decimal comparison
+    (DEN·daily_total·n > NUM·Σ), runs are gaps-and-islands on the day
+    index, and the longest-event pick breaks ties on the earliest
+    start.
     """
     from pyspark.sql import Window
 
@@ -3633,8 +3648,8 @@ def q_heat_wave_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = d.select(
         "event_type", "x",
         (
-            F.col("daily_total") * 4 * F.count(F.lit(1)).over(ws)
-            > F.sum("daily_total").over(ws) * 5
+            F.col("daily_total") * HEAT_MULT_DEN * F.count(F.lit(1)).over(ws)
+            > F.sum("daily_total").over(ws) * HEAT_MULT_NUM
         ).alias("hot"),
     ).filter("hot")
     wd = Window.partitionBy("event_type").orderBy("x")
@@ -3669,8 +3684,8 @@ ETL_ORACLES["heat_wave_events"] = _DAILY_CTE + f"""
 ), hot AS (
     SELECT event_type, x FROM (
         SELECT event_type, x,
-               daily_total * 4 * count(*) OVER (PARTITION BY event_type)
-                 > sum(daily_total) OVER (PARTITION BY event_type) * 5 AS hot
+               daily_total * {HEAT_MULT_DEN} * count(*) OVER (PARTITION BY event_type)
+                 > sum(daily_total) OVER (PARTITION BY event_type) * {HEAT_MULT_NUM} AS hot
         FROM d
     ) WHERE hot
 ), runs AS (

@@ -550,38 +550,118 @@ def test_bm25_matches_python_reference(spark, sf_dir):
 
 
 def test_heat_wave_events_match_python_runs(spark, sf_dir):
+    from pygeoapi_ingestor_spark.plans.queries_etl import (
+        HEAT_MULT_DEN,
+        HEAT_MULT_NUM,
+    )
+
     out = {
         r["event_type"]: r
         for r in QUERIES["heat_wave_events"](spark, sf_dir).collect()
     }
     daily = _daily_pd(spark, sf_dir)
     anchor = pd.Timestamp("2024-01-01")
+    any_events = False
     for et, grp in daily.groupby("event_type"):
         grp = grp.sort_values("day")
-        y = grp["value"].to_numpy()
+        # exact-integer twin of the decimal cross-multiplication: daily
+        # totals are DECIMAL(14,2) -> whole cents, so the hot compare is
+        # pure int arithmetic (no float mean anywhere, like the query)
+        cents = (grp["value"] * 100).round().astype("int64").to_numpy()
         x = (grp["day"] - anchor).dt.days.to_numpy()
-        hot = y > 1.25 * (y.sum() / len(y))
+        n = len(cents)
+        hot = cents * HEAT_MULT_DEN * n > cents.sum() * HEAT_MULT_NUM
         runs, cur, start = [], 0, None
+        prev_x = None
         for xi, flag in zip(x, hot):
             if flag:
-                if cur == 0:
-                    start = xi
+                if cur == 0 or (prev_x is not None and xi - prev_x > 1):
+                    if cur:
+                        runs.append((cur, start))
+                    cur, start = 0, xi
                 cur += 1
+                prev_x = xi
             elif cur:
                 runs.append((cur, start))
-                cur = 0
+                cur, prev_x = 0, None
         if cur:
             runs.append((cur, start))
         events = [r for r in runs if r[0] >= 3]
         if not events:
             assert et not in out
             continue
+        any_events = True
         got = out[et]
         assert got["n_events"] == len(events)
         assert got["n_event_days"] == sum(r[0] for r in events)
         mx = max(r[0] for r in events)
         assert got["max_event_days"] == mx
         assert got["longest_start_day"] == min(s for l, s in events if l == mx)
+    # the r12 vacuity guard: the multiplier is CHOSEN so the positive
+    # branch fires on this data — if a data regen makes this empty
+    # again, the oracle gate is vacuous and the threshold must move
+    assert any_events, "heat_wave_events must produce >=1 event at test SF"
+
+
+def test_heat_wave_events_constructed_spells(spark, tmp_path):
+    """Positive-branch pin on a CONSTRUCTED corpus (reference run-length
+    loop semantics, ll_nl_danger_levels.py family): a 3-day spell
+    counts, a 2-day spell does not, non-consecutive hot days break the
+    run, and equal-length longest events tie to the EARLIEST start."""
+    import pandas as _pd
+
+    base = _pd.Timestamp("2024-01-01")
+    rows = []
+    # type 'a': one qualifying 3-day spell (days 2-4), one 2-day
+    # near-miss (days 7-8)
+    vals_a = [10, 10, 1000, 1000, 1000, 10, 10, 1000, 1000, 10]
+    # type 'b': two equal 3-day spells (days 1-3 and 6-8) -> tie on
+    # max_event_days, longest_start_day must be the earliest (1)
+    vals_b = [10, 1000, 1000, 1000, 10, 10, 1000, 1000, 1000, 10]
+    # type 'c': hot days 2,3 then a gap then 5 -> runs of 2 and 1, no
+    # event (non-consecutive days must NOT merge)
+    vals_c = [10, 10, 1000, 1000, 10, 1000, 10, 10, 10, 10]
+    eid = 0
+    for et, vals in (("a", vals_a), ("b", vals_b), ("c", vals_c)):
+        for d, v in enumerate(vals):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": base + _pd.Timedelta(days=d, hours=12),
+                    "user_id": 1,
+                    "event_type": et,
+                    "value": float(v),
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    pdf = _pd.DataFrame(rows)
+    out_dir = str(tmp_path / "heat")
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl.column("ts").cast(pa.timestamp("us")),
+    )
+    pq.write_table(tbl, f"{out_dir}/events.parquet")
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["heat_wave_events"](spark, out_dir).collect()
+    }
+    assert set(got) == {"a", "b"}, "2-day and broken runs must not count"
+    a = got["a"]
+    assert (a["n_events"], a["n_event_days"], a["max_event_days"]) == (1, 3, 3)
+    assert a["longest_start_day"] == 2
+    b = got["b"]
+    assert (b["n_events"], b["n_event_days"], b["max_event_days"]) == (2, 6, 3)
+    assert b["longest_start_day"] == 1, "equal-length events tie to earliest"
 
 
 def test_vocab_coverage_matches_python(spark, sf_dir):

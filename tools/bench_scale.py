@@ -79,7 +79,20 @@ SF3_KEYS = {
 # raised 600s cap on 3.3x LESS data, and the scan-monotone queries can
 # only get slower — the artifact records the inherited cost bound
 # explicitly instead of burning 20 minutes re-proving a forfeit.
-SF10_KEYS = {"dedup_components", "dedup_minhash_lsh"}
+SF10_KEYS = {
+    "dedup_components", "dedup_minhash_lsh",
+    # r13 (verdict item 6): the r12 growth-watch cluster earns the
+    # fourth decade — segment_dedup (2.41 at sf3), dsir (1.48),
+    # dedup_simhash (2.10) — plus isoband_regions, whose committed
+    # sf1/sf3 cells predate the r12 union-find dissolve (the round log
+    # says so explicitly): the raster-bounded claim gets shown at sf10.
+    "segment_dedup", "dsir_importance_weights", "dedup_simhash",
+    "isoband_regions",
+}
+# Only these two inherit the sf3 forfeit at sf10 (both blew the raised
+# 600s cap there on 3.3x less data); the r13 additions' oracles all
+# finished at sf3, so they RUN at sf10 under the same raised cap.
+SF10_ORACLE_FORFEITED = {"dedup_components", "dedup_minhash_lsh"}
 
 # documented O(n^2) oracle-twin: its scale-safe sibling knn_outliers_ivf
 # carries the sf1 point; running the deliberate quadratic at 10x would
@@ -202,9 +215,9 @@ def main() -> None:
             if key not in ORACLES:
                 continue
             if sf_name == "sf10":
-                if key in SF10_KEYS:
-                    # inherited forfeit: both sf10 twins already blew
-                    # the raised cap at sf3 on 3.3x less data; the
+                if key in SF10_ORACLE_FORFEITED:
+                    # inherited forfeit: these twins already blew the
+                    # raised cap at sf3 on 3.3x less data; the
                     # scan-monotone oracle can only be slower here —
                     # record the bound explicitly, never re-run
                     slot = results[key].setdefault(sf_name, {})
@@ -212,6 +225,21 @@ def main() -> None:
                         "not run: forfeited at sf3 under the 600s cap "
                         "on 3.3x less data (scan-monotone query)"
                     )
+                    slot["duckdb_cost_bound_s"] = ORACLE_TIMEOUT_SF3_S
+                    continue
+                if key not in SF10_KEYS:
+                    continue
+                # r13 additions: their oracles finished at sf3 — run
+                # the real number under the raised cap, no silent skip
+                first, best, err = _timed_oracle(
+                    con, ORACLES[key], timeout_s=ORACLE_TIMEOUT_SF3_S
+                )
+                slot = results[key].setdefault(sf_name, {})
+                if first is not None:
+                    slot["duckdb"] = first
+                    slot["duckdb_warm"] = best
+                else:
+                    slot["duckdb_error"] = err
                     slot["duckdb_cost_bound_s"] = ORACLE_TIMEOUT_SF3_S
                 continue
             if sf_name == "sf3" and key not in SF3_KEYS:
@@ -254,6 +282,9 @@ def main() -> None:
         d3 = r.get("sf3", {}).get("duckdb")
         if d1 and d3:
             r["duckdb_growth_sf3_vs_sf1"] = round(d3 / d1, 2)
+        d10 = r.get("sf10", {}).get("duckdb")
+        if d3 and d10:
+            r["duckdb_growth_sf10_vs_sf3"] = round(d10 / d3, 2)
         for sf_name, _ in sf_points:
             s, d = r.get(sf_name, {}).get("spark_cold"), r.get(sf_name, {}).get("duckdb")
             if s and d:

@@ -57,6 +57,10 @@ def _one_run(i: int) -> dict:
     full = json.load(open(os.path.join(ROOT, "BENCH_FULL.json")))
     warm = full.get("queries_warm_stable", {})
     slowest = sorted(warm.items(), key=lambda kv: -kv[1])[:10]
+    # warm_stable_total lives only in BENCH_FULL, not the summary line
+    for k in TOTALS:
+        if k not in parsed and k in full:
+            parsed[k] = full[k]
     return {
         "rc": 0,
         "wall_sec": round(time.time() - t0, 1),

@@ -37,26 +37,39 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (lowercased, alnum words).
 
-    Linear formulation: posexplode the token array, then build each gram
-    from ``lead`` windows over (doc, position). The naive
-    slice-inside-transform version is O(words^2) per document — at 500
-    words/doc that was the single hottest stage in the whole catalog.
+    Shuffle-free formulation: grams are built INSIDE the token array —
+    ``transform`` over the valid start indices with O(1) ``element_at``
+    lookups (linear in words·n, unlike the O(words²) naive
+    slice-inside-transform), deduped per document with
+    ``array_distinct``, then exploded. The r12 version posexploded the
+    tokens and rebuilt grams with ``lead`` windows over (doc, pos) and a
+    global dropDuplicates — TWO full shuffles of every token occurrence
+    that this projection removes from every shingle consumer (guide
+    §2.4); callers pass unique-id document tables, so per-array
+    distinct == the old per-(doc, shingle) distinct.
     """
     from pygeoapi_ingestor_spark.operators.text import norm_words
+    from pygeoapi_ingestor_spark.session import spread_if_narrow
 
-    words = norm_words(text_col)
-    tok = df.select(
-        F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "w")
+    # the projection is shuffle-free, so a single-file local input would
+    # otherwise tokenize on ONE task all the way to the first downstream
+    # exchange; spread_if_narrow is a no-op on production inputs that
+    # already have >= core-count partitions
+    tok = spread_if_narrow(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    ).select("doc", norm_words("_t").alias("_ws"))
+    n_starts = F.size("_ws") - (n - 1)
+    grams = F.transform(
+        # sequence(1, k) DESCENDS when k < 1 — guard short docs to empty
+        F.when(n_starts > 0, F.sequence(F.lit(1), n_starts)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_ws"), i + j) for j in range(n)]
+        ),
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
-    last = parts[-1]
-    gram = F.concat_ws(" ", *parts)
-    return (
-        tok.select("doc", gram.alias("shingle"), last.alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
-        .dropDuplicates(["doc", "shingle"])
+    return tok.select(
+        "doc", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
@@ -1188,13 +1201,27 @@ def ppjoin_pairs(
         )
         .distinct()
     )
-    ta = toks.select(F.col("doc").alias("doc_a"), "w")
-    tb = toks.select(F.col("doc").alias("doc_b"), "w")
+    # exact-verify via size(array_intersect) over per-doc token arrays —
+    # one codegen intersect per CANDIDATE pair, replacing the r12
+    # explode-by-|A| + semi-join + re-aggregate (three shuffles whose
+    # row count was candidates × tokens; this one's is candidates +
+    # 2·docs). Token arrays are distinct by construction (shingles()
+    # ends in dropDuplicates), so |array_intersect| == |A ∩ B| — the
+    # same integer the exploded count produced.
+    tok_arrays = toks.groupBy("doc").agg(F.collect_list("w").alias("_toks"))
     inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "w"], "left_semi")
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        cand.join(
+            tok_arrays.select(F.col("doc").alias("doc_a"), F.col("_toks").alias("_ta")),
+            "doc_a",
+        )
+        .join(
+            tok_arrays.select(F.col("doc").alias("doc_b"), F.col("_toks").alias("_tb")),
+            "doc_b",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("_ta", "_tb")).cast("bigint")
+        )
+        .drop("_ta", "_tb")
     )
     j = F.col("n_common") / (
         F.col("size_a") + F.col("size_b") - F.col("n_common")

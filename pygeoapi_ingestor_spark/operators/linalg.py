@@ -45,45 +45,85 @@ def power_iteration_int8(
     deterministic integer arithmetic, so an unrolled SQL twin replays
     the whole run bit-for-bit.
 
-    Per iteration: ``w = A^T (A v)`` is computed as ONE aggregation of
-    ``dim`` integer sums (each ``sum(q[j] * dot)`` is map-side
-    combinable; the shuffled state is ``dim`` int64s regardless of row
-    count), then the iterate is rescaled on the driver with exact
-    big-int truncating division: ``v' = trunc(w * scale / max|w|)``.
-
-    Bounds: |q| <= 127, |v| <= scale (1e4) -> |dot| <= 127 * 1e4 * dim;
-    the per-row product |q * dot| <= 127^2 * 1e4 * dim ~ 1e10 fits int64,
-    but its SUM wraps silently above ~1e9 rows (ANSI off), so the sums
-    accumulate in ``decimal(38,0)`` — exact to 1e28 rows, map-side
-    combinable, and matching the twin's HUGEINT. The driver-side
-    ``w * scale`` rescale runs in Python big-ints.
+    The corpus is scanned ONCE: an Arrow kernel accumulates the dim×dim
+    Gram matrix ``G = Σ q qᵀ`` (per-batch int64 ``QᵀQ``; state shipped
+    to the driver is dim² ints per batch regardless of row count), and
+    every iteration is then the exact driver-side integer matvec
+    ``w = G v`` — identical integers to re-scanning per iteration,
+    because ``Aᵀ(Av) = (AᵀA)v`` distributes over exact sums. The
+    iterate rescale is exact big-int truncating division:
+    ``v' = trunc(w * scale / max|w|)``.
 
     Returns ``(v_final, rayleigh_num, rayleigh_den, n_rows)`` where the
     Rayleigh quotient num/den estimates the top eigenvalue of A^T A in
     the quantized space.
     """
-    qcol = F.col(vec_col)
+    # ONE distributed pass instead of one per iteration (guide §1.1
+    # first-principles): w = Aᵀ(Av) = (AᵀA)v, so the dim×dim Gram matrix
+    # G = Σ_rows q qᵀ — built here as a per-batch int64 Qᵀ·Q in an Arrow
+    # numpy kernel — determines EVERY iteration, and the power loop runs
+    # on the driver against G. The r12 formulation re-scanned the corpus
+    # per iteration through an interpreted aggregate/zip_with fold plus
+    # a 64-term decimal aggregate whose generated code embedded the
+    # iterate as literals (a fresh janino compile each iteration); now
+    # the corpus is read once, total driver/executor exchange is one
+    # dim² block of ints per batch, and the iterations are 64×64 integer
+    # matvecs in Python.
+    #
+    # Exactness: w_i = Σ_rows q_i·(q·v) = Σ_j (Σ_rows q_i q_j)·v_j —
+    # integer distributivity/associativity, so the per-iteration w, m,
+    # v' and the Rayleigh num/den are the SAME integers the old
+    # per-iteration scan produced; the unrolled DuckDB twin is
+    # unchanged. Overflow audit: |G_ij| <= 127²·rows_per_batch — an
+    # Arrow batch of a 64-int list column is capped well under 4e6 rows
+    # (2 GiB payload), so per-batch int64 peaks ~6.5e10 << 2^63;
+    # cross-batch accumulation and the driver matvecs run in unbounded
+    # Python big-ints (|w| <= dim·127²·n·scale keeps growing with row
+    # count, which is exactly why the old code summed in decimal(38,0)).
+    sel = df.select(F.col(vec_col).alias("_q"))
+
+    def _gram(batches, _dim=dim):
+        import numpy as np
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("g", pa.list_(pa.int64())), pa.field("_n", pa.int64())]
+        )
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            col = batch.column(0)
+            # list<int> column: one contiguous values buffer — flatten +
+            # reshape is the zero-object-overhead path (guide §4.2)
+            Q = np.asarray(col.flatten(), dtype=np.int64).reshape(n, _dim)
+            g = Q.T @ Q
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([g.reshape(-1).tolist()], pa.list_(pa.int64())),
+                    pa.array([n], pa.int64()),
+                ],
+                schema=schema,
+            )
+
+    # bounded collect: one row per Arrow batch (~one per partition),
+    # dim²+1 ints each — the same bounded-driver-state class as the
+    # k-means centroid fetch
+    parts = sel.mapInArrow(_gram, "g array<long>, _n long").collect()
+    G = [[0] * dim for _ in range(dim)]
+    n_rows = 0
+    for r in parts:
+        flat, n_rows = r[0], n_rows + int(r[1])
+        for i in range(dim):
+            row_g = G[i]
+            base = i * dim
+            for j in range(dim):
+                row_g[j] += int(flat[base + j])
+
     v = [scale // 10] * dim  # deterministic start: all-ones direction
     num = den = 0
-    n_rows = 0
     for it in range(iters):
-        vec_lit = F.array(*[F.lit(int(x)) for x in v])
-        dot = F.aggregate(
-            F.zip_with(qcol, vec_lit, lambda x, y: x.cast("long") * y.cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        with_dot = df.select(qcol.alias("_q"), dot.alias("_dot"))
-        sums = [
-            F.sum(
-                (F.element_at("_q", j + 1).cast("long") * F.col("_dot"))
-                .cast("decimal(38,0)")
-            ).alias(f"w{j}")
-            for j in range(dim)
-        ] + [F.count(F.lit(1)).alias("_n")]
-        row = with_dot.agg(*sums).collect()[0]
-        w = [int(row[f"w{j}"]) for j in range(dim)]
-        n_rows = int(row["_n"])
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
         m = max(abs(x) for x in w) or 1
         # Rayleigh quotient of the direction that PRODUCED w (v), exact
         num = sum(vi * wi for vi, wi in zip(v, w))

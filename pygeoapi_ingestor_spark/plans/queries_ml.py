@@ -59,21 +59,20 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnosis pass before choosing an index or a projection (which axis
     dominates the corpus, and how strongly).
 
-    Scale shape: each of the 3 iterations is ONE map-side-combinable
-    aggregation whose shuffled state is 64 int64 sums — the cost is
-    pass count x scan, never row-count-dependent driver state. The
+    Scale shape: ONE corpus scan accumulates the 64x64 Gram matrix
+    (dim^2 ints per partition to the driver — bounded state), and the 3
+    iterations are exact driver-side integer matvecs against it. The
     entire run (init, per-row dots, per-dim sums, truncating rescale,
     Rayleigh quotient) is exact integer arithmetic, so the unrolled-CTE
     DuckDB twin certifies the full training trajectory, same contract
     as kmeans_clusters_int8."""
     emb = _emb(spark, sf_dir)
-    q = similarity.quantize_int8(emb, "embedding").select("q_vec").persist()
-    try:
-        v, num, den, n_rows = linalg.power_iteration_int8(
-            q, "q_vec", dim=PCA_DIM, iters=PCA_ITERS
-        )
-    finally:
-        q.unpersist()
+    # no persist: the Gram-matrix formulation reads the corpus exactly
+    # once (the r12 per-iteration re-scan was what the cache amortized)
+    q = similarity.quantize_int8(emb, "embedding").select("q_vec")
+    v, num, den, n_rows = linalg.power_iteration_int8(
+        q, "q_vec", dim=PCA_DIM, iters=PCA_ITERS
+    )
     # float(int) is correctly rounded — matches DuckDB CAST(HUGEINT AS
     # DOUBLE); dividing the two doubles is then the identical IEEE op
     num_d, den_d = float(num), float(den or 1)

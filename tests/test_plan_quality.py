@@ -396,8 +396,11 @@ def test_pq_adc_scans_materialized_codes(spark, sf_dir):
 def test_ppjoin_candidates_from_prefix_join_only(spark, sf_dir):
     plan = _simple(QUERIES["dedup_ppjoin"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # verification is a semi-join against the token table
-    assert "LeftSemi" in plan
+    # r13: verification is one codegen array_intersect per candidate
+    # pair over per-doc token arrays — the r12 explode-by-|A| +
+    # semi-join + re-aggregate (3 shuffles) must not come back
+    assert "array_intersect" in plan
+    assert "LeftSemi" not in plan
 
 
 def test_mad_outliers_avoids_buffering_percentile(spark, sf_dir):

@@ -165,3 +165,77 @@ def test_extra_java_options_merge_keeps_xss_pin():
     finally:
         SparkSession.builder = orig
     assert captured["spark.driver.extraJavaOptions"] == "-Xss64m"
+
+
+# ---------------------------------------------------------------------------
+# r13 optimization-round internals: the shuffle-free shingle projection
+# and the one-pass Gram-matrix power iteration must reproduce the exact
+# semantics of the r12 formulations they replaced.
+# ---------------------------------------------------------------------------
+
+
+def test_shingles_projection_semantics(spark):
+    """Projection-based shingles == the python twin of the old
+    posexplode+lead formulation: distinct word 3-grams per doc,
+    short docs (< n words) yield nothing, in-doc repeats dedup."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.operators import dedup
+
+    rows = [
+        (1, "the cat sat on the mat the cat sat"),  # repeated gram
+        (2, "one two"),                              # too short -> none
+        (3, "Alpha, beta! GAMMA delta"),             # punctuation/case
+        (4, ""),                                     # empty -> none
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc"], r["shingle"])
+        for r in dedup.shingles(df, "doc_id", "text", n=3).collect()
+    }
+
+    def twin(doc_id, text):
+        ws = [w for w in re.sub(r"[^a-z0-9\s]", " ", text.lower()).split() if w]
+        return {(doc_id, " ".join(ws[i:i + 3])) for i in range(len(ws) - 2)}
+
+    want = set()
+    for doc_id, text in rows:
+        want |= twin(doc_id, text)
+    assert got == want
+    # and it must stay shuffle-free past the spread: no Window, no
+    # dropDuplicates aggregate in the plan
+    plan = dedup.shingles(df, "doc_id", "text", n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_power_iteration_gram_matches_per_iteration_twin(spark):
+    """The one-pass Gram formulation returns the SAME integers as the
+    r12 per-iteration re-scan: w = (A^T A) v == A^T (A v) over exact
+    ints. Twin computed in pure Python big-ints."""
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.operators import linalg
+
+    vecs = [
+        [3, -1, 7, 0], [2, 2, -5, 1], [-4, 0, 6, -2], [1, 1, 1, 1],
+        [0, -3, 2, 9],
+    ]
+    dim, iters, scale = 4, 3, linalg.PCA_SCALE
+    df = spark.createDataFrame([(v,) for v in vecs], "q_vec array<int>")
+    v_got, num_got, den_got, n_got = linalg.power_iteration_int8(
+        df, "q_vec", dim=dim, iters=iters
+    )
+
+    # twin: per-iteration A^T (A v) in exact big ints
+    v = [scale // 10] * dim
+    num = den = 0
+    for _ in range(iters):
+        dots = [sum(q[j] * v[j] for j in range(dim)) for q in vecs]
+        w = [sum(q[i] * d for q, d in zip(vecs, dots)) for i in range(dim)]
+        m = max(abs(x) for x in w) or 1
+        num = sum(vi * wi for vi, wi in zip(v, w))
+        den = sum(vi * vi for vi in v)
+        v = [linalg._trunc_div(wi * scale, m) for wi in w]
+    assert (v_got, num_got, den_got, n_got) == (v, num, den, len(vecs))

@@ -29,9 +29,9 @@ def main() -> None:
         sf_dir, args = args[0], args[1:]
 
     from __spark_entry__ import queries
-    from pygeoapi_ingestor_spark.session import get_session
+    from pygeoapi_ingestor_spark.session import get_spark
 
-    spark = get_session()
+    spark = get_spark(app_name="profile_keys")
     qs = queries()
     keys = args or list(qs)
     st = spark.sparkContext.statusTracker()

@@ -70,4 +70,11 @@ def free_local_ckpt(df: DataFrame, blocking: bool = True) -> list[int]:
             "checkpoint release failed (blocks may remain pinned until "
             "session end): %s", exc,
         )
+    # every checkpoint free invalidates the artifact-bound prepared
+    # plans (plans/prepared.py epoch key): a memoized plan over freed
+    # storage must never be served again. Bumped even on the warning
+    # path above — if the release MAY have happened, the memo dies.
+    from pygeoapi_ingestor_spark.plans.prepared import bump_artifact_epoch
+
+    bump_artifact_epoch()
     return ids

@@ -840,13 +840,29 @@ def simhash(
     n_longs = -(-bits // lanes_per_long)
     lane_mask = (1 << lane_bits) - 1
     from pygeoapi_ingestor_spark.operators.text import norm_words
-
-    words = norm_words(text_col)
-    tok = (
-        df.select(F.col(id_col).alias("doc"), F.explode(words).alias("w"))
-        .groupBy("doc", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    from pygeoapi_ingestor_spark.session import (
+        ensure_package_on_executors,
+        spread_if_narrow,
     )
+
+    ensure_package_on_executors(df.sparkSession)
+    id_t = dict(df.dtypes)[id_col]
+
+    # r13: per OCCURRENCE, no (doc, w) pre-aggregation — S_i is linear
+    # in token counts, so Σ_occurrences bit_i == Σ_distinct bit_i · cnt
+    # and the first full token shuffle of the r12 formulation is gone
+    # (guide §2.4). The wide lane-packing and the 64-term sign chain
+    # move to Arrow numpy kernels (guide §4.2): the r12 packed/sign
+    # codegen was the catalog's widest generated method family — a
+    # measured 15-25 s first-compile tax per fresh session plus ~0.9 s
+    # of per-invocation Catalyst work on the 64-term tree. Arithmetic
+    # is unchanged: identical per-occurrence packed contributions,
+    # identical int64 sums (bounds per the lane-packing note above, so
+    # numpy int64 never wraps where the JVM long didn't), identical
+    # sign rule — the oracle rebuilds the same bits.
+    tok = spread_if_narrow(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    ).select("doc", F.explode(norm_words("_t")).alias("w"))
     if token_hash == "md5":
         # engine-neutral 64-bit token hash: low 60 bits from the first 15
         # md5 hex chars, top 4 bits from the 16th — both halves stay
@@ -859,38 +875,80 @@ def simhash(
         )
     else:
         h = F.xxhash64("w")
-    cnt = F.col("cnt")
+    src = tok.select("doc", h.alias("_h"))
 
-    def packed(j: int):
-        # lanes j*lanes_per_long .. j*lanes_per_long+lanes_per_long-1
-        expr = None
-        for lane in range(lanes_per_long):
-            i = j * lanes_per_long + lane
-            if i >= bits:
-                break
-            contrib = F.shiftleft(
-                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("long") * cnt,
-                lane * lane_bits,
+    _bits, _lpl, _lb, _nl = bits, lanes_per_long, lane_bits, n_longs
+
+    def _pack_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["doc"] + [f"p{j}" for j in range(_nl)] + ["_tot"]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            hv = pdf["_h"].to_numpy(dtype=np.int64).view(np.uint64)
+            data = {"doc": pdf["doc"].to_numpy()}
+            for j in range(_nl):
+                acc = np.zeros(len(hv), dtype=np.int64)
+                for lane in range(_lpl):
+                    i = j * _lpl + lane
+                    if i >= _bits:
+                        break
+                    bit = ((hv >> np.uint64(i)) & np.uint64(1)).astype(
+                        np.int64
+                    )
+                    acc += bit << (lane * _lb)
+                data[f"p{j}"] = acc
+            data["_tot"] = np.ones(len(hv), dtype=np.int64)
+            # per-(batch, doc) partials: exploded tokens arrive doc-
+            # contiguous from the scan, so each batch holds few docs and
+            # the emitted partial rows stay tiny
+            g = (
+                pd.DataFrame(data, columns=cols)
+                .groupby("doc", sort=False, as_index=False)
+                .sum()
             )
-            expr = contrib if expr is None else expr + contrib
-        return F.sum(expr).alias(f"p{j}")
+            yield g[cols]
 
-    agg = tok.groupBy("doc").agg(
-        *[packed(j) for j in range(n_longs)], F.sum(cnt).alias("_tot")
+    pack_schema = (
+        f"doc {id_t}, "
+        + ", ".join(f"p{j} bigint" for j in range(_nl))
+        + ", _tot bigint"
     )
-    sim = F.lit(0).cast("long")
-    for i in range(bits):
-        j, lane = divmod(i, lanes_per_long)
-        s_i = F.shiftrightunsigned(F.col(f"p{j}"), lane * lane_bits).bitwiseAND(
-            F.lit(lane_mask)
-        )
-        # sign-sum_i > 0  <=>  2*S_i - T > 0
-        sim = sim.bitwiseOR(
-            F.when(
-                s_i * 2 > F.col("_tot"), F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return agg.select("doc", sim.alias("simhash"))
+    agg = src.mapInPandas(_pack_batches, schema=pack_schema).groupBy("doc").agg(
+        *[F.sum(f"p{j}").alias(f"p{j}") for j in range(n_longs)],
+        F.sum("_tot").alias("_tot"),
+    )
+
+    def _sign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["doc", "simhash"]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            tot = pdf["_tot"].to_numpy(dtype=np.int64)
+            ps = [
+                pdf[f"p{j}"].to_numpy(dtype=np.int64) for j in range(_nl)
+            ]
+            sim = np.zeros(len(tot), dtype=np.uint64)
+            for i in range(_bits):
+                j, lane = divmod(i, _lpl)
+                s_i = (ps[j] >> (lane * _lb)) & ((1 << _lb) - 1)
+                # sign-sum_i > 0  <=>  2*S_i - T > 0; bit 63 via uint64
+                sim |= (s_i * 2 > tot).astype(np.uint64) << np.uint64(i)
+            yield pd.DataFrame(
+                {"doc": pdf["doc"].to_numpy(), "simhash": sim.view(np.int64)},
+                columns=cols,
+            )
+
+    return agg.mapInPandas(
+        _sign_batches, schema=f"doc {id_t}, simhash bigint"
+    )
 
 
 def simhash_near_pairs(

@@ -297,77 +297,72 @@ _STAMP_ORDER = [
 ]
 
 # ---------------------------------------------------------------------------
-# Prepared-plan allowlist (r11, plans/prepared.py): these keys' warm
-# cost was dominated by Catalyst re-planning of an identical plan
-# (measured ~1-2s/invocation vs 0.2-0.5s of data work at bench SF), so
-# the catalog serves them as PREPARED STATEMENTS — the DataFrame is
-# built once per (session, corpus) and re-executed; nothing is cached,
-# every execution rescans the inputs. Eligibility (enforced by review,
-# documented in prepared.py): no released-on-finalize checkpoint in the
-# plan; immutable per-corpus inputs. Keys that read the verify-once
-# artifacts (dedup graph family, words-checkpoint consumers) re-fetch
-# through their registry accessors per call and MUST NOT appear here.
-# zonal_stats_polygon routes through the same helper inside its own
-# builder (it predates the list).
-_PREPARED_KEYS = [
-    "rfm_segments",
-    "mad_outliers",
-    "zonal_stats",
-    "regrid_bilinear",
-    "q4_order_priority",
-    "triplet_mining",
-    "acf_lags",
-    "ccf_lags",
-    "fuzzy_match_names",
-    "sim_search_int8",
-    "corpus_token_stats",
-    # warm-tail cohort (same eligibility audit): ANN/embedding family
-    # whose builds freeze trained literals (centroids, ground truth,
-    # plotting positions) — the train-once semantic shared_kmeans_cents
-    # established; plus the heavy ETL/behavior constants. Internal
-    # persists keep their exact semantics (clearCache drops blocks,
-    # next execution re-materializes).
-    "knn_outliers_recall",
-    # ivf_probe_sweep and ann_recall_eval left the allowlist in r12:
-    # they now read the eval-once shared ground truth
-    # (queries_llm.shared_ann_gt, a checkpoint artifact) and re-fetch
-    # it per call through the accessor — a memoized plan over it would
-    # dangle after finalize_job (enforced by prepared.py's guard).
-    "simhash_accuracy_eval",
-    "minhash_accuracy_eval",
-    "sim_search_pq_adc",
-    "kmeans_clusters_int8",
-    "embedding_knn_outliers",
-    # r13: semdedup_clusters became prepared-eligible when its
-    # unpacked-scalar self-join (persist constraint barrier, rebuilt
-    # per invocation) was replaced by the Arrow cluster-cogroup kernel:
-    # the plan now holds only mapInPandas/applyInPandas stages over the
-    # immutable corpus + a broadcast centroid matrix — nothing
-    # finalize-released, nothing to re-analyze per call.
-    "semdedup_clusters",
-    "knn_outliers_ivf",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "dedup_ppjoin",
-    "dedup_spans",
-    "dedup_minhash_lsh",
-    # isoband_regions was allowlisted in r11 but its CCL pass embeds a
-    # checkpoint-backed LogicalRDD (connected-components fixpoint) —
-    # the r12 runtime guard (plans/prepared.py) rejects it: a memoized
-    # plan over a localCheckpoint dangles once those blocks are freed.
-    # It rebuilds per call like the other graph keys.
-    "anomaly_vs_climatology",
-    "area_weighted_mean",
-    "ab_test_conversion",
-    "value_percentiles",
-]
+# Prepared-plan coverage (r11 allowlist -> r13 catalog-wide; see
+# plans/prepared.py): a key's per-invocation DRIVER cost — py4j
+# expression-tree construction, Catalyst analysis/optimization, codegen,
+# and any eager trained-literal fit inside the build — is paid on EVERY
+# bench/service call, warm or not. Measured on r13 HEAD at sf0.1: 98.6 s
+# of build time across one sweep of the 243-key catalog (top keys
+# 1.5-3.5 s each), repeated by every warm/noop/concurrent pass. The
+# catalog therefore serves every ELIGIBLE key as a PREPARED STATEMENT —
+# the DataFrame is built once per (session, corpus) and re-executed;
+# nothing is cached by the registry, every execution rescans the
+# parquet inputs (prepared.py module docstring).
+#
+# Eligibility is the EXCLUSION list below: keys whose plan embeds a
+# released-on-finalize localCheckpoint artifact (the verify-once dedup
+# graph/fixpoint, the shared ANN ground truth, the isoband CCL pass)
+# must re-fetch through their registry accessors per call — a memoized
+# plan over a freed checkpoint dangles (no lineage to recompute). The
+# list was generated by walking every catalog key's ANALYZED plan for
+# checkpoint-backed LogicalRDD leaves at BOTH gate SFs (the exact walk
+# prepared.py's runtime guard enforces), and the guard still rejects
+# any future mis-listing at registration — _as_prepared then falls back
+# to per-call builds, loudly, instead of serving a dangling plan.
+_ARTIFACT_KEYS = {
+    "ann_recall_eval",
+    "cluster_keep_best",
+    "curation_pipeline_e2e",
+    "dedup_components",
+    "dedup_lsh_verified",
+    "doc_graph_pagerank",
+    "dsir_importance_weights",
+    "dup_cluster_quality",
+    "dup_cluster_size_hist",
+    "isoband_regions",
+    "ivf_probe_sweep",
+    "ivf_recall_eval",
+    "matryoshka_recall_eval",
+    "pq_recall_eval",
+    "quality_dup_interaction",
+    "segment_dedup",
+}
+
+_PREPARED_KEYS = [k for k in _ALL if k not in _ARTIFACT_KEYS]
 
 
-def _as_prepared(name, fn):
+def _as_prepared(name, fn, artifact_bound=False):
     from pygeoapi_ingestor_spark.plans.prepared import prepared_plan
 
-    def wrapper(spark, sf_dir, _n=name, _f=fn):
-        return prepared_plan(_n, spark, sf_dir, lambda: _f(spark, sf_dir))
+    def wrapper(spark, sf_dir, _n=name, _f=fn, _ab=artifact_bound):
+        try:
+            return prepared_plan(
+                _n, spark, sf_dir, lambda: _f(spark, sf_dir),
+                artifact_bound=_ab,
+            )
+        except ValueError:
+            # runtime guard: the plan embeds a checkpoint-backed leaf
+            # (an artifact key missing from _ARTIFACT_KEYS). Serve the
+            # per-call build — correct, just unmemoized — and say so.
+            import warnings
+
+            warnings.warn(
+                f"prepared-plan guard rejected {name!r}; add it to "
+                "plans._ARTIFACT_KEYS (serving per-call builds)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return _f(spark, sf_dir)
 
     wrapper.__name__ = f"prepared_{name}"
     wrapper.__doc__ = fn.__doc__
@@ -376,6 +371,17 @@ def _as_prepared(name, fn):
 
 for _k in _PREPARED_KEYS:
     _ALL[_k] = _as_prepared(_k, _ALL[_k])
+
+# The artifact keys are prepared too, but EPOCH-BOUND: their memo key
+# includes the artifact epoch (prepared.py), so any checkpoint free —
+# finalize_job, release_shared_artifacts, corpus-switch eviction —
+# invalidates the memo and the next call rebuilds through the artifact
+# accessors. Same per-call semantics as before whenever artifacts
+# change; the repeated py4j/Catalyst build cost (0.6-2.3 s/key measured
+# at sf0.1) is only paid when the artifact generation actually turns
+# over.
+for _k in _ARTIFACT_KEYS:
+    _ALL[_k] = _as_prepared(_k, _ALL[_k], artifact_bound=True)
 
 # any key not in the generated list (added after generation) stamps first
 _rest = [k for k in _ALL if k not in set(_STAMP_ORDER)]

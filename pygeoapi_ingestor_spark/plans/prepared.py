@@ -41,18 +41,44 @@ from pyspark.sql import DataFrame, SparkSession
 
 _PLANS: dict = {}
 
+# Artifact epoch (r13): a monotone counter bumped by EVERY localCheckpoint
+# release in the repo (functions/storage.free_local_ckpt — the single
+# choke point all artifact eviction routes through). Plans registered
+# with ``artifact_bound=True`` embed checkpoint-backed leaves on
+# purpose (the verify-once dedup graph, the shared ANN ground truth);
+# their memo key includes the epoch observed at registration, so the
+# moment ANY checkpoint is freed the memo misses and the next call
+# re-builds through the artifact accessors — a memoized plan can never
+# outlive the storage it reads. Over-invalidation (a free of an
+# unrelated checkpoint) costs one rebuild, never correctness.
+_EPOCH = 0
+
+
+def bump_artifact_epoch() -> int:
+    """Called by functions.storage.free_local_ckpt after releasing
+    checkpoint blocks; invalidates every artifact-bound prepared plan."""
+    global _EPOCH
+    _EPOCH += 1
+    return _EPOCH
+
 
 def prepared_plan(
     name: str,
     spark: SparkSession,
     sf_dir: str,
     build: Callable[[], DataFrame],
+    artifact_bound: bool = False,
 ) -> DataFrame:
     """Return the memoized DataFrame for (name, session, corpus),
     building it via ``build()`` on first use. See module docstring for
-    the eligibility rules."""
+    the eligibility rules. ``artifact_bound=True`` admits plans over
+    released-on-finalize checkpoint artifacts: the memo is additionally
+    keyed on the artifact epoch (invalidated by every checkpoint free),
+    and the checkpoint-leaf guard is skipped — for these plans the
+    embedded checkpoint is the POINT, and the epoch key guarantees the
+    memo never survives its storage."""
     app = spark.sparkContext.applicationId
-    key = (name, app, sf_dir)
+    key = (name, app, sf_dir, _EPOCH if artifact_bound else None)
     hit = _PLANS.get(key)
     if hit is not None:
         return hit
@@ -64,7 +90,18 @@ def prepared_plan(
     # leaving those memoized plans executing UNCACHED for the registry's
     # lifetime, since an unpersisted InMemoryRelation recomputes without
     # re-storing). Batch eviction means plans rebuilt after the switch
-    # keep their internal persists until the next switch.
+    # keep their internal persists until the next switch. Stale-EPOCH
+    # entries of the same (session, corpus) are dropped without a
+    # clearCache — their checkpoint storage is already gone and the
+    # session cache still belongs to this corpus.
+    dead_epoch = [
+        k for k in _PLANS
+        if (k[1], k[2]) == (app, sf_dir)
+        and k[3] is not None
+        and k[3] != _EPOCH
+    ]
+    for k in dead_epoch:
+        _PLANS.pop(k)
     stale = [k for k in _PLANS if (k[1], k[2]) != (app, sf_dir)]
     if stale:
         for k in stale:
@@ -77,6 +114,14 @@ def prepared_plan(
             except Exception:  # session already stopped — nothing to free
                 pass
     df = build()
+    if artifact_bound:
+        # epoch may have advanced DURING the build (artifact accessors
+        # free superseded corpora's checkpoints while building): key the
+        # memo on the epoch the finished plan actually reads, so the
+        # frees the build itself performed don't dangle-invalidate it
+        key = (name, app, sf_dir, _EPOCH)
+        _PLANS[key] = df
+        return df
     # Runtime enforcement of the no-checkpoint eligibility rule (ADVICE
     # r11): a memoized plan over a (local)checkpoint would dangle the
     # moment finalize_job releases those blocks — and a localCheckpoint

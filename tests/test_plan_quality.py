@@ -6,9 +6,25 @@ filter above the scan.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pygeoapi_ingestor_spark.plans import QUERIES
+
+
+@pytest.fixture(autouse=True)
+def _fresh_plans():
+    """These tests assert properties of the INITIAL plan a fresh build
+    produces. With the r13 catalog-wide prepared registry, an earlier
+    test's collect() leaves the memoized DataFrame holding its
+    AQE-FINAL executed plan (extra ResultQueryStage/AQEShuffleRead
+    nodes, reused exchanges) — clear the memo so every assertion reads
+    a fresh, un-executed plan."""
+    from pygeoapi_ingestor_spark.plans import prepared
+
+    prepared.clear()
+    yield
+    prepared.clear()
 
 
 def _formatted(df) -> str:

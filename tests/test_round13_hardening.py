@@ -239,3 +239,111 @@ def test_power_iteration_gram_matches_per_iteration_twin(spark):
         den = sum(vi * vi for vi in v)
         v = [linalg._trunc_div(wi * scale, m) for wi in w]
     assert (v_got, num_got, den_got, n_got) == (v, num, den, len(vecs))
+
+
+# ---------------------------------------------------------------------------
+# r13 optimization round: catalog-wide prepared statements + the
+# artifact-epoch contract for the checkpoint-embedding keys.
+# ---------------------------------------------------------------------------
+
+
+def test_artifact_keys_excluded_from_plain_prepared_list():
+    """Every checkpoint-embedding key must be in _ARTIFACT_KEYS (epoch-
+    bound memoization), never in the plain allowlist: a plain memoized
+    plan over a freed localCheckpoint dangles with no lineage to
+    recompute from."""
+    from pygeoapi_ingestor_spark.plans import _ARTIFACT_KEYS, _PREPARED_KEYS
+
+    assert not (_ARTIFACT_KEYS & set(_PREPARED_KEYS))
+    # the full catalog is covered one way or the other
+    from pygeoapi_ingestor_spark.plans import QUERIES
+
+    assert _ARTIFACT_KEYS <= set(QUERIES)
+
+
+def test_artifact_bound_plan_invalidated_by_checkpoint_free(spark, sf_dir):
+    """artifact_bound memo key includes the artifact epoch: a memo hit
+    before any free, a rebuild after free_local_ckpt bumps the epoch —
+    the memoized plan can never outlive the storage it reads."""
+    from pygeoapi_ingestor_spark.functions.storage import free_local_ckpt
+
+    prepared.clear()
+    builds: list[int] = []
+
+    def build():
+        builds.append(1)
+        return spark.range(4).localCheckpoint()
+
+    df1 = prepared.prepared_plan("ab1", spark, sf_dir, build, artifact_bound=True)
+    df2 = prepared.prepared_plan("ab1", spark, sf_dir, build, artifact_bound=True)
+    assert df1 is df2 and builds == [1], "same epoch must memo-hit"
+    free_local_ckpt(df1)  # bumps the artifact epoch
+    prepared.prepared_plan("ab1", spark, sf_dir, build, artifact_bound=True)
+    assert builds == [1, 1], "a checkpoint free must force a rebuild"
+    # the stale-epoch entry is purged, not leaked
+    assert len([k for k in prepared._PLANS if k[0] == "ab1"]) == 1
+    prepared.clear()
+
+
+def test_artifact_bound_skips_checkpoint_guard(spark, sf_dir):
+    """The guard rejects checkpoint leaves for PLAIN registrations only;
+    artifact_bound admits them (the checkpoint is the point — the epoch
+    key is what guarantees safety)."""
+    import pytest
+
+    prepared.clear()
+    with pytest.raises(ValueError, match="checkpoint-backed"):
+        prepared.prepared_plan(
+            "plain_ck", spark, sf_dir, lambda: spark.range(3).localCheckpoint()
+        )
+    got = prepared.prepared_plan(
+        "bound_ck", spark, sf_dir,
+        lambda: spark.range(3).localCheckpoint(), artifact_bound=True,
+    )
+    assert got.count() == 3
+    prepared.clear()
+
+
+def test_simhash_arrow_kernel_matches_python_twin(spark):
+    """The Arrow-kernel simhash must reproduce the r12 formulation's
+    bits exactly: S_i = sum of occurrences whose md5-derived token hash
+    has bit i set, sign rule 2*S_i > total. Twin in pure Python over a
+    constructed corpus (repeats exercise the per-occurrence linearity
+    that replaced the (doc, w) pre-aggregation)."""
+    import hashlib
+    import re
+
+    from pygeoapi_ingestor_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta gamma alpha alpha beta"),
+        (2, "one two, THREE three? four five six seven"),
+        (3, "solo"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc"]: r["simhash"]
+        for r in dedup.simhash(df, "doc_id", "text", token_hash="md5").collect()
+    }
+
+    def h64(w: str) -> int:
+        hx = hashlib.md5(w.encode()).hexdigest()
+        return int(hx[:15], 16) | (int(hx[15], 16) << 60)
+
+    want = {}
+    for doc_id, text in rows:
+        ws = [w for w in re.sub(r"[^A-Za-z0-9\s]", " ", text).lower().split() if w]
+        if not ws:
+            continue  # explode of an empty token array drops the doc
+        tot = len(ws)
+        sim = 0
+        for i in range(64):
+            s_i = sum(1 for w in ws if (h64(w) >> i) & 1)
+            if 2 * s_i > tot:
+                sim |= 1 << i
+        # JVM long: interpret bit 63 as sign
+        if sim >= 1 << 63:
+            sim -= 1 << 64
+        want[doc_id] = sim
+    assert got == want

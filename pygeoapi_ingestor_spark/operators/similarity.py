@@ -1417,6 +1417,11 @@ def pq_adc_topk(
     deterministic integer arithmetic and the SQL twin reproduces
     encode -> table -> scan -> top-k bit-for-bit.
 
+    ``inline_max`` is retained for API compatibility but ignored since
+    r13: encode and table build run as ONE Arrow numpy kernel each (the
+    former inline-literal and broadcast-table expression paths were
+    m_subs x n_codes interpreted folds per row either way).
+
     Returns (query_id, neighbor_id, adc_dist, rank).
     """
     sub_dim = dim // m_subs
@@ -1439,21 +1444,6 @@ def pq_adc_topk(
         for m in range(m_subs)
     ]
 
-    def sub_dist_sql(vec_sql: str, m: int, cv) -> str:
-        arr = "array(" + ",".join(str(int(x)) for x in cv) + ")"
-        return (
-            f"aggregate(zip_with(slice({vec_sql}, {m * sub_dim + 1}, {sub_dim}), "
-            f"{arr}, (a, b) -> (a - b) * (a - b)), "
-            f"CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT))"
-        )
-
-    def code_sql(vec_sql: str, m: int) -> str:
-        structs = ",".join(
-            f"struct({sub_dist_sql(vec_sql, m, cv)} AS d, {j} AS j)"
-            for j, cv in enumerate(codebook[m])
-        )
-        return f"array_min(array({structs})).j"
-
     qq = quantize_int8(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_v")
@@ -1461,71 +1451,99 @@ def pq_adc_topk(
         "_v",
     ).select("query_id", F.col("q_vec").alias("_qq"))
 
-    def table_sql(m: int) -> str:
-        return "array(" + ",".join(
-            sub_dist_sql("_qq", m, cv) for cv in codebook[m]
-        ) + ")"
+    # r13: encode and ADC-table build run as Arrow numpy kernels (guide
+    # §4.2) instead of m_subs x n_codes interpreted aggregate/zip_with
+    # folds PER ROW (128 HOF evaluations/vector at the default 8x16
+    # geometry — the same interpreted-fold family the r12 verdict flagged
+    # on the IVF kernels). Exact-integer parity: the kernel computes the
+    # identical (q - c)^2 sums in int64 (|q|,|c| <= 127 -> per-sub sum
+    # <= 8*254^2, nowhere near wrap), and numpy argmin ties break on the
+    # FIRST (lowest) index — the same winner as array_min over
+    # struct(d, j). The codebook is a closure constant (m_subs x n_codes
+    # x sub_dim ints). Null / wrong-length vectors produce NULL codes /
+    # NULL tables, exactly like the folds' NULL propagation.
+    import numpy as np
 
-    cap = CENTROID_INLINE_MAX if inline_max is None else inline_max
-    if n_codes <= cap:
-        # literal-inlined codebook: fastest at catalog sizes (single
-        # analysis pass, no join), O(n_codes x sub_dim) expression tree
-        codes = eq.select(
-            "neighbor_id",
-            *[F.expr(code_sql("_q", m)).alias(f"c{m}") for m in range(m_subs)],
-        )
-        qtab = qq.select(
-            "query_id",
-            *[F.expr(table_sql(m)).alias(f"t{m}") for m in range(m_subs)],
-        )
-    else:
-        # production codebook sizes (256 codes x 8-16 subspaces): the
-        # codebook rides a broadcast one-row parameter table; encode and
-        # ADC-table build are constant-size HOF expressions, so analysis
-        # and codegen no longer grow with n_codes. Identical exact-
-        # integer arithmetic -> identical codes/tables either path.
-        cbtab = eq.sparkSession.createDataFrame(
-            [tuple(
-                [[int(x) for x in cv] for cv in codebook[m]]
-                for m in range(m_subs)
-            )],
-            ", ".join(f"_cb{m} array<array<int>>" for m in range(m_subs)),
-        )
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
 
-        def int_sqdist(a: Column, b: Column) -> Column:
-            return F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x.cast("long"),
-            )
+    ensure_package_on_executors(eq.sparkSession)
+    cb = np.array(codebook, dtype=np.int64)  # (m_subs, n_codes, sub_dim)
+    nid_t = dict(eq.dtypes)["neighbor_id"]
+    qid_t = dict(qq.dtypes)["query_id"]
+    _ms, _sd = m_subs, sub_dim
 
-        def sub_slice(vec: str, m: int) -> Column:
-            return F.slice(F.col(vec), m * sub_dim + 1, sub_dim)
+    def _valid_mask(col, _dim=dim):
+        return col.map(lambda v: v is not None and len(v) == _dim)
 
-        def code_col(m: int) -> Column:
-            def entry(cv: Column, i: Column) -> Column:
-                return F.struct(
-                    int_sqdist(sub_slice("_q", m), cv).alias("d"), i.alias("j")
+    def _encode_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["neighbor_id"] + [f"c{m}" for m in range(_ms)]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            ok = _valid_mask(pdf["_q"]).to_numpy(dtype=bool)
+            out = {"neighbor_id": pdf["neighbor_id"].to_numpy()}
+            n = len(pdf)
+            qm = (
+                np.stack(
+                    [np.asarray(x, dtype=np.int64) for x in pdf["_q"][ok]]
                 )
-
-            return (
-                F.array_min(F.transform(F.col(f"_cb{m}"), entry))
-                .getField("j")
-                .alias(f"c{m}")
+                if ok.any()
+                else np.zeros((0, _ms * _sd), dtype=np.int64)
             )
+            for m in range(_ms):
+                sub = qm[:, m * _sd : (m + 1) * _sd]
+                d = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
+                codes_ok = np.argmin(d, axis=1).astype(np.int64)
+                col = np.full(n, np.nan)
+                col[ok] = codes_ok
+                out[f"c{m}"] = pd.array(
+                    [None if np.isnan(x) else int(x) for x in col],
+                    dtype="Int32",
+                )
+            yield pd.DataFrame(out, columns=cols)
 
-        def tab_col(m: int) -> Column:
-            def dist(cv: Column) -> Column:
-                return int_sqdist(sub_slice("_qq", m), cv)
+    codes = eq.mapInPandas(
+        _encode_batches,
+        schema=f"neighbor_id {nid_t}, "
+        + ", ".join(f"c{m} int" for m in range(_ms)),
+    )
 
-            return F.transform(F.col(f"_cb{m}"), dist).alias(f"t{m}")
+    def _table_batches(batches):
+        import numpy as np
+        import pandas as pd
 
-        codes = eq.crossJoin(F.broadcast(cbtab)).select(
-            "neighbor_id", *[code_col(m) for m in range(m_subs)]
-        )
-        qtab = qq.crossJoin(F.broadcast(cbtab)).select(
-            "query_id", *[tab_col(m) for m in range(m_subs)]
-        )
+        cols = ["query_id"] + [f"t{m}" for m in range(_ms)]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            ok = _valid_mask(pdf["_qq"]).to_numpy(dtype=bool)
+            out = {"query_id": pdf["query_id"].to_numpy()}
+            qm = (
+                np.stack(
+                    [np.asarray(x, dtype=np.int64) for x in pdf["_qq"][ok]]
+                )
+                if ok.any()
+                else np.zeros((0, _ms * _sd), dtype=np.int64)
+            )
+            for m in range(_ms):
+                sub = qm[:, m * _sd : (m + 1) * _sd]
+                d = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
+                tables = iter(d.tolist())
+                out[f"t{m}"] = [
+                    [int(x) for x in next(tables)] if o else None for o in ok
+                ]
+            yield pd.DataFrame(out, columns=cols)
+
+    qtab = qq.mapInPandas(
+        _table_batches,
+        schema=f"query_id {qid_t}, "
+        + ", ".join(f"t{m} array<bigint>" for m in range(_ms)),
+    )
     # the encoded index: m_subs small codes per vector. Persisted — at
     # rest this IS the PQ index file; recomputing it per probe would
     # re-quantize per code (the CollapseProject-inlining trap).

@@ -277,7 +277,15 @@ def test_argmin_table_path_matches_inline(spark):
     assert di == dt
 
 
-def test_pq_table_path_matches_inline(spark, sf_dir):
+def test_pq_adc_kernel_matches_python_twin(spark, sf_dir):
+    """r13: encode + ADC tables run in Arrow numpy kernels (the former
+    inline-literal and broadcast-table fold paths collapsed into one).
+    Pin the full search against a pure-python twin of the r12 fold
+    semantics: md5-draw codebook, exact int64 (q-c)^2 sums, argmin
+    ties to the LOWEST code id, ADC = sum of table lookups, top-k by
+    (adc_dist, neighbor_id)."""
+    import hashlib
+
     from pygeoapi_ingestor_spark.operators import similarity
     from pygeoapi_ingestor_spark.sources.readers import read_table
 
@@ -288,12 +296,67 @@ def test_pq_table_path_matches_inline(spark, sf_dir):
         query_id_col="vec_id", query_vec_col="embedding",
         k=4, m_subs=8, n_codes=8, dim=64,
     )
-    inline = {tuple(r) for r in similarity.pq_adc_topk(e, q, **kw).collect()}
-    table = {
+    got = {tuple(r) for r in similarity.pq_adc_topk(e, q, **kw).collect()}
+    # inline_max retained for API compatibility; both values must give
+    # the one kernel path's answer
+    got2 = {
         tuple(r)
         for r in similarity.pq_adc_topk(e, q, inline_max=0, **kw).collect()
     }
-    assert inline == table and len(inline) > 0
+    assert got == got2 and len(got) > 0
+
+    # python twin over Spark's own (unchanged) quantization — the
+    # kernel rewrite touched only the integer encode/table/scan logic,
+    # so the twin starts from the quantized ints, not the floats
+    vecs = {
+        r["vec_id"]: [int(x) for x in r["q_vec"]]
+        for r in similarity.quantize_int8(
+            e.select("vec_id", "embedding"), "embedding"
+        ).select("vec_id", "q_vec").collect()
+    }
+    seeds = sorted(
+        sorted(vecs, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:8]
+    )
+    m_subs, sub_dim, kk = 8, 8, 4
+    cb = [
+        [vecs[s][m * sub_dim:(m + 1) * sub_dim] for s in seeds]
+        for m in range(m_subs)
+    ]
+
+    def code(v, m):
+        sub = v[m * sub_dim:(m + 1) * sub_dim]
+        ds = [
+            sum((a - b) * (a - b) for a, b in zip(sub, cvec))
+            for cvec in cb[m]
+        ]
+        return ds.index(min(ds))
+
+    qids = [r["vec_id"] for r in q.select("vec_id").collect()]
+    want = set()
+    for qid in qids:
+        tabs = [
+            [
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(
+                        vecs[qid][m * sub_dim:(m + 1) * sub_dim], cvec
+                    )
+                )
+                for cvec in cb[m]
+            ]
+            for m in range(m_subs)
+        ]
+        scored = sorted(
+            (
+                sum(tabs[m][code(v, m)] for m in range(m_subs)),
+                nid,
+            )
+            for nid, v in vecs.items()
+            if nid != qid
+        )
+        for rank, (d, nid) in enumerate(scored[:kk], 1):
+            want.add((qid, nid, d, rank))
+    assert got == want
 
 
 def test_production_k_plan_analysis_fast(spark):

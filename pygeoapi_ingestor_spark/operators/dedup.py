@@ -134,6 +134,9 @@ def minhash_signatures(
     (e.g. the exact-verify stage) pass a persisted one in, so the
     costliest stage of the pipeline — tokenize + lead-window + distinct
     over every token occurrence — runs once, not per consumer."""
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
     sh = shingles_df if shingles_df is not None else shingles(
         df, id_col, text_col, n=n
     )
@@ -147,27 +150,61 @@ def minhash_signatures(
         h2 = F.xxhash64(F.col("shingle"), F.lit(1))
         width = 64
     sh = sh.select("doc", h1.alias("_h1"), h2.alias("_h2"))
+    id_t = dict(df.dtypes)[id_col] if shingles_df is None else dict(
+        shingles_df.dtypes
+    )["doc"]
 
-    def rotl(col, i):
-        r = i % width
-        if r == 0:
-            return col
-        if width == 64:
-            return F.shiftleft(col, r).bitwiseOR(
-                F.shiftrightunsigned(col, width - r)
+    # r13: the h_i = h1 XOR rotl(h2, 7i+1) family and the per-doc mins
+    # run in an Arrow numpy kernel (guide §4.2) instead of num_hashes
+    # shift/or/xor aggregate expressions — the 32-wide agg tree was
+    # ~0.7 s/side of per-invocation JVM work at bench SF and a slice of
+    # the fresh-session codegen tax. Bit parity: identical uint64
+    # shifts (the 60-bit ring masks exactly as the JVM expression did),
+    # and the per-doc min is taken on the int64 REINTERPRETATION of the
+    # rotated value — the same signed min Spark's min(long) computes;
+    # per-batch partial mins combine under the JVM min() aggregate, so
+    # cross-batch order is irrelevant.
+    _nh, _w = num_hashes, width
+
+    def _sig_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["doc"] + [f"m{i}" for i in range(_nh)]
+        rs = [(7 * i + 1) % _w for i in range(_nh)]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            h1v = pdf["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2v = pdf["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            data = {"doc": pdf["doc"].to_numpy()}
+            for i in range(_nh):
+                r = rs[i]
+                if r == 0:
+                    rot = h2v
+                elif _w == 64:
+                    rot = (h2v << np.uint64(r)) | (h2v >> np.uint64(64 - r))
+                else:
+                    mask = np.uint64((1 << (_w - r)) - 1)
+                    rot = ((h2v & mask) << np.uint64(r)) | (
+                        h2v >> np.uint64(_w - r)
+                    )
+                data[f"m{i}"] = (h1v ^ rot).view(np.int64)
+            g = (
+                pd.DataFrame(data, columns=cols)
+                .groupby("doc", sort=False, as_index=False)
+                .min()
             )
-        # 60-bit ring: mask the bits that survive the shift so the
-        # shifted value stays < 2**60 (no sign bit, no engine overflow)
-        mask = (1 << (width - r)) - 1
-        return F.shiftleft(col.bitwiseAND(F.lit(mask)), r).bitwiseOR(
-            F.shiftrightunsigned(col, width - r)
-        )
+            yield g[cols]
 
-    mins = [
-        F.min(F.col("_h1").bitwiseXOR(rotl(F.col("_h2"), 7 * i + 1))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("doc").agg(*mins)
+    partials = sh.mapInPandas(
+        _sig_batches,
+        schema=f"doc {id_t}, " + ", ".join(f"m{i} bigint" for i in range(_nh)),
+    )
+    sig = partials.groupBy("doc").agg(
+        *[F.min(f"m{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
     return sig.select(
         "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
     )
@@ -1207,21 +1244,26 @@ def ppjoin_pairs(
             df.select(F.col(id_col).alias("doc"), F.explode(words).alias("w"))
             .distinct()
         )
-    # four DAG branches read the token table (df counts, per-doc sort,
-    # both verification sides): materialize the tokenization once
+    # the token table feeds the df counts and the rarity join:
+    # materialize the tokenization once
     from pyspark import StorageLevel
 
     toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
     ranked = toks.join(dfreq, "w")
     # per-doc tokens ordered by (global df asc, token): rarest first —
-    # the order that makes prefixes maximally selective
+    # the order that makes prefixes maximally selective. Persisted: the
+    # prefix explode AND the verify stage below both read it (r13 — the
+    # verify previously re-aggregated toks into per-doc arrays with a
+    # SECOND groupBy(doc) collect_list; _sorted already holds exactly
+    # those distinct tokens, and array_intersect is order-blind, so the
+    # extra shuffle bought nothing).
     per_doc = ranked.groupBy("doc").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("_df").alias("d"), F.col("w").alias("w")))
         ).alias("_sorted"),
         F.count(F.lit(1)).cast("bigint").alias("size"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     prefix_len = (
         F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
     ).cast("int")
@@ -1263,10 +1305,16 @@ def ppjoin_pairs(
     # one codegen intersect per CANDIDATE pair, replacing the r12
     # explode-by-|A| + semi-join + re-aggregate (three shuffles whose
     # row count was candidates × tokens; this one's is candidates +
-    # 2·docs). Token arrays are distinct by construction (shingles()
-    # ends in dropDuplicates), so |array_intersect| == |A ∩ B| — the
-    # same integer the exploded count produced.
-    tok_arrays = toks.groupBy("doc").agg(F.collect_list("w").alias("_toks"))
+    # 2·docs). The arrays are projected straight out of the persisted
+    # per_doc table (its _sorted structs hold each doc's distinct
+    # tokens; array_intersect is order-blind), so the verify adds NO
+    # aggregation of its own. Tokens are distinct by construction, so
+    # |array_intersect| == |A ∩ B| — the same integer the exploded
+    # count produced.
+    tok_arrays = per_doc.select(
+        "doc",
+        F.transform("_sorted", lambda s: s.getField("w")).alias("_toks"),
+    )
     inter = (
         cand.join(
             tok_arrays.select(F.col("doc").alias("doc_a"), F.col("_toks").alias("_ta")),

@@ -347,3 +347,43 @@ def test_simhash_arrow_kernel_matches_python_twin(spark):
             sim -= 1 << 64
         want[doc_id] = sim
     assert got == want
+
+
+def test_minhash_kernel_matches_python_twin(spark):
+    """The Arrow minhash kernel must reproduce h_i = h1 XOR rotl(h2,
+    7i+1) with per-doc signed-min semantics, including the 60-bit md5
+    ring's mask-then-shift rotation. Twin in pure Python."""
+    import hashlib
+
+    from pygeoapi_ingestor_spark.operators import dedup
+
+    rows = [(1, "aa bb cc dd ee ff gg"), (2, "aa bb cc xx yy zz ww")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc"]: list(r["signature"])
+        for r in dedup.minhash_signatures(
+            df, "doc_id", "text", n=3, num_hashes=32, shingle_hash="md5"
+        ).collect()
+    }
+
+    def shingles3(text):
+        ws = text.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    def rotl60(v, r):
+        r %= 60
+        if r == 0:
+            return v
+        return ((v & ((1 << (60 - r)) - 1)) << r) | (v >> (60 - r))
+
+    want = {}
+    for doc_id, text in rows:
+        hs = []
+        for s in shingles3(text):
+            hx = hashlib.md5(s.encode()).hexdigest()
+            hs.append((int(hx[:15], 16), int(hx[16:31], 16)))
+        want[doc_id] = [
+            min(h1 ^ rotl60(h2, 7 * i + 1) for h1, h2 in hs)
+            for i in range(32)
+        ]
+    assert got == want

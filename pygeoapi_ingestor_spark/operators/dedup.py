@@ -719,7 +719,7 @@ def embedding_cosine_pairs_bucketed(
         import pandas as pd
 
         w_ = bc_w.value
-        cols = ["doc", "vec", "nrm"] + [f"k{b}" for b in range(bands)]
+        cols = ["doc"] + [f"k{b}" for b in range(bands)]
         for pdf in batches:
             if len(pdf):
                 pdf = pdf[vec_ok_mask(pdf["vec"], dim)]
@@ -729,8 +729,7 @@ def embedding_cosine_pairs_bucketed(
             vm = np.stack(
                 [np.asarray(x, dtype=np.float64) for x in pdf["vec"]]
             )
-            out = {"doc": pdf["doc"].to_numpy(), "vec": pdf["vec"],
-                   "nrm": seq_norm(vm)}
+            out = {"doc": pdf["doc"].to_numpy()}
             bits = [
                 (seq_dot_row(vm, w_[p]) > 0).astype(np.int64)
                 for p in range(n_planes)
@@ -743,23 +742,27 @@ def embedding_cosine_pairs_bucketed(
             yield pd.DataFrame(out, columns=cols)
 
     id_t = dict(embeddings.dtypes)[id_col]
-    vec_t = dict(embeddings.dtypes)[vec_col]
-    sig_schema = f"doc {id_t}, vec {vec_t}, nrm double, " + ", ".join(
+    sig_schema = f"doc {id_t}, " + ", ".join(
         f"k{b} bigint" for b in range(bands)
     )
-    base = embeddings.select(
-        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
-    ).mapInPandas(sig_batches, schema=sig_schema)
-    # materialize the signature table before the pair join: without the
-    # barrier the Arrow projection stage would re-run for the join's
-    # both sides and the vector lookups. The persisted (id, keys, norm)
-    # table is the LSH index artifact itself. CACHE CONTRACT: operators
+    # r13: the signature kernel emits ONLY (id, band keys) — the vector
+    # and its norm never ride through the band explode or the pair join
+    # (the norm is recomputed inside the cosine kernel with the same
+    # seq_norm accumulation, bit-identical), and the vector lookups are
+    # re-pointed at the input table below. The persist barrier stays —
+    # the self-join consumes `banded` on BOTH sides (stream + broadcast
+    # build), and without the barrier the kernel re-executes per side
+    # (measured: warm 2.8 -> 4.1 s) — but it now materializes 9 longs
+    # per doc instead of (vec, nrm, keys). CACHE CONTRACT: operators
     # never unpersist their returned lineage — a long-lived service
-    # clears blocks between jobs (bench.py's clearCache is the model; a
-    # scheduler would do the same).
+    # clears blocks between jobs (bench.py's clearCache is the model).
     from pyspark import StorageLevel
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base = embeddings.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
+    ).mapInPandas(sig_batches, schema=sig_schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     keys = [f"k{b}" for b in range(bands)]
     # banding carries only (id, band keys) — payload vectors stay out of
     # the explode/join and come back via an id-equi-join afterwards, so
@@ -792,11 +795,15 @@ def embedding_cosine_pairs_bucketed(
     cand = a.join(b, cond).select(
         F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
     )
-    va = base.select(
-        F.col("doc").alias("doc_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    # vector lookups come straight from the input table (column-pruned
+    # scan), not from the signature kernel: docs the kernel dropped
+    # (null / wrong-length vectors) cannot appear in `cand`, so the
+    # inner joins reproduce the old filtered attach exactly
+    va = embeddings.select(
+        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("vec_a")
     )
-    vb = base.select(
-        F.col("doc").alias("doc_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    vb = embeddings.select(
+        F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vec_b")
     )
     scored = cand.join(va, "doc_a").join(vb, "doc_b")
 
@@ -825,7 +832,10 @@ def embedding_cosine_pairs_bucketed(
             acc = am[:, 0] * bm[:, 0]
             for d in range(1, am.shape[1]):
                 acc = acc + am[:, d] * bm[:, d]
-            denom = pdf["nrm_a"].to_numpy() * pdf["nrm_b"].to_numpy()
+            # norms recomputed here with the SAME seq_norm accumulation
+            # the signature kernel used when it carried them (r13: the
+            # attach joins ship only (id, vec), one fewer column each)
+            denom = seq_norm(am) * seq_norm(bm)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom > 0.0, acc / denom, np.nan)
             yield pd.DataFrame(
@@ -835,7 +845,7 @@ def embedding_cosine_pairs_bucketed(
             )
 
     pairs_cos = scored.select(
-        "doc_a", "doc_b", "vec_a", "vec_b", "nrm_a", "nrm_b"
+        "doc_a", "doc_b", "vec_a", "vec_b"
     ).mapInPandas(cos_batches, schema=f"doc_a {id_t}, doc_b {id_t}, cosine double")
     return (
         pairs_cos
@@ -1108,8 +1118,12 @@ def span_dedup(
     winners = exploded.groupBy("chunk").agg(
         F.min(F.struct("doc", "idx")).alias("_w")
     )
-    kept = exploded.join(winners, "chunk").filter(
-        (F.col("doc") == F.col("_w.doc")) & (F.col("idx") == F.col("_w.idx"))
+    # the winner row IS the surviving occurrence: each distinct chunk
+    # survives exactly at its min (doc, idx), so re-joining the exploded
+    # table against the winners and filtering for equality (the previous
+    # shape — one more exchange + join) reproduces precisely these rows
+    kept = winners.select(
+        F.col("_w.doc").alias("doc"), F.col("_w.idx").alias("idx"), "chunk"
     )
     rebuilt = (
         kept.groupBy("doc")

@@ -249,6 +249,26 @@ def cosine_topk(
     )
 
 
+def quantize_int8_np(vm):
+    """Numpy twin of ``quantize_int8``'s per-row expression, bit-exact:
+    scale = max(abs(v)) (or 1.0 when the max is 0), y = v*127.0/scale
+    evaluated in float64 in the SAME operation order as the JVM
+    expression, then HALF_UP rounding — Spark's ``round(_, 0)`` on a
+    double rounds half AWAY from zero, while numpy rounds half-to-even,
+    so the tie is replicated as floor(|y| + 0.5)*sign(y). The tie test
+    is exact: |y| <= 127-ish keeps y's exponent small enough that
+    |y| + 0.5 is computed without rounding error (both operands fit one
+    53-bit significand), so no near-tie can be pushed across an integer
+    boundary. Returns (q int64 (n, dim), scale float64 (n,))."""
+    import numpy as np
+
+    mx = np.abs(vm).max(axis=1)
+    scale = np.where(mx > 0.0, mx, 1.0)
+    y = vm * 127.0 / scale[:, None]
+    q = (np.floor(np.abs(y) + 0.5) * np.sign(y)).astype(np.int64)
+    return q, scale
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str, out_prefix: str = "q"
 ) -> DataFrame:
@@ -963,33 +983,126 @@ def cosine_topk_int8(
     query_id_col: str,
     query_vec_col: str,
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine over int8-QUANTIZED vectors — the compute path
     of a compressed vector index (4-8x less scan bandwidth at rest; see
     ``quantize_int8``). Per-vector scales cancel inside cosine, so the
     score is pure integer dot products cast to double: bounded exact
     arithmetic (|dot| <= dim * 127^2), bit-identical across engines.
-    Same broadcast + window shape as ``cosine_topk``."""
-    eq = quantize_int8(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")),
-        "_v",
-    ).select("neighbor_id", F.col("q_vec").alias("_vec"))
-    qq = F.broadcast(
-        quantize_int8(
-            queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_v")),
+
+    With ``dim`` given, quantization AND scoring run in one Arrow
+    kernel (the ``_cosine_topk_arrow`` shape): the query side quantizes
+    on the driver (small by contract) and broadcasts; each corpus batch
+    quantizes with ``quantize_int8_np`` (bit-parity with the JVM
+    expression — pinned by test), scores with exact int64 matmul
+    (integer sums are order-independent, so no sequential-fold dance is
+    needed), and emits only its batch-local top-k per query. The
+    division ``dot / (sqrt(na)*sqrt(nb))`` reproduces the JVM
+    ``_norm * _norm`` denominator float-for-float: both norms are
+    sqrt() of an exactly-representable integer (< 2^53). Zero-norm /
+    null / wrong-length vectors drop from rankings (the fold path's
+    NULL-cosine rows ranked last and never made top-k on any corpus
+    with >= k valid rows — same convention as ``cosine_topk``).
+
+    Without ``dim`` the original fold-expression path runs unchanged."""
+    if dim is None:
+        eq = quantize_int8(
+            embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")),
             "_v",
-        ).select("query_id", F.col("q_vec").alias("_qvec"))
+        ).select("neighbor_id", F.col("q_vec").alias("_vec"))
+        qq = F.broadcast(
+            quantize_int8(
+                queries.select(F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_v")),
+                "_v",
+            ).select("query_id", F.col("q_vec").alias("_qvec"))
+        )
+        joined = eq.crossJoin(qq).filter(F.col("neighbor_id") != F.col("query_id"))
+        cos = _dot(F.col("_vec"), F.col("_qvec")) / _safe_denom(
+            _norm(F.col("_vec")) * _norm(F.col("_qvec"))
+        )
+        scored = joined.withColumn("cosine_q", cos)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_q").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine_q", F.col("rank").cast("int"))
+        )
+
+    import numpy as np
+
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
+
+    spark = embeddings.sparkSession
+    ensure_package_on_executors(spark)
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = [r for r in qrows if r[1] is not None and len(r[1]) == dim]
+    qids = [r[0] for r in qrows]
+    if qrows:
+        qm, _ = quantize_int8_np(
+            np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        )
+        qn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+    else:  # pragma: no cover - degenerate empty query set
+        qm, qn = None, None
+    bc = spark.sparkContext.broadcast((qids, qm, qn))
+
+    id_t = dict(embeddings.dtypes)[id_col]
+    qid_t = dict(queries.dtypes)[query_id_col]
+    out_schema = f"query_id {qid_t}, neighbor_id {id_t}, cosine_q double"
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
     )
-    joined = eq.crossJoin(qq).filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("_vec"), F.col("_qvec")) / _safe_denom(
-        _norm(F.col("_vec")) * _norm(F.col("_qvec"))
-    )
-    scored = joined.withColumn("cosine_q", cos)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids_, qm_, qn_ = bc.value
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine_q": []}
+        )
+        for pdf in batches:
+            if not len(qids_) or not len(pdf):
+                yield empty
+                continue
+            vecs = pdf["_vec"]
+            ok = vec_ok_mask(vecs, dim)
+            if not ok.any():
+                yield empty
+                continue
+            ids = pdf["neighbor_id"].to_numpy()[ok]
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+            )
+            qb, _ = quantize_int8_np(vm)
+            dots = (qb @ qm_.T).astype(np.float64)
+            nrm = np.sqrt((qb * qb).sum(axis=1).astype(np.float64))
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(qids_):
+                denom = nrm * qn_[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0.0, dots[:, j] / denom, np.nan)
+                valid = ~np.isnan(cos) & (ids != qid)
+                vidx = np.nonzero(valid)[0]
+                if not len(vidx):
+                    continue
+                order = vidx[np.lexsort((ids[vidx], -cos[vidx]))][:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids[order])
+                out_c.extend(cos[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine_q": out_c}
+            )
+
+    pairs = e.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_q").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_q", F.col("rank").cast("int"))
     )

@@ -646,6 +646,7 @@ def q_sim_search_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.cosine_topk_int8(
         e, q, id_col="vec_id", vec_col="embedding",
         query_id_col="vec_id", query_vec_col="embedding", k=TOPK,
+        dim=EMB_DIM,
     )
     return out.select(
         "query_id", "neighbor_id",
@@ -3067,6 +3068,59 @@ EMB_DIM = 64
 RP_PLANES = 8
 
 
+def _rp_proj_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q_scale, p0..p7, q2) in ONE Arrow pass — int8
+    quantization (``quantize_int8_np``, bit-parity with the JVM
+    ``quantize_int8`` expression pinned by test) followed by the 8
+    integer RP dots and the squared norm as an exact int64 matmul
+    (integer sums are order-free, so no fold-order dance). Replaces
+    8 interpreted zip_with/aggregate folds + 1 transform fold per row
+    (r13: the last interpreted-HOF family in the catalog's warm set)."""
+    import numpy as np
+
+    from pygeoapi_ingestor_spark.operators.similarity import (
+        quantize_int8_np,
+        vec_ok_mask,
+    )
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    w_np = np.array(
+        similarity.md5_plane_weights(EMB_DIM, RP_PLANES, seed=11),
+        dtype=np.int64,
+    )
+    bc_w = spark.sparkContext.broadcast(w_np)
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cols = ["vec_id", "q_scale"] + [f"p{p}" for p in range(RP_PLANES)] + ["q2"]
+
+    def proj(batches):
+        import numpy as np
+        import pandas as pd
+
+        w_ = bc_w.value
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf[vec_ok_mask(pdf["embedding"], EMB_DIM)]
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            q, scale = quantize_int8_np(vm)
+            pm = q @ w_.T
+            out = {"vec_id": pdf["vec_id"].to_numpy(), "q_scale": scale}
+            for p in range(RP_PLANES):
+                out[f"p{p}"] = pm[:, p]
+            out["q2"] = (q * q).sum(axis=1)
+            yield pd.DataFrame(out, columns=cols)
+
+    schema = "vec_id bigint, q_scale double, " + ", ".join(
+        f"p{p} bigint" for p in range(RP_PLANES)
+    ) + ", q2 bigint"
+    return e.mapInPandas(proj, schema=schema)
+
+
 def q_embedding_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection (Achlioptas sign-matrix) dimensionality
     reduction of the embedding table to RP_PLANES components, plus the
@@ -3078,37 +3132,18 @@ def q_embedding_rp_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic rounding), the +/-1 plane matrix is the engine-neutral
     md5 draw, and each projection is an INTEGER dot product — exact in any
     summation order, so the hash gate closes without float-order tricks.
-    Pure projection: no shuffle, no UDF; the one aggregate below is the
-    per-source QA rollup of the JL ratio.
+    Pure projection: no shuffle, no join; quantization + dots run in the
+    shared Arrow kernel (``_rp_proj_frame``), the JL rollup is a scalar
+    expression over its integer outputs.
     """
-    e = similarity.quantize_int8(_emb(spark, sf_dir), vec_col="embedding")
-    weights = similarity.md5_plane_weights(EMB_DIM, RP_PLANES, seed=11)
-    proj_cols = []
-    for p in range(RP_PLANES):
-        w_arr = F.lit([int(x) for x in weights[p]])
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("q_vec"), w_arr, lambda x, wgt: (x * wgt).cast("bigint")
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        proj_cols.append(proj.alias(f"p{p}"))
-    q2 = F.aggregate(
-        F.transform(F.col("q_vec"), lambda x: (x * x).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    projected = e.select(
-        "vec_id", F.round("q_scale", 6).alias("q_scale"), *proj_cols, q2.alias("q2")
-    )
+    projected = _rp_proj_frame(spark, sf_dir)
     p2 = None
     for p in range(RP_PLANES):
         term = F.col(f"p{p}") * F.col(f"p{p}")
         p2 = term if p2 is None else p2 + term
     return projected.select(
         "vec_id",
-        "q_scale",
+        F.round("q_scale", 6).alias("q_scale"),
         *[F.col(f"p{p}") for p in range(RP_PLANES)],
         F.when(
             F.col("q2") > 0,
@@ -3622,37 +3657,65 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id_col="vec_id", query_vec_col="embedding", k=RRF_LIST, dim=64,
     ).select("query_id", "neighbor_id", F.col("rank").alias("r1"))
 
-    # the projection table branches into corpus and query sides;
-    # interpreted HOFs get no common-subexpression elimination, so
-    # persist the tiny (vec_id, p0..p7) table or the 8 fold projections
-    # recompute per consumer (the round-4 index-artifact lesson)
-    proj = similarity.quantize_int8(e, vec_col="embedding").select(
-        "vec_id", *_rp_proj_cols()
-    ).persist()
-    pa = proj.select(
+    # compressed retriever (r13 rewrite): the corpus side's 8 integer RP
+    # projections come from the shared Arrow kernel (one pass, no
+    # interpreted folds, no persist barrier); the QUERY side is 5 rows
+    # by construction, so its projections are computed on the driver
+    # with the same numpy kernel and shipped as a local relation — the
+    # kernel never runs twice and the 5-row parquet read happens once
+    # at build. Scoring is 8 scalar bigint products per pair — pure
+    # whole-stage codegen, exact integer arithmetic (identical values
+    # to the folds it replaces, in any order).
+    import numpy as np
+
+    from pygeoapi_ingestor_spark.operators.similarity import quantize_int8_np
+
+    pa = _rp_proj_frame(spark, sf_dir).select(
         F.col("vec_id").alias("neighbor_id"),
-        F.array(*[f"p{p}" for p in range(RP_PLANES)]).alias("pv"),
+        *[F.col(f"p{p}") for p in range(RP_PLANES)],
     )
-    pq = proj.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"),
-        F.array(*[f"p{p}" for p in range(RP_PLANES)]).alias("qv"),
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("pv"), F.col("qv"), lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    qrows = [r for r in qrows if r[1] is not None and len(r[1]) == EMB_DIM]
+    w_np = np.array(
+        similarity.md5_plane_weights(EMB_DIM, RP_PLANES, seed=11),
+        dtype=np.int64,
     )
-    n2 = lambda c: F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x * x),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    if qrows:
+        qq, _ = quantize_int8_np(
+            np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        )
+        qp = qq @ w_np.T
+    else:  # pragma: no cover - degenerate empty query set
+        qp = np.zeros((0, RP_PLANES), dtype=np.int64)
+    pq = spark.createDataFrame(
+        [
+            (int(r[0]), *[int(qp[i, p]) for p in range(RP_PLANES)])
+            for i, r in enumerate(qrows)
+        ],
+        "query_id bigint, " + ", ".join(
+            f"q{p} bigint" for p in range(RP_PLANES)
+        ),
     )
+    dot = None
+    na = None
+    nb = None
+    for p in range(RP_PLANES):
+        d_t = F.col(f"p{p}") * F.col(f"q{p}")
+        a_t = F.col(f"p{p}") * F.col(f"p{p}")
+        b_t = F.col(f"q{p}") * F.col(f"q{p}")
+        dot = d_t if dot is None else dot + d_t
+        na = a_t if na is None else na + a_t
+        nb = b_t if nb is None else nb + b_t
     scored = (
         pa.crossJoin(F.broadcast(pq))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("_d", dot)
-        .withColumn("_na", n2("pv"))
-        .withColumn("_nb", n2("qv"))
+        .withColumn("_na", na)
+        .withColumn("_nb", nb)
         .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
         .withColumn(
             "sim8",

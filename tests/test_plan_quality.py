@@ -256,12 +256,15 @@ def test_repetition_metrics_no_cartesian_no_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_sim_search_int8_stays_jvm_side(spark, sf_dir):
-    """int8 ANN: quantization and scoring are column expressions — the
-    query side broadcasts, no Python eval anywhere."""
+def test_sim_search_int8_arrow_kernel_no_join(spark, sf_dir):
+    """int8 ANN (r13): quantization + integer scoring + batch-local
+    top-k run in ONE Arrow kernel against the broadcast query matrix —
+    no per-pair join at all, no row-at-a-time Python, and the only
+    exchange left is the per-query rank window."""
     plan = _simple(QUERIES["sim_search_int8"](spark, sf_dir))
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
 
 
 def test_percentile_and_topk_sorts_are_bucketed(spark, sf_dir):

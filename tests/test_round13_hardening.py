@@ -387,3 +387,65 @@ def test_minhash_kernel_matches_python_twin(spark):
             for i in range(32)
         ]
     assert got == want
+
+
+def test_quantize_int8_np_matches_jvm_expression(spark):
+    """The numpy quantization twin must reproduce the JVM quantize_int8
+    expression bit-for-bit, including HALF_UP ties (Spark round() rounds
+    half AWAY from zero; numpy's default rounds half-to-even) and the
+    zero-vector scale fallback. Adversarial rows: exact .5 ties both
+    signs, near-ties one ulp away, zero vectors, denormal-ish scales."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.operators.similarity import (
+        quantize_int8,
+        quantize_int8_np,
+    )
+
+    rows = [
+        (0, [2.5, -2.5, 0.5, -0.5, 1.5, -1.5, 127.0, -127.0]),
+        (1, [math.nextafter(2.5, 0.0), math.nextafter(2.5, 5.0),
+             math.nextafter(-2.5, 0.0), math.nextafter(-2.5, -5.0),
+             0.25, -0.25, 63.5, -63.5]),
+        (2, [0.0] * 8),
+        (3, [1e-12, -1e-12, 2e-12, -2e-12, 5e-13, 1e-12, 0.0, 1e-12]),
+        (4, [0.1, 0.2, 0.3, -0.4, 0.05, -0.06, 0.007, 0.9999999]),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    jvm = {
+        r["id"]: (list(r["q_vec"]), r["q_scale"])
+        for r in quantize_int8(df, "v").collect()
+    }
+    for rid, vec in rows:
+        q, scale = quantize_int8_np(np.asarray([vec], dtype=np.float64))
+        assert list(q[0]) == jvm[rid][0], f"row {rid}"
+        assert float(scale[0]) == jvm[rid][1], f"row {rid} scale"
+
+
+def test_cosine_topk_int8_arrow_matches_fold_path(spark, sf_dir):
+    """The r13 Arrow kernel of cosine_topk_int8 (dim given) must return
+    the exact rows of the fold-expression path (dim=None) on the real
+    corpus — quantization, integer dots, sqrt(na)*sqrt(nb) denominator
+    and (cosine desc, id asc) tie-breaks all bit-identical."""
+    from pyspark.sql import functions as F
+
+    from pygeoapi_ingestor_spark.operators.similarity import cosine_topk_int8
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") < 7)
+    kwargs = dict(
+        id_col="vec_id", vec_col="embedding",
+        query_id_col="vec_id", query_vec_col="embedding", k=5,
+    )
+    old = cosine_topk_int8(e, q, **kwargs).collect()
+    new = cosine_topk_int8(e, q, dim=64, **kwargs).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, new), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, old), key=lambda t: (t[0], t[3])
+    )

@@ -3302,42 +3302,47 @@ def q_minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (before trusting the banding config on a new corpus, measure how
     far the 32-hash estimate strays on real pairs).
 
-    Exact side touches candidate pairs only (the lsh_verified join
-    shape, threshold-free); every count is integer, the two ratios and
-    the error are the only floats. Oracle: the candidate-oracle SQL as
-    a subquery joined to the shingle-intersection CTEs.
+    Exact side touches candidate pairs only; every count is integer,
+    the two ratios and the error are the only floats. r13 (the item-7
+    ppjoin pattern): the shingle intersection is ONE codegen
+    ``size(array_intersect(...))`` per candidate over per-doc distinct
+    shingle arrays — replacing the explode-by-tokens join + pair
+    re-aggregation (three shuffles whose row count was candidates ×
+    shingles) — and sizes ride the same arrays, so the separate sizes
+    aggregate + two extra joins are gone. Every candidate doc has
+    shingles by construction (its signature exists), so the inner
+    array joins keep exactly the rows the old left-join + inner sizes
+    joins kept, and n_common = 0 falls out of an empty intersection
+    instead of the old coalesce. Oracle unchanged: the candidate-oracle
+    SQL joined to the shingle-intersection CTEs.
     """
+    sh = dedup.shingles(_docs(spark, sf_dir), id_col="doc_id", text_col="text", n=3)
     cand = dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text",
-        n=3, num_hashes=32, bands=8, shingle_hash="md5",
+        n=3, num_hashes=32, bands=8, shingle_hash="md5", shingles_df=sh,
     )
-    sh = dedup.shingles(_docs(spark, sf_dir), id_col="doc_id", text_col="text", n=3)
-    sizes = sh.groupBy("doc").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    from pyspark import StorageLevel
+
+    per_doc = sh.groupBy("doc").agg(
+        F.collect_list("shingle").alias("_arr")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pa = per_doc.select(
+        F.col("doc").alias("doc_a"), F.col("_arr").alias("_ta"),
+        F.size("_arr").cast("bigint").alias("size_a"),
     )
-    sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("shingle").alias("_sha"))
-    sh_b = sh.select(F.col("doc").alias("_docb"), F.col("shingle").alias("_shb"))
-    inter = (
-        cand.select("doc_a", "doc_b")
-        .join(sh_a, "doc_a")
-        .join(
-            sh_b,
-            (F.col("doc_b") == F.col("_docb")) & (F.col("_sha") == F.col("_shb")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    pb = per_doc.select(
+        F.col("doc").alias("doc_b"), F.col("_arr").alias("_tb"),
+        F.size("_arr").cast("bigint").alias("size_b"),
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    n_common = F.size(F.array_intersect("_ta", "_tb")).cast("bigint")
     exact = (
         F.col("n_common")
         / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double")
     )
     return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_common", F.coalesce("n_common", F.lit(0)).cast("bigint"))
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("n_common", n_common)
         .select(
             "doc_a", "doc_b", "n_common", "size_a", "size_b",
             F.round("est_jaccard", 6).alias("est_jaccard"),
@@ -3924,51 +3929,119 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     miner that feeds metric-learning / embedding-finetune pipelines,
     and a labeling-QA signal (negative margins = label noise).
 
-    Anchors broadcast (bounded sample); per-anchor extremes are single
-    max/min STRUCT aggregates over the label-filtered similarity pass
-    (map-side combinable — no per-anchor sort, no rank window). Cosines
-    are the deterministic left-fold dot products, ids break ties inside
-    the struct ordering.
+    Anchors collect to the driver (bounded sample, the
+    `_cosine_topk_arrow` precedent) and ONE Arrow kernel scores each
+    corpus batch against the anchor matrix with the same sequential
+    left-fold accumulation the zip_with/aggregate expressions used
+    (`seq_dot_row`/`seq_norm` — bit-identical cosines), emitting one
+    batch-local extreme pair per anchor; the JVM combines partials with
+    the same max/min STRUCT aggregates as before (extremes are a
+    monoid, so partial-then-final equals the old all-rows aggregate
+    exactly). Null / wrong-length corpus vectors drop from rankings
+    (the fold path's NULL-cosine convention — same as every Arrow
+    kernel in this family); NaN cosines (zero-norm vectors) keep
+    Spark's NaN-is-largest ordering via a +inf sort key.
     """
-    e = _emb(spark, sf_dir)
-    anchors = e.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("embedding").alias("a_vec"),
-        F.col("label").alias("a_label"),
+    import numpy as np
+
+    from pygeoapi_ingestor_spark.operators.similarity import (
+        seq_dot_row,
+        seq_norm,
+        vec_ok_mask,
     )
-    corpus = e.select(
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    e = _emb(spark, sf_dir)
+    arows = (
+        e.filter(F.col("vec_id") < TRIPLET_ANCHORS)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    arows = [r for r in arows if r[1] is not None and len(r[1]) == EMB_DIM]
+    aids = [int(r[0]) for r in arows]
+    albl = [r[2] for r in arows]
+    if arows:
+        am = np.stack([np.asarray(r[1], dtype=np.float64) for r in arows])
+        an = seq_norm(am)
+    else:  # pragma: no cover - degenerate empty anchor set
+        am, an = None, None
+    bc = spark.sparkContext.broadcast((aids, albl, am, an))
+
+    def extremes(batches):
+        import numpy as np
+        import pandas as pd
+
+        aids_, albl_, am_, an_ = bc.value
+        cols = ["anchor_id", "a_label", "hn_cos", "hn_nid", "ep_cos", "ep_pid"]
+        empty = pd.DataFrame(columns=cols)
+        for pdf in batches:
+            if not len(aids_) or not len(pdf):
+                yield empty
+                continue
+            ok = vec_ok_mask(pdf["c_vec"], EMB_DIM)
+            if not ok.any():
+                yield empty
+                continue
+            ids = pdf["cand_id"].to_numpy()[ok]
+            lbl = pdf["c_label"].to_numpy()[ok]
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["c_vec"][ok]]
+            )
+            nrm = seq_norm(vm)
+            out = {c: [] for c in cols}
+            for j, aid in enumerate(aids_):
+                dots = seq_dot_row(vm, am_[j])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (nrm * an_[j])
+                # Spark orders NaN above every double — sort on +inf,
+                # report the raw value
+                key = np.where(np.isnan(cos), np.inf, cos)
+                sel = ids != aid
+                neg = np.nonzero(sel & (lbl != albl_[j]))[0]
+                pos = np.nonzero(sel & (lbl == albl_[j]))[0]
+                if not len(neg) and not len(pos):
+                    continue
+                hn_c = hn_i = ep_c = ep_i = None
+                if len(neg):
+                    # lexmax (cos, -cid): max cosine, lowest id on ties
+                    w = neg[np.lexsort((ids[neg], -key[neg]))][0]
+                    hn_c, hn_i = cos[w], int(ids[w])
+                if len(pos):
+                    # lexmin (cos, cid): min cosine, lowest id on ties
+                    w = pos[np.lexsort((ids[pos], key[pos]))][0]
+                    ep_c, ep_i = cos[w], int(ids[w])
+                out["anchor_id"].append(aid)
+                out["a_label"].append(albl_[j])
+                out["hn_cos"].append(hn_c)
+                out["hn_nid"].append(hn_i)
+                out["ep_cos"].append(ep_c)
+                out["ep_pid"].append(ep_i)
+            yield pd.DataFrame(out, columns=cols)
+
+    lbl_t = dict(e.dtypes)["label"]
+    partials = e.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_vec"),
         F.col("label").alias("c_label"),
+    ).mapInPandas(
+        extremes,
+        schema=(
+            f"anchor_id bigint, a_label {lbl_t}, hn_cos double, "
+            "hn_nid bigint, ep_cos double, ep_pid bigint"
+        ),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("a_vec"), F.col("c_vec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(F.col(c), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    scored = (
-        corpus.crossJoin(F.broadcast(anchors))
-        .filter(F.col("cand_id") != F.col("anchor_id"))
-        .withColumn("cosine", dot / (norm("c_vec") * norm("a_vec")))
-    )
-    agg = scored.groupBy("anchor_id", "a_label").agg(
+    agg = partials.groupBy("anchor_id", "a_label").agg(
         F.max(
             F.when(
-                F.col("c_label") != F.col("a_label"),
-                F.struct(F.col("cosine"), (-F.col("cand_id")).alias("nid")),
+                F.col("hn_cos").isNotNull() | F.col("hn_nid").isNotNull(),
+                F.struct(F.col("hn_cos").alias("cosine"), (-F.col("hn_nid")).alias("nid")),
             )
         ).alias("hn"),
         F.min(
             F.when(
-                F.col("c_label") == F.col("a_label"),
-                F.struct(F.col("cosine"), F.col("cand_id").alias("pid")),
+                F.col("ep_cos").isNotNull() | F.col("ep_pid").isNotNull(),
+                F.struct(F.col("ep_cos").alias("cosine"), F.col("ep_pid").alias("pid")),
             )
         ).alias("ep"),
     )

@@ -604,7 +604,10 @@ def test_knn_outliers_dot_product_is_codegen(spark, sf_dir):
     assert "zip_with" not in plan
 
 
-def test_triplet_mining_broadcasts_anchors(spark, sf_dir):
+def test_triplet_mining_arrow_kernel_no_join(spark, sf_dir):
+    # r13: anchors ride a driver broadcast into ONE Arrow kernel that
+    # emits batch-local extremes; no pair join materializes at all
     plan = _simple(QUERIES["triplet_mining"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "Broadcast" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan

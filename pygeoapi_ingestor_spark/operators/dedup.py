@@ -1103,6 +1103,13 @@ def span_dedup(
     Returns (id, n_spans, n_kept, dedup_digest) where dedup_digest is
     the md5 of the reassembled text — enough to value-gate the rebuilt
     content without hauling it around.
+
+    Caller contract (ADVICE r13): ``id_col`` must be unique per row —
+    the same contract ``shingles()`` assumes. The winner projection
+    emits exactly ONE row per distinct chunk; with duplicate ids the
+    replaced join-back+equality-filter shape would have kept every
+    duplicate occurrence of the winning (doc, idx, chunk), so n_kept /
+    dedup_digest differ on such (out-of-contract) inputs.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_chunks = F.greatest(F.ceil(F.size(words) / F.lit(float(span_words))), F.lit(1))

@@ -29,6 +29,28 @@ def _safe_denom(x: Column) -> Column:
     return F.nullif(x, F.lit(0.0))
 
 
+# Driver-side query collect bound for the Arrow kernels (ADVICE r13):
+# the query side is "small by contract", but an unbounded .collect() at
+# DataFrame-BUILD time is a silent driver OOM if a caller passes a big
+# frame. 2^20 rows x 64 doubles ~ 0.5 GiB framed — beyond that the
+# caller should bucket/join, not broadcast.
+_MAX_QUERY_ROWS = 1 << 20
+
+
+def collect_query_rows(queries: DataFrame, *cols: str) -> list:
+    """Bounded driver collect of an Arrow kernel's query side. Raises
+    (instead of OOMing the driver) when the frame exceeds
+    ``_MAX_QUERY_ROWS`` — the documented smallness contract."""
+    rows = queries.select(*cols).limit(_MAX_QUERY_ROWS + 1).collect()
+    if len(rows) > _MAX_QUERY_ROWS:
+        raise ValueError(
+            f"query side exceeds the broadcast contract "
+            f"({_MAX_QUERY_ROWS} rows): bucket or join instead of "
+            "collecting to the driver"
+        )
+    return rows
+
+
 def vec_ok_mask(vecs, dim):
     """Boolean mask of rows whose vector is non-null and exactly ``dim``
     long — the Arrow kernels' twin of the HOF fold's NULL propagation.
@@ -129,7 +151,7 @@ def _cosine_topk_arrow(
 
     spark = embeddings.sparkSession
     ensure_package_on_executors(spark)
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = collect_query_rows(queries, query_id_col, query_vec_col)
     qids = [r[0] for r in qrows]
     qm = np.array(
         [np.asarray(r[1], dtype=np.float64) for r in qrows]
@@ -482,7 +504,7 @@ def ivf_topk(
         [np.asarray(r["_v"], dtype=np.float64) for r in cent_rows]
     ).reshape(len(cent_rows), dim)
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = collect_query_rows(queries, query_id_col, query_vec_col)
     qid_t = dict(queries.dtypes)[query_id_col]
     # malformed query vectors got NULL probe keys under the fold path
     # and matched nothing — dropping them here degrades identically
@@ -1037,7 +1059,7 @@ def cosine_topk_int8(
 
     spark = embeddings.sparkSession
     ensure_package_on_executors(spark)
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = collect_query_rows(queries, query_id_col, query_vec_col)
     qrows = [r for r in qrows if r[1] is not None and len(r[1]) == dim]
     qids = [r[0] for r in qrows]
     if qrows:

@@ -38,66 +38,15 @@ _ALL = {
     **CURATION_QUERIES,
 }
 
-# Round-13 stamp order: oldest-driver-stamp-first, GENERATED at round
+# Round-14 stamp order: oldest-driver-stamp-first, GENERATED at round
 # start by ``python3 tools/gen_stamp_order.py`` from the committed
-# CORRECTNESS_r01..r12 union (r12 recency: r8x43, r9x50, r10x50, r11x50,
-# r12x50 — no never-stamped keys). The driver's ~50-key window clears
-# the whole r8 cohort plus the head of r9, lifting the union staleness
-# floor to r9. Keys NEW this round (absent from every stamp file) are
+# CORRECTNESS_r01..r13 union (recency: r9x43, r10x50, r11x50, r12x50,
+# r13x50 — no never-stamped keys). The driver's ~50-key window clears
+# the whole r9 cohort plus the head of r10, lifting the union staleness
+# floor to r10. Keys NEW this round (absent from every stamp file) are
 # prepended so they get stamped immediately.
 _STAMP_ORDER = [
-    # --- newest driver stamp: r8 (43 keys) ---
-    "anomaly_vs_climatology",
-    "spi_gamma",
-    "spi_gamma_ts3",
-    "zonal_stats",
-    "ensemble_stats",
-    "bias_correction_qmap",
-    "precip_deficit_cumsum",
-    "unit_convert_derive",
-    "regrid_snap_agg",
-    "dedup_latest_snapshot",
-    "sessionize_gap",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q10_returned_items",
-    "top_parts_by_revenue",
-    "set_ops_customers",
-    "approx_distinct_users",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q22_idle_customers",
-    "rollup_revenue",
-    "cube_orders",
-    "pivot_daily_by_type",
-    "json_extract_props",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "resample_weekly_max_sun",
-    "resample_monthly_scaled",
-    "time_weighted_avg",
-    "centroid_classify",
-    "merge_upsert",
-    "dedup_ppjoin",
-    "regrid_bilinear",
-    "morton_cells",
-    "winnow_fingerprints",
-    "sim_search_pq_adc",
-    "dedup_against_reference",
-    "tfidf_top_terms",
-    "char_entropy",
-    # --- newest driver stamp: r9 (50 keys) ---
-    "multimodal_decode_real",
-    "skew_salted_agg",
-    "multimodal_resize",
-    "pca_power_iteration",
-    "quality_logreg_step",
-    "token_source_chi2",
-    "token_zipf_fit",
+    # --- newest driver stamp: r9 (43 keys) ---
     "vocab_growth_heaps",
     "source_overlap_minhash",
     "dedup_prefix_fingerprint",
@@ -294,6 +243,57 @@ _STAMP_ORDER = [
     "rolling_sum_7d_range",
     "linear_interp_gaps",
     "climatology_hourly",
+    # --- newest driver stamp: r13 (50 keys) ---
+    "anomaly_vs_climatology",
+    "spi_gamma",
+    "spi_gamma_ts3",
+    "zonal_stats",
+    "ensemble_stats",
+    "bias_correction_qmap",
+    "precip_deficit_cumsum",
+    "unit_convert_derive",
+    "regrid_snap_agg",
+    "dedup_latest_snapshot",
+    "sessionize_gap",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "top_parts_by_revenue",
+    "set_ops_customers",
+    "approx_distinct_users",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q22_idle_customers",
+    "rollup_revenue",
+    "cube_orders",
+    "pivot_daily_by_type",
+    "json_extract_props",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "resample_weekly_max_sun",
+    "resample_monthly_scaled",
+    "time_weighted_avg",
+    "centroid_classify",
+    "merge_upsert",
+    "dedup_ppjoin",
+    "regrid_bilinear",
+    "morton_cells",
+    "winnow_fingerprints",
+    "sim_search_pq_adc",
+    "dedup_against_reference",
+    "tfidf_top_terms",
+    "char_entropy",
+    "multimodal_decode_real",
+    "skew_salted_agg",
+    "multimodal_resize",
+    "pca_power_iteration",
+    "quality_logreg_step",
+    "token_source_chi2",
+    "token_zipf_fit",
 ]
 
 # ---------------------------------------------------------------------------

@@ -3075,7 +3075,14 @@ def _rp_proj_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer RP dots and the squared norm as an exact int64 matmul
     (integer sums are order-free, so no fold-order dance). Replaces
     8 interpreted zip_with/aggregate folds + 1 transform fold per row
-    (r13: the last interpreted-HOF family in the catalog's warm set)."""
+    (r13: the last interpreted-HOF family in the catalog's warm set).
+
+    Output contract (ADVICE r13): null / wrong-length vectors are
+    EXCLUDED (vec_ok_mask) — the replaced fold expressions emitted such
+    rows with NULL projections and a NULL jl ratio; this frame's
+    consumers (q_embedding_rp_reduce, rrf fusion) treat malformed
+    vectors as absent instead. Row parity vs the oracle holds on any
+    well-formed corpus (the gate corpora contain none)."""
     import numpy as np
 
     from pygeoapi_ingestor_spark.operators.similarity import (
@@ -3939,8 +3946,14 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     monoid, so partial-then-final equals the old all-rows aggregate
     exactly). Null / wrong-length corpus vectors drop from rankings
     (the fold path's NULL-cosine convention — same as every Arrow
-    kernel in this family); NaN cosines (zero-norm vectors) keep
-    Spark's NaN-is-largest ordering via a +inf sort key.
+    kernel in this family). NaN cosines (zero-norm candidate or anchor)
+    ALSO drop from rankings (ADVICE r13: pandas→Arrow serialization
+    masks NaN doubles as NULL, so a NaN could not survive the boundary
+    anyway — the same drop-invalid convention as the cosine_topk_int8
+    Arrow path); and NULL labels are excluded from both the negative
+    and positive candidate sets, matching the three-valued logic of the
+    replaced ``F.when(c_label != a_label)`` / ``(c_label == a_label)``
+    JVM expressions (a NULL-label anchor emits nothing).
     """
     import numpy as np
 
@@ -3985,19 +3998,27 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             ids = pdf["cand_id"].to_numpy()[ok]
             lbl = pdf["c_label"].to_numpy()[ok]
+            # NULL-label candidates never match either side of the old
+            # three-valued F.when comparisons — mask them up front
+            lbl_ok = ~pd.isnull(lbl)
             vm = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["c_vec"][ok]]
             )
             nrm = seq_norm(vm)
             out = {c: [] for c in cols}
             for j, aid in enumerate(aids_):
+                if pd.isnull(albl_[j]):
+                    # NULL-label anchor: both label comparisons are
+                    # NULL under 3VL — no candidates on either side
+                    continue
                 dots = seq_dot_row(vm, am_[j])
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = dots / (nrm * an_[j])
-                # Spark orders NaN above every double — sort on +inf,
-                # report the raw value
-                key = np.where(np.isnan(cos), np.inf, cos)
-                sel = ids != aid
+                # NaN cosines (zero-norm vectors) drop from rankings:
+                # they could not survive the Arrow boundary (pandas NaN
+                # serializes as NULL) — same convention as the
+                # cosine_topk_int8 kernel
+                sel = (ids != aid) & lbl_ok & ~np.isnan(cos)
                 neg = np.nonzero(sel & (lbl != albl_[j]))[0]
                 pos = np.nonzero(sel & (lbl == albl_[j]))[0]
                 if not len(neg) and not len(pos):
@@ -4005,11 +4026,11 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hn_c = hn_i = ep_c = ep_i = None
                 if len(neg):
                     # lexmax (cos, -cid): max cosine, lowest id on ties
-                    w = neg[np.lexsort((ids[neg], -key[neg]))][0]
+                    w = neg[np.lexsort((ids[neg], -cos[neg]))][0]
                     hn_c, hn_i = cos[w], int(ids[w])
                 if len(pos):
                     # lexmin (cos, cid): min cosine, lowest id on ties
-                    w = pos[np.lexsort((ids[pos], key[pos]))][0]
+                    w = pos[np.lexsort((ids[pos], cos[pos]))][0]
                     ep_c, ep_i = cos[w], int(ids[w])
                 out["anchor_id"].append(aid)
                 out["a_label"].append(albl_[j])

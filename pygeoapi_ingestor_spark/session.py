@@ -61,8 +61,34 @@ def get_spark(
         # in-session. 32 MiB makes plan analysis depth a non-factor.
         # -Xss applies to every JVM thread (py4j handlers included);
         # heap flags stay out of extraJavaOptions per Spark's contract.
-        .config("spark.driver.extraJavaOptions", "-Xss32m")
-        .config("spark.executor.extraJavaOptions", "-Xss32m")
+        #
+        # +ExplicitGCInvokesConcurrent (r14 root-cause of the r13
+        # local[32] "regression"): Spark's ContextCleaner periodicGC —
+        # which the 2-min interval above fires on purpose — calls
+        # System.gc(), and under Java 17's default G1 an explicit GC is
+        # a FULL stop-the-world collection. On this driver's 48 GiB
+        # heap those pauses measured up to 33.8 s (tools/bench_probe.py,
+        # G1 Old Generation MXBean: 1 collection = 33771 ms inside a
+        # 117 s query cell), landing on random timed cells; pause cost
+        # scales with allocation churn, i.e. with task count, so
+        # local[32] suffered ~4x over local[8] — the entire r13
+        # "8 cores beats 32" inversion. With the flag, an explicit GC
+        # becomes a concurrent G1 cycle: reference processing (what the
+        # ContextCleaner actually needs — its weak refs get enqueued)
+        # still happens, nothing pauses. A/B on 20 keys at local[32]:
+        # 225 s wall / 35.3 s GC pauses -> 69 s wall / 0.6 s GC.
+        # The same applies to any long-lived 100 TB driver: periodicGC
+        # without this flag trades broadcast-state hygiene for
+        # multi-second full pauses at exactly the heap sizes where both
+        # matter.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xss32m -XX:+ExplicitGCInvokesConcurrent",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-Xss32m -XX:+ExplicitGCInvokesConcurrent",
+        )
         # The app-status store keeps the last 1000 SQL executions WITH
         # their full plan graphs even when the UI is off; this catalog's
         # analyzed plans are large (dedup fixpoints, composed curation
@@ -89,15 +115,18 @@ def get_spark(
         .config("spark.sql.constraintPropagation.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
-        # the -Xss32m pin is load-bearing (the r11 canonicalization
-        # StackOverflow fix): a caller adding its own JVM flags must not
-        # silently REPLACE it (ADVICE r12) — merge, keeping the caller's
-        # flags after ours so they still win any same-flag conflict.
-        if (
-            k in ("spark.driver.extraJavaOptions", "spark.executor.extraJavaOptions")
-            and "-Xss" not in v
-        ):
-            v = f"-Xss32m {v}"
+        # the -Xss32m pin (r11 canonicalization StackOverflow fix) and
+        # the concurrent-explicit-GC pin (r14 full-pause fix) are both
+        # load-bearing: a caller adding its own JVM flags must not
+        # silently REPLACE them (ADVICE r12) — merge, keeping the
+        # caller's flags after ours so they still win any same-flag
+        # conflict (-XX:-ExplicitGCInvokesConcurrent counts as the
+        # caller providing the flag).
+        if k in ("spark.driver.extraJavaOptions", "spark.executor.extraJavaOptions"):
+            if "ExplicitGCInvokesConcurrent" not in v:
+                v = f"-XX:+ExplicitGCInvokesConcurrent {v}"
+            if "-Xss" not in v:
+                v = f"-Xss32m {v}"
         builder = builder.config(k, v)
     return builder.getOrCreate()
 

@@ -54,6 +54,7 @@ def _clear_cache(spark):
     spark.catalog.clearCache()
 
 
+@pytest.mark.slow  # full-catalog sweep: run with -m slow (see pytest.ini)
 @pytest.mark.parametrize("key", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, key):
     df = QUERIES[key](spark, sf_dir)

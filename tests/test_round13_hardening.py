@@ -155,7 +155,10 @@ def test_extra_java_options_merge_keeps_xss_pin():
         SparkSession.builder = orig
     v = captured["spark.driver.extraJavaOptions"]
     assert "-Xss32m" in v and "-Dfoo=bar" in v
-    # a caller explicitly choosing its own stack size wins
+    # r14: the concurrent-explicit-GC pin must survive the merge too
+    assert "-XX:+ExplicitGCInvokesConcurrent" in v
+    # a caller explicitly choosing its own stack size wins; the GC pin
+    # is still prepended (the caller did not mention the flag)
     captured.clear()
     try:
         SparkSession.builder = FakeBuilder()
@@ -164,7 +167,25 @@ def test_extra_java_options_merge_keeps_xss_pin():
         )
     finally:
         SparkSession.builder = orig
-    assert captured["spark.driver.extraJavaOptions"] == "-Xss64m"
+    v = captured["spark.driver.extraJavaOptions"]
+    assert v.endswith("-Xss64m") and "-Xss32m" not in v
+    assert "-XX:+ExplicitGCInvokesConcurrent" in v
+    # a caller explicitly DISABLING concurrent explicit GC wins — the
+    # merge must not re-add the + form
+    captured.clear()
+    try:
+        SparkSession.builder = FakeBuilder()
+        sess.get_spark(
+            extra_conf={
+                "spark.driver.extraJavaOptions":
+                    "-XX:-ExplicitGCInvokesConcurrent"
+            }
+        )
+    finally:
+        SparkSession.builder = orig
+    v = captured["spark.driver.extraJavaOptions"]
+    assert "-XX:+ExplicitGCInvokesConcurrent" not in v
+    assert "-Xss32m" in v
 
 
 # ---------------------------------------------------------------------------
@@ -430,7 +451,14 @@ def test_cosine_topk_int8_arrow_matches_fold_path(spark, sf_dir):
     """The r13 Arrow kernel of cosine_topk_int8 (dim given) must return
     the exact rows of the fold-expression path (dim=None) on the real
     corpus — quantization, integer dots, sqrt(na)*sqrt(nb) denominator
-    and (cosine desc, id asc) tie-breaks all bit-identical."""
+    and (cosine desc, id asc) tie-breaks all bit-identical.
+
+    Scope (ADVICE r13): this corpus gives every query >= k valid
+    neighbors. On a corpus with FEWER than k valid rows per query the
+    two paths diverge by design — the fold path ranks NULL/NaN-cosine
+    rows last (they can surface when valid rows run out), the Arrow
+    path drops them entirely. That divergence is documented in the
+    operator docstring; the parity claim here is the >=k-valid case."""
     from pyspark.sql import functions as F
 
     from pygeoapi_ingestor_spark.operators.similarity import cosine_topk_int8

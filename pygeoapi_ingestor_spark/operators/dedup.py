@@ -1174,58 +1174,69 @@ def winnow_fingerprints(
     whole-doc hashing misses and all-grams storage over-pays for
     (density 2/(window+1) of all grams).
 
-    Relational formulation (no sequential scan): positioned grams from
-    posexplode + lead, an engine-neutral 60-bit md5 gram hash, and the
-    per-window minimum as a ``min`` over a (CURRENT ROW .. w-1 FOLLOWING)
-    frame on a zero-padded sortable key — ties break to the LOWEST
-    position (the deterministic variant; classic winnowing breaks right).
-    Selected fingerprints are the distinct window minima over full
-    windows only. One shuffle on doc; both windows share it.
+    Shuffle-free formulation (r14, guide §2.4 — the shingles()
+    precedent): the positioned grams, the zero-padded sortable keys
+    (md5-15 || lpad(pos)), the per-window minima (``array_min`` over a
+    ``slice`` per full-window start) and the membership filter all run
+    INSIDE the per-document token array — zero exchanges in the whole
+    operator, where the r13 shape shuffled every token occurrence on
+    doc for the lead window, again for the window-min frame, and once
+    more for the selected-keys semi-join. Ties still break to the
+    LOWEST position (the key embeds the position; classic winnowing
+    breaks right), selection still requires FULL windows, and the
+    emitted (doc, pos, gram_hash) set is row-identical by construction
+    — the key/hash expressions are unchanged.
 
     Returns (doc, pos, gram_hash) — the positioned fingerprint set.
     """
     from pygeoapi_ingestor_spark.operators.text import norm_words
+    from pygeoapi_ingestor_spark.session import spread_if_narrow
 
     words = norm_words(text_col)
-    tok = df.select(
-        F.col(id_col).alias("doc"), F.posexplode(words).alias("pos", "w")
+    base = spread_if_narrow(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col))
+    ).select("doc", words.alias("_ws"))
+    n_grams = F.size("_ws") - (n - 1)
+    grams = F.transform(
+        F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_ws"), i + j) for j in range(n)]
+        ),
     )
-    wo = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(wo) for i in range(1, n)]
-    gram = F.concat_ws(" ", *parts)
-    grams = (
-        tok.select("doc", "pos", gram.alias("_g"), parts[-1].alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+    # one md5-15 per gram, shared by the hash and the sortable key. The
+    # entry struct leads with _key so array_min over a window slice IS
+    # the winnowing argmin (struct ordering is field-by-field; _key is
+    # unique within a doc because it embeds the position) — no
+    # membership test, so nothing is re-evaluated per element (HOF
+    # lambdas are interpreted without common-subexpression elimination:
+    # an array_contains(selected, ...) filter re-computed the whole
+    # selected array PER ENTRY, measured 80 s on sf0.1).
+    g15 = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 15))
+    entries = F.transform(
+        g15,
+        lambda g, i: F.struct(
+            F.concat(
+                F.lpad(g, 15, "0"),
+                F.lpad(i.cast("string"), 8, "0"),
+            ).alias("_key"),
+            i.alias("pos"),
+            F.conv(g, 16, 10).cast("long").alias("gram_hash"),
+        ),
     )
-    h = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long")
-    keyed = grams.select(
-        "doc",
-        "pos",
-        h.alias("gram_hash"),
-        F.concat(
-            F.lpad(F.substring(F.md5(F.col("_g")), 1, 15), 15, "0"),
-            F.lpad(F.col("pos").cast("string"), 8, "0"),
-        ).alias("_key"),
+    rowed = base.select("doc", entries.alias("_es"))
+    n_starts = F.size("_es") - (window - 1)
+    winners = F.array_distinct(
+        F.transform(
+            F.when(n_starts > 0, F.sequence(F.lit(1), n_starts)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda s: F.array_min(F.slice(F.col("_es"), s, window)),
+        )
     )
-    w_fwd = (
-        Window.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
-    )
-    with_min = keyed.select(
-        "doc",
-        "pos",
-        "gram_hash",
-        "_key",
-        F.min("_key").over(w_fwd).alias("_wmin"),
-        F.count(F.lit(1)).over(w_fwd).alias("_wn"),
-    )
-    selected_keys = (
-        with_min.filter(F.col("_wn") == window)
-        .select("doc", F.col("_wmin").alias("_key"))
-        .distinct()
-    )
-    return keyed.join(selected_keys, ["doc", "_key"], "left_semi").select(
-        "doc", "pos", "gram_hash"
+    return rowed.select("doc", F.explode(winners).alias("_e")).select(
+        "doc", F.col("_e.pos").alias("pos"), F.col("_e.gram_hash").alias("gram_hash")
     )
 
 

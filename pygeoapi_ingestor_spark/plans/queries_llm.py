@@ -2462,31 +2462,50 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     char_entropy summation shape). The count join keys on the bigram —
     Zipf-skewed by construction ("of the"), which AQE's skew-join split
     handles since it is a plain equi-join; per-doc state is two numbers.
+
+    r14 (guide §2.4, the shingles() precedent): adjacent pairs are
+    built INSIDE the token array (transform over start indices with
+    O(1) element_at) instead of posexplode + lead window — the window
+    shuffled EVERY token occurrence on doc before a single count
+    existed. Pair content and order are identical, so every count (and
+    the oracle hash) is unchanged; the tokenize->pairs stage is now a
+    pure projection.
     """
+    from pygeoapi_ingestor_spark.session import spread_if_narrow
+
     docs = _docs(spark, sf_dir)
     words = text.norm_words("text")
-    from pyspark.sql import Window
-
-    tok = docs.select(
-        F.col("doc_id").alias("doc"), F.posexplode(words).alias("pos", "w1")
-    )
-    w = Window.partitionBy("doc").orderBy("pos")
-    bg = (
-        tok.select("doc", "w1", F.lead("w1").over(w).alias("w2"))
-        .filter(F.col("w2").isNotNull())
+    toks = spread_if_narrow(
+        docs.select(F.col("doc_id").alias("doc"), "text")
+    ).select("doc", words.alias("_ws"))
+    bg = toks.select(
+        "doc",
+        # adjacent pairs as arrays_zip of the two shifted slices —
+        # single native array ops (no per-element lambda interpretation,
+        # which measured ~1.5x slower than even the window shuffle)
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_ws"), 1, F.greatest(F.size("_ws") - 1, F.lit(0))),
+                F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))),
+            )
+        ).alias("_p"),
+    ).select(
+        "doc",
+        F.col("_p").getField("0").alias("w1"),
+        F.col("_p").getField("1").alias("w2"),
     )
     from pyspark import StorageLevel
 
     # the per-(doc, bigram) counts feed three branches (corpus counts,
     # prefix counts, and the final score join) — materialize once
-    # instead of recomputing the tokenize + lead window per branch.
+    # instead of recomputing the tokenize + pair build per branch.
     # Same cache contract as the other index artifacts.
     doc_bg = bg.groupBy("doc", "w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("m")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     corpus_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("m").cast("bigint").alias("cb"))
     prefix = corpus_bg.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("c1"))
-    vocab = tok.select("w1").distinct().agg(
+    vocab = toks.select(F.explode("_ws").alias("w1")).distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("v")
     )
     term = F.log((F.col("cb") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double"))
@@ -4221,24 +4240,54 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift_cooccurrence's basket lift.
 
     PMI = ln(N·c_ab / (c_a·c_b)) over exact integer counts (adjacency
-    pairs from the lead window, unigrams from one explode), so the only
-    float is a single deterministic ln per surviving pair. Min-count
-    prunes the Zipf tail BEFORE the unigram joins; top-k is TakeOrdered
-    on (pmi, pair) — no global sort.
+    pairs built inside the token array, unigrams from one explode), so
+    the only float is a single deterministic ln per surviving pair.
+    Min-count prunes the Zipf tail BEFORE the unigram joins; top-k is
+    TakeOrdered on (pmi, pair) — no global sort.
+
+    r14 (guide §2.4): the adjacency pairs previously came from
+    posexplode + a lead window that shuffled every token occurrence on
+    doc; they are now a transform over the token array's start indices
+    (identical pairs, identical counts — the bigram_lm_score/shingles
+    rewrite), and the total-token count folds to sum(size(words)) — a
+    pure scan aggregate. Zero exchanges before the count aggregations.
     """
-    from pyspark.sql import Window
+    from pygeoapi_ingestor_spark.session import spread_if_narrow
 
     docs = _docs(spark, sf_dir)
     words = text.norm_words("text")
-    tok = docs.select(
-        F.col("doc_id").alias("doc"), F.posexplode(words).alias("pos", "w1")
+    toks = spread_if_narrow(
+        docs.select(F.col("doc_id").alias("doc"), "text")
+    ).select("doc", words.alias("_ws"))
+    uni = toks.select(F.explode("_ws").alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
     )
-    uni = tok.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
-    n_tok = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    w = Window.partitionBy("doc").orderBy("pos")
+    n_tok = toks.agg(
+        F.coalesce(F.sum(F.size("_ws").cast("bigint")), F.lit(0))
+        .cast("bigint").alias("n")
+    )
     pairs = (
-        tok.select("doc", "w1", F.lead("w1").over(w).alias("w2"))
-        .filter(F.col("w2").isNotNull())
+        toks.select(
+            # same arrays_zip-of-shifted-slices pair build as
+            # q_bigram_lm_score — native array ops, no per-element
+            # lambda interpretation
+            F.explode(
+                F.arrays_zip(
+                    F.slice(
+                        F.col("_ws"), 1,
+                        F.greatest(F.size("_ws") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        F.col("_ws"), 2,
+                        F.greatest(F.size("_ws") - 1, F.lit(0)),
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select(
+            F.col("_p").getField("0").alias("w1"),
+            F.col("_p").getField("1").alias("w2"),
+        )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
         .filter(F.col("cab") >= PMI_MIN_COUNT)

@@ -398,10 +398,17 @@ def test_dedup_against_reference_is_anti_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_winnow_selects_via_semi_join(spark, sf_dir):
+def test_winnow_is_shuffle_free_projection(spark, sf_dir):
+    """r14: the whole winnowing selection (positioned grams, sortable
+    keys, per-window argmin, distinct) runs inside the token array —
+    no window shuffle, no selected-keys semi-join (the r13 shape), no
+    join of any kind. The only allowed exchange is spread_if_narrow's
+    parallelism spread on a single-file local input."""
     plan = _simple(QUERIES["winnow_fingerprints"](spark, sf_dir))
-    assert "LeftSemi" in plan
+    assert "LeftSemi" not in plan
     assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
 
 
 def test_pq_adc_scans_materialized_codes(spark, sf_dir):

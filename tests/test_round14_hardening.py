@@ -124,3 +124,58 @@ def test_collect_query_rows_bound(spark):
             sim.collect_query_rows(df, "id", "v")
     finally:
         sim._MAX_QUERY_ROWS = orig
+
+
+def test_winnow_array_formulation_matches_r13_shape(spark, sf_dir):
+    """r14 rewrote winnow_fingerprints as an in-array argmin (zero
+    exchanges); this twin re-implements the replaced r13 relational
+    shape (posexplode + lead grams, window-min over a forward frame,
+    selected-keys semi-join) and pins row-for-row equality on the real
+    corpus."""
+    from pyspark.sql import Window, functions as F
+
+    from pygeoapi_ingestor_spark.operators import dedup
+    from pygeoapi_ingestor_spark.operators.text import norm_words
+
+    n, window = 4, 5
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    new = dedup.winnow_fingerprints(df, "doc_id", "text", n=n, window=window)
+
+    words = norm_words("text")
+    tok = df.select(
+        F.col("doc_id").alias("doc"), F.posexplode(words).alias("pos", "w")
+    )
+    wo = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(wo) for i in range(1, n)]
+    grams = (
+        tok.select(
+            "doc", "pos", F.concat_ws(" ", *parts).alias("_g"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    h = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long")
+    keyed = grams.select(
+        "doc", "pos", h.alias("gram_hash"),
+        F.concat(
+            F.lpad(F.substring(F.md5(F.col("_g")), 1, 15), 15, "0"),
+            F.lpad(F.col("pos").cast("string"), 8, "0"),
+        ).alias("_key"),
+    )
+    w_fwd = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
+    with_min = keyed.select(
+        "doc", "pos", "gram_hash", "_key",
+        F.min("_key").over(w_fwd).alias("_wmin"),
+        F.count(F.lit(1)).over(w_fwd).alias("_wn"),
+    )
+    selected = (
+        with_min.filter(F.col("_wn") == window)
+        .select("doc", F.col("_wmin").alias("_key"))
+        .distinct()
+    )
+    old = keyed.join(selected, ["doc", "_key"], "left_semi").select(
+        "doc", "pos", "gram_hash"
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))

@@ -320,15 +320,22 @@ def parametric_gamma_map(
             gammainc_ppf,
         )
 
+        pcols = ["fc_alpha", "fc_scale", "obs_alpha", "obs_scale"]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = pdf[value_col].to_numpy(dtype=np.float64)
             bc = np.full(len(pdf), np.nan)
-            groups = pdf.groupby(
-                ["fc_alpha", "fc_scale", "obs_alpha", "obs_scale"], sort=False
-            ).indices
-            for (fa, fs, oa, osc), idx in groups.items():
+            # group rows by their (few, broadcast-joined) parameter
+            # combos in numpy: a pandas 4-column groupby per batch
+            # measured ~0.5 s/invocation at bench SF — 5x the actual
+            # gamma math (guide §4.2: keep the per-batch constant work
+            # out of the batch loop's hot path)
+            pk = np.stack([pdf[c].to_numpy(np.float64) for c in pcols], axis=1)
+            uniq, inv = np.unique(pk, axis=0, return_inverse=True)
+            for gi in range(uniq.shape[0]):
+                fa, fs, oa, osc = uniq[gi]
+                idx = np.nonzero(inv == gi)[0]
                 p = gammainc_lower(float(fa), np.clip(x[idx], 0.0, None) / float(fs))
                 bc[idx] = float(osc) * gammainc_ppf(float(oa), p)
             bc[np.isinf(bc)] = np.nan  # reference post_process: inf -> nan

@@ -769,10 +769,19 @@ def q_quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared_dup_components,
     )
 
+    from pyspark import StorageLevel
+
+    # the ranks drill-down (stats pass, per-bucket counts, ranked pass)
+    # evaluates its input 3-4x, and the input here is the regex-heavy
+    # quality projection (~0.9 s/evaluation at bench SF — measured
+    # r14). Persist the NARROW (doc_id, score) projection once per
+    # call, the rfm_segments pattern (guide §2.3/§5); the bench's
+    # clearCache between keys drops it.
     scored = (
         text_ops.quality_features(_docs(spark, sf_dir), text_col="text")
         .select("doc_id", "quality_score")
         .withColumn("_g", F.lit(0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rn = ranks.bucketed_row_number(
         scored, series_cols=["_g"], value_col="quality_score",

@@ -584,17 +584,103 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized codes, verified via a digest of the code array plus
     summary stats (scalar outputs keep the hash gate engine-neutral).
     Quantization is a pure projection — the 100 TB path rewrites the
-    vector table at 4-8x compression with zero shuffles."""
-    e = _emb(spark, sf_dir)
-    qd = similarity.quantize_int8(e, vec_col="embedding")
-    qv = F.col("q_vec")
-    return qd.select(
-        "vec_id",
-        F.round("q_scale", 6).alias("q_scale"),
-        F.md5(F.concat_ws(",", F.transform(qv, lambda x: x.cast("string")))).alias("q_digest"),
-        F.aggregate(qv, F.lit(0), lambda acc, x: acc + x).cast("bigint").alias("q_sum"),
-        F.array_max(qv).cast("int").alias("q_max"),
-        F.array_min(qv).cast("int").alias("q_min"),
+    vector table at 4-8x compression with zero shuffles.
+
+    r14 (guide §4.2): one Arrow pass via ``quantize_int8_np`` (bit
+    parity with the JVM ``quantize_int8`` expression is pinned by
+    test). The previous projection evaluated the interpreted quantize
+    ``transform`` FOUR times per row (digest / sum / max / min — HOF
+    expressions get no common-subexpression elimination) plus a 64-step
+    interpreted sum fold; measured ~4 s noop at bench SF for a 10k-row
+    projection. NULL embeddings keep the JVM-expression semantics
+    (scale 1.0, digest md5 of the empty string, NULL stats)."""
+    import hashlib
+
+    import numpy as np
+
+    from pygeoapi_ingestor_spark.operators.similarity import quantize_int8_np
+    from pygeoapi_ingestor_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    # no spread_if_narrow: the kernel is memory-bandwidth-bound
+    # (~µs/row), so fanning a narrow local input out to core-count
+    # partitions costs more in Python-worker round trips than the whole
+    # quantization; production inputs arrive pre-partitioned and never
+    # needed the spread
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    _empty_md5 = hashlib.md5(b"").hexdigest()
+
+    def _round6_half_up(x: float) -> float:
+        # twin of Spark's round(double, 6): BigDecimal.valueOf(x) (the
+        # shortest decimal repr — Python's repr uses the same shortest-
+        # roundtrip algorithm) quantized HALF_UP (np.round would tie
+        # half-to-even; the collections sink uses the same Decimal twin)
+        import decimal as _dec
+
+        return float(
+            _dec.Decimal(repr(x)).quantize(
+                _dec.Decimal("0.000001"), rounding=_dec.ROUND_HALF_UP
+            )
+        )
+
+    def quant(batches):
+        import pandas as pd
+
+        cols = ["vec_id", "q_scale", "q_digest", "q_sum", "q_max", "q_min"]
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            n = len(pdf)
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "q_scale": np.full(n, 1.0),
+                "q_digest": np.full(n, _empty_md5, dtype=object),
+                "q_sum": np.full(n, np.nan),
+                "q_max": np.full(n, np.nan),
+                "q_min": np.full(n, np.nan),
+            }
+            vecs = pdf["embedding"]
+            ok = np.fromiter(
+                (v is not None for v in vecs), dtype=bool, count=n
+            )
+            if ok.any():
+                # vectors may be ragged in general; the homogeneous
+                # case (every corpus) stacks once
+                lens = {len(v) for v in vecs[ok]}
+                groups = (
+                    [np.nonzero(ok)[0]]
+                    if len(lens) == 1
+                    else [
+                        np.array([i], dtype=np.int64)
+                        for i in np.nonzero(ok)[0]
+                    ]
+                )
+                for idx in groups:
+                    vm = np.stack(
+                        [np.asarray(vecs.iloc[i], dtype=np.float64) for i in idx]
+                    )
+                    q, scale = quantize_int8_np(vm)
+                    out["q_scale"][idx] = [_round6_half_up(s) for s in scale]
+                    out["q_sum"][idx] = q.sum(axis=1)
+                    out["q_max"][idx] = q.max(axis=1)
+                    out["q_min"][idx] = q.min(axis=1)
+                    digs = [
+                        hashlib.md5(
+                            ",".join(map(str, row)).encode()
+                        ).hexdigest()
+                        for row in q
+                    ]
+                    for j, i in enumerate(idx):
+                        out["q_digest"][i] = digs[j]
+            yield pd.DataFrame(out, columns=cols)
+
+    return e.mapInPandas(
+        quant,
+        schema=(
+            "vec_id bigint, q_scale double, q_digest string, "
+            "q_sum bigint, q_max int, q_min int"
+        ),
     )
 
 

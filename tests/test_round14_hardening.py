@@ -179,3 +179,48 @@ def test_winnow_array_formulation_matches_r13_shape(spark, sf_dir):
         "doc", "pos", "gram_hash"
     )
     assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_embedding_quantize_kernel_matches_expression_twin(spark, tmp_path):
+    """r14 moved q_embedding_quantize from a 4x-evaluated interpreted
+    HOF projection to one Arrow kernel. Twin-pin the kernel against the
+    replaced expression formulation on a corpus that includes a NULL
+    embedding and a ragged (wrong-length) vector — scale rounding
+    (HALF_UP via the Decimal twin), md5 digests, and the NULL contract
+    (scale 1.0, md5("") digest, NULL stats) must all match."""
+    import os
+
+    from pygeoapi_ingestor_spark.operators import similarity
+    from pygeoapi_ingestor_spark.plans.queries_llm import (
+        EMB_DIM,
+        q_embedding_quantize,
+    )
+
+    rows = [
+        (0, [0.125 * (i % 9) - 0.5 for i in range(EMB_DIM)]),
+        (1, [0.0] * EMB_DIM),            # zero vector: scale 1.0
+        (2, None),                        # NULL embedding
+        (3, [1.5, -2.25, 0.75]),          # ragged length
+        (4, [-0.1234565 - 0.0625 * i for i in range(EMB_DIM)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    path = str(tmp_path / "qcorpus")
+    os.makedirs(path, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+    got = sorted(map(tuple, q_embedding_quantize(spark, path).collect()))
+
+    e = spark.read.parquet(f"{path}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    qd = similarity.quantize_int8(e, vec_col="embedding")
+    qv = F.col("q_vec")
+    ref = sorted(map(tuple, qd.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        F.md5(F.concat_ws(",", F.transform(qv, lambda x: x.cast("string")))).alias("q_digest"),
+        F.aggregate(qv, F.lit(0), lambda acc, x: acc + x).cast("bigint").alias("q_sum"),
+        F.array_max(qv).cast("int").alias("q_max"),
+        F.array_min(qv).cast("int").alias("q_min"),
+    ).collect()))
+    assert got == ref
